@@ -1,0 +1,44 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import graft.etl.Identity
+
+/** Sinks (SURVEY.md §2.1 S4-S6).
+  *
+  * The reference loads four tables into MySQL with per-column SQL types and
+  * post-load `ADD PRIMARY KEY` DDL (`/root/reference/insert.py:70-84,
+  * 169-191`). The engine's durable format is parquet (columnar, splittable,
+  * statistics-bearing — the only sane 100 TB sink available offline); JDBC
+  * stays behind the same interface for deployments that have a driver jar.
+  */
+object Writers {
+
+  /** Write mode mirroring the reference's `if_exists='replace'`. */
+  def parquet(df: DataFrame, path: String,
+              partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** S6 — the engine equivalent of `ALTER TABLE ... ADD PRIMARY KEY`
+    * (insert.py:188-191): constraints are not enforceable by Spark sinks,
+    * so assert uniqueness before/after load. Throws on violation. */
+  def assertPrimaryKey(df: DataFrame, keys: Seq[String], table: String): Unit = {
+    val violations = Identity.primaryKeyViolations(df, keys)
+    require(violations == 0,
+      s"primary key (${keys.mkString(",")}) on $table violated by $violations keys")
+  }
+
+  /** S4 — JDBC sink, inert offline (no driver jar ships with the image);
+    * kept as the pluggable interface the reference's `insert_in_table`
+    * becomes. `createTableColumnTypes` carries the per-column SQL types
+    * (the reference's `dtype={'entity_id': String(36)}` maps). */
+  def jdbc(df: DataFrame, url: String, table: String,
+           columnTypes: Option[String] = None,
+           properties: java.util.Properties = new java.util.Properties): Unit = {
+    val w = df.write.mode("overwrite")
+    columnTypes.fold(w)(t => w.option("createTableColumnTypes", t))
+      .jdbc(url, table, properties)
+  }
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.io.Tables
+import graft.etl.{Conform, Identity, Phone, Relations}
+
+/** ETL operator pack: the reference's conform/identity/phone/label-map
+  * surface (SURVEY.md §2.2-2.4, §2.6, §2.9) exercised over harness tables
+  * with DuckDB oracles. The reference-shaped end-to-end pipeline itself is
+  * covered by ScalaTest fixtures (driver queries must read the harness
+  * parquet dir).
+  */
+object Etl {
+
+  val registry: Map[String, QuerySpec] = Map(
+
+    // C6 — entity typing from null patterns (insert.py:16-25). Nulls are
+    // derived via NULLIF so all four null combinations occur.
+    "entity_type_derivation" -> QuerySpec(
+      (s, d) => Tables.orders(s, d)
+        .select(
+          nullif(col("o_orderstatus"), lit("O")).as("first_name"),
+          nullif(col("o_orderpriority"), lit("5-LOW")).as("birthday"))
+        .select(Conform.entityType(col("first_name"), col("birthday"))
+          .as("entity_type"))
+        .groupBy("entity_type").agg(count(lit(1)).as("n"))
+        .orderBy("entity_type"),
+      """SELECT CASE WHEN NULLIF(o_orderstatus,'O') IS NULL
+        |            AND NULLIF(o_orderpriority,'5-LOW') IS NULL
+        |            THEN 'PM' ELSE 'PF' END AS entity_type,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY entity_type""".stripMargin),
+
+    // C5 — deterministic sha2 surrogate ids over a natural key with null
+    // sentinels (replaces insert.py:121-122 uuid4; SURVEY §1).
+    "surrogate_id_sha2" -> QuerySpec(
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          Identity.surrogateId(
+            col("c_name"),
+            nullif(col("c_mktsegment"), lit("HOUSEHOLD")),
+            col("c_nationkey")).as("entity_id"))
+        .orderBy("c_custkey"),
+      """SELECT c_custkey,
+        |       sha256(concat_ws(chr(1),
+        |         coalesce(CAST(c_name AS VARCHAR), chr(0)),
+        |         coalesce(CAST(NULLIF(c_mktsegment,'HOUSEHOLD') AS VARCHAR), chr(0)),
+        |         coalesce(CAST(c_nationkey AS VARCHAR), chr(0)))) AS entity_id
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // C1-C4 — date parse dd/MM/yyyy, ISO reformat, DATE() truncation
+    // (insert.py:110-115; tests.py:34-40).
+    "date_parse_roundtrip" -> QuerySpec(
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "dd/MM/yyyy").as("fr"))
+        .select(col("o_orderkey"), col("fr"),
+          Conform.reformatFrToIso(col("fr")).as("iso"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y') AS fr,
+        |       strftime(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y'),
+        |                '%Y-%m-%d') AS iso
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // C7 — phone normalization (insert.py:28-67) over eight synthesized
+    // input shapes covering every branch: 3-part, punctuation cleanup,
+    // 001-/+1- 4-part prefixes, raw 10-digit, 9-digit French, leading-0
+    // fall-through (→ NULL), and extension re-attachment. The oracle
+    // replicates the *generic algorithm* in SQL, not per-shape expecteds.
+    "phone_normalize" -> QuerySpec(
+      (s, d) => {
+        val dig = lpad(((col("c_custkey") * 48271 + 11) % 10000000000L)
+          .cast("string"), 10, "7")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), dig.as("d"))
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 8 === 0,
+              concat(substring(col("d"),1,3), lit("-"), substring(col("d"),4,3), lit("-"), substring(col("d"),7,4)))
+            .when(col("c_custkey") % 8 === 1,
+              concat(lit("("), substring(col("d"),1,3), lit(")"), substring(col("d"),4,3), lit("."), substring(col("d"),7,4)))
+            .when(col("c_custkey") % 8 === 2,
+              concat(lit("001-"), substring(col("d"),1,3), lit("-"), substring(col("d"),4,3), lit("-"), substring(col("d"),7,4)))
+            .when(col("c_custkey") % 8 === 3,
+              concat(lit("+1-"), substring(col("d"),1,3), lit("-"), substring(col("d"),4,3), lit("-"), substring(col("d"),7,4)))
+            .when(col("c_custkey") % 8 === 4, col("d"))
+            .when(col("c_custkey") % 8 === 5, substring(col("d"),1,9))
+            .when(col("c_custkey") % 8 === 6, concat(lit("0"), substring(col("d"),1,9)))
+            .otherwise(
+              concat(substring(col("d"),1,3), lit("-"), substring(col("d"),4,3), lit("-"), substring(col("d"),7,4), lit("x"), substring(col("d"),1,2)))
+            .as("phone"))
+          .select(col("c_custkey"), col("phone"),
+            Phone.normalize(col("phone")).as("phone_intl"))
+          .orderBy("c_custkey")
+      },
+      phoneOracle),
+
+    // J3/C8 — categorical label map with dict.get → NULL semantics
+    // (insert.py:156-159), applied to order priorities (one label
+    // deliberately unmapped).
+    "relation_label_map" -> QuerySpec(
+      (s, d) => Tables.orders(s, d)
+        .select(
+          when(col("o_orderpriority") === "1-URGENT", "P1")
+            .when(col("o_orderpriority") === "2-HIGH", "P2")
+            .when(col("o_orderpriority") === "3-MEDIUM", "P3")
+            .as("prio"))
+        .groupBy("prio").agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("prio")),
+      """SELECT CASE o_orderpriority WHEN '1-URGENT' THEN 'P1'
+        |            WHEN '2-HIGH' THEN 'P2' WHEN '3-MEDIUM' THEN 'P3' END AS prio,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY prio NULLS FIRST""".stripMargin),
+
+    // D1 — deterministic keep-first dedup (insert.py:132-153 intent) via
+    // row_number over an explicit total order.
+    "dedup_first_deterministic" -> QuerySpec(
+      (s, d) => Identity.dedupFirst(
+          Tables.customer(s, d),
+          keys = Seq("c_mktsegment", "c_nationkey"),
+          order = Seq(col("c_custkey")))
+        .select("c_mktsegment", "c_nationkey", "c_custkey")
+        .orderBy("c_mktsegment", "c_nationkey"),
+      """SELECT c_mktsegment, c_nationkey, c_custkey FROM (
+        |  SELECT c_mktsegment, c_nationkey, c_custkey,
+        |         row_number() OVER (PARTITION BY c_mktsegment, c_nationkey
+        |                            ORDER BY c_custkey) AS rn
+        |  FROM customer) WHERE rn = 1
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin),
+
+    // F3/F4 — null-skip filter over both-endpoint nullability
+    // (insert.py:135-136) with derived nulls.
+    "null_skip_filter" -> QuerySpec(
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("F")).as("fn_s"),
+          nullif(col("o_orderpriority"), lit("1-URGENT")).as("fn_d"))
+        .filter(col("fn_s").isNotNull && col("fn_d").isNotNull)
+        .agg(count(lit(1)).as("n_kept")),
+      """SELECT COUNT(*) AS n_kept FROM orders
+        |WHERE NULLIF(o_orderstatus,'F') IS NOT NULL
+        |  AND NULLIF(o_orderpriority,'1-URGENT') IS NOT NULL""".stripMargin)
+  )
+
+  private lazy val phoneOracle: String =
+    """WITH src AS (
+      |  SELECT c_custkey,
+      |         lpad(CAST((c_custkey * 48271 + 11) % 10000000000 AS VARCHAR), 10, '7') AS d
+      |  FROM customer
+      |), shaped AS (
+      |  SELECT c_custkey,
+      |         CASE (c_custkey % 8)
+      |           WHEN 0 THEN d[1:3] || '-' || d[4:6] || '-' || d[7:10]
+      |           WHEN 1 THEN '(' || d[1:3] || ')' || d[4:6] || '.' || d[7:10]
+      |           WHEN 2 THEN '001-' || d[1:3] || '-' || d[4:6] || '-' || d[7:10]
+      |           WHEN 3 THEN '+1-' || d[1:3] || '-' || d[4:6] || '-' || d[7:10]
+      |           WHEN 4 THEN d
+      |           WHEN 5 THEN d[1:9]
+      |           WHEN 6 THEN '0' || d[1:9]
+      |           ELSE d[1:3] || '-' || d[4:6] || '-' || d[7:10] || 'x' || d[1:2]
+      |         END AS phone
+      |  FROM src
+      |), cleaned AS (
+      |  SELECT c_custkey, phone,
+      |         replace(replace(replace(phone, '.', '-'), ')', '-'), '(', '') AS c
+      |  FROM shaped
+      |), parsed AS (
+      |  SELECT c_custkey, phone, c,
+      |         split_part(c, 'x', 1) AS base,
+      |         contains(c, 'x') AS has_ext,
+      |         split_part(c, 'x', 2) AS ext,
+      |         length(split_part(c,'x',1)) - length(replace(split_part(c,'x',1),'-','')) + 1 AS nparts
+      |  FROM cleaned
+      |), intl AS (
+      |  SELECT c_custkey, phone, has_ext, ext,
+      |         CASE WHEN length(c) = 9
+      |                THEN '+33 ' || c[1:1] || ' ' || c[2:3] || ' ' || c[4:5] || ' ' || c[6:7] || ' ' || c[8:9]
+      |              WHEN length(c) = 10 AND NOT starts_with(c, '0')
+      |                THEN '+1 ' || c[1:3] || '-' || c[4:6] || '-' || c[7:10]
+      |              WHEN nparts = 3 THEN '+1 ' || base
+      |              WHEN nparts = 4 AND split_part(base,'-',1) IN ('001','+1')
+      |                THEN '+1 ' || split_part(base,'-',2) || '-' || split_part(base,'-',3) || '-' || split_part(base,'-',4)
+      |              ELSE '' END AS i
+      |  FROM parsed
+      |), withext AS (
+      |  SELECT c_custkey, phone,
+      |         CASE WHEN has_ext THEN i || 'x' || ext ELSE i END AS w
+      |  FROM intl
+      |)
+      |SELECT c_custkey, phone,
+      |       CASE WHEN (starts_with(w, '+1 ') OR starts_with(w, '+33 '))
+      |             AND length(regexp_replace(split_part(w,'x',1), '[^0-9]', '', 'g')) = 11
+      |            THEN w END AS phone_intl
+      |FROM withext ORDER BY c_custkey""".stripMargin
+}

@@ -7,7 +7,8 @@ import graft.QuerySpec
 object Registry {
   def all: Map[String, QuerySpec] = {
     val parts: Seq[Map[String, QuerySpec]] = Seq(
-      Relational.registry
+      Relational.registry,
+      Etl.registry
     )
     val merged = parts.flatten
     require(merged.size == parts.map(_.size).sum,

@@ -78,16 +78,21 @@ object Relational {
       """SELECT COUNT(*) AS n_matched FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin),
 
-    // Anti join — NOT EXISTS complement of J1.
+    // Anti join — NOT EXISTS complement of J1. The right side is filtered
+    // to high-value orders so the anti side is non-empty at every SF.
     "anti_join_customers_without_orders" -> QuerySpec(
       (s, d) => {
         val c = Tables.customer(s, d)
-        val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+        val o = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 450000.0)
+          .select(col("o_custkey").as("c_custkey"))
         c.join(o, Seq("c_custkey"), "left_anti")
           .select("c_custkey", "c_name").orderBy("c_custkey")
       },
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 450000.0)
         |ORDER BY c_custkey""".stripMargin),
 
     // J2 — inner equi-join + residual filter + projection (tests.py:39-41
