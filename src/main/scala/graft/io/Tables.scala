@@ -1,6 +1,8 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types._
 
 /** Table access for the harness parquet tables (see /root/repo/TESTDATA.md).
   *
@@ -25,7 +27,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  /** The events parquet stores `ts` as INT64 TIMESTAMP(NANOS), which the
+    * Spark 4 parquet reader rejects outright. Reading with an explicit
+    * schema that maps the column to LongType (nanoseconds since epoch)
+    * sidesteps the conversion; [[eventsWithTs]] derives a proper µs
+    * timestamp column for event-time operators. */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def events(s: SparkSession, d: String): DataFrame =
+    s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
+
+  /** events + `ts_utc` timestamp (µs, truncated from ns with exact integer
+    * division — `ts / 1000` in double would lose precision at 1.7e18). */
+  def eventsWithTs(s: SparkSession, d: String): DataFrame =
+    events(s, d).withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

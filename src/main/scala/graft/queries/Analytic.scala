@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.io.Tables
+
+/** Analytic operator pack: window functions, grouping sets, set operations,
+  * subqueries, multi-way joins, scalar function surface, JSON extraction,
+  * higher-order array functions, and the SQL front-end (SURVEY.md §2.8 and
+  * the "not present in reference → extended surface" rows).
+  */
+object Analytic {
+
+  private def dsum(c: String) =
+    sum(col(c).cast("decimal(25,6)")).cast("double")
+
+  val registry: Map[String, QuerySpec] = Map(
+
+    // Window ranking: top-2 orders per customer. row_number under a total
+    // order → deterministic; single shuffle on the partition key.
+    "window_topn_per_customer" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin),
+
+    // Running (cumulative) sum per supplier — frame-based window agg with
+    // an exact decimal accumulator for hash-stable doubles.
+    "window_running_sum" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, d)
+          .filter(col("l_suppkey") < 10)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(col("l_quantity").cast("decimal(25,6)")).over(w)
+              .cast("double").as("running_qty"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
+        |         PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS running_qty
+        |FROM lineitem WHERE l_suppkey < 10
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
+
+    // lag/lead over event streams keyed by user — the sessionization
+    // primitive. Ordered by event_id (ts is ns-precision in the parquet;
+    // Spark truncates to µs, so ts can't be an order key for parity).
+    "window_lag_lead" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables.events(s, d)
+          .filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"),
+            lag("value", 1).over(w).as("prev_value"),
+            lead("event_type", 1).over(w).as("next_type"))
+          .orderBy("user_id", "event_id")
+      },
+      """SELECT user_id, event_id,
+        |       lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+        |       lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        |FROM events WHERE user_id < 10
+        |ORDER BY user_id, event_id""".stripMargin),
+
+    // ROLLUP grouping sets; null group markers coalesced to a sentinel so
+    // both engines sort identically.
+    "rollup_revenue" -> QuerySpec(
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_extendedprice").as("revenue"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+          col("revenue"), col("n"))
+        .orderBy("flag", "status"),
+      """SELECT coalesce(l_returnflag, '(all)') AS flag,
+        |       coalesce(l_linestatus, '(all)') AS status,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin),
+
+    // CUBE — all grouping-set combinations.
+    "cube_orders" -> QuerySpec(
+      (s, d) => Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority"),
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin),
+
+    // INTERSECT / EXCEPT set semantics (distinct, like SQL).
+    "intersect_except" -> QuerySpec(
+      (s, d) => {
+        val brandsSmall = Tables.part(s, d).filter(col("p_size") <= 10)
+          .select("p_brand")
+        val brandsBig = Tables.part(s, d).filter(col("p_size") >= 40)
+          .select("p_brand")
+        val both = brandsSmall.intersect(brandsBig)
+          .withColumn("op", lit("intersect"))
+        val onlySmall = brandsSmall.except(brandsBig)
+          .withColumn("op", lit("except"))
+        both.unionByName(onlySmall).orderBy("op", "p_brand")
+      },
+      """SELECT * FROM (
+        |  SELECT p_brand, 'intersect' AS op FROM
+        |    (SELECT p_brand FROM part WHERE p_size <= 10
+        |     INTERSECT SELECT p_brand FROM part WHERE p_size >= 40)
+        |  UNION ALL
+        |  SELECT p_brand, 'except' AS op FROM
+        |    (SELECT p_brand FROM part WHERE p_size <= 10
+        |     EXCEPT SELECT p_brand FROM part WHERE p_size >= 40)
+        |) ORDER BY op, p_brand""".stripMargin),
+
+    // Three-way dimension join (region ⋈ nation ⋈ customer) — a broadcast
+    // chain: both dims are tiny, so no shuffle of the fact side.
+    "join_three_way" -> QuerySpec(
+      (s, d) => {
+        val r = broadcast(Tables.region(s, d))
+        val n = broadcast(Tables.nation(s, d))
+        Tables.customer(s, d)
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name").agg(
+            count(lit(1)).as("n_customers"),
+            dsum("c_acctbal").as("total_bal"))
+          .orderBy("r_name")
+      },
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
+    // FULL OUTER join with both-sided null production.
+    "join_full_outer" -> QuerySpec(
+      (s, d) => {
+        val lowCust = Tables.customer(s, d).filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("k"), col("c_name"))
+        val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+          .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_big"))
+        lowCust.join(bigOrders, Seq("k"), "full_outer")
+          .select(col("k"), col("c_name"), col("n_big"))
+          .orderBy(asc_nulls_first("k"), asc_nulls_first("c_name"))
+      },
+      """SELECT k, c_name, n_big FROM
+        |  (SELECT c_custkey AS k, c_name FROM customer WHERE c_custkey % 3 = 0) c
+        |  FULL OUTER JOIN
+        |  (SELECT o_custkey AS k, COUNT(*) AS n_big FROM orders
+        |   WHERE o_totalprice > 400000.0 GROUP BY o_custkey) o
+        |  USING (k)
+        |ORDER BY k NULLS FIRST, c_name NULLS FIRST""".stripMargin),
+
+    // CROSS join (small × small).
+    "cross_join_region_status" -> QuerySpec(
+      (s, d) => Tables.region(s, d).select("r_name")
+        .crossJoin(Tables.orders(s, d).select("o_orderstatus").distinct())
+        .orderBy("r_name", "o_orderstatus"),
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin),
+
+    // Grouped aggregation + HAVING + exact COUNT(DISTINCT).
+    "having_distinct_count" -> QuerySpec(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n"))
+        .filter(col("n") > 100)
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 100
+        |ORDER BY l_returnflag""".stripMargin),
+
+    // ORDER BY ... LIMIT ... OFFSET pagination under a total order.
+    "limit_offset_page" -> QuerySpec(
+      (s, d) => Tables.part(s, d)
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+        .offset(20).limit(10),
+      "SELECT p_partkey, p_name FROM part ORDER BY p_partkey LIMIT 10 OFFSET 20"),
+
+    // Deterministic pseudo-random sampling (F5/O1 parity): hash-ordered
+    // top-5. rand(seed) is engine-specific; sha2 order is portable.
+    "deterministic_sample" -> QuerySpec(
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          sha2(col("o_orderkey").cast("string"), 256).as("h"))
+        .orderBy("h").limit(5),
+      """SELECT o_orderkey, o_orderpriority, sha256(CAST(o_orderkey AS VARCHAR)) AS h
+        |FROM orders ORDER BY h LIMIT 5""".stripMargin),
+
+    // String scalar-function surface over part names.
+    "string_functions" -> QuerySpec(
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 5).as("sub"),
+          length(col("p_name")).cast("long").as("len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+          trim(lit("  pad  ")).as("trimmed"),
+          regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("first_word"),
+          replace(col("p_brand"), lit("Brand"), lit("B")).as("repl"))
+        .orderBy("p_partkey"),
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+        |       p_name[1:5] AS sub, CAST(length(p_name) AS BIGINT) AS len,
+        |       concat_ws('|', p_brand, p_type) AS cat,
+        |       trim('  pad  ') AS trimmed,
+        |       coalesce(regexp_extract(p_type, '^([A-Z]+)', 1), '') AS first_word,
+        |       replace(p_brand, 'Brand', 'B') AS repl
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // Exact math scalar surface (IEEE-exact ops only — no libm drift).
+    "math_functions" -> QuerySpec(
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          abs(col("c_acctbal")).as("abs_bal"),
+          round(col("c_custkey") / 7.0, 2).as("round_div"),
+          floor(col("c_acctbal")).cast("double").as("floor_bal"),
+          ceil(col("c_acctbal")).cast("double").as("ceil_bal"),
+          pmod(col("c_custkey"), lit(97)).as("mod_key"),
+          greatest(col("c_acctbal"), lit(0.0)).as("pos_bal"))
+        .orderBy("c_custkey"),
+      """SELECT c_custkey, abs(c_acctbal) AS abs_bal,
+        |       round(c_custkey / 7.0, 2) AS round_div,
+        |       CAST(floor(c_acctbal) AS DOUBLE) AS floor_bal,
+        |       CAST(ceil(c_acctbal) AS DOUBLE) AS ceil_bal,
+        |       c_custkey % 97 AS mod_key,
+        |       greatest(c_acctbal, 0.0) AS pos_bal
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // X3 — JSON extraction from the events props column.
+    "json_extract_props" -> QuerySpec(
+      (s, d) => Tables.events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+      """SELECT CAST(props->>'k' AS INT) AS k, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin),
+
+    // X3 — higher-order array functions over the embedding vectors:
+    // sequential left-fold sum (order-identical in both engines) and
+    // element transform.
+    "array_higher_order" -> QuerySpec(
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double")).as("vec_sum"),
+          get(transform(col("embedding"),
+            x => x.cast("double") * x.cast("double")), lit(0)).as("first_sq"))
+        .orderBy("vec_id"),
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        |       list_reduce(list_prepend(0.0, list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE))), (a, b) -> a + b) AS vec_sum,
+        |       CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE) AS first_sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
+
+    // SQL front-end: the engine accepts ANSI SQL over registered views
+    // (TPC-H Q3 shape — join + filter + grouped topk).
+    "sql_frontend_q3" -> QuerySpec(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT o_orderkey,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+          FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+                          JOIN v_lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+          GROUP BY o_orderkey
+          ORDER BY revenue DESC, o_orderkey
+          LIMIT 10""")
+      },
+      """SELECT o_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+  )
+}

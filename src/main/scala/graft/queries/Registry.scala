@@ -8,7 +8,8 @@ object Registry {
   def all: Map[String, QuerySpec] = {
     val parts: Seq[Map[String, QuerySpec]] = Seq(
       Relational.registry,
-      Etl.registry
+      Etl.registry,
+      Analytic.registry
     )
     val merged = parts.flatten
     require(merged.size == parts.map(_.size).sum,
