@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.io.Tables
+import graft.ops.AsOfJoin
+
+/** Event-time operator pack (SURVEY.md §2.10): tumbling / sliding / session
+  * windows and an as-of enrichment join, expressed as batch plans with
+  * DuckDB oracles. The streaming lift of the same logical shapes lives in
+  * `graft.streaming.Streams` (tested with MemoryStream; streams have no
+  * DuckDB oracle).
+  *
+  * Window starts are emitted as formatted strings so both engines hash the
+  * same rendering; `ts` is µs-exact in the data (verified: all ns
+  * remainders are zero), so µs-vs-ns truncation cannot move an event across
+  * a bucket boundary.
+  */
+object Events {
+
+  private def dsum(c: String) =
+    sum(col(c).cast("decimal(25,6)")).cast("double")
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  val registry: Map[String, QuerySpec] = Map(
+
+    // Tumbling 1-hour windows via the real window() operator (struct
+    // start/end), grouped with exact decimal sums.
+    "events_tumbling_hour" -> QuerySpec(
+      (s, d) => Tables.eventsWithTs(s, d)
+        .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum("value").as("total"))
+        .select(date_format(col("w.start"), fmt).as("wstart"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("wstart", "event_type"),
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin),
+
+    // Sliding windows: 1 hour wide, every 30 minutes — each event belongs
+    // to exactly two windows. Oracle derives both window starts per event
+    // and unnests.
+    "events_sliding_hour" -> QuerySpec(
+      (s, d) => Tables.eventsWithTs(s, d)
+        .groupBy(window(col("ts_utc"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum("value").as("total"))
+        .select(date_format(col("w.start"), fmt).as("wstart"),
+          col("n"), col("total"))
+        .orderBy("wstart"),
+      """WITH e AS (
+        |  SELECT value, (epoch_us(ts) // 1800000000) * 1800000000 AS b FROM events
+        |), x AS (
+        |  SELECT value, unnest([b, b - 1800000000]) AS wstart_us FROM e
+        |)
+        |SELECT strftime(make_timestamp(wstart_us), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM x GROUP BY 1 ORDER BY wstart""".stripMargin),
+
+    // Session windows (30-minute gap) per user — the batch session_window
+    // operator; oracle replicates gap-based sessionization with
+    // lag + cumulative-sum labeling.
+    "events_session_window" -> QuerySpec(
+      (s, d) => Tables.eventsWithTs(s, d)
+        .filter(col("user_id") < 20)
+        .groupBy(session_window(col("ts_utc"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum("value").as("total"))
+        .select(col("user_id"),
+          date_format(col("w.start"), fmt).as("session_start"),
+          col("n"), col("total"))
+        .orderBy("user_id", "session_start"),
+      """WITH t AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |                (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id < 20
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM t
+        |)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin),
+
+    // As-of (backward) join: each click enriched with the most recent
+    // purchase at-or-before it for the same user. The engine composes
+    // union + ordered-window carry-forward (see ops.AsOfJoin); the oracle
+    // uses DuckDB's native ASOF JOIN.
+    "events_asof_join" -> QuerySpec(
+      (s, d) => {
+        val e = Tables.eventsWithTs(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts_utc")
+        // dedup right side per (user, ts) so tie-breaking is well-defined
+        // in both engines
+        val purchases = graft.etl.Identity.dedupFirst(
+          e.filter(col("event_type") === "purchase")
+            .select("user_id", "event_id", "ts_utc", "value"),
+          keys = Seq("user_id", "ts_utc"), order = Seq(col("event_id").desc))
+        AsOfJoin.backward(clicks, purchases,
+            key = "user_id", leftTs = "ts_utc", rightTs = "ts_utc",
+            payload = Seq("value"), tieBreak = col("event_id"))
+          .select(col("user_id"), col("event_id"), col("asof_value"))
+          .orderBy("user_id", "event_id")
+      },
+      """WITH purch AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |           row_number() OVER (PARTITION BY user_id, ts
+        |                              ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+        |)
+        |SELECT c.user_id, c.event_id, p.value AS asof_value
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin)
+  )
+}

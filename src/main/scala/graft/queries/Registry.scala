@@ -9,7 +9,8 @@ object Registry {
     val parts: Seq[Map[String, QuerySpec]] = Seq(
       Relational.registry,
       Etl.registry,
-      Analytic.registry
+      Analytic.registry,
+      Events.registry
     )
     val merged = parts.flatten
     require(merged.size == parts.map(_.size).sum,

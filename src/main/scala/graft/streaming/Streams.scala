@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming lift of the event-time operators (SURVEY.md §2.10).
+  *
+  * The same logical shapes as the batch pack in `graft.queries.Events`,
+  * expressed over an unbounded DataFrame: `readStream → transform →
+  * writeStream`. Watermarks bound state (late data beyond the watermark is
+  * dropped — the streaming-correct analogue of the batch operators' exact
+  * answers); state stores are per-key and scale horizontally with
+  * executors, so the 100 TB/day path is partition-parallel by user/window
+  * key with no driver state.
+  *
+  * Batch/stream parity is tested in StreamsSpec by driving the same rows
+  * through MemoryStream and comparing against the batch aggregation.
+  */
+object Streams {
+
+  /** Tumbling 1-hour windowed counts/sums, 10-minute watermark. */
+  def tumblingHourly(events: DataFrame, tsCol: String = "ts_utc"): DataFrame =
+    events
+      .withWatermark(tsCol, "10 minutes")
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Gap-based session windows per user, 30-minute gap. */
+  def sessionized(events: DataFrame, tsCol: String = "ts_utc",
+                  gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, "10 minutes")
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n"), col("total"))
+
+  /** Exactly-once style dedup keyed by event id, state bounded by the
+    * watermark (streaming lift of the exact-dedup operator). */
+  def dedupByEventId(events: DataFrame, tsCol: String = "ts_utc"): DataFrame =
+    events
+      .withWatermark(tsCol, "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- custom state: running per-user aggregate via mapGroupsWithState ----
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotals(user_id: Long, n: Long, total: Double)
+
+  /** Arbitrary stateful processing (the escape hatch for semantics window
+    * aggregations can't express): running totals per user. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          val (n, tot) = rows.foldLeft((prev.n, prev.total)) {
+            case ((c, t), e) => (c + 1, t + e.value)
+          }
+          val next = UserTotals(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: the standard sink shape (memory table for tests,
+    * parquet+checkpoint in production). */
+  def startMemorySink(df: DataFrame, name: String, mode: OutputMode) =
+    df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import graft.io.Tables
+
+/** Batch/stream parity: the same rows driven through MemoryStream must
+  * produce the same aggregates as the batch plan (complete mode, so the
+  * watermark never withholds windows in the comparison). */
+class StreamsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def eventRows = Tables.eventsWithTs(spark, sf)
+    .select("event_id", "user_id", "event_type", "value", "ts_utc")
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+      r.getTimestamp(4)))
+
+  test("streaming tumbling-hour aggregation matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    val stream = mem.toDF()
+      .toDF("event_id", "user_id", "event_type", "value", "ts_utc")
+    val q = Streams.startMemorySink(
+      Streams.tumblingHourly(stream), "tumbling_out", OutputMode.Complete())
+    mem.addData(eventRows.toSeq)
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("tumbling_out")
+      .select(date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = Tables.eventsWithTs(spark, sf)
+      .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"),
+        col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("streaming dedup-by-event-id drops replayed rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    val stream = mem.toDF()
+      .toDF("event_id", "user_id", "event_type", "value", "ts_utc")
+    val q = Streams.startMemorySink(
+      Streams.dedupByEventId(stream), "dedup_out", OutputMode.Append())
+    val rows = eventRows.take(100)
+    mem.addData(rows.toSeq)
+    mem.addData(rows.take(50).toSeq) // replay half
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").count() == 100)
+  }
+
+  test("stateful running totals per user match batch groupBy") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.UserEvent]
+    val q = Streams.runningUserTotals(mem.toDS())
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("totals_out").start()
+    val evs = eventRows.map(r => Streams.UserEvent(r._2, r._4))
+    mem.addData(evs.toSeq)
+    q.processAllAvailable(); q.stop()
+    // last update per user = final totals
+    val got = spark.table("totals_out")
+      .groupBy("user_id").agg(max(struct(col("n"), col("total"))).as("s"))
+      .select(col("user_id"), col("s.n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+}
