@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines (SURVEY.md §2.9 D1-D3):
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard. Embedding-cosine
+  * near-dup lives in [[Similarity]].
+  *
+  * Scale design:
+  *  - signatures (minhash, simhash, fingerprints) are computed per-row with
+  *    array higher-order functions — NO explode, NO shuffle; a 100 TB scan
+  *    emits a narrow signature table.
+  *  - candidate generation shuffles only on band/bucket keys (the LSH
+  *    point: the all-pairs O(n²) never materializes).
+  *  - all hashes are md5-derived, so every stage is oracle-checkable and
+  *    runs identically on any engine.
+  */
+object Dedup {
+
+  /** Word 3-gram shingles (guarded for short docs). */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))))
+      .otherwise(array())
+
+  /** MinHash signature over a token/shingle SET: k independent md5-seeded
+    * hash functions, each min-folded per row (partition-local). */
+  def minhashSignature(tokenSet: Column, k: Int): Seq[Column] =
+    (0 until k).map { seed =>
+      array_min(transform(tokenSet,
+        t => TextOps.hash64(concat(lit(s"$seed:"), t))))
+    }
+
+  /** LSH band keys from a signature: bands of `r` rows md5'd together.
+    * Docs sharing any band key are candidate pairs. */
+  def lshBands(sig: Seq[Column], r: Int): Seq[Column] =
+    sig.grouped(r).toSeq.map(band => md5(concat_ws(",", band.map(_.cast("string")): _*)))
+
+  /** 32-bit SimHash over a token array: per-bit votes (+1/-1 per token),
+    * bit set where the vote is strictly positive. Pure per-row expression.
+    */
+  def simhash32(toks: Column): Column = {
+    val hs = transform(toks, t => TextOps.hash64(t))
+    val bits = (0 until 32).map { j =>
+      val vote = aggregate(hs, lit(0L),
+        (a: Column, h: Column) => a + (shiftright(h, j).bitwiseAND(1) * 2 - 1))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (bit-count of XOR). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact-key duplicate groups under an arbitrary fingerprint column:
+    * returns (fingerprint, n, doc_ids) for groups with >1 member. */
+  def exactDupGroups(df: DataFrame, fp: Column, idCol: String): DataFrame =
+    df.groupBy(fp.as("fp"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("n") > 1)
+
+  /** Pairwise Jaccard over distinct-token sets via an inverted-index join:
+    * explode tokens, self-join on token, count common tokens per pair, then
+    * |A∩B| / (|A|+|B|-|A∩B|). Shuffles on token then on pair — the
+    * standard candidate-pair plan; at 100 TB the explode output is
+    * bounded by (docs × vocab), and hot tokens (stopwords) should be
+    * pre-filtered by document frequency (see `maxDf` in callers). */
+  def jaccardPairs(docs: DataFrame, idCol: String, tokenSet: Column,
+                   threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"), tokenSet.as("s"))
+      .withColumn("sz", size(col("s")))
+    val inv = sets.select(col("id"), col("sz"), explode(col("s")).as("t"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs.select(col("id_a"), col("id_b"),
+        (col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

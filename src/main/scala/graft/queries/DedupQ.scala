@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.io.Tables
+import graft.ext.{Dedup, TextOps}
+
+/** Deduplication pack over the documents table. Oracle SQL for the
+  * signature stages is generated from the same (k, r, bits) parameters as
+  * the Spark plans, so the two sides cannot drift independently. */
+object DedupQ {
+
+  private val K = 8  // minhash functions
+  private val R = 2  // rows per LSH band → 4 bands
+
+  /** DuckDB fragment: distinct token set of `text`. */
+  private val duckSet = "list_distinct(string_split(trim(text), ' '))"
+  /** DuckDB fragment: the portable 60-bit md5 hash of an expression. */
+  private def duckHash(e: String) =
+    s"CAST(('0x' || substr(md5($e), 1, 15))::UBIGINT AS BIGINT)"
+  private def duckMinhash(seed: Int) =
+    s"list_min(list_transform(s, t -> ${duckHash(s"'$seed:' || t")}))"
+
+  val registry: Map[String, QuerySpec] = Map(
+
+    // Exact dedup on the bag-of-words fingerprint: duplicate groups with
+    // member ids (docs that are permutations/repetitions of the same
+    // token set collapse).
+    "dedup_exact_groups" -> QuerySpec(
+      (s, d) => Dedup.exactDupGroups(
+          Tables.documents(s, d),
+          TextOps.bowFingerprint(col("text")), "doc_id")
+        .orderBy("fp"),
+      s"""SELECT fp, COUNT(*) AS n, list_sort(list(doc_id)) AS ids FROM (
+         |  SELECT doc_id,
+         |         md5(array_to_string(list_sort($duckSet), ' ')) AS fp
+         |  FROM documents)
+         |GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin),
+
+    // N-gram (word-set) Jaccard near-dup pairs over a deterministic 10%
+    // block. Threshold 0.9 → true near-duplicates in this corpus.
+    "dedup_jaccard_pairs" -> QuerySpec(
+      (s, d) => Dedup.jaccardPairs(
+          Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+          "doc_id", array_distinct(TextOps.tokens(col("text"))),
+          threshold = 0.9)
+        .orderBy("id_a", "id_b"),
+      s"""WITH sets AS (
+         |  SELECT doc_id AS id, $duckSet AS s FROM documents WHERE doc_id % 10 = 0
+         |), inv AS (SELECT id, len(s) AS sz, unnest(s) AS t FROM sets),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         |         COUNT(*) AS common
+         |  FROM inv a JOIN inv b ON a.t = b.t AND a.id < b.id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b,
+         |       CAST(common AS DOUBLE) / (sz_a + sz_b - common) AS jaccard
+         |FROM pairs WHERE CAST(common AS DOUBLE) / (sz_a + sz_b - common) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    // MinHash signatures (k=8) — per-row, no shuffle; the narrow table an
+    // LSH pipeline persists at scale.
+    "dedup_minhash_signatures" -> QuerySpec(
+      (s, d) => {
+        val sig = Dedup.minhashSignature(
+          array_distinct(TextOps.tokens(col("text"))), K)
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id") +: sig.zipWithIndex.map {
+            case (c, i) => c.as(s"m$i") }: _*)
+          .orderBy("doc_id")
+      },
+      s"""WITH t AS (SELECT doc_id, $duckSet AS s FROM documents WHERE doc_id < 200)
+         |SELECT doc_id, ${(0 until K).map(i => s"${duckMinhash(i)} AS m$i").mkString(", ")}
+         |FROM t ORDER BY doc_id""".stripMargin),
+
+    // MinHash → LSH candidate pairs → verified Jaccard ≥ 0.8. The scale
+    // path: only band-collision pairs are ever compared.
+    "dedup_minhash_lsh" -> QuerySpec(
+      (s, d) => {
+        val toks = array_distinct(TextOps.tokens(col("text")))
+        val sig = Dedup.minhashSignature(toks, K)
+        val bands = Dedup.lshBands(sig, R)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("s"),
+            posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
+        val cand = docs.as("a").join(docs.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.s").as("sa"), col("b.s").as("sb"))
+          .distinct()
+        cand.select(col("id_a"), col("id_b"),
+            (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+             size(array_union(col("sa"), col("sb")))).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+          .orderBy("id_a", "id_b")
+      },
+      {
+        val bandExprs = (0 until K / R).map { b =>
+          val parts = (b * R until (b + 1) * R)
+            .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+          s"md5($parts) AS band$b"
+        }.mkString(", ")
+        val bandList = (0 until K / R).map(b => s"['$b', band$b]")
+          .mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, $duckSet AS s FROM documents),
+           |sig AS (SELECT doc_id, s,
+           |  ${(0 until K).map(i => s"${duckMinhash(i)} AS m$i").mkString(", ")}
+           |  FROM t),
+           |bands AS (SELECT doc_id, s, $bandExprs FROM sig),
+           |ex AS (SELECT doc_id, s, unnest($bandList) AS bk FROM bands),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         a.s AS sa, b.s AS sb
+           |  FROM ex a JOIN ex b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b,
+           |       CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+           |         len(list_distinct(list_concat(sa, sb))) AS jaccard
+           |FROM cand
+           |WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+           |        len(list_distinct(list_concat(sa, sb))) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // SimHash values + near-pair detection by Hamming distance within a
+    // deterministic block (bit_count(xor) <= 6 of 32).
+    "dedup_simhash" -> QuerySpec(
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            Dedup.simhash32(array_distinct(TextOps.tokens(col("text"))))
+              .as("simhash"))
+        sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            Dedup.hamming(col("a.simhash"), col("b.simhash")).as("dist"))
+          .filter(col("dist") <= 6)
+          .orderBy("id_a", "id_b")
+      },
+      {
+        val votes = (0 until 32).map { j =>
+          s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+            s"list_transform(hs, h -> (((h >> $j) & 1) * 2 - 1))), (a,b) -> a+b) > 0 " +
+            s"THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, $duckSet AS s FROM documents WHERE doc_id % 10 = 0),
+           |h AS (SELECT doc_id, list_transform(s, t -> ${duckHash("t")}) AS hs FROM t),
+           |sh AS (SELECT doc_id, $votes AS simhash FROM h)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       bit_count(xor(a.simhash, b.simhash)) AS dist
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+           |ORDER BY id_a, id_b""".stripMargin
+      })
+  )
+}

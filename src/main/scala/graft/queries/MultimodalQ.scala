@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.ext.Multimodal
+import graft.io.Tables
+
+/** Multimodal pack: binary-column plumbing over the stubbed asset table.
+  * The corpus is pure ASCII (verified: max code point 121), so byte-level
+  * oracles can be phrased over character codes in DuckDB. */
+object MultimodalQ {
+
+  val registry: Map[String, QuerySpec] = Map(
+
+    // Binary payload stats + a deterministic content digest.
+    "multimodal_byte_stats" -> QuerySpec(
+      (s, d) => {
+        val assets = Multimodal.assetTable(Tables.documents(s, d))
+        assets.select(col("asset_id"),
+            Multimodal.byteLength(col("bytes")).as("n_bytes"),
+            hex(substring(col("bytes"), 1, 16)).as("head_hex"),
+            md5(col("bytes")).as("digest"),
+            ceil(Multimodal.byteLength(col("bytes")) / 256.0).cast("long")
+              .as("n_frames"))
+          .orderBy("asset_id")
+      },
+      """SELECT doc_id AS asset_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       hex(encode(substring(text, 1, 16))) AS head_hex,
+        |       md5(text) AS digest,
+        |       CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY asset_id""".stripMargin),
+
+    // The codegen'd native-expression histogram (16 bins over byte values).
+    "multimodal_byte_histogram" -> QuerySpec(
+      (s, d) => {
+        val assets = Multimodal.assetTable(Tables.documents(s, d))
+        assets.select(col("asset_id"),
+            Multimodal.byteHistogram(col("bytes"), 16).as("hist"))
+          .orderBy("asset_id")
+      },
+      """SELECT doc_id AS asset_id,
+        |       list_transform(range(0, 16), k -> CAST(
+        |         len(list_filter(list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |           c -> ascii(c)), v -> v // 16 = k)) AS BIGINT)) AS hist
+        |FROM documents ORDER BY asset_id""".stripMargin),
+
+    // Deterministic frame sampling: four 64-byte slices, hex-rendered.
+    "multimodal_frame_sample" -> QuerySpec(
+      (s, d) => {
+        val assets = Multimodal.assetTable(Tables.documents(s, d))
+        assets.select(col("asset_id"),
+            Multimodal.frameHex(col("bytes"), frameSize = 64, n = 4)
+              .as("frames"))
+          .orderBy("asset_id")
+      },
+      """SELECT doc_id AS asset_id,
+        |       list_transform(range(0, 4),
+        |         i -> hex(encode(substring(text, i*64 + 1, 64)))) AS frames
+        |FROM documents ORDER BY asset_id""".stripMargin)
+  )
+}

@@ -10,7 +10,11 @@ object Registry {
       Relational.registry,
       Etl.registry,
       Analytic.registry,
-      Events.registry
+      Events.registry,
+      Text.registry,
+      DedupQ.registry,
+      SimilarityQ.registry,
+      MultimodalQ.registry
     )
     val merged = parts.flatten
     require(merged.size == parts.map(_.size).sum,

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.QuerySpec
+import graft.ext.Similarity
+import graft.io.Tables
+
+/** Similarity-search pack over the embeddings table. The DuckDB oracles
+  * replicate the exact sequential double fold (list_reduce over a prepended
+  * 0.0) so cosine values are bit-identical. */
+object SimilarityQ {
+
+  /** DuckDB: exact double dot product of lists a·b (1-based indexing). */
+  private def duckDot(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
+
+  private def duckCos(a: String, b: String) =
+    s"(${duckDot(a, b)}) / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  /** DuckDB: the sign-LSH bucket over `planes` fixed ±1 hyperplanes. */
+  private def duckBucket(v: String, planes: Int): String =
+    (0 until planes).map { j =>
+      s"""CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+         |  i -> CAST($v[i] AS DOUBLE) * CAST(((i*31 + $j*17) % 2) * 2 - 1 AS DOUBLE))),
+         |  (x, y) -> x + y) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+
+  val registry: Map[String, QuerySpec] = Map(
+
+    // Exact brute-force top-10 cosine neighbors of vector 0.
+    "similarity_topk_bruteforce" -> QuerySpec(
+      (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 10),
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${duckCos("embedding", "qv")} AS cos
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+
+    // ANN: exact ranking restricted to the query's sign-LSH bucket
+    // (8 hyperplanes → ~n/256 candidates) — the scale path.
+    "similarity_lsh_topk" -> QuerySpec(
+      (s, d) => Similarity.lshBucketTopK(Tables.embeddings(s, d), 0L, 10,
+        planes = 8),
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |             ${duckBucket("embedding", 8)} AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, b.bucket, ${duckCos("b.embedding", "qv")} AS cos
+         |FROM b JOIN q USING (bucket) WHERE b.vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+
+    // Embedding-cosine near-dup pairs within a 1-in-5 id stripe.
+    "dedup_embedding_cosine" -> QuerySpec(
+      (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+          stripeMod = 5, threshold = 0.3)
+        .orderBy("id_a", "id_b"),
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       ${duckCos("a.embedding", "b.embedding")} AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin)
+  )
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.io.Tables
+import graft.ext.TextOps
+
+/** Text-analysis pack over the documents table (north-star extended
+  * surface): token stats, language-ID, quality scoring, fingerprints. */
+object Text {
+
+  // DuckDB fragments mirroring TextOps (kept adjacent so drift is obvious).
+  private val duckToks = "string_split(trim(text), ' ')"
+
+  val registry: Map[String, QuerySpec] = Map(
+
+    "text_token_stats" -> QuerySpec(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          TextOps.regexTokenCount(col("text")).cast("long").as("n_regex_tokens"),
+          length(col("text")).cast("long").as("len"),
+          col("n_chars"))
+        .orderBy("doc_id"),
+      s"""SELECT doc_id,
+         |       CAST(len($duckToks) AS BIGINT) AS n_ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_regex_tokens,
+         |       CAST(length(text) AS BIGINT) AS len, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "text_lang_id" -> QuerySpec(
+      (s, d) => Tables.documents(s, d)
+        .select(TextOps.langId(TextOps.tokens(col("text"))).as("pred_lang"),
+          col("lang"))
+        .groupBy("pred_lang", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("pred_lang", "lang"),
+      s"""WITH t AS (SELECT lang, $duckToks AS toks FROM documents),
+         |s AS (SELECT lang, [
+         |  len(list_filter(toks, t -> t IN ('the','a','of','and'))),
+         |  len(list_filter(toks, t -> t IN ('el','la','de','y'))),
+         |  len(list_filter(toks, t -> t IN ('der','die','und'))),
+         |  len(list_filter(toks, t -> t IN ('le','les','et'))),
+         |  len(list_filter(toks, t -> t IN ('的','是','了')))] AS sc
+         |  FROM t)
+         |SELECT ['en','es','de','fr','zh'][list_position(sc, list_max(sc))] AS pred_lang,
+         |       lang, COUNT(*) AS n
+         |FROM s GROUP BY 1, 2 ORDER BY pred_lang, lang""".stripMargin),
+
+    "text_quality_score" -> QuerySpec(
+      (s, d) => {
+        val c = TextOps.qualityComponents(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), c("n_tokens").as("n_tokens"),
+            c("avg_token_len").as("avg_token_len"),
+            c("stopword_ratio").as("stopword_ratio"),
+            TextOps.qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id")
+      },
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |c AS (SELECT doc_id, text,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a,b) -> a+b) AS DOUBLE)
+         |    / len(toks) AS avg_token_len,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS DOUBLE)
+         |    / len(toks) AS stopword_ratio,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text) AS punct_ratio,
+         |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / length(text) AS upper_ratio
+         |  FROM t)
+         |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+         |       least(1.0, CAST(n_tokens AS DOUBLE)/100.0)*0.4 + stopword_ratio*0.3
+         |         + (1.0 - punct_ratio)*0.2 + (1.0 - upper_ratio)*0.1 AS quality
+         |FROM c ORDER BY doc_id""".stripMargin),
+
+    "text_fingerprint" -> QuerySpec(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.rollingHash(col("text")).as("roll_hash"),
+          TextOps.bowFingerprint(col("text")).as("bow_md5"))
+        .orderBy("doc_id"),
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+         |      c -> CAST(ascii(c) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % ${TextOps.RollMod}) AS roll_hash,
+         |  md5(array_to_string(list_sort(list_distinct($duckToks)), ' ')) AS bow_md5
+         |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}

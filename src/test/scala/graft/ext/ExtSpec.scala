@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.expressions.ByteHistogram
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bow fingerprint is order/multiplicity invariant; rolling hash is not") {
+    val df = Seq(
+      ("a", "the quick fox"),
+      ("b", "fox the quick the"),
+      ("c", "the quick dog")).toDF("id", "text")
+    val r = df.select(col("id"),
+      TextOps.bowFingerprint(col("text")).as("bow"),
+      TextOps.rollingHash(col("text")).as("roll"))
+      .collect().map(x => x.getString(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r("a")._1 == r("b")._1)
+    assert(r("a")._1 != r("c")._1)
+    assert(r("a")._2 != r("b")._2) // rolling hash is order-sensitive
+  }
+
+  test("minhash: identical sets → identical signatures; disjoint sets differ") {
+    val df = Seq(
+      ("a", Seq("x", "y", "z")),
+      ("b", Seq("z", "y", "x")),
+      ("c", Seq("p", "q", "r"))).toDF("id", "s")
+    val sig = Dedup.minhashSignature(col("s"), 4)
+    val r = df.select(col("id") +: sig.zipWithIndex.map { case (c, i) => c.as(s"m$i") }: _*)
+      .collect().map(x => x.getString(0) -> (1 to 4).map(x.getLong)).toMap
+    assert(r("a") == r("b"))
+    assert(r("a") != r("c"))
+  }
+
+  test("simhash: equal token arrays agree; hamming to a distant doc is larger") {
+    val df = Seq(
+      ("a", Seq("k1", "k2", "k3", "k4", "k5", "k6")),
+      ("b", Seq("k1", "k2", "k3", "k4", "k5", "k7")),
+      ("c", Seq("z1", "z2", "z3", "z4", "z5", "z6"))).toDF("id", "s")
+    val r = df.select(col("id"), Dedup.simhash32(col("s")).as("h"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(r("a"), r("a")) == 0)
+    assert(ham(r("a"), r("b")) < ham(r("a"), r("c")),
+      s"near=${ham(r("a"), r("b"))} far=${ham(r("a"), r("c"))}")
+  }
+
+  test("cosine: identity 1.0, orthogonal 0.0, opposite -1.0") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f), 1.0),
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 0f), Seq(-1f, 0f), -1.0)).toDF("a", "b", "want")
+    df.select(Similarity.cosine(col("a"), col("b")).as("got"), col("want"))
+      .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("byte histogram: counts sum to length, known bins, null passthrough") {
+    val df = Seq(Some("abc"), Some(""), None)
+      .toDF("t").select(encode(col("t"), "UTF-8").as("b"))
+    val got = df.select(ByteHistogram.byte_histogram(col("b"), 16).as("h"))
+      .collect().map(r => Option(r.getSeq[Long](0)))
+    assert(got(0).get.sum == 3)
+    assert(got(0).get(6) == 3) // 'a'=97,'b'=98,'c'=99 → bin 6
+    assert(got(1).get.sum == 0)
+    assert(got(2).isEmpty)
+  }
+
+  test("jaccard pairs: exact value on a known overlap") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")),
+      (3L, Seq("x", "y", "z", "w"))).toDF("doc_id", "s")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", col("s"), threshold = 0.5)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) == 3.0 / 5.0)
+  }
+}
