@@ -281,6 +281,35 @@ object Analytic {
         |       CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE) AS first_sq
         |FROM embeddings ORDER BY vec_id""".stripMargin),
 
+    // PIVOT: long → wide with a fixed column set (statuses), counts.
+    // Oracle phrases it as conditional aggregation (portable form).
+    "pivot_status_counts" -> QuerySpec(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority,
+        |       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // UNPIVOT (melt): wide → long.
+    "unpivot_customer_metrics" -> QuerySpec(
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          col("c_acctbal").as("acctbal"),
+          col("c_nationkey").cast("double").as("nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal"), col("nationkey")), "metric", "value")
+        .orderBy("c_custkey", "metric"),
+      """SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+        |ORDER BY c_custkey, metric""".stripMargin),
+
     // SQL front-end: the engine accepts ANSI SQL over registered views
     // (TPC-H Q3 shape — join + filter + grouped topk).
     "sql_frontend_q3" -> QuerySpec(

@@ -14,7 +14,8 @@ object Registry {
       Text.registry,
       DedupQ.registry,
       SimilarityQ.registry,
-      MultimodalQ.registry
+      MultimodalQ.registry,
+      Scale.registry
     )
     val merged = parts.flatten
     require(merged.size == parts.map(_.size).sum,

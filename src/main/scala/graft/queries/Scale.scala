@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.io.Tables
+import graft.ops.Skew
+
+/** Scale-technique pack: skew-salted aggregation (verified equal to the
+  * unsalted oracle answer) and sketch operators (approximate → no SQL
+  * oracle; declared rows-only). */
+object Scale {
+
+  val registry: Map[String, QuerySpec] = Map(
+
+    // Salted two-phase aggregation: the hot-key guard for 100 TB
+    // aggregations. Correctness contract: result identical to the direct
+    // group-by (the oracle computes it unsalted). Values go through exact
+    // decimals so the extra combine step cannot perturb the hash.
+    "salted_aggregation" -> QuerySpec(
+      (s, d) => {
+        val pre = Tables.lineitem(s, d)
+          .withColumn("qty_dec", col("l_quantity").cast("decimal(25,6)"))
+        Skew.saltedSum(pre, keys = Seq("l_returnflag"), valueCol = "qty_dec",
+            saltSource = col("l_orderkey"), buckets = 16)
+          .select(col("l_returnflag"),
+            col("sum_qty_dec").cast("double").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // HyperLogLog cardinality sketch — approximate by construction, so no
+    // DuckDB hash oracle (driver records a rows-only check). The exact
+    // distinct count for the same column is oracle-checked separately in
+    // `having_distinct_count`.
+    "sketch_hll_cardinality" -> QuerySpec(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02)
+          .as("approx_parts"))
+        .orderBy("l_returnflag"), None),
+
+    // t-digest style percentile sketch — approximate; rows-only.
+    "sketch_percentiles" -> QuerySpec(
+      (s, d) => Tables.orders(s, d)
+        .agg(approx_percentile(col("o_totalprice"),
+          array(lit(0.25), lit(0.5), lit(0.95)), lit(1000)).as("pcts")), None)
+  )
+}

@@ -71,6 +71,51 @@ object Text {
          |         + (1.0 - punct_ratio)*0.2 + (1.0 - upper_ratio)*0.1 AS quality
          |FROM c ORDER BY doc_id""".stripMargin),
 
+    // TF-IDF: term frequency per doc × inverse document frequency.
+    // idf = ln((N+1)/(df+1)) would need libm parity; to keep the oracle
+    // bit-exact the query emits tf and df as exact integers plus the
+    // ratio-based tfidf = tf * N / df in double (same IEEE ops both
+    // sides). Top-5 terms per doc over a deterministic stripe.
+    "text_tf_idf" -> QuerySpec(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count() // one tiny action; cluster-safe (scalar)
+        val tf = docs.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = docs
+          .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(desc("tfidf"), asc("term"))
+        tf.join(df, "term")
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            (col("tf").cast("double") * lit(n.toDouble) /
+              col("df").cast("double")).as("tfidf"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5).drop("rn")
+          .orderBy("doc_id", "term")
+      },
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+        |dfc AS (
+        |  SELECT term, COUNT(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS term
+        |    FROM documents) GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |         CAST(tf AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM n)
+        |           / CAST(df AS DOUBLE) AS tfidf
+        |  FROM tfc JOIN dfc USING (term))
+        |SELECT doc_id, term, tf, df, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rn FROM scored)
+        |WHERE rn <= 5 ORDER BY doc_id, term""".stripMargin),
+
     "text_fingerprint" -> QuerySpec(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
