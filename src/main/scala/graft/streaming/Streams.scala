@@ -45,6 +45,26 @@ object Streams {
       .withWatermark(tsCol, "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each click joined to purchases by the
+    * same user within the preceding `intervalMinutes`. Watermarks on both
+    * sides bound the join state (Spark drops buffered rows older than
+    * watermark + interval). Column prefixes keep the two sides' schemas
+    * disjoint. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        intervalMinutes: Int = 30): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("c_event"), col("ts_utc").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("p_event"), col("value").as("p_value"),
+      col("ts_utc").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    c.join(p, expr(
+      s"""c_user = p_user AND
+         |p_ts BETWEEN c_ts - INTERVAL $intervalMinutes MINUTES AND c_ts
+         |""".stripMargin))
+  }
+
   // ---- custom state: running per-user aggregate via mapGroupsWithState ----
 
   final case class UserEvent(user_id: Long, value: Double)

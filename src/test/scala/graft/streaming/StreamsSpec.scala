@@ -59,6 +59,33 @@ class StreamsSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 100)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memC = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    val memP = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    def named(m: MemoryStream[(Long, Long, String, Double, Timestamp)]) =
+      m.toDF().toDF("event_id", "user_id", "event_type", "value", "ts_utc")
+    val joined = Streams.clickPurchaseJoin(named(memC), named(memP))
+    val q = Streams.startMemorySink(joined, "ssjoin_out",
+      OutputMode.Append())
+    val rows = eventRows
+    memC.addData(rows.filter(_._3 == "click").toSeq)
+    memP.addData(rows.filter(_._3 == "purchase").toSeq)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssjoin_out").count()
+
+    val e = Tables.eventsWithTs(spark, sf)
+    val bc = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_utc").as("c_ts"))
+    val bp = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_utc").as("p_ts"))
+    val want = bc.join(bp, expr(
+      "c_user = p_user AND p_ts BETWEEN c_ts - INTERVAL 30 MINUTES AND c_ts"))
+      .count()
+    assert(got == want && got > 0)
+  }
+
   test("stateful running totals per user match batch groupBy") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
