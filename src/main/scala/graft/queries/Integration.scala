@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.etl.{Conform, Identity}
+import graft.io.Tables
+
+/** E1/E2 parity on harness tables: the full entity-integration dataflow and
+  * the profiling report, each as ONE declared query. */
+object Integration {
+
+  val registry: Map[String, QuerySpec] = Map(
+
+    // E1 — the reference's import pipeline shape (insert.py:87-166) over
+    // harness data: conform two sources into person/company "entities"
+    // (customers ~ contacts, suppliers ~ contracts feed), derive entity
+    // type from null patterns, mint deterministic ids, union, dedup by
+    // natural key. One shuffle (the dedup), exactly like etl.Pipeline.
+    "entity_integration" -> QuerySpec(
+      (s, d) => {
+        val contacts = Tables.customer(s, d).select(
+          col("c_name").as("name"),
+          nullif(col("c_mktsegment"), lit("MACHINERY")).as("first_name"),
+          nullif(col("c_nationkey"), lit(3)).cast("string").as("birthday"))
+        val contracts = Tables.supplier(s, d).select(
+          col("s_name").as("name"),
+          nullif(col("s_name"), col("s_name")).as("first_name"), // all-null
+          nullif(col("s_nationkey"), col("s_nationkey")).cast("string").as("birthday"))
+        val unioned = contacts.unionByName(contracts)
+          .withColumn("entity_type",
+            Conform.entityType(col("first_name"), col("birthday")))
+          .withColumn("entity_id", Identity.surrogateId(
+            col("name"), col("first_name"), col("birthday"), col("entity_type")))
+        unioned.dropDuplicates("entity_id")
+          .select("entity_id", "name", "first_name", "birthday", "entity_type")
+          .orderBy("entity_id")
+      },
+      """WITH contacts AS (
+        |  SELECT c_name AS name,
+        |         NULLIF(c_mktsegment, 'MACHINERY') AS first_name,
+        |         CAST(NULLIF(c_nationkey, 3) AS VARCHAR) AS birthday
+        |  FROM customer),
+        |contracts AS (
+        |  SELECT s_name AS name, CAST(NULL AS VARCHAR) AS first_name,
+        |         CAST(NULL AS VARCHAR) AS birthday
+        |  FROM supplier),
+        |unioned AS (SELECT * FROM contacts UNION ALL SELECT * FROM contracts),
+        |typed AS (
+        |  SELECT *, CASE WHEN first_name IS NULL AND birthday IS NULL
+        |                 THEN 'PM' ELSE 'PF' END AS entity_type
+        |  FROM unioned),
+        |keyed AS (
+        |  SELECT sha256(concat_ws(chr(1),
+        |           coalesce(name, chr(0)), coalesce(first_name, chr(0)),
+        |           coalesce(birthday, chr(0)), entity_type)) AS entity_id,
+        |         name, first_name, birthday, entity_type,
+        |         row_number() OVER (PARTITION BY sha256(concat_ws(chr(1),
+        |           coalesce(name, chr(0)), coalesce(first_name, chr(0)),
+        |           coalesce(birthday, chr(0)), entity_type))
+        |           ORDER BY name) AS rn
+        |  FROM typed)
+        |SELECT entity_id, name, first_name, birthday, entity_type
+        |FROM keyed WHERE rn = 1 ORDER BY entity_id""".stripMargin),
+
+    // E2 — the reference's profiling report (data_analysis.py:5-98) as one
+    // long-format result: metric name → value. Null audit, row counts,
+    // duplicate audits under both pandas keep-semantics, distinct
+    // cardinalities, and the cross-source semi-join match count.
+    "profile_report" -> QuerySpec(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        def metric(name: String, v: org.apache.spark.sql.Column,
+                   df: org.apache.spark.sql.DataFrame) =
+          df.agg(v.cast("long").as("value")).select(lit(name).as("metric"), col("value"))
+        val parts = Seq(
+          metric("customer_rows", count(lit(1)), c),
+          metric("orders_rows", count(lit(1)), o),
+          metric("null_segment_count",
+            count(when(nullif(col("c_mktsegment"), lit("BUILDING")).isNull, 1)), c),
+          metric("distinct_priorities", countDistinct(col("o_orderpriority")), o))
+        val dupFalse = graft.profile.Quality
+          .duplicateRowsKeepFalse(li, Seq("l_orderkey"))
+          .select(lit("lineitem_dup_rows_keep_false").as("metric"),
+            col("dup_rows").as("value"))
+        val dupFirst = graft.profile.Quality
+          .duplicateRowsKeepFirst(li, Seq("l_orderkey", "l_suppkey"))
+          .select(lit("lineitem_dup_rows_keep_first").as("metric"),
+            col("dup_rows").as("value"))
+        val semi = c.join(o.select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_semi")
+          .agg(count(lit(1)).as("value"))
+          .select(lit("customers_with_orders").as("metric"), col("value"))
+        (parts :+ dupFalse :+ dupFirst :+ semi)
+          .reduce(_ unionByName _)
+          .orderBy("metric")
+      },
+      """SELECT * FROM (
+        |  SELECT 'customer_rows' AS metric, COUNT(*) AS value FROM customer
+        |  UNION ALL SELECT 'orders_rows', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'null_segment_count',
+        |    COUNT(CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL THEN 1 END)
+        |    FROM customer
+        |  UNION ALL SELECT 'distinct_priorities',
+        |    COUNT(DISTINCT o_orderpriority) FROM orders
+        |  UNION ALL SELECT 'lineitem_dup_rows_keep_false',
+        |    CAST(COALESCE(SUM(cnt), 0) AS BIGINT) FROM
+        |    (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+        |     HAVING COUNT(*) > 1)
+        |  UNION ALL SELECT 'lineitem_dup_rows_keep_first',
+        |    CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) FROM
+        |    (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_suppkey)
+        |  UNION ALL SELECT 'customers_with_orders', COUNT(*) FROM customer c
+        |    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |) ORDER BY metric""".stripMargin)
+  )
+}

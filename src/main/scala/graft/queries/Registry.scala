@@ -15,7 +15,8 @@ object Registry {
       DedupQ.registry,
       SimilarityQ.registry,
       MultimodalQ.registry,
-      Scale.registry
+      Scale.registry,
+      Integration.registry
     )
     val merged = parts.flatten
     require(merged.size == parts.map(_.size).sum,
