@@ -281,6 +281,40 @@ object Analytic {
         |       CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE) AS first_sq
         |FROM embeddings ORDER BY vec_id""".stripMargin),
 
+    // Range (band) join: fact rows matched to a value-band dimension via
+    // BETWEEN — Spark plans broadcast nested-loop for the tiny band table
+    // (the right 100 TB plan: bands broadcast, fact side never moves).
+    "range_band_join" -> QuerySpec(
+      (s, d) => {
+        val bands = s.createDataFrame(Seq(
+          ("low", 0.0, 100000.0),
+          ("mid", 100000.0, 300000.0),
+          ("high", 300000.0, 1e9)
+        )).toDF("band", "lo", "hi")
+        Tables.orders(s, d)
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy("band").agg(count(lit(1)).as("n"))
+          .orderBy("band")
+      },
+      """SELECT band, COUNT(*) AS n FROM orders
+        |JOIN (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 300000.0),
+        |             ('high', 300000.0, 1e9)) AS bands(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin),
+
+    // Array aggregation (collect per group) with a deterministic in-array
+    // sort — the grouped-list primitive training pipelines use for
+    // document packing.
+    "array_agg_per_group" -> QuerySpec(
+      (s, d) => Tables.nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(sort_array(collect_list(col("n_name"))).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey"),
+      """SELECT n_regionkey, list_sort(list(n_name)) AS nations, COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
     // PIVOT: long → wide with a fixed column set (statuses), counts.
     // Oracle phrases it as conditional aggregation (portable form).
     "pivot_status_counts" -> QuerySpec(
