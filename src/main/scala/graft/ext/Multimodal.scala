@@ -51,4 +51,37 @@ object Multimodal {
     * oracles). */
   def frameHex(bytes: Column, frameSize: Int, n: Int): Column =
     transform(frameSample(bytes, frameSize, n), f => hex(f))
+
+  // ---- partition-batched decoder harness --------------------------------
+
+  final case class Asset(asset_id: Long, bytes: Array[Byte])
+  final case class DecodedFeatures(asset_id: Long, n_bytes: Long,
+                                   mean_byte: Double, feature: Array[Float])
+
+  /** The mapPartitions-shaped decode harness: the Scala analogue of a
+    * vectorized (Arrow/Pandas) UDF — rows arrive per partition so a real
+    * decoder can amortize codec/model initialization per batch instead of
+    * per row. The decode itself is the deterministic STUB (byte stats + a
+    * fixed-width projection standing in for an image/audio feature
+    * vector); swap `decodeOne` for a JNI/codec call and the signature,
+    * batching, and schema stay as-is.
+    */
+  def decodePartitions(assets: org.apache.spark.sql.Dataset[Asset])
+      : org.apache.spark.sql.Dataset[DecodedFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      // per-partition init happens HERE (decoder handles, model weights…)
+      def decodeOne(a: Asset): DecodedFeatures = {
+        val n = a.bytes.length
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += (a.bytes(i) & 0xff); i += 1 }
+        val feat = Array.tabulate(8)(j =>
+          if (n == 0) 0f else (a.bytes(j % n) & 0xff).toFloat / 255f)
+        DecodedFeatures(a.asset_id, n.toLong,
+          if (n == 0) 0.0 else sum.toDouble / n, feat)
+      }
+      batch.map(decodeOne)
+    }
+  }
 }

@@ -75,6 +75,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
+    * centroid cell; search ranks exactly within the query's cell only.
+    *
+    * Centroids here are deterministic (stored vectors `centroidIds`) so the
+    * operator is oracle-checkable end-to-end; production swaps in k-means
+    * centroids without touching the dataflow. Scale shape: assignment is a
+    * broadcast of k centroids + one scan (persist/partition BY cell and a
+    * query prunes to one cell's files); no shuffle of the vector corpus.
+    */
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+              centroidIds: Seq[Long]): DataFrame = {
+    val cents = embeddings
+      .filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))
+    val assigned = embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosine(col("embedding"), col("cvec")).as("ccos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q"), col("cell"))
+    assigned.join(broadcast(q), "cell")
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("cell"), cosine(col("embedding"), col("q")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Near-duplicate pairs by cosine within an id-stripe block. */
   def cosineNearDupPairs(embeddings: DataFrame, stripeMod: Int,
                          threshold: Double): DataFrame = {

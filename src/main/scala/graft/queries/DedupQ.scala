@@ -143,6 +143,39 @@ object DedupQ {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // Near-dup pairs → connected components → canonical id per member
+    // (min doc_id in the component): the decision step of a dedup
+    // pipeline. Spark: fixed-round min-label propagation (static plan, no
+    // driver convergence loop); oracle: recursive transitive closure.
+    "dedup_cluster_canonical" -> QuerySpec(
+      (s, d) => {
+        val pairs = Dedup.jaccardPairs(
+          Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+          "doc_id", array_distinct(TextOps.tokens(col("text"))),
+          threshold = 0.9)
+        Dedup.connectedComponents(pairs, "id_a", "id_b", rounds = 8)
+          .orderBy("node")
+      },
+      """WITH RECURSIVE sets AS (
+        |  SELECT doc_id AS id, list_distinct(string_split(trim(text), ' ')) AS s
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), inv AS (SELECT id, len(s) AS sz, unnest(s) AS t FROM sets),
+        |jp AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+        |         COUNT(*) AS common
+        |  FROM inv a JOIN inv b ON a.t = b.t AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+        |          UNION SELECT id_b, id_a FROM jp),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |)
+        |SELECT src AS node, least(src, MIN(dst)) AS component
+        |FROM reach GROUP BY src ORDER BY node""".stripMargin),
+
     // SimHash values + near-pair detection by Hamming distance within a
     // deterministic block (bit_count(xor) <= 6 of 32).
     "dedup_simhash" -> QuerySpec(

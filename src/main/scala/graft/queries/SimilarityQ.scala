@@ -47,6 +47,25 @@ object SimilarityQ {
          |FROM b JOIN q USING (bucket) WHERE b.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
 
+    // IVF-style ANN: deterministic coarse quantizer (stored vectors 1..8
+    // as centroids), exact ranking within the query's cell only.
+    "similarity_ivf_topk" -> QuerySpec(
+      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 0L, 10,
+        centroidIds = (1L to 8L)),
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cent_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv, cell FROM assigned WHERE vec_id = 0)
+         |SELECT a.vec_id, a.cell, ${duckCos("a.embedding", "qv")} AS cos
+         |FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+
     // Embedding-cosine near-dup pairs within a 1-in-5 id stripe.
     "dedup_embedding_cosine" -> QuerySpec(
       (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d),

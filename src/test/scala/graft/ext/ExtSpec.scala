@@ -66,6 +66,26 @@ class ExtSpec extends SparkSpec {
     assert(got(2).isEmpty)
   }
 
+  test("connected components: two clusters + a bridge collapse to min labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 10L, 11L).forall(cc(_) == 1L)) // bridged cluster
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+  }
+
+  test("mapPartitions decode harness: deterministic stub features") {
+    val ds = Seq(
+      Multimodal.Asset(1L, "abc".getBytes("UTF-8")),
+      Multimodal.Asset(2L, Array.emptyByteArray)).toDS()
+    val out = Multimodal.decodePartitions(ds).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(out(1L).n_bytes == 3 && out(1L).mean_byte == 98.0)
+    assert(out(1L).feature.length == 8 && out(1L).feature(0) == 97f / 255f)
+    assert(out(2L).n_bytes == 0 && out(2L).mean_byte == 0.0)
+  }
+
   test("jaccard pairs: exact value on a known overlap") {
     val df = Seq(
       (1L, Seq("a", "b", "c", "d")),

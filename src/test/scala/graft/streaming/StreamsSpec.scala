@@ -59,6 +59,27 @@ class StreamsSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 100)
   }
 
+  test("streaming session windows match batch session_window aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    val stream = mem.toDF()
+      .toDF("event_id", "user_id", "event_type", "value", "ts_utc")
+    val q = Streams.startMemorySink(
+      Streams.sessionized(stream), "session_out", OutputMode.Complete())
+    mem.addData(eventRows.toSeq)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("session_out")
+      .select("user_id", "session_start", "n")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val want = Tables.eventsWithTs(spark, sf)
+      .groupBy(session_window(col("ts_utc"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("stream-stream interval join matches the batch range join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
