@@ -18,8 +18,11 @@ object DedupQ {
   /** DuckDB fragment: the portable 60-bit md5 hash of an expression. */
   private def duckHash(e: String) =
     s"CAST(('0x' || substr(md5($e), 1, 15))::UBIGINT AS BIGINT)"
-  private def duckMinhash(seed: Int) =
-    s"list_min(list_transform(s, t -> ${duckHash(s"'$seed:' || t")}))"
+  /** Mirrors Dedup.minhashSignature exactly (constants referenced from the
+    * same object, so the two sides cannot drift). */
+  private def duckMinhash(i: Int) =
+    s"list_min(list_transform(s, t -> ((${duckHash("t")} & ${Dedup.MinhashMask}) " +
+      s"* ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP}))"
 
   val registry: Map[String, QuerySpec] = Map(
 
@@ -62,10 +65,11 @@ object DedupQ {
     // LSH pipeline persists at scale.
     "dedup_minhash_signatures" -> QuerySpec(
       (s, d) => {
-        val sig = Dedup.minhashSignature(
-          array_distinct(TextOps.tokens(col("text"))), K)
+        val sig = Dedup.minhashFromBase(col("bh"), K)
         Tables.documents(s, d)
           .filter(col("doc_id") < 200)
+          .withColumn("bh", Dedup.minhashBaseHashes(
+            array_distinct(TextOps.tokens(col("text")))))
           .select(col("doc_id") +: sig.zipWithIndex.map {
             case (c, i) => c.as(s"m$i") }: _*)
           .orderBy("doc_id")
@@ -84,11 +88,13 @@ object DedupQ {
       (s, d) => {
         val toks = TextOps.tokens(col("text"))
         val sh = array_distinct(Dedup.shingles3(toks))
-        val sig = Dedup.minhashSignature(sh, K)
+        val sig = Dedup.minhashFromBase(col("bh"), K)
         val base = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
-        val allBands = base.select(col("doc_id"),
-          posexplode(array(Dedup.lshBands(sig, 1): _*))
-            .as(Seq("band_idx", "band_key")))
+        val allBands = base
+          .withColumn("bh", Dedup.minhashBaseHashes(sh))
+          .select(col("doc_id"),
+            posexplode(array(Dedup.lshBands(sig, 1): _*))
+              .as(Seq("band_idx", "band_key")))
         // Hot-bucket suppression: a bucket holding >50 docs contributes
         // O(bucket²) candidate pairs while carrying almost no similarity
         // signal (it means one very common shingle won the min). Skipping
@@ -182,9 +188,11 @@ object DedupQ {
       (s, d) => {
         val sh = Tables.documents(s, d)
           .filter(col("doc_id") % 10 === 0)
+          .withColumn("hs", transform(
+            array_distinct(TextOps.tokens(col("text"))),
+            t => TextOps.hash64(t)))
           .select(col("doc_id"),
-            Dedup.simhash32(array_distinct(TextOps.tokens(col("text"))))
-              .as("simhash"))
+            Dedup.simhash32FromHashes(col("hs")).as("simhash"))
         sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
             Dedup.hamming(col("a.simhash"), col("b.simhash")).as("dist"))
