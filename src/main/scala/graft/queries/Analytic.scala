@@ -281,6 +281,33 @@ object Analytic {
         |       CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE) AS first_sq
         |FROM embeddings ORDER BY vec_id""".stripMargin),
 
+    // Generator / table-valued surface (X4): explode with ordinality over
+    // an array column — each document row expands to (row, index, token).
+    "generator_posexplode" -> QuerySpec(
+      (s, d) => Tables.documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(slice(graft.ext.TextOps.tokens(col("text")), 1, 5))
+            .as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos"),
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+        |FROM (SELECT doc_id, string_split(trim(text), ' ')[1:5] AS toks
+        |      FROM documents WHERE doc_id < 20),
+        |     LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+        |ORDER BY doc_id, pos""".stripMargin),
+
+    // MapType surface (X3): JSON props parsed into a map, keys extracted.
+    "map_from_json" -> QuerySpec(
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          map_keys(from_json(col("props"), lit("map<string,int>"))).as("ks"),
+          from_json(col("props"), lit("map<string,int>")).getItem("k").as("k_val"))
+        .filter(col("event_id") < 100)
+        .orderBy("event_id"),
+      """SELECT event_id, json_keys(props) AS ks,
+        |       CAST(props->>'k' AS INT) AS k_val
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin),
+
     // Range (band) join: fact rows matched to a value-band dimension via
     // BETWEEN — Spark plans broadcast nested-loop for the tiny band table
     // (the right 100 TB plan: bands broadcast, fact side never moves).
