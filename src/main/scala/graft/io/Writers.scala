@@ -30,6 +30,18 @@ object Writers {
       s"primary key (${keys.mkString(",")}) on $table violated by $violations keys")
   }
 
+  /** Bucketed + sorted managed table: the layout that makes repeated
+    * equi-joins/aggregations on `bucketCols` shuffle-free (asserted in
+    * PhysicalPlanSpec — zero Exchange nodes in the join subtree). The
+    * 100 TB pattern: land fact tables bucketed by their join key once,
+    * amortize the exchange across every downstream query. */
+  def bucketTable(df: DataFrame, table: String, buckets: Int,
+                  bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** S4 — JDBC sink, inert offline (no driver jar ships with the image);
     * kept as the pluggable interface the reference's `insert_in_table`
     * becomes. `createTableColumnTypes` carries the per-column SQL types

@@ -93,4 +93,18 @@ object Streams {
     * parquet+checkpoint in production). */
   def startMemorySink(df: DataFrame, name: String, mode: OutputMode) =
     df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+
+  /** foreachBatch sink: per-micro-batch escape hatch for sinks the
+    * streaming writer can't express (idempotent merges, multi-table
+    * fan-out, JDBC upserts). Here: append each batch to parquet with the
+    * batch id stamped for exactly-once-style reconciliation. */
+  def startForeachBatchParquet(df: DataFrame, outDir: String,
+                               checkpointDir: String) =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
 }

@@ -26,12 +26,10 @@ class PhysicalPlanSpec extends SparkSpec {
           .foreach(java.nio.file.Files.delete)
       }
     }
-    Tables.lineitem(spark, sf)
-      .write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("li_bucketed")
-    Tables.orders(spark, sf)
-      .write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("ord_bucketed")
+    graft.io.Writers.bucketTable(Tables.lineitem(spark, sf),
+      "li_bucketed", 4, Seq("l_orderkey"))
+    graft.io.Writers.bucketTable(Tables.orders(spark, sf),
+      "ord_bucketed", 4, Seq("o_orderkey"))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val joined = spark.table("li_bucketed").join(spark.table("ord_bucketed"),
         col("l_orderkey") === col("o_orderkey"))

@@ -75,6 +75,20 @@ class ExtSpec extends SparkSpec {
     assert(cc(20L) == 20L && cc(21L) == 20L)
   }
 
+  test("connected components agree with GraphX on a random pair set") {
+    val rng = new scala.util.Random(7)
+    val pairSeq = Seq.fill(60)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val pairs = pairSeq.toDF("id_a", "id_b")
+    val mine = Dedup.connectedComponents(pairs, "id_a", "id_b", rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = org.apache.spark.graphx.Graph.fromEdgeTuples(
+        spark.sparkContext.parallelize(pairSeq), defaultValue = 1)
+      .connectedComponents().vertices.collect().toMap
+    assert(mine.keySet == gx.keySet)
+    mine.keySet.foreach(k => assert(mine(k) == gx(k), s"node $k"))
+  }
+
   test("mapPartitions decode harness: deterministic stub features") {
     val ds = Seq(
       Multimodal.Asset(1L, "abc".getBytes("UTF-8")),

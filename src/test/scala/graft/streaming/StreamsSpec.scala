@@ -107,6 +107,23 @@ class StreamsSpec extends SparkSpec {
     assert(got == want && got > 0)
   }
 
+  test("foreachBatch parquet sink lands every batch exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-fb").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fb-ckpt").toString
+    val mem = MemoryStream[(Long, Double)]
+    val q = Streams.startForeachBatchParquet(
+      mem.toDF().toDF("event_id", "value"), out, ckpt)
+    mem.addData(Seq((1L, 1.0), (2L, 2.0)))
+    q.processAllAvailable()
+    mem.addData(Seq((3L, 3.0)))
+    q.processAllAvailable(); q.stop()
+    val landed = spark.read.parquet(out)
+    assert(landed.count() == 3)
+    assert(landed.select("batch_id").distinct().count() == 2)
+  }
+
   test("stateful running totals per user match batch groupBy") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
