@@ -36,4 +36,34 @@ object Readers {
   /** S7 — parquet scan (the harness fact path). */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** S1 variant with explicit malformed-row policy. The reference's pandas
+    * read silently NaN-fills short rows and its date parsing raises on bad
+    * values; a production ingest needs the choice explicit:
+    *  - PERMISSIVE + corrupt-record column → quarantine lane
+    *    (`df.filter($"_corrupt_record".isNotNull)` is the dead-letter set)
+    *  - FAILFAST → reference-style hard stop. */
+  def csvWithPolicy(spark: SparkSession, path: String, schema: StructType,
+                    failFast: Boolean): DataFrame = {
+    val withCorrupt =
+      if (failFast) schema
+      else StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType, nullable = true))
+    spark.read
+      .option("sep", ";")
+      .option("header", "true")
+      .option("nullValue", "")
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+  }
+
+  /** Streaming S1/S7: the unbounded directory source (new files become
+    * micro-batches). The production entry point for `streaming.Streams`
+    * operators; schema is mandatory for streaming reads. */
+  def parquetStream(spark: SparkSession, dir: String,
+                    schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
 }
