@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: absorb JIT/codegen/classloading so the first timed
+    // query isn't charged ~4s of JVM start (standard bench hygiene; every
+    // query below still executes fully inside its own timing window).
+    try SparkEntry.queries("agg_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
+
     // noop sink forces FULL evaluation of every column (a bare .count()
     // would let Catalyst prune projection work and under-measure
     // expression-heavy queries).

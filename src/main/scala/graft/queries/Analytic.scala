@@ -281,6 +281,61 @@ object Analytic {
         |       CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE) AS first_sq
         |FROM embeddings ORDER BY vec_id""".stripMargin),
 
+    // The full ranking-function family over one window: rank, dense_rank,
+    // percent_rank, ntile, first/last value with an explicit frame.
+    "window_rank_variants" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.customer(s, d)
+          .filter(col("c_custkey") < 500)
+          .select(col("c_mktsegment"), col("c_custkey"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            percent_rank().over(w).as("prnk"),
+            ntile(4).over(w).as("quartile"),
+            first(col("c_custkey")).over(wf).as("richest"),
+            last(col("c_custkey")).over(wf).as("poorest"))
+          .orderBy("c_mktsegment", "rnk")
+      },
+      """SELECT c_mktsegment, c_custkey,
+        |       rank() OVER w AS rnk,
+        |       dense_rank() OVER w AS drnk,
+        |       percent_rank() OVER w AS prnk,
+        |       ntile(4) OVER w AS quartile,
+        |       first_value(c_custkey) OVER wf AS richest,
+        |       last_value(c_custkey) OVER wf AS poorest
+        |FROM customer WHERE c_custkey < 500
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey),
+        |       wf AS (PARTITION BY c_mktsegment
+        |              ORDER BY c_acctbal DESC, c_custkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment, rnk""".stripMargin),
+
+    // Fuzzy matching by edit distance (the entity-resolution primitive the
+    // reference's exact natural-key match can't express): close name pairs
+    // within a blocking stripe. levenshtein is exact-integer in both
+    // engines.
+    "fuzzy_match_levenshtein" -> QuerySpec(
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_custkey") < 300)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        c.as("a").join(c.as("b"), col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            levenshtein(col("a.name"), col("b.name")).as("dist"))
+          .filter(col("dist") <= 2)
+          .orderBy("id_a", "id_b")
+      },
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       levenshtein(a.c_name, b.c_name) AS dist
+        |FROM (SELECT * FROM customer WHERE c_custkey < 300) a
+        |JOIN (SELECT * FROM customer WHERE c_custkey < 300) b
+        |  ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin),
+
     // Generator / table-valued surface (X4): explode with ordinality over
     // an array column — each document row expands to (row, index, token).
     "generator_posexplode" -> QuerySpec(
