@@ -426,6 +426,46 @@ object Analytic {
         |SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
         |ORDER BY c_custkey, metric""".stripMargin),
 
+    // Correlated scalar subquery through the SQL front-end: each order's
+    // price as a ratio of its customer's average (decimal-exact avg).
+    "scalar_subquery_ratio" -> QuerySpec(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_orders_sq")
+        s.sql("""
+          SELECT o_orderkey,
+                 o_totalprice /
+                   (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                           / COUNT(*)
+                    FROM v_orders_sq i
+                    WHERE i.o_custkey = o.o_custkey) AS ratio_to_cust_avg
+          FROM v_orders_sq o
+          WHERE o_orderkey < 500
+          ORDER BY o_orderkey""")
+      },
+      """SELECT o_orderkey,
+        |       o_totalprice /
+        |         (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+        |                 / COUNT(*)
+        |          FROM orders i WHERE i.o_custkey = o.o_custkey) AS ratio_to_cust_avg
+        |FROM orders o WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Null-safe equality (<=> / IS NOT DISTINCT FROM) — the join/compare
+    // semantics NULL-heavy conformance pipelines need.
+    "null_safe_equality" -> QuerySpec(
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("a"),
+          nullif(col("o_orderpriority"), lit("5-LOW")).as("b"))
+        .select(col("o_orderkey"),
+          (col("a") <=> col("b")).as("ab_same"),
+          (col("a") <=> lit(null)).as("a_is_null"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+        |       NULLIF(o_orderstatus,'O') IS NOT DISTINCT FROM NULLIF(o_orderpriority,'5-LOW') AS ab_same,
+        |       NULLIF(o_orderstatus,'O') IS NOT DISTINCT FROM NULL AS a_is_null
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
     // SQL front-end: the engine accepts ANSI SQL over registered views
     // (TPC-H Q3 shape — join + filter + grouped topk).
     "sql_frontend_q3" -> QuerySpec(
