@@ -30,6 +30,28 @@ object Scale {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // Custom typed aggregate (X4): exact top-3 per group via the bounded
+    // min-heap Aggregator — O(k) state per group with map-side partials,
+    // vs the window formulation shuffling every row. Oracle = the window
+    // formulation (same answer, different physical cost).
+    "topk_aggregator_per_segment" -> QuerySpec(
+      (s, d) => {
+        val topk = udaf(new graft.expressions.TopKAggregator(3))
+        Tables.customer(s, d)
+          .groupBy("c_mktsegment")
+          .agg(topk(col("c_custkey"), col("c_acctbal")).as("top"))
+          .select(col("c_mktsegment"), explode(col("top")).as("t"))
+          .select(col("c_mktsegment"), col("t.id").as("c_custkey"),
+            col("t.score").as("c_acctbal"))
+          .orderBy(col("c_mktsegment"), desc("c_acctbal"), asc("c_custkey"))
+      },
+      """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) WHERE rn <= 3
+        |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin),
+
     // HyperLogLog cardinality sketch — approximate by construction, so no
     // DuckDB hash oracle (driver records a rows-only check). The exact
     // distinct count for the same column is oracle-checked separately in
