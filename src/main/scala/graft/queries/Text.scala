@@ -11,6 +11,8 @@ object Text {
 
   // DuckDB fragments mirroring TextOps (kept adjacent so drift is obvious).
   private val duckToks = "string_split(trim(text), ' ')"
+  private def duckHash64(e: String) =
+    s"CAST(('0x' || substr(md5($e), 1, 15))::UBIGINT AS BIGINT)"
 
   val registry: Map[String, QuerySpec] = Map(
 
@@ -115,6 +117,61 @@ object Text {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term) AS rn FROM scored)
         |WHERE rn <= 5 ORDER BY doc_id, term""".stripMargin),
+
+    // Sequence packing: chunk documents into context windows by cumulative
+    // token budget (per-source streams, deterministic doc_id order) — the
+    // standard packing approximation training pipelines run before
+    // tokenizer sharding. bin = floor((cumsum-1)/budget); stats per bin.
+    "text_pack_sequences" -> QuerySpec(
+      (s, d) => {
+        val budget = 512
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+          .withColumn("cum", sum("n_tok").over(w))
+          .withColumn("bin", ((col("cum") - 1) / budget).cast("long"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("source", "bin")
+      },
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - 1) // 512 AS BIGINT) AS bin,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin),
+
+    // Deterministic train/val/test split: content-hash bucket in [0,100) →
+    // 80/10/10. Reproducible across runs/engines (sha-derived, no rand).
+    "text_dataset_split" -> QuerySpec(
+      (s, d) => {
+        val bucket = pmod(TextOps.hash64(col("text")), lit(100))
+        Tables.documents(s, d)
+          .select(when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+          .groupBy("split").agg(count(lit(1)).as("n"))
+          .orderBy("split")
+      },
+      s"""SELECT CASE
+         |         WHEN (${duckHash64("text")}) % 100 < 80 THEN 'train'
+         |         WHEN (${duckHash64("text")}) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |       COUNT(*) AS n
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin),
 
     "text_fingerprint" -> QuerySpec(
       (s, d) => Tables.documents(s, d)
