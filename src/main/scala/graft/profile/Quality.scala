@@ -69,4 +69,26 @@ object Quality {
     * dedup diagnostics. Deterministic output requires caller to ORDER BY. */
   def duplicateGroups(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+
+  /** Generic table profile: one output row per column with null count,
+    * distinct cardinality, and min/max (string-rendered for type
+    * uniformity). The reference's whole `data_analysis.py` generalized to
+    * any table, in ONE pass over the data (single wide aggregate — no
+    * per-column scans). */
+  def profileTable(df: DataFrame): DataFrame = {
+    val aggs = df.columns.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = df.columns.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("nulls"),
+        col(s"__d_$c").as("n_distinct"), col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    wide.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
 }

@@ -62,6 +62,22 @@ object Integration {
         |SELECT entity_id, name, first_name, birthday, entity_type
         |FROM keyed WHERE rn = 1 ORDER BY entity_id""".stripMargin),
 
+    // Generic one-pass column profiler applied to supplier: per column
+    // null count, distinct cardinality, min/max (string-rendered).
+    "profile_table_generic" -> QuerySpec(
+      (s, d) => graft.profile.Quality.profileTable(Tables.supplier(s, d))
+        .orderBy("column"),
+      {
+        val cols = Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        cols.map { c =>
+          s"""SELECT '$c' AS "column",
+             |  COUNT(CASE WHEN $c IS NULL THEN 1 END) AS nulls,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_value,
+             |  CAST(MAX($c) AS VARCHAR) AS max_value FROM supplier""".stripMargin
+        }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+      }),
+
     // E2 — the reference's profiling report (data_analysis.py:5-98) as one
     // long-format result: metric name → value. Null audit, row counts,
     // duplicate audits under both pandas keep-semantics, distinct
