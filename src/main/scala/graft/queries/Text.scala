@@ -118,6 +118,92 @@ object Text {
         |    ORDER BY tfidf DESC, term) AS rn FROM scored)
         |WHERE rn <= 5 ORDER BY doc_id, term""".stripMargin),
 
+    // PII redaction: email/US-phone masking via regex chains (the text
+    // cleaning step before training). PII is synthesized deterministically
+    // (the corpus has none), so the redactor provably fires.
+    "text_pii_redaction" -> QuerySpec(
+      (s, d) => {
+        val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        val dirty = concat(lit("contact user"), col("doc_id"),
+          lit("@example.com or 555-123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" re: "), substring(col("text"), 1, 40))
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 1000)
+          .select(col("doc_id"),
+            regexp_count(dirty, lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(dirty, lit(phoneRe)).cast("long").as("n_phones"),
+            regexp_replace(regexp_replace(dirty, emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").as("redacted"))
+          .orderBy("doc_id")
+      },
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         'contact user' || doc_id || '@example.com or 555-123-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: ' ||
+        |         substring(text, 1, 40) AS t
+        |  FROM documents WHERE doc_id < 1000)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM dirty ORDER BY doc_id""".stripMargin),
+
+    // Repetition/burstiness stats: distinct ratio + the most frequent
+    // token's count per document — the repetition-filter signal.
+    "text_repetition_stats" -> QuerySpec(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("top_token_count"),
+          (count(lit(1)).cast("double") / sum("c")).as("distinct_ratio"))
+        .orderBy("doc_id"),
+      """SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       COUNT(*) AS n_distinct,
+        |       CAST(MAX(c) AS BIGINT) AS top_token_count,
+        |       CAST(COUNT(*) AS DOUBLE) / SUM(c) AS distinct_ratio
+        |FROM (SELECT doc_id, tok, COUNT(*) AS c
+        |      FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |            FROM documents)
+        |      GROUP BY doc_id, tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Decontamination: flag training docs sharing any 3-gram shingle with
+    // the eval set (source = src0) — the benchmark-overlap check run
+    // before training. Inverted-index join on shingles, grouped overlap
+    // counts.
+    "text_decontamination" -> QuerySpec(
+      (s, d) => {
+        val sh = array_distinct(graft.ext.Dedup.shingles3(TextOps.tokens(col("text"))))
+        val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        val evalSet = docs.filter(col("source") === "src0")
+          .select(explode(sh).as("sh")).distinct()
+        val train = docs.filter(col("source") =!= "src0")
+          .select(col("doc_id"), explode(sh).as("sh"))
+        train.join(evalSet, "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared_shingles"))
+          .orderBy("doc_id")
+      },
+      """WITH strip AS (
+        |  SELECT doc_id, source, string_split(trim(text), ' ') AS toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+        |  FROM strip),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0')
+        |SELECT doc_id, COUNT(*) AS n_shared_shingles
+        |FROM tr JOIN ev USING (sh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // Sequence packing: chunk documents into context windows by cumulative
     // token budget (per-source streams, deterministic doc_id order) — the
     // standard packing approximation training pipelines run before
