@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   * semantics, matching DuckDB's `ASOF JOIN ... ON l.ts >= r.ts` oracle);
   * among equal-ts right rows the one latest under `tieBreak` wins —
   * callers needing full determinism should pass a unique tie-break column.
+  *
+  * Caveats of the carry-forward formulation (by design, documented):
+  *  - a NULL payload value in a right row is skipped by the ignoreNulls
+  *    carry — an older non-null value wins. A right row whose payload is
+  *    semantically "null" should encode it with a sentinel first.
+  *  - with MULTIPLE payload columns, each is carried independently, so a
+  *    row with mixed null/non-null payloads can contribute only its
+  *    non-null columns. Pack multi-column payloads into one struct column
+  *    when row-atomicity matters.
   */
 object AsOfJoin {
 

@@ -27,7 +27,7 @@ object Quality {
   /** A1: one row, one column per input column, value = count of NULLs.
     * Single scan, map-side partial aggregation, no shuffle of raw rows. */
   def nullCounts(df: DataFrame): DataFrame = {
-    val aggs = df.columns.map(c => count(when(col(c).isNull, 1)).as(c))
+    val aggs = df.columns.toIndexedSeq.map(c => count(when(col(c).isNull, 1)).as(c))
     df.agg(aggs.head, aggs.tail: _*)
   }
 
@@ -76,7 +76,7 @@ object Quality {
     * any table, in ONE pass over the data (single wide aggregate — no
     * per-column scans). */
   def profileTable(df: DataFrame): DataFrame = {
-    val aggs = df.columns.flatMap { c =>
+    val aggs = df.columns.toIndexedSeq.flatMap { c =>
       Seq(
         count(when(col(c).isNull, 1)).as(s"__n_$c"),
         countDistinct(col(c)).as(s"__d_$c"),
@@ -84,7 +84,7 @@ object Quality {
         max(col(c)).cast("string").as(s"__max_$c"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val perCol = df.columns.map { c =>
+    val perCol = df.columns.toIndexedSeq.map { c =>
       struct(lit(c).as("column"), col(s"__n_$c").as("nulls"),
         col(s"__d_$c").as("n_distinct"), col(s"__min_$c").as("min_value"),
         col(s"__max_$c").as("max_value"))
