@@ -426,6 +426,50 @@ object Analytic {
         |SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
         |ORDER BY c_custkey, metric""".stripMargin),
 
+    // Date/interval arithmetic surface (C-family beyond parsing): shifts,
+    // truncation, day diffs, epoch extraction — all exact integers or
+    // formatted strings.
+    "date_arithmetic" -> QuerySpec(
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus_30d"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_1999"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_1999,
+        |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // Explicit GROUPING SETS with grouping() markers distinguishing
+    // aggregated-out columns from genuine NULL group values.
+    "grouping_sets_explicit" -> QuerySpec(
+      (s, d) => Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("g_status"), col("g_prio"))
+        .orderBy("status", "priority"),
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       COUNT(*) AS n,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin),
+
     // Correlated scalar subquery through the SQL front-end: each order's
     // price as a ratio of its customer's average (decimal-exact avg).
     "scalar_subquery_ratio" -> QuerySpec(
