@@ -90,6 +90,45 @@ object Events {
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin),
 
+    // The SAME tumbling aggregation executed by the Structured Streaming
+    // engine (file source → AvailableNow trigger → memory sink), so the
+    // streaming runtime's output itself is oracle-verified. Watermark
+    // semantics don't withhold rows in complete mode, and AvailableNow
+    // terminates after draining the source — deterministic end state.
+    "events_tumbling_streaming" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val batchShape = Tables.eventsWithTs(s, d)
+        val stream = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "events.parquet") // file source needs a dir
+          .parquet(d)
+          .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+          // exact decimal state: the streaming sum must be accumulation-
+          // order-free for the oracle hash to match
+          .withColumn("value", col("value").cast("decimal(25,6)"))
+        val agg = graft.streaming.Streams.tumblingHourly(stream)
+        val sinkName = "q_events_tumbling_streaming"
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory").queryName(sinkName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // batchShape only anchors the schema contract above; the result
+        // comes from the streaming engine's sink table.
+        require(batchShape.schema.fieldNames.contains("ts_utc"))
+        s.table(sinkName)
+          .select(date_format(col("wstart"), fmt).as("wstart"),
+            col("event_type"), col("n"),
+            col("total").cast("double").as("total"))
+          .orderBy("wstart", "event_type")
+      },
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin),
+
     // As-of (backward) join: each click enriched with the most recent
     // purchase at-or-before it for the same user. The engine composes
     // union + ordered-window carry-forward (see ops.AsOfJoin); the oracle
