@@ -89,6 +89,60 @@ object Streams {
       }
   }
 
+  final case class SessionEvent(user_id: Long, ts_utc: java.sql.Timestamp,
+                                value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class CompletedSession(user_id: Long, session_start: java.sql.Timestamp,
+                                    n: Long, total: Double)
+
+  /** Full arbitrary-state API: gap-based sessionization via
+    * flatMapGroupsWithState with an EVENT-TIME timeout — a session is
+    * emitted only when the watermark passes its gap deadline (vs the
+    * declarative session_window, which cannot attach custom per-session
+    * logic). State per user is one running session; memory is bounded by
+    * the watermark. */
+  def expiringSessions(events: Dataset[SessionEvent],
+                       gapMillis: Long = 30L * 60 * 1000)
+      : Dataset[CompletedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts_utc", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, CompletedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(CompletedSession(uid,
+              new java.sql.Timestamp(s.start), s.n, s.total))
+          } else {
+            // fold the batch's rows into (possibly several) sessions
+            val sorted = rows.toSeq.sortBy(e => (e.ts_utc.getTime, e.value))
+            var cur = state.getOption
+            val completed = Seq.newBuilder[CompletedSession]
+            sorted.foreach { e =>
+              val t = e.ts_utc.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMillis =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  completed += CompletedSession(uid,
+                    new java.sql.Timestamp(s.start), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMillis)
+            }
+            completed.result().iterator
+          }
+      }
+  }
+
   /** Convenience: the standard sink shape (memory table for tests,
     * parquet+checkpoint in production). */
   def startMemorySink(df: DataFrame, name: String, mode: OutputMode) =

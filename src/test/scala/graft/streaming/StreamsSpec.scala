@@ -107,6 +107,40 @@ class StreamsSpec extends SparkSpec {
     assert(got == want && got > 0)
   }
 
+  test("flatMapGroupsWithState sessions match batch session_window (closed sessions)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.SessionEvent]
+    val q = Streams.expiringSessions(mem.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fmgws_out").start()
+    val evs = eventRows.filter(_._2 < 10)
+      .map(r => Streams.SessionEvent(r._2, r._5, r._4))
+      .sortBy(_.ts_utc.getTime)
+    mem.addData(evs.toSeq)
+    q.processAllAvailable()
+    // advance the watermark far past every session's deadline
+    val lastTs = evs.map(_.ts_utc.getTime).max
+    mem.addData(Seq(Streams.SessionEvent(9999L,
+      new Timestamp(lastTs + 24L * 3600 * 1000), 0.0)))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("fmgws_out")
+      .filter(col("user_id") < 10)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("st"),
+        col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = Tables.eventsWithTs(spark, sf)
+      .filter(col("user_id") < 10)
+      .groupBy(session_window(col("ts_utc"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("st"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("foreachBatch parquet sink lands every batch exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
