@@ -426,6 +426,64 @@ object Analytic {
         |SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
         |ORDER BY c_custkey, metric""".stripMargin),
 
+    // Array-function surface over token arrays: membership, overlap,
+    // slicing, set difference, flattening.
+    "array_functions" -> QuerySpec(
+      (s, d) => {
+        val toks = graft.ext.TextOps.tokens(col("text"))
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            array_contains(toks, "spark").as("has_spark"),
+            arrays_overlap(toks, array(lit("join"), lit("merge"))).as("has_join_or_merge"),
+            slice(toks, 1, 3).as("first3"),
+            array_join(array_remove(slice(toks, 1, 5), "the"), ",").as("first5_no_the"),
+            size(flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))))
+              .cast("long").as("flat_size"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |           FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |       list_contains(toks, 'spark') AS has_spark,
+        |       list_has_any(toks, ['join', 'merge']) AS has_join_or_merge,
+        |       toks[1:3] AS first3,
+        |       array_to_string(list_filter(toks[1:5], x -> x <> 'the'), ',') AS first5_no_the,
+        |       CAST(len(flatten([toks[1:2], toks[3:4]])) AS BIGINT) AS flat_size
+        |FROM t ORDER BY doc_id""".stripMargin),
+
+    // Funnel conversion: users whose first 'view' is later followed by a
+    // 'purchase' (event-time funnel over the events stream).
+    "funnel_view_to_purchase" -> QuerySpec(
+      (s, d) => {
+        val e = Tables.events(s, d) // ts as epoch-ns long: exact comparisons
+        val firstView = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("first_view_ts"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"))
+        firstView.join(purchases,
+            Seq("user_id"), "left")
+          .groupBy("user_id", "first_view_ts")
+          .agg(max(when(col("p_ts") >= col("first_view_ts"), 1).otherwise(0))
+            .cast("long").as("converted"))
+          .groupBy("converted").agg(count(lit(1)).as("n_users"))
+          .orderBy("converted")
+      },
+      """WITH fv AS (
+        |  SELECT user_id, MIN(epoch_ns(ts)) AS first_view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |conv AS (
+        |  SELECT fv.user_id,
+        |         MAX(CASE WHEN p.ts IS NOT NULL
+        |                   AND epoch_ns(p.ts) >= fv.first_view_ts
+        |                  THEN 1 ELSE 0 END) AS converted
+        |  FROM fv LEFT JOIN (SELECT user_id, ts FROM events
+        |                     WHERE event_type = 'purchase') p
+        |    USING (user_id)
+        |  GROUP BY fv.user_id)
+        |SELECT CAST(converted AS BIGINT) AS converted, COUNT(*) AS n_users
+        |FROM conv GROUP BY converted ORDER BY converted""".stripMargin),
+
     // Date/interval arithmetic surface (C-family beyond parsing): shifts,
     // truncation, day diffs, epoch extraction — all exact integers or
     // formatted strings.
