@@ -28,10 +28,24 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness keeps only the TAIL of stdout (~2000 chars), so the full
+    // per-query map (~4 KB for 80+ queries) must NOT be on the final line:
+    // print detail first (and persist it), then a compact total line LAST
+    // that always fits inside the tail window.
+    val detail = s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(detail)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

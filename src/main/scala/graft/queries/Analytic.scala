@@ -355,11 +355,13 @@ object Analytic {
     "map_from_json" -> QuerySpec(
       (s, d) => Tables.events(s, d)
         .select(col("event_id"),
-          map_keys(from_json(col("props"), lit("map<string,int>"))).as("ks"),
+          array_join(sort_array(map_keys(
+            from_json(col("props"), lit("map<string,int>")))), ",").as("ks"),
           from_json(col("props"), lit("map<string,int>")).getItem("k").as("k_val"))
         .filter(col("event_id") < 100)
         .orderBy("event_id"),
-      """SELECT event_id, json_keys(props) AS ks,
+      """SELECT event_id,
+        |       array_to_string(list_sort(json_keys(props)), ',') AS ks,
         |       CAST(props->>'k' AS INT) AS k_val
         |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin),
 
@@ -391,10 +393,12 @@ object Analytic {
     "array_agg_per_group" -> QuerySpec(
       (s, d) => Tables.nation(s, d)
         .groupBy("n_regionkey")
-        .agg(sort_array(collect_list(col("n_name"))).as("nations"),
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
           count(lit(1)).as("n"))
         .orderBy("n_regionkey"),
-      """SELECT n_regionkey, list_sort(list(n_name)) AS nations, COUNT(*) AS n
+      """SELECT n_regionkey,
+        |       array_to_string(list_sort(list(n_name)), ',') AS nations,
+        |       COUNT(*) AS n
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
 
     // PIVOT: long → wide with a fixed column set (statuses), counts.
@@ -436,7 +440,7 @@ object Analytic {
           .select(col("doc_id"),
             array_contains(toks, "spark").as("has_spark"),
             arrays_overlap(toks, array(lit("join"), lit("merge"))).as("has_join_or_merge"),
-            slice(toks, 1, 3).as("first3"),
+            array_join(slice(toks, 1, 3), ",").as("first3"),
             array_join(array_remove(slice(toks, 1, 5), "the"), ",").as("first5_no_the"),
             size(flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))))
               .cast("long").as("flat_size"))
@@ -447,7 +451,7 @@ object Analytic {
         |SELECT doc_id,
         |       list_contains(toks, 'spark') AS has_spark,
         |       list_has_any(toks, ['join', 'merge']) AS has_join_or_merge,
-        |       toks[1:3] AS first3,
+        |       array_to_string(toks[1:3], ',') AS first3,
         |       array_to_string(list_filter(toks[1:5], x -> x <> 'the'), ',') AS first5_no_the,
         |       CAST(len(flatten([toks[1:2], toks[3:4]])) AS BIGINT) AS flat_size
         |FROM t ORDER BY doc_id""".stripMargin),

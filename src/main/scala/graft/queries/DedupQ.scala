@@ -33,8 +33,15 @@ object DedupQ {
       (s, d) => Dedup.exactDupGroups(
           Tables.documents(s, d),
           TextOps.bowFingerprint(col("text")), "doc_id")
+        // Portable string rendering so the driver's checker can hash the
+        // group membership (arrays are unhashable in its pandas compare).
+        // Sort numerically FIRST, then cast — string sort would put 10 < 2.
+        .withColumn("ids",
+          array_join(transform(col("ids"), _.cast("string")), ","))
         .orderBy("fp"),
-      s"""SELECT fp, COUNT(*) AS n, list_sort(list(doc_id)) AS ids FROM (
+      s"""SELECT fp, COUNT(*) AS n,
+         |       array_to_string(list_transform(list_sort(list(doc_id)),
+         |         x -> CAST(x AS VARCHAR)), ',') AS ids FROM (
          |  SELECT doc_id,
          |         md5(array_to_string(list_sort($duckSet), ' ')) AS fp
          |  FROM documents)

@@ -36,13 +36,16 @@ object MultimodalQ {
       (s, d) => {
         val assets = Multimodal.assetTable(Tables.documents(s, d))
         assets.select(col("asset_id"),
-            Multimodal.byteHistogram(col("bytes"), 16).as("hist"))
+            // String rendering: the driver's checker can't hash array cells.
+            array_join(transform(
+              Multimodal.byteHistogram(col("bytes"), 16), _.cast("string")),
+              ",").as("hist"))
           .orderBy("asset_id")
       },
       """SELECT doc_id AS asset_id,
-        |       list_transform(range(0, 16), k -> CAST(
+        |       array_to_string(list_transform(range(0, 16), k -> CAST(
         |         len(list_filter(list_transform(list_filter(string_split(text, ''), c -> c <> ''),
-        |           c -> ascii(c)), v -> v // 16 = k)) AS BIGINT)) AS hist
+        |           c -> ascii(c)), v -> v // 16 = k)) AS VARCHAR)), ',') AS hist
         |FROM documents ORDER BY asset_id""".stripMargin),
 
     // Deterministic frame sampling: four 64-byte slices, hex-rendered.
@@ -50,13 +53,14 @@ object MultimodalQ {
       (s, d) => {
         val assets = Multimodal.assetTable(Tables.documents(s, d))
         assets.select(col("asset_id"),
-            Multimodal.frameHex(col("bytes"), frameSize = 64, n = 4)
-              .as("frames"))
+            array_join(
+              Multimodal.frameHex(col("bytes"), frameSize = 64, n = 4),
+              ",").as("frames"))
           .orderBy("asset_id")
       },
       """SELECT doc_id AS asset_id,
-        |       list_transform(range(0, 4),
-        |         i -> hex(encode(substring(text, i*64 + 1, 64)))) AS frames
+        |       array_to_string(list_transform(range(0, 4),
+        |         i -> hex(encode(substring(text, i*64 + 1, 64)))), ',') AS frames
         |FROM documents ORDER BY asset_id""".stripMargin)
   )
 }
