@@ -65,13 +65,47 @@ object Dedup {
     * (+1/-1 per token), bit set where the vote is strictly positive. Land
     * the hash array in its own projection first (same CSE caveat as
     * [[minhashBaseHashes]]). */
-  def simhash32FromHashes(hs: Column): Column = {
-    val bits = (0 until 32).map { j =>
+  def simhash32FromHashes(hs: Column): Column = simhashFromHashes(hs, 32)
+
+  /** SimHash over the low `nBits` bits of the portable 60-bit token hash
+    * (nBits <= 60 keeps every band value positive in a signed long). */
+  def simhashFromHashes(hs: Column, nBits: Int): Column = {
+    require(nBits >= 1 && nBits <= 60, "portable hash carries 60 usable bits")
+    val bits = (0 until nBits).map { j =>
       val vote = aggregate(hs, lit(0L),
         (a: Column, h: Column) => a + (shiftright(h, j).bitwiseAND(1) * 2 - 1))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** Banded near-pair plan for Hamming distance — the scale-safe
+    * replacement for an all-pairs simhash self-join (Manku et al.,
+    * WWW'07). The simhash is split into `bands` slices of `bitsPerBand`
+    * bits; by pigeonhole any pair at distance <= bands-1 agrees EXACTLY on
+    * at least one band, so an equi-join on (band index, band value)
+    * generates every qualifying candidate — completeness holds, nothing is
+    * sampled. Candidates are DISTINCT'd on the id pair, then verified with
+    * the exact bit_count. The only shuffle is on band keys; per-bucket
+    * cost is O(bucket²) over sparse 2^bitsPerBand-value buckets, never
+    * O(n²) over the corpus. */
+  def simhashBandPairs(df: DataFrame, idCol: String, simhashCol: String,
+                       bands: Int, bitsPerBand: Int, maxDist: Int): DataFrame = {
+    require(maxDist < bands, "pigeonhole completeness needs maxDist < bands")
+    val mask = (1L << bitsPerBand) - 1
+    val banded = df.select(col(idCol).as("id"), col(simhashCol).as("sh"),
+      posexplode(array((0 until bands).map(k =>
+        shiftright(col(simhashCol), k * bitsPerBand).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bv")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sh_a"), col("sh_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
   }
 
   /** Convenience one-shot 32-bit SimHash over a token array. */
@@ -99,27 +133,41 @@ object Dedup {
     * at 2^rounds for doubling-free propagation, ample for near-dup
     * clusters. GraphX could do this too, but the DataFrame form keeps it
     * inside Catalyst (pruning, AQE) and oracle-checkable.
+    *
+    * Lineage truncation is mandatory (each round would otherwise re-embed
+    * the full upstream subplan; measured 81s → 3s at sf0.1) and comes in
+    * two flavors:
+    *  - `checkpointDir = None`: `localCheckpoint(eager)` — fastest, but
+    *    executor-memory-resident and lost on executor failure. Right for
+    *    local/interactive runs.
+    *  - `checkpointDir = Some(dir)`: reliable `checkpoint(eager)` into the
+    *    given directory (HDFS/object store on a real cluster) — survives
+    *    executor loss, the correct choice for a 100 TB run where round k's
+    *    state is hours of work.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          rounds: Int): DataFrame = {
-    // Iterative algorithm: materialize the (possibly expensive) edge
-    // derivation ONCE and truncate lineage every round — otherwise each
-    // round's plan embeds a fresh copy of the whole upstream subplan
-    // (measured 81s → 3s on the near-dup cluster query at sf0.1).
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+                          rounds: Int,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
+    // Materialize the (possibly expensive) edge derivation ONCE.
+    val edges = cut(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
     val nodes = edges.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint(true)
+    var labels = cut(nodes.withColumn("label", col("node")))
     for (_ <- 1 to rounds) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src").as("node")).agg(min("label").as("nmin"))
-      labels = labels.join(neighborMin, Seq("node"), "left")
+      labels = cut(labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
     }
     labels.select(col("node"), col("label").as("component"))
   }

@@ -42,18 +42,31 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic ±1 hyperplane weight for (plane j, 1-based dim i) —
-    * arithmetic, not hashed, so the oracle replicates it trivially. */
-  private def weight(i: Column, j: Int): Column =
-    (i * 31 + lit(j * 17)) % 2 * 2 - 1
+  /** Deterministic ±1 hyperplane weights for (plane j, dim i), derived
+    * from md5 at PLAN-BUILD time — the planes are genuinely independent
+    * (an arithmetic pattern like `(i*31 + j*17) % 2` collapses to parity,
+    * making every plane ± the same hyperplane and all buckets degenerate
+    * into two — measured as an 8× candidate blowup). The constants embed
+    * as literals in both the Spark plan and the DuckDB oracle, so there is
+    * no per-row weight computation and no cross-engine drift. */
+  private[graft] def planeWeights(planes: Int, dim: Int): Seq[Array[Double]] =
+    (0 until planes).map { j =>
+      Array.tabulate(dim) { i0 =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"graft-plane:$j:dim:${i0 + 1}".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
 
   /** Sign-LSH bucket id from `planes` fixed hyperplanes (bit j = sign of
-    * the projection on plane j). Pure per-row expression. */
-  def hyperplaneBucket(v: Column, planes: Int): Column = {
+    * the projection on plane j). Pure per-row expression over literal
+    * weight arrays — no sequence()/index generation per row. */
+  def hyperplaneBucket(v: Column, planes: Int, dim: Int = 64): Column = {
+    val ws = planeWeights(planes, dim)
     val bits = (0 until planes).map { j =>
+      val wlit = array(ws(j).map(lit(_)): _*)
       val proj = aggregate(
-        zip_with(v, sequence(lit(1), size(v)),
-          (x, i) => x.cast("double") * weight(i, j).cast("double")),
+        zip_with(v, wlit, (x, w) => x.cast("double") * w),
         lit(0.0), (acc: Column, x: Column) => acc + x)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }
@@ -106,15 +119,28 @@ object Similarity {
       .limit(k)
   }
 
-  /** Near-duplicate pairs by cosine within an id-stripe block. Norms are
-    * computed once per vector BEFORE the pair join — the O(n²) stage then
-    * does one dot product per pair instead of dot + two norms (3× fewer
-    * flops; measured 5.7s → ~2s at sf0.1). */
-  def cosineNearDupPairs(embeddings: DataFrame, stripeMod: Int,
-                         threshold: Double): DataFrame = {
-    val e = embeddings.filter(col("vec_id") % stripeMod === 0)
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+  /** Near-duplicate pairs by cosine over the FULL corpus, blocked by
+    * sign-LSH bucket — the scale-safe replacement for an all-pairs (or
+    * sampled-stripe) self-join. Vectors are bucketed once by
+    * [[hyperplaneBucket]] (2^planes buckets); pairs are generated only
+    * within a bucket, so candidate volume is ~n²/2^planes spread across
+    * bucket partitions and the join shuffles on the bucket key, never
+    * all-pairs. Norms are computed once per vector BEFORE the pair join —
+    * the pair stage then does one dot product per pair instead of
+    * dot + two norms (3× fewer flops; measured 5.7s → ~2s at sf0.1).
+    *
+    * This is the standard ANN recall trade: a qualifying pair split across
+    * buckets is not reported. Recall rises with OR-composed tables
+    * (repeat with independent plane sets, union, distinct) without
+    * changing the plan shape. */
+  def cosineNearDupPairsLsh(embeddings: DataFrame, planes: Int,
+                            threshold: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         (dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm"))).as("cos"))

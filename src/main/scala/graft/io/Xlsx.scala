@@ -13,10 +13,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * minimal native reader: XLSX is a ZIP of XML parts, and `java.util.zip` +
   * StAX are in the JDK).
   *
-  * Supported: inline and shared strings, numeric cells, the first
-  * worksheet, first row as header (matching `pd.read_excel` defaults).
-  * All values surface as nullable strings (the conform layer owns typing,
-  * same as the CSV path).
+  * Supported: inline and shared strings, numeric cells, date cells
+  * (numeric serial + date number-format style, 1900 epoch incl. the
+  * phantom-leap-day adjustment, matching openpyxl's `from_excel`), the
+  * first worksheet, first row as header (matching `pd.read_excel`
+  * defaults). All values surface as nullable strings — dates as ISO
+  * `yyyy-MM-dd` (or `yyyy-MM-dd HH:mm:ss` when a time fraction is
+  * present); the conform layer owns further typing, same as the CSV path.
   *
   * Scale note: spreadsheets are dimension feeds, not the 100 TB fact path —
   * the file is parsed driver-side and parallelized; fact data arrives as
@@ -43,11 +46,77 @@ object Xlsx {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
         .map(e => parseSharedStrings(zip.getInputStream(e)))
         .getOrElse(Vector.empty)
+      val dateStyles = Option(zip.getEntry("xl/styles.xml"))
+        .map(e => parseDateStyles(zip.getInputStream(e)))
+        .getOrElse(Set.empty[Int])
       val sheetEntry = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
         .getOrElse(throw new IllegalArgumentException(
           s"no xl/worksheets/sheet1.xml in $path"))
-      parseSheet(zip.getInputStream(sheetEntry), shared)
+      parseSheet(zip.getInputStream(sheetEntry), shared, dateStyles)
     } finally zip.close()
+  }
+
+  /** Built-in OOXML number formats that render as dates/times (ECMA-376
+    * §18.8.30) plus the locale-variant ranges. */
+  private val builtinDateFormats: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** A custom format code is a date format if, after stripping quoted
+    * literals, [] sections and escapes, it contains a y/m/d/h/s token. */
+  private[io] def isDateFormatCode(code: String): Boolean = {
+    val cleaned = code
+      .replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\[[^\\]]*\\]", "")
+      .replaceAll("\\\\.", "")
+    cleaned.exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
+  }
+
+  /** styles.xml → the set of cellXfs indices whose number format is a
+    * date format (the style a cell references via its `s` attribute). */
+  private def parseDateStyles(in: InputStream): Set[Int] = {
+    val reader = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val customDateFmts = scala.collection.mutable.Set.empty[Int]
+    val xfFmtIds = ArrayBuffer.empty[Int]
+    var inCellXfs = false
+    while (reader.hasNext) {
+      reader.next() match {
+        case XMLStreamConstants.START_ELEMENT => reader.getLocalName match {
+          case "numFmt" =>
+            val id = Option(reader.getAttributeValue(null, "numFmtId"))
+              .map(_.toInt)
+            val code = Option(reader.getAttributeValue(null, "formatCode"))
+            for (i <- id; c <- code if isDateFormatCode(c)) customDateFmts += i
+          case "cellXfs" => inCellXfs = true
+          case "xf" if inCellXfs =>
+            xfFmtIds += Option(reader.getAttributeValue(null, "numFmtId"))
+              .map(_.toInt).getOrElse(0)
+          case _ =>
+        }
+        case XMLStreamConstants.END_ELEMENT
+            if reader.getLocalName == "cellXfs" => inCellXfs = false
+        case _ =>
+      }
+    }
+    reader.close()
+    xfFmtIds.zipWithIndex.collect {
+      case (fmt, i) if builtinDateFormats(fmt) || customDateFmts(fmt) => i
+    }.toSet
+  }
+
+  /** 1900-system Excel serial → ISO string. Epoch 1899-12-30 with the
+    * openpyxl `from_excel` adjustment for the phantom 1900-02-29 (serials
+    * below 60 shift one day so serial 1 = 1900-01-01). Whole-day serials
+    * render as dates; fractional serials carry a time-of-day component. */
+  private[io] def serialToIso(serial: Double): String = {
+    val adjusted = if (serial > 0 && serial < 60) serial + 1 else serial
+    val days = math.floor(adjusted).toLong
+    val date = java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+    val secs = math.round((adjusted - days) * 86400.0)
+    if (secs == 0) date.toString
+    else java.time.LocalDateTime.of(date, java.time.LocalTime.MIDNIGHT)
+      .plusSeconds(secs)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
   }
 
   private def parseSharedStrings(in: InputStream): Vector[String] = {
@@ -75,13 +144,14 @@ object Xlsx {
   private[io] def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
 
-  private def parseSheet(in: InputStream,
-                         shared: Vector[String]): Vector[Vector[Option[String]]] = {
+  private def parseSheet(in: InputStream, shared: Vector[String],
+                         dateStyles: Set[Int]): Vector[Vector[Option[String]]] = {
     val reader = XMLInputFactory.newInstance().createXMLStreamReader(in)
     val rows = ArrayBuffer.empty[Vector[Option[String]]]
     var row = ArrayBuffer.empty[Option[String]]
     var cellCol = 0
     var cellType = ""
+    var cellIsDate = false
     var value: Option[String] = None
     while (reader.hasNext) {
       reader.next() match {
@@ -91,10 +161,16 @@ object Xlsx {
             cellCol = Option(reader.getAttributeValue(null, "r"))
               .map(colIndex).getOrElse(row.length)
             cellType = Option(reader.getAttributeValue(null, "t")).getOrElse("n")
+            cellIsDate = cellType == "n" &&
+              Option(reader.getAttributeValue(null, "s"))
+                .map(_.toInt).exists(dateStyles)
             value = None
           case "v" =>
             val raw = reader.getElementText
-            value = Some(if (cellType == "s") shared(raw.toInt) else raw)
+            value = Some(
+              if (cellType == "s") shared(raw.toInt)
+              else if (cellIsDate) serialToIso(raw.toDouble)
+              else raw)
           case "t" if cellType == "inlineStr" =>
             value = Some(reader.getElementText)
           case _ =>

@@ -189,36 +189,36 @@ object DedupQ {
         |SELECT src AS node, least(src, MIN(dst)) AS component
         |FROM reach GROUP BY src ORDER BY node""".stripMargin),
 
-    // SimHash values + near-pair detection by Hamming distance within a
-    // deterministic block (bit_count(xor) <= 6 of 32).
+    // SimHash near-pair detection over the FULL corpus (no sampling):
+    // 60-bit simhash, banded 4 x 15 bits — by pigeonhole every pair at
+    // Hamming distance <= 3 shares at least one exact band, so the banded
+    // equi-join finds ALL qualifying pairs; the oracle is the semantically
+    // identical all-pairs scan (fine at oracle SF, never run at scale).
     "dedup_simhash" -> QuerySpec(
       (s, d) => {
         val sh = Tables.documents(s, d)
-          .filter(col("doc_id") % 10 === 0)
           .withColumn("hs", transform(
             array_distinct(TextOps.tokens(col("text"))),
             t => TextOps.hash64(t)))
           .select(col("doc_id"),
-            Dedup.simhash32FromHashes(col("hs")).as("simhash"))
-        sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            Dedup.hamming(col("a.simhash"), col("b.simhash")).as("dist"))
-          .filter(col("dist") <= 6)
+            Dedup.simhashFromHashes(col("hs"), 60).as("simhash"))
+        Dedup.simhashBandPairs(sh, "doc_id", "simhash",
+            bands = 4, bitsPerBand = 15, maxDist = 3)
           .orderBy("id_a", "id_b")
       },
       {
-        val votes = (0 until 32).map { j =>
+        val votes = (0 until 60).map { j =>
           s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
             s"list_transform(hs, h -> (((h >> $j) & 1) * 2 - 1))), (a,b) -> a+b) > 0 " +
             s"THEN ${1L << j} ELSE 0 END"
         }.mkString(" + ")
-        s"""WITH t AS (SELECT doc_id, $duckSet AS s FROM documents WHERE doc_id % 10 = 0),
+        s"""WITH t AS (SELECT doc_id, $duckSet AS s FROM documents),
            |h AS (SELECT doc_id, list_transform(s, t -> ${duckHash("t")}) AS hs FROM t),
            |sh AS (SELECT doc_id, $votes AS simhash FROM h)
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |       bit_count(xor(a.simhash, b.simhash)) AS dist
            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY id_a, id_b""".stripMargin
       })
   )

@@ -17,13 +17,19 @@ object SimilarityQ {
   private def duckCos(a: String, b: String) =
     s"(${duckDot(a, b)}) / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
-  /** DuckDB: the sign-LSH bucket over `planes` fixed ±1 hyperplanes. */
-  private def duckBucket(v: String, planes: Int): String =
+  /** DuckDB: the sign-LSH bucket over the same literal ±1 hyperplanes the
+    * Spark side embeds (constants from [[Similarity.planeWeights]], so the
+    * two engines cannot drift). */
+  private def duckBucket(v: String, planes: Int): String = {
+    val ws = Similarity.planeWeights(planes, 64)
     (0 until planes).map { j =>
+      val wlist = ws(j).map(w => if (w > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
       s"""CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-         |  i -> CAST($v[i] AS DOUBLE) * CAST(((i*31 + $j*17) % 2) * 2 - 1 AS DOUBLE))),
+         |  i -> CAST($v[i] AS DOUBLE) * ($wlist)[i])),
          |  (x, y) -> x + y) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
     }.mkString(" + ")
+  }
 
   val registry: Map[String, QuerySpec] = Map(
 
@@ -66,15 +72,19 @@ object SimilarityQ {
          |FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
 
-    // Embedding-cosine near-dup pairs within a 1-in-5 id stripe.
+    // Embedding-cosine near-dup pairs over the FULL corpus, blocked by
+    // sign-LSH bucket (16 buckets): pairs are generated within a bucket
+    // only — no all-pairs join, no id-stripe sampling. The oracle mirrors
+    // the identical deterministic bucketing.
     "dedup_embedding_cosine" -> QuerySpec(
-      (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
-          stripeMod = 5, threshold = 0.3)
+      (s, d) => Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, d),
+          planes = 4, threshold = 0.3)
         .orderBy("id_a", "id_b"),
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |             ${duckBucket("embedding", 4)} AS bucket FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       ${duckCos("a.embedding", "b.embedding")} AS cos
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY id_a, id_b""".stripMargin)
   )

@@ -76,4 +76,18 @@ class PhysicalPlanSpec extends SparkSpec {
     val q = SparkEntry.registry("topk_orders_by_price").fn(spark, sf)
     assert(plan(q).contains("TakeOrderedAndProject"), plan(q))
   }
+
+  test("pair queries block on equi-keys — no unblocked all-pairs join") {
+    // The three near-dup pair plans must generate candidates through an
+    // equi-join on a blocking key (band value / LSH bucket), never a
+    // cartesian or nested-loop pair enumeration over the corpus.
+    Seq("dedup_simhash", "dedup_embedding_cosine", "fuzzy_match_levenshtein")
+      .foreach { name =>
+        val p = plan(SparkEntry.registry(name).fn(spark, sf))
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a cartesian product:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join:\n$p")
+      }
+  }
 }

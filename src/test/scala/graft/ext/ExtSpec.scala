@@ -75,6 +75,26 @@ class ExtSpec extends SparkSpec {
     assert(cc(20L) == 20L && cc(21L) == 20L)
   }
 
+  test("connected components: reliable checkpoint mode matches local mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val reliable = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        rounds = 6, checkpointDir = Some(dir))
+    // lineage is cut every round: the final plan is a flat scan of the
+    // last checkpoint, not 6 nested self-joins
+    val planStr = reliable.queryExecution.optimizedPlan.toString
+    assert(!planStr.contains("Join"),
+      s"checkpointed plan should not re-embed join rounds:\n$planStr")
+    val got = reliable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.connectedComponents(pairs, "id_a", "id_b", rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == local)
+    // checkpoint files actually landed in the reliable dir
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().hasNext, "no checkpoint data written")
+  }
+
   test("connected components agree with GraphX on a random pair set") {
     val rng = new scala.util.Random(7)
     val pairSeq = Seq.fill(60)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))

@@ -44,6 +44,62 @@ class XlsxSpec extends SparkSpec {
     assert(rows(1).getString(2) == "7")
   }
 
+  private def writeDateFixture(): String = {
+    val f = java.nio.file.Files.createTempFile("graftdate", ".xlsx").toFile
+    val zos = new ZipOutputStream(new FileOutputStream(f))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    // cellXfs: style 0 = general, style 1 = builtin date (14),
+    // style 2 = custom date (165), style 3 = custom NON-date (164).
+    entry("xl/styles.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="2">
+        |<numFmt numFmtId="164" formatCode="0.00&quot; kg&quot;"/>
+        |<numFmt numFmtId="165" formatCode="dd/mm/yyyy"/>
+        |</numFmts>
+        |<cellXfs count="4">
+        |<xf numFmtId="0"/><xf numFmtId="14"/>
+        |<xf numFmtId="165"/><xf numFmtId="164"/>
+        |</cellXfs></styleSheet>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>birthday</t></is></c><c r="B1" t="inlineStr"><is><t>updated</t></is></c><c r="C1" t="inlineStr"><is><t>weight</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>31111</v></c><c r="B2" s="2"><v>45000.5</v></c><c r="C2" s="3"><v>72.5</v></c></row>
+        |<row r="3"><c r="A3" s="1"><v>59</v></c><c r="B3" s="1"><v>61</v></c><c r="C3"><v>1</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    entry("[Content_Types].xml", "<?xml version=\"1.0\"?><Types/>")
+    zos.close()
+    f.getAbsolutePath
+  }
+
+  test("xlsx: date cells convert 1900-epoch serials to ISO strings") {
+    val df = Xlsx.read(spark, writeDateFixture())
+    val rows = df.collect()
+    // serial 31111 = 1985-03-05 (verified against openpyxl from_excel)
+    assert(rows(0).getString(0) == "1985-03-05")
+    // custom dd/mm/yyyy format detected as a date; .5 = noon
+    assert(rows(0).getString(1) == "2023-03-15 12:00:00")
+    // custom "0.00 kg" format is NOT a date: raw numeric survives
+    assert(rows(0).getString(2) == "72.5")
+    // pre-leap-bug serial: 59 shifts one day (1900-02-28), 61 = 1900-03-01
+    assert(rows(1).getString(0) == "1900-02-28")
+    assert(rows(1).getString(1) == "1900-03-01")
+    // unstyled numeric untouched
+    assert(rows(1).getString(2) == "1")
+  }
+
+  test("date format-code detection") {
+    assert(Xlsx.isDateFormatCode("dd/mm/yyyy"))
+    assert(Xlsx.isDateFormatCode("[$-409]h:mm AM/PM"))
+    assert(!Xlsx.isDateFormatCode("0.00\" kg\""))   // quoted literal only
+    assert(!Xlsx.isDateFormatCode("#,##0.00"))
+    assert(!Xlsx.isDateFormatCode("[h]"))            // bracketed section only
+  }
+
   test("column reference decoding") {
     assert(Xlsx.colIndex("A1") == 0)
     assert(Xlsx.colIndex("Z9") == 25)
