@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.ByteHistogram
+import graft.expressions.{ByteHistogram, TokenCount}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * for SQL users. Activate with
@@ -18,6 +18,7 @@ import graft.expressions.ByteHistogram
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.byteHistogramDescriptor)
+    ext.injectFunction(GraftFunctions.tokenCountDescriptor)
   }
 }
 
@@ -37,8 +38,23 @@ object GraftFunctions {
     new ExpressionInfo(classOf[ByteHistogram].getName, "byte_histogram"),
     buildByteHistogram)
 
+  private def buildTokenCount(args: Seq[Expression]): Expression =
+    args match {
+      case Seq(child) => TokenCount(child)
+      case _ => throw new IllegalArgumentException("token_count(text)")
+    }
+
+  val tokenCountDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("token_count"),
+    new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
+    buildTokenCount)
+
   /** Register on an existing session (temp-function registry). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "byte_histogram", buildByteHistogram, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_count", buildTokenCount, "scala_udf")
+  }
 }

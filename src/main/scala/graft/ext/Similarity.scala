@@ -88,6 +88,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe ANN top-k: candidates come from the query's bucket PLUS
+    * every Hamming-1 neighbor bucket (one plane bit flipped). The most
+    * likely single-table LSH miss is a neighbor sitting just across ONE
+    * near-threshold hyperplane, so probing the `planes` adjacent buckets
+    * recovers most of that recall at ~(planes+1)/2^planes of the corpus —
+    * never a rescan. The probe set is tiny and broadcast; the corpus is
+    * bucketed once (persist/partition by bucket at scale and each probe
+    * prunes to one bucket's files). */
+  def multiProbeTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+                     planes: Int): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket",
+      hyperplaneBucket(col("embedding"), planes))
+    val q = bucketed.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q"), col("bucket").as("qbucket"))
+    val flips = lit(0L) +: (0 until planes).map(j => lit(1L << j))
+    val probes = q
+      .select(col("q"), col("qbucket"), explode(array(flips: _*)).as("flip"))
+      .select(col("q"), col("qbucket").bitwiseXOR(col("flip")).as("bucket"))
+    bucketed.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), cosine(col("embedding"), col("q")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
     * centroid cell; search ranks exactly within the query's cell only.
     *

@@ -37,6 +37,18 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSONL (newline-delimited JSON) — the interchange format most
+    * LLM-training corpora arrive in. Explicit schema: one scan, no
+    * inference pass, malformed lines land in `_corrupt_record` under
+    * PERMISSIVE (Spark's default) rather than failing the 100 TB job. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC — the other columnar lake format; same pushdown/pruning story as
+    * parquet via Spark's native vectorized reader. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S1 variant with explicit malformed-row policy. The reference's pandas
     * read silently NaN-fills short rows and its date parsing raises on bad
     * values; a production ingest needs the choice explicit:

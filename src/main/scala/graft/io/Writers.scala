@@ -42,10 +42,13 @@ object Writers {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
-  /** S4 — JDBC sink, inert offline (no driver jar ships with the image);
-    * kept as the pluggable interface the reference's `insert_in_table`
-    * becomes. `createTableColumnTypes` carries the per-column SQL types
-    * (the reference's `dtype={'entity_id': String(36)}` maps). */
+  /** S4 — JDBC sink: the pluggable interface the reference's
+    * `insert_in_table` becomes. `createTableColumnTypes` carries the
+    * per-column SQL types (the reference's `dtype={'entity_id':
+    * String(36)}` maps). Exercised end-to-end against embedded Derby in
+    * JdbcSpec (write → read-back → inner-join re-find, mirroring
+    * insert.py:70-84 + tests.py:39-44); MySQL/Postgres swap in via `url`
+    * + `properties` with no code change. */
   def jdbc(df: DataFrame, url: String, table: String,
            columnTypes: Option[String] = None,
            properties: java.util.Properties = new java.util.Properties): Unit = {

@@ -15,6 +15,67 @@ object Etl {
 
   val registry: Map[String, QuerySpec] = Map(
 
+    // S1 — the `;`-CSV source on the oracle-checked path: nation is
+    // round-tripped through a semicolon CSV (written fresh each run, so
+    // the fixture cannot go stale) and read back via Readers.csv with an
+    // explicit schema — the production one-scan, pushdown-capable form.
+    // The oracle scans the original parquet: a lossless round trip means
+    // both sides agree row-for-row.
+    "csv_roundtrip_scan" -> QuerySpec(
+      (s, d) => {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_csv_nation_${Integer.toHexString(d.hashCode)}").getPath
+        Tables.nation(s, d).coalesce(1)
+          .write.mode("overwrite")
+          .option("sep", ";").option("header", "true")
+          .csv(dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_nationkey",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_regionkey",
+            org.apache.spark.sql.types.IntegerType)))
+        graft.io.Readers.csv(s, dir, schema)
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // JSONL source (the LLM-corpus interchange format) on the
+    // oracle-checked path: region round-trips through newline-delimited
+    // JSON read back with an explicit schema — no inference scan.
+    "jsonl_roundtrip_scan" -> QuerySpec(
+      (s, d) => {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_jsonl_region_${Integer.toHexString(d.hashCode)}").getPath
+        Tables.region(s, d).coalesce(1)
+          .write.mode("overwrite").json(dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("r_regionkey",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("r_name",
+            org.apache.spark.sql.types.StringType)))
+        graft.io.Readers.jsonl(s, dir, schema)
+          .orderBy("r_regionkey")
+      },
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin),
+
+    // ORC source: supplier round-trips through ORC (Spark's native
+    // vectorized reader; same pushdown story as parquet).
+    "orc_roundtrip_scan" -> QuerySpec(
+      (s, d) => {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_orc_supplier_${Integer.toHexString(d.hashCode)}").getPath
+        Tables.supplier(s, d).coalesce(1)
+          .write.mode("overwrite").orc(dir)
+        graft.io.Readers.orc(s, dir)
+          .select("s_suppkey", "s_name", "s_nationkey")
+          .orderBy("s_suppkey")
+      },
+      """SELECT s_suppkey, s_name, s_nationkey
+        |FROM supplier ORDER BY s_suppkey""".stripMargin),
+
     // C6 — entity typing from null patterns (insert.py:16-25). Nulls are
     // derived via NULLIF so all four null combinations occur.
     "entity_type_derivation" -> QuerySpec(

@@ -12,6 +12,40 @@ object Scale {
 
   val registry: Map[String, QuerySpec] = Map(
 
+    // Salted JOIN over a genuinely hot key: 80% of orders collapse onto
+    // skew_key 0, the exact shape where one reducer would receive 80% of
+    // the shuffle. saltedJoin fans the fact side over (key, salt) — the
+    // hot key spreads across `buckets` partitions (asserted in SkewSpec) —
+    // while the dim side replicates `buckets` times. Correctness contract:
+    // identical to the unsalted join the oracle runs.
+    "salted_join_hot_key" -> QuerySpec(
+      (s, d) => {
+        val fact = Tables.orders(s, d)
+          .withColumn("skew_key",
+            when(col("o_orderkey") % 10 < 8, 0L)
+              .otherwise(col("o_orderkey") % 10))
+        val dim = s.createDataFrame((0L to 9L).map(k => (k, s"seg_$k")))
+          .toDF("skew_key", "segment")
+        Skew.saltedJoin(fact, dim, Seq("skew_key"),
+            saltSource = col("o_orderkey"), buckets = 8)
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(25,6)"))
+              .cast("double").as("revenue"))
+          .orderBy("segment")
+      },
+      """WITH fact AS (
+        |  SELECT CASE WHEN o_orderkey % 10 < 8 THEN 0
+        |              ELSE o_orderkey % 10 END AS skew_key,
+        |         o_totalprice
+        |  FROM orders),
+        |dim AS (SELECT k AS skew_key, 'seg_' || k AS segment
+        |        FROM range(0, 10) t(k))
+        |SELECT segment, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM fact JOIN dim USING (skew_key)
+        |GROUP BY segment ORDER BY segment""".stripMargin),
+
     // Salted two-phase aggregation: the hot-key guard for 100 TB
     // aggregations. Correctness contract: result identical to the direct
     // group-by (the oracle computes it unsalted). Values go through exact

@@ -53,6 +53,24 @@ object SimilarityQ {
          |FROM b JOIN q USING (bucket) WHERE b.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
 
+    // Multi-probe ANN: query bucket + all Hamming-1 neighbor buckets —
+    // the recall-recovery step over single-table LSH, still bucket-pruned.
+    "similarity_multiprobe_topk" -> QuerySpec(
+      (s, d) => Similarity.multiProbeTopK(Tables.embeddings(s, d), 0L, 10,
+        planes = 8),
+      {
+        val flips = (Seq(0L) ++ (0 until 8).map(j => 1L << j))
+          .mkString("[", ", ", "]")
+        s"""WITH b AS (SELECT vec_id, embedding,
+           |             ${duckBucket("embedding", 8)} AS bucket FROM embeddings),
+           |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+           |probes AS (SELECT qv, xor(qb, f) AS bucket
+           |           FROM q, (SELECT unnest($flips) AS f))
+           |SELECT b.vec_id, ${duckCos("b.embedding", "qv")} AS cos
+           |FROM b JOIN probes USING (bucket) WHERE b.vec_id <> 0
+           |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+      }),
+
     // IVF-style ANN: deterministic coarse quantizer (stored vectors 1..8
     // as centroids), exact ranking within the query's cell only.
     "similarity_ivf_topk" -> QuerySpec(

@@ -14,6 +14,41 @@ class SkewSpec extends SparkSpec {
     assert(salted == Map("a" -> 6.0, "b" -> 10.0))
   }
 
+  test("salted join fans a hot key across >= buckets shuffle partitions") {
+    val buckets = 8
+    // one hot key carrying 8000 of 8100 rows — the skew shape
+    val left = spark.range(8000).select(lit(0L).as("k"), col("id").as("v"))
+      .unionAll(spark.range(100).select((col("id") % 10 + 1).as("k"),
+        col("id").as("v")))
+    val right = spark.range(11).select(col("id").as("k"),
+      concat(lit("seg_"), col("id")).as("seg"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val joined = Skew.saltedJoin(left, right, Seq("k"), col("v"), buckets)
+      // the shuffle key includes the salt, so partitioning is (k, __salt)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), s"salt missing from plan:\n$plan")
+      // every salt value is used for the hot key (full fan-out of the
+      // shuffle KEY space; the partition count below is the hash of those
+      // keys into 16 reducers, where collisions are expected)
+      val salts = left.withColumn("__salt", Skew.salt(col("v"), buckets))
+        .filter(col("k") === 0L)
+        .select("__salt").distinct().count()
+      assert(salts == buckets, s"hot key uses $salts salts, want $buckets")
+      val parts = joined.filter(col("k") === 0L)
+        .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+        .distinct().count()
+      assert(parts > buckets / 2,
+        s"hot key occupies $parts partitions — not fanned out")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+
   test("salted join equals plain join") {
     val left = Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4)).toDF("k", "lv")
     val right = Seq(("a", "x"), ("b", "y")).toDF("k", "rv")

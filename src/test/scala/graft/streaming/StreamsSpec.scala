@@ -141,6 +141,77 @@ class StreamsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("late rows beyond the watermark are dropped from appended windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    val stream = mem.toDF()
+      .toDF("event_id", "user_id", "event_type", "value", "ts_utc")
+    // Append mode: a window is emitted once the watermark passes its end,
+    // and later arrivals for it are dropped — the state-bounding contract.
+    val q = Streams.startMemorySink(
+      Streams.tumblingHourly(stream), "late_out", OutputMode.Append())
+    // batch 1: two rows in the 10:00 window + one at 12:00 that advances
+    // the watermark to 11:50 (past the 10:00 window's end)
+    mem.addData(Seq(
+      (1L, 1L, "click", 1.0, ts("2024-01-01 10:05:00")),
+      (2L, 1L, "click", 1.0, ts("2024-01-01 10:15:00")),
+      (3L, 1L, "click", 1.0, ts("2024-01-01 12:00:00"))))
+    q.processAllAvailable()
+    // batch 2: a LATE row for the already-finalized 10:00 window
+    mem.addData(Seq((4L, 1L, "click", 1.0, ts("2024-01-01 10:20:00"))))
+    q.processAllAvailable()
+    // batch 3: advance the watermark past the 12:00 window too
+    mem.addData(Seq((5L, 1L, "click", 1.0, ts("2024-01-01 14:00:00"))))
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    val byWindow = spark.table("late_out")
+      .select(date_format(col("wstart"), "HH:mm").as("w"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byWindow("10:00") == 2L,
+      s"late row must not join the finalized window: $byWindow")
+    assert(byWindow("12:00") == 1L, byWindow.toString)
+    assert(dropped == 1L, s"expected exactly the late row dropped, got $dropped")
+  }
+
+  test("interval join drops a purchase arriving beyond the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val memC = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    val memP = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    def named(m: MemoryStream[(Long, Long, String, Double, Timestamp)]) =
+      m.toDF().toDF("event_id", "user_id", "event_type", "value", "ts_utc")
+    val q = Streams.startMemorySink(
+      Streams.clickPurchaseJoin(named(memC), named(memP)), "latejoin_out",
+      OutputMode.Append())
+    // batch 1: user 1's purchase+click match; user 2 clicks with no
+    // purchase yet; far-future rows push both watermarks to ~12:50
+    memC.addData(Seq(
+      (10L, 1L, "click", 0.0, ts("2024-01-01 10:00:00")),
+      (11L, 2L, "click", 0.0, ts("2024-01-01 10:00:00")),
+      (12L, 99L, "click", 0.0, ts("2024-01-01 13:00:00"))))
+    memP.addData(Seq(
+      (20L, 1L, "purchase", 5.0, ts("2024-01-01 09:50:00")),
+      (21L, 98L, "purchase", 5.0, ts("2024-01-01 13:00:00"))))
+    q.processAllAvailable()
+    // batch 2: user 2's matching purchase arrives HOURS beyond the
+    // watermark — dropped, so the join must not produce the pair
+    memP.addData(Seq((22L, 2L, "purchase", 5.0, ts("2024-01-01 09:55:00"))))
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    val users = spark.table("latejoin_out")
+      .select("c_user").collect().map(_.getLong(0)).toSeq
+    assert(users == Seq(1L),
+      s"only user 1's in-time pair may join, got users $users")
+    assert(dropped >= 1L, s"late purchase should be counted dropped, got $dropped")
+  }
+
   test("foreachBatch parquet sink lands every batch exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
