@@ -31,25 +31,40 @@ object Dedup {
     * wrap — both are disqualifying). One digest instead of k per element:
     * measured 6.7s → ~2s on the LSH query at sf0.1. p prime > 2^30, a_i
     * odd; all arithmetic long-exact and identical in any engine. */
-  val MinhashMask = (1L << 30) - 1
-  val MinhashP = 1073741827L // prime > 2^30
-  def minhashA(i: Int): Long = 2L * i + 104723L
-  def minhashB(i: Int): Long = 15485863L * (i + 1)
+  // Single source of truth for the portable affine family lives beside
+  // the native expression; these aliases keep the oracle-SQL builders
+  // reading naturally.
+  val MinhashMask: Long = graft.expressions.MinHashSignature.Mask
+  val MinhashP: Long = graft.expressions.MinHashSignature.P
+  def minhashA(i: Int): Long = graft.expressions.MinHashSignature.a(i)
+  def minhashB(i: Int): Long = graft.expressions.MinHashSignature.b(i)
 
-  /** 30-bit base hashes of a token/shingle set (compute ONCE — nested
-    * lambda expressions defeat Spark's common-subexpression elimination,
-    * so callers should land this in its own projection via `withColumn`
-    * before fanning out to k signatures). */
-  def minhashBaseHashes(tokenSet: Column): Column =
-    transform(tokenSet, t => TextOps.hash64(t).bitwiseAND(MinhashMask))
+  /** Base hashes of a token/shingle set (compute ONCE — nested lambda
+    * expressions defeat Spark's common-subexpression elimination, so
+    * callers should land this in its own projection via `withColumn`
+    * before fanning out to k signatures). Full 60-bit portable hashes:
+    * [[graft.expressions.MinHashSignature]] masks to 30 bits internally,
+    * so the same array doubles as a low-collision set representation for
+    * verification joins. */
+  def minhashBaseHashes(tokenSet: Column): Column = tokenHashes(tokenSet)
+
+  /** All-elements portable 60-bit hash (the array form of
+    * [[TextOps.hash64]], one codegen'd pass — the per-element
+    * `transform(md5→conv)` chain costs ~10× more). */
+  def tokenHashes(tokens: Column): Column =
+    graft.expressions.PortableHashArray
+      .portable_hash_array(tokens, -1L >>> 4)
 
   /** k affine-mixed min-hashes over a precomputed base-hash array —
-    * partition-local, no shuffle, no digests. */
-  def minhashFromBase(baseHashes: Column, k: Int): Seq[Column] =
-    (0 until k).map { i =>
-      array_min(transform(baseHashes,
-        h => pmod(h * minhashA(i) + minhashB(i), lit(MinhashP))))
-    }
+    * partition-local, no shuffle, no digests. All k mins come from ONE
+    * pass of the codegen'd [[graft.expressions.MinHashSignature]]; the
+    * k projected columns share the array via codegen subexpression
+    * elimination (the old per-signature `array_min(transform(...))`
+    * re-traversed the array k times, and lambda bodies defeat CSE). */
+  def minhashFromBase(baseHashes: Column, k: Int): Seq[Column] = {
+    val sig = graft.expressions.MinHashSignature.minhash_signature(baseHashes, k)
+    (0 until k).map(i => element_at(sig, i + 1))
+  }
 
   /** Convenience one-shot form (prefer the two-stage form in hot paths —
     * see [[minhashBaseHashes]]). */
@@ -68,16 +83,12 @@ object Dedup {
   def simhash32FromHashes(hs: Column): Column = simhashFromHashes(hs, 32)
 
   /** SimHash over the low `nBits` bits of the portable 60-bit token hash
-    * (nBits <= 60 keeps every band value positive in a signed long). */
-  def simhashFromHashes(hs: Column, nBits: Int): Column = {
-    require(nBits >= 1 && nBits <= 60, "portable hash carries 60 usable bits")
-    val bits = (0 until nBits).map { j =>
-      val vote = aggregate(hs, lit(0L),
-        (a: Column, h: Column) => a + (shiftright(h, j).bitwiseAND(1) * 2 - 1))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * (nBits <= 60 keeps every band value positive in a signed long).
+    * Evaluated by the one-pass codegen'd
+    * [[graft.expressions.SimHashFromHashes]] — the equivalent Column
+    * formulation re-traverses the hash array once per bit. */
+  def simhashFromHashes(hs: Column, nBits: Int): Column =
+    graft.expressions.SimHashFromHashes.simhash(hs, nBits)
 
   /** Banded near-pair plan for Hamming distance — the scale-safe
     * replacement for an all-pairs simhash self-join (Manku et al.,

@@ -41,12 +41,22 @@ object Tables {
     StructField("props", StringType)))
 
   def events(s: SparkSession, d: String): DataFrame =
-    s.read.schema(eventsSchema).parquet(s"$d/events.parquet")
+    graft.ops.Scale.fanOut(
+      s.read.schema(eventsSchema).parquet(s"$d/events.parquet"))
 
   /** events + `ts_utc` timestamp (µs, truncated from ns with exact integer
     * division — `ts / 1000` in double would lose precision at 1.7e18). */
   def eventsWithTs(s: SparkSession, d: String): DataFrame =
     events(s, d).withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  // The text/media tables feed CPU-heavy per-row stages (tokenize, shingle,
+  // hash, JSON parse, vector math); their fixtures arrive as one row group
+  // = one input split, which would pin that work to a single core. fanOut
+  // widens only such narrow scans — on a real many-split layout it's a
+  // pass-through (see [[graft.ops.Scale.fanOut]]); filters/pruning still
+  // push through the repartition to the scan.
+  def documents(s: SparkSession, d: String): DataFrame =
+    graft.ops.Scale.fanOut(table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    graft.ops.Scale.fanOut(table(s, d, "embeddings"))
 }

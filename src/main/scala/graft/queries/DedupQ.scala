@@ -96,9 +96,16 @@ object DedupQ {
         val toks = TextOps.tokens(col("text"))
         val sh = array_distinct(Dedup.shingles3(toks))
         val sig = Dedup.minhashFromBase(col("bh"), K)
-        val base = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
-        val allBands = base
-          .withColumn("bh", Dedup.minhashBaseHashes(sh))
+        // FULL corpus — banding, not sampling. Shingling + hashing is the
+        // scan-heavy stage, so the (doc_id, hashed-shingles) table is
+        // materialized ONCE and reused by band generation AND both sides
+        // of the verification join; verification jaccard runs over the
+        // hashed shingle sets (bit-identical in both engines; a 60-bit
+        // collision perturbing a set size is ~n²/2^61 per pair).
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"), Dedup.minhashBaseHashes(sh).as("bh"))
+          .localCheckpoint(true)
+        val allBands = hashed
           .select(col("doc_id"),
             posexplode(array(Dedup.lshBands(sig, 1): _*))
               .as(Seq("band_idx", "band_key")))
@@ -117,7 +124,7 @@ object DedupQ {
             col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
-        val sets = base.select(col("doc_id"), sh.as("s"))
+        val sets = hashed.select(col("doc_id"), col("bh").as("s"))
         cand
           .join(sets.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
           .join(sets.select(col("doc_id").as("id_b"), col("s").as("sb")), "id_b")
@@ -132,7 +139,7 @@ object DedupQ {
           """list_distinct(list_transform(range(1, len(toks) - 1),
             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin
         s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
-           |           FROM documents WHERE doc_id % 10 = 0),
+           |           FROM documents),
            |sets AS (SELECT doc_id, $duckShingles AS s FROM t),
            |sig AS (SELECT doc_id, s,
            |  ${(0 until K).map(i => s"${duckMinhash(i)} AS m$i").mkString(", ")}
@@ -197,9 +204,8 @@ object DedupQ {
     "dedup_simhash" -> QuerySpec(
       (s, d) => {
         val sh = Tables.documents(s, d)
-          .withColumn("hs", transform(
-            array_distinct(TextOps.tokens(col("text"))),
-            t => TextOps.hash64(t)))
+          .withColumn("hs", Dedup.tokenHashes(
+            array_distinct(TextOps.tokens(col("text")))))
           .select(col("doc_id"),
             Dedup.simhashFromHashes(col("hs"), 60).as("simhash"))
         Dedup.simhashBandPairs(sh, "doc_id", "simhash",
