@@ -129,6 +129,76 @@ object Events {
         |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin),
 
+    // Streaming exact dedup executed by the real engine:
+    // dropDuplicatesWithinWatermark over (user_id, event_type, minute) —
+    // the exactly-once ingestion guard of a streaming pipeline. Only the
+    // dedup KEYS are projected, so the result is arrival-order-free (any
+    // surviving row projects to the same key tuple) and equals DISTINCT
+    // over the batch table; state is bounded by the 10-minute watermark.
+    "events_stream_dedup" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val stream = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+          .select(col("user_id"), col("event_type"),
+            date_format(date_trunc("minute", col("ts_utc")), fmt).as("minute"),
+            col("ts_utc"))
+        val deduped = stream
+          .withWatermark("ts_utc", "10 minutes")
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+          .select("user_id", "event_type", "minute")
+        val sinkName = "q_events_stream_dedup"
+        val q = deduped.writeStream
+          .outputMode("append")
+          .format("memory").queryName(sinkName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sinkName).orderBy("user_id", "event_type", "minute")
+      },
+      """SELECT DISTINCT user_id, event_type,
+        |       strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute
+        |FROM events ORDER BY user_id, event_type, minute""".stripMargin),
+
+    // Stream-stream interval join executed by the real engine: clicks
+    // joined to same-user purchases within the preceding 30 minutes
+    // (streaming/Streams.clickPurchaseJoin), both sides read from the file
+    // source with watermarks bounding join state. Inner-join matches are
+    // emitted exactly once regardless of batch layout, so the drained
+    // result equals the batch interval join the oracle runs.
+    "events_stream_join" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        def src = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        val joined = graft.streaming.Streams.clickPurchaseJoin(
+            src.filter(col("event_type") === "click"),
+            src.filter(col("event_type") === "purchase"),
+            intervalMinutes = 30)
+          .select(col("c_user"), col("c_event"), col("p_event"), col("p_value"))
+        val sinkName = "q_events_stream_join"
+        val q = joined.writeStream
+          .outputMode("append")
+          .format("memory").queryName(sinkName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sinkName).orderBy("c_event", "p_event")
+      },
+      """SELECT c.user_id AS c_user, c.event_id AS c_event,
+        |       p.event_id AS p_event, p.value AS p_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+        |ORDER BY c_event, p_event""".stripMargin),
+
     // As-of (backward) join: each click enriched with the most recent
     // purchase at-or-before it for the same user. The engine composes
     // union + ordered-window carry-forward (see ops.AsOfJoin); the oracle

@@ -16,6 +16,7 @@ object Registry {
       SimilarityQ.registry,
       MultimodalQ.registry,
       Scale.registry,
+      Warehouse.registry,
       Integration.registry
     )
     val merged = parts.flatten

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.io.Tables
+import graft.ext.TextOps
+
+/** Warehouse / ML-prep operator pack: slowly-changing-dimension history,
+  * MERGE-style upsert, deterministic stratified sampling, per-group feature
+  * scaling, and quantile bucketing — the table-maintenance and
+  * feature-engineering layer a training-data platform runs between raw
+  * ingestion and the text/dedup passes.
+  *
+  * Scale notes: every operator here is a window or join over its natural
+  * key — partition-parallel, no driver state. SCD2 and scaling windows
+  * shuffle once on the partition key; the merge is one full-outer
+  * equi-join (broadcastable when the delta side is small, which is the
+  * common production case).
+  */
+object Warehouse {
+
+  /** DuckDB fragment: the portable 60-bit md5 hash (mirrors TextOps.hash64). */
+  private def duckHash(e: String) =
+    s"CAST(('0x' || substr(md5($e), 1, 15))::UBIGINT AS BIGINT)"
+
+  val registry: Map[String, QuerySpec] = Map(
+
+    // SCD2 dimension history: each customer's order-status timeline is
+    // collapsed into versioned validity ranges [valid_from, valid_to) —
+    // consecutive orders with an unchanged status extend the current
+    // version instead of opening a new one. lag() detects change points,
+    // lead() closes each version with the next one's start; the open
+    // version gets the sentinel high date. One shuffle on the dimension
+    // key; ties broken by o_orderkey so both engines pick identical rows.
+    "scd2_order_status_history" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        val changes = Tables.orders(s, d)
+          .filter(col("o_custkey") < 1000)
+          .select(col("o_custkey"), col("o_orderstatus"),
+            col("o_orderdate"), col("o_orderkey"))
+          .withColumn("prev", lag("o_orderstatus", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+        changes
+          .withColumn("version", row_number().over(w))
+          .withColumn("valid_from", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .withColumn("valid_to",
+            coalesce(date_format(lead("o_orderdate", 1).over(w), "yyyy-MM-dd"),
+              lit("9999-12-31")))
+          .select("o_custkey", "version", "o_orderstatus", "valid_from", "valid_to")
+          .orderBy("o_custkey", "version")
+      },
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders WHERE o_custkey < 1000),
+        |v AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        |  FROM ch WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey,
+        |       CAST(row_number() OVER w AS INT) AS version,
+        |       o_orderstatus,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |       COALESCE(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'),
+        |                '9999-12-31') AS valid_to
+        |FROM v WINDOW w AS (PARTITION BY o_custkey
+        |                    ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin),
+
+    // MERGE-style upsert as one declarative full-outer join (the batch
+    // form of MERGE INTO: WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT /
+    // else keep). The delta is derived deterministically from the target
+    // itself (balance bump for custkey%7, fresh rows for custkey%13) so
+    // the oracle can reproduce it. At scale the delta side is typically
+    // small → broadcastable; the target never shuffles more than once.
+    "merge_upsert_customers" -> QuerySpec(
+      (s, d) => {
+        val t = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val updates = t.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("u_key"),
+            lit(null).cast("string").as("u_name"),
+            (col("c_acctbal") + lit(100.0)).as("u_bal"))
+        val inserts = t.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + lit(10000000L)).as("u_key"),
+            concat(lit("New#"), col("c_custkey").cast("string")).as("u_name"),
+            lit(0.0).as("u_bal"))
+        val src = updates.unionByName(inserts)
+        t.join(src, col("c_custkey") === col("u_key"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("u_key")).as("merge_key"),
+            coalesce(col("u_name"), col("c_name")).as("name"),
+            coalesce(col("u_bal"), col("c_acctbal")).as("acctbal"),
+            when(col("c_custkey").isNull, "I")
+              .when(col("u_key").isNull, "K")
+              .otherwise("U").as("op"))
+          .orderBy("merge_key")
+      },
+      """WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |u AS (
+        |  SELECT c_custkey AS u_key, CAST(NULL AS VARCHAR) AS u_name,
+        |         c_acctbal + 100.0 AS u_bal
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'New#' || CAST(c_custkey AS VARCHAR), 0.0
+        |  FROM customer WHERE c_custkey % 13 = 0)
+        |SELECT COALESCE(t.c_custkey, u.u_key) AS merge_key,
+        |       COALESCE(u.u_name, t.c_name) AS name,
+        |       COALESCE(u.u_bal, t.c_acctbal) AS acctbal,
+        |       CASE WHEN t.c_custkey IS NULL THEN 'I'
+        |            WHEN u.u_key IS NULL THEN 'K'
+        |            ELSE 'U' END AS op
+        |FROM t FULL JOIN u ON t.c_custkey = u.u_key
+        |ORDER BY merge_key""".stripMargin),
+
+    // Stratified sampling with per-stratum rates — the class-balancing
+    // primitive for training-set assembly. Deterministic (content-hash
+    // bucket per row vs a per-segment rate), so the sample is reproducible
+    // across runs AND engines — the engine-grade replacement for
+    // rand()-based sampleBy. Pure scan+filter: no shuffle at any scale.
+    "stratified_sample_segments" -> QuerySpec(
+      (s, d) => {
+        val rate = when(col("c_mktsegment") === "BUILDING", 20)
+          .when(col("c_mktsegment") === "AUTOMOBILE", 10)
+          .when(col("c_mktsegment") === "MACHINERY", 5)
+          .when(col("c_mktsegment") === "HOUSEHOLD", 5)
+          .otherwise(2)
+        Tables.customer(s, d)
+          .filter(pmod(TextOps.hash64(col("c_custkey").cast("string")),
+            lit(100)) < rate)
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      s"""SELECT c_custkey, c_mktsegment FROM customer
+         |WHERE ${duckHash("CAST(c_custkey AS VARCHAR)")} % 100 <
+         |      CASE c_mktsegment WHEN 'BUILDING' THEN 20
+         |                        WHEN 'AUTOMOBILE' THEN 10
+         |                        WHEN 'MACHINERY' THEN 5
+         |                        WHEN 'HOUSEHOLD' THEN 5
+         |                        ELSE 2 END
+         |ORDER BY c_custkey""".stripMargin),
+
+    // Per-group feature scaling: z-score and min-max of account balance
+    // within each market segment — the normalization pass before numeric
+    // features feed a model. Exact parity strategy: group sums accumulate
+    // in DECIMAL(25,6) (order-free), then every derived double (mean,
+    // variance, z) is computed with an identical IEEE op sequence in both
+    // engines. Sample variance via the sum-of-squares identity; one
+    // shuffle on the segment key.
+    "feature_scale_per_segment" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+        val sumd = sum(col("c_acctbal").cast("decimal(25,6)")).over(w)
+          .cast("double")
+        val sumsq = sum((col("c_acctbal") * col("c_acctbal"))
+          .cast("decimal(25,6)")).over(w).cast("double")
+        val n = count(lit(1)).over(w).cast("double")
+        val mean = sumd / n
+        val variance = (sumsq - sumd * sumd / n) / (n - lit(1.0))
+        val mn = min("c_acctbal").over(w)
+        val mx = max("c_acctbal").over(w)
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            ((col("c_acctbal") - mean) / sqrt(variance)).as("z"),
+            ((col("c_acctbal") - mn) / (mx - mn)).as("minmax"))
+          .filter(col("c_custkey") < 500)
+          .orderBy("c_custkey")
+      },
+      """WITH s AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sumd,
+        |         CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sumsq,
+        |         CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+        |         MIN(c_acctbal) OVER w AS mn,
+        |         MAX(c_acctbal) OVER w AS mx
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment))
+        |SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       (c_acctbal - sumd / n) / sqrt((sumsq - sumd * sumd / n) / (n - 1.0)) AS z,
+        |       (c_acctbal - mn) / (mx - mn) AS minmax
+        |FROM s WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin),
+
+    // Quantile bucketing: quartiles of order value within each priority
+    // class via ntile over a total order (price, orderkey) — the
+    // discretization step for bucketed features / stratified splits.
+    // ntile's ceiling-division bucket sizing is identical in both engines
+    // given the same total order.
+    "quantile_buckets_ntile" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("quartile", ntile(4).over(w))
+          .groupBy("o_orderpriority", "quartile")
+          .agg(count(lit(1)).as("n"),
+            min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+          .orderBy("o_orderpriority", "quartile")
+      },
+      """SELECT o_orderpriority, quartile, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+        |  FROM orders)
+        |GROUP BY o_orderpriority, quartile
+        |ORDER BY o_orderpriority, quartile""".stripMargin)
+  )
+}
