@@ -129,6 +129,56 @@ object Events {
         |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin),
 
+    // Time-series gap fill: a per-user minute spine (sequence + explode,
+    // capped at 6 hours) left-joined to per-minute sums, missing minutes
+    // forward-filled with last(ignoreNulls) — the resample/ffill operator
+    // of a feature pipeline. The spine generates rows without shuffling
+    // the fact side; the fill is one window over the user key.
+    "events_gap_fill" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.eventsWithTs(s, d).filter(col("user_id") < 5)
+        val bounds = e.groupBy("user_id")
+          .agg(date_trunc("minute", min("ts_utc")).as("mn"),
+            date_trunc("minute", max("ts_utc")).as("mx"))
+          .select(col("user_id"), col("mn"),
+            least(col("mx"), col("mn") + expr("INTERVAL 6 HOURS")).as("hi"))
+        val spine = bounds.select(col("user_id"),
+          explode(sequence(col("mn"), col("hi"), expr("INTERVAL 1 MINUTE")))
+            .as("minute"))
+        val perMin = e.groupBy(col("user_id"),
+            date_trunc("minute", col("ts_utc")).as("minute"))
+          .agg(sum(col("value").cast("decimal(25,6)")).cast("double").as("v"))
+        val w = Window.partitionBy("user_id").orderBy("minute")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(perMin, Seq("user_id", "minute"), "left")
+          .withColumn("v_filled", last("v", ignoreNulls = true).over(w))
+          .select(col("user_id"), date_format(col("minute"), fmt).as("minute"),
+            col("v"), col("v_filled"))
+          .orderBy("user_id", "minute")
+      },
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 5),
+        |b AS (
+        |  SELECT user_id, date_trunc('minute', MIN(ts)) AS mn,
+        |         least(date_trunc('minute', MAX(ts)),
+        |               date_trunc('minute', MIN(ts)) + INTERVAL 6 HOUR) AS hi
+        |  FROM e GROUP BY user_id),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(mn, hi, INTERVAL 1 MINUTE)) AS minute
+        |  FROM b),
+        |pm AS (
+        |  SELECT user_id, date_trunc('minute', ts) AS minute,
+        |         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS v
+        |  FROM e GROUP BY 1, 2)
+        |SELECT s.user_id,
+        |       strftime(s.minute, '%Y-%m-%d %H:%M:%S') AS minute, pm.v,
+        |       last_value(pm.v IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.minute
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM spine s LEFT JOIN pm
+        |  ON s.user_id = pm.user_id AND s.minute = pm.minute
+        |ORDER BY 1, 2""".stripMargin),
+
     // Streaming exact dedup executed by the real engine:
     // dropDuplicatesWithinWatermark over (user_id, event_type, minute) —
     // the exactly-once ingestion guard of a streaming pipeline. Only the

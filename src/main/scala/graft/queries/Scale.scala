@@ -101,6 +101,57 @@ object Scale {
     "sketch_percentiles" -> QuerySpec(
       (s, d) => Tables.orders(s, d)
         .agg(approx_percentile(col("o_totalprice"),
-          array(lit(0.25), lit(0.5), lit(0.95)), lit(1000)).as("pcts")), None)
+          array(lit(0.25), lit(0.5), lit(0.95)), lit(1000)).as("pcts")), None),
+
+    // Count-min sketch, FULLY oracle-checked: unlike HLL/t-digest the CMS
+    // estimate is a deterministic function of the data and the hash family
+    // (d=4 rows x w=64 buckets, portable md5-derived hashes), so DuckDB
+    // reproduces the sketch bit-for-bit. Build = one groupBy over
+    // (row, bucket) cells — mergeable partial aggregation, the reason CMS
+    // works at 100 TB; probe = min over the d cells, shown against the
+    // exact count so the overestimate property is visible in the output.
+    "sketch_count_min" -> QuerySpec(
+      (s, dir) => {
+        val d = 4; val w = 64
+        def buckets(user: org.apache.spark.sql.Column) =
+          posexplode(array((0 until d).map(j =>
+            pmod(graft.ext.TextOps.hash64(
+              concat_ws("#", lit(j), user)), lit(w))): _*))
+            .as(Seq("j", "bucket"))
+        val ev = Tables.events(s, dir)
+        val cells = ev.select(buckets(col("user_id")))
+          .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+        val probes = ev.select(col("user_id"))
+          .filter(col("user_id") < 10).distinct()
+        val est = probes.select(col("user_id"), buckets(col("user_id")))
+          .join(cells, Seq("j", "bucket"))
+          .groupBy("user_id").agg(min("c").as("cms_estimate"))
+        val exact = ev.filter(col("user_id") < 10)
+          .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        est.join(exact, "user_id")
+          .select("user_id", "exact_n", "cms_estimate")
+          .orderBy("user_id")
+      },
+      """WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |cells AS (
+        |  SELECT j,
+        |         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' ||
+        |           CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 64 AS bucket,
+        |         COUNT(*) AS c
+        |  FROM events CROSS JOIN js GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+        |pb AS (
+        |  SELECT user_id, j,
+        |         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' ||
+        |           CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 64 AS bucket
+        |  FROM probes CROSS JOIN js),
+        |est AS (
+        |  SELECT user_id, MIN(c) AS cms_estimate
+        |  FROM pb JOIN cells USING (j, bucket) GROUP BY user_id),
+        |exact AS (
+        |  SELECT user_id, COUNT(*) AS exact_n
+        |  FROM events WHERE user_id < 10 GROUP BY user_id)
+        |SELECT user_id, exact_n, cms_estimate
+        |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin)
   )
 }

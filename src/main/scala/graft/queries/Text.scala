@@ -259,6 +259,52 @@ object Text {
          |       COUNT(*) AS n
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin),
 
+    // Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    // SIGMOD'03, the MOSS algorithm): hash the positional 3-gram shingle
+    // sequence, slide a window of 4 hashes, keep each window's minimum —
+    // guarantees any shared run of >= w+k-1 tokens yields a shared
+    // fingerprint, with a sample rate of ~2/(w+1) instead of every
+    // shingle. Per-row column work only (no shuffle); the distinct
+    // fingerprint set is summarized as (count, min, max, xor-fold) so the
+    // checker hashes scalars while the full set stays available upstream.
+    "text_winnowing" -> QuerySpec(
+      (s, d) => {
+        val W = 4
+        val sh = graft.ext.Dedup.shingles3(TextOps.tokens(col("text")))
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 10 === 0)
+          .withColumn("hs", graft.ext.Dedup.tokenHashes(sh))
+          .withColumn("fps", array_distinct(
+            when(size(col("hs")) >= W,
+              transform(sequence(lit(0), size(col("hs")) - W),
+                i => array_min(slice(col("hs"), i + 1, lit(W)))))
+              .otherwise(array().cast("array<bigint>"))))
+          .select(col("doc_id"),
+            size(col("fps")).cast("long").as("n_fp"),
+            array_min(col("fps")).as("fp_min"),
+            array_max(col("fps")).as("fp_max"),
+            aggregate(col("fps"), lit(0L),
+              (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
+          .orderBy("doc_id")
+      },
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks
+         |           FROM documents WHERE doc_id % 10 = 0),
+         |sh AS (
+         |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shs
+         |  FROM t),
+         |h AS (SELECT doc_id,
+         |             list_transform(shs, x -> ${duckHash64("x")}) AS hs
+         |      FROM sh),
+         |w AS (SELECT doc_id, list_transform(range(1, len(hs) - 2),
+         |        i -> list_min(hs[i:i+3])) AS wins FROM h),
+         |f AS (SELECT doc_id, list_distinct(wins) AS fps FROM w)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+         |       list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+         |         (a, b) -> xor(a, b)) AS fp_xor
+         |FROM f ORDER BY doc_id""".stripMargin),
+
     "text_fingerprint" -> QuerySpec(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
