@@ -97,4 +97,17 @@ object TextOps {
     * exact-key baseline). */
   def bowFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Winnowing fingerprint set (Schleimer, Wilkerson, Aiken — SIGMOD'03,
+    * the MOSS algorithm): the distinct minima of a sliding window of `w`
+    * consecutive hashes from a positional hash sequence. Guarantee: two
+    * documents sharing a run of >= w+k-1 tokens (k = shingle size of the
+    * hash sequence) share at least one fingerprint; expected density is
+    * ~2/(w+1) of the input hashes. Pure column expression, no shuffle. */
+  def winnow(hs: Column, w: Int): Column =
+    array_distinct(
+      when(size(hs) >= w,
+        transform(sequence(lit(0), size(hs) - w),
+          i => array_min(slice(hs, i + 1, lit(w)))))
+        .otherwise(array().cast("array<bigint>")))
 }

@@ -274,11 +274,7 @@ object Text {
         Tables.documents(s, d)
           .filter(col("doc_id") % 10 === 0)
           .withColumn("hs", graft.ext.Dedup.tokenHashes(sh))
-          .withColumn("fps", array_distinct(
-            when(size(col("hs")) >= W,
-              transform(sequence(lit(0), size(col("hs")) - W),
-                i => array_min(slice(col("hs"), i + 1, lit(W)))))
-              .otherwise(array().cast("array<bigint>"))))
+          .withColumn("fps", TextOps.winnow(col("hs"), W))
           .select(col("doc_id"),
             size(col("fps")).cast("long").as("n_fp"),
             array_min(col("fps")).as("fp_min"),
