@@ -152,6 +152,85 @@ object Scale {
         |  SELECT user_id, COUNT(*) AS exact_n
         |  FROM events WHERE user_id < 10 GROUP BY user_id)
         |SELECT user_id, exact_n, cms_estimate
-        |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin)
+        |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin),
+
+    // Bloom-filter join pruning — the 100 TB shuffle-reduction technique:
+    // a 1024-bit bloom (k=3 portable hashes, 32-bit words OR-aggregated)
+    // is built from the dim-side key set and broadcast; the fact side is
+    // probed BEFORE any shuffle, so only bloom-passing rows (members +
+    // a bounded false-positive tail) would reach the real join. Fully
+    // deterministic hash family → DuckDB rebuilds the identical filter;
+    // the output exposes the no-false-negative guarantee (pass >= member)
+    // and the measured false-positive count.
+    "bloom_filter_semi_prune" -> QuerySpec(
+      (s, d) => {
+        val M = 1024; val KH = 3
+        def bitsOf(key: org.apache.spark.sql.Column) =
+          array((0 until KH).map(j =>
+            pmod(graft.ext.TextOps.hash64(concat_ws("#", lit(j), key)),
+              lit(M))): _*)
+        val dimKeys = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k")).distinct()
+        val bloom = dimKeys
+          .select(explode(bitsOf(col("k"))).as("bit"))
+          .select((col("bit") / 32).cast("int").as("w"),
+            (col("bit") % 32).cast("int").as("b"))
+          .groupBy("w")
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("mask"))
+        val factBits = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            explode(bitsOf(col("o_custkey"))).as("bit"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("bit") / 32).cast("int").as("w"),
+            (col("bit") % 32).cast("int").as("b"))
+        val checked = factBits.join(broadcast(bloom), Seq("w"), "left")
+          .withColumn("set", when(col("mask").isNotNull &&
+            expr("(mask & shiftleft(CAST(1 AS BIGINT), b)) <> 0"), 1)
+            .otherwise(0))
+          .groupBy("o_orderkey", "o_custkey").agg(min("set").as("all_set"))
+        checked
+          .join(dimKeys.withColumnRenamed("k", "o_custkey")
+            .withColumn("m", lit(1)), Seq("o_custkey"), "left")
+          .withColumn("is_m", coalesce(col("m"), lit(0)))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("all_set")).cast("long").as("n_bloom_pass"),
+            sum(col("is_m")).cast("long").as("n_member"),
+            sum(col("all_set") * (lit(1) - col("is_m"))).cast("long")
+              .as("n_false_pos"))
+      },
+      """WITH dim AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |             WHERE c_mktsegment = 'BUILDING'),
+        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |dimbits AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' ||
+        |    CAST(k AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 1024 AS bit
+        |  FROM dim CROSS JOIN js),
+        |bloom AS (
+        |  SELECT bit // 32 AS w, bit_or((1::BIGINT) << (bit % 32)) AS mask
+        |  FROM dimbits GROUP BY 1),
+        |factbits AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' ||
+        |           CAST(o_custkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)
+        |           % 1024 AS bit
+        |  FROM orders CROSS JOIN js),
+        |checked AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         MIN(CASE WHEN mask IS NOT NULL AND
+        |                       (mask & ((1::BIGINT) << (bit % 32))) <> 0
+        |                  THEN 1 ELSE 0 END) AS all_set
+        |  FROM factbits LEFT JOIN bloom ON bit // 32 = bloom.w
+        |  GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT c.all_set,
+        |         CASE WHEN d.k IS NULL THEN 0 ELSE 1 END AS is_m
+        |  FROM checked c LEFT JOIN dim d ON c.o_custkey = d.k)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(all_set) AS BIGINT) AS n_bloom_pass,
+        |       CAST(SUM(is_m) AS BIGINT) AS n_member,
+        |       CAST(SUM(all_set * (1 - is_m)) AS BIGINT) AS n_false_pos
+        |FROM flagged""".stripMargin)
   )
 }

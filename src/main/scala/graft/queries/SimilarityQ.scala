@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.QuerySpec
 import graft.ext.Similarity
 import graft.io.Tables
@@ -104,6 +105,30 @@ object SimilarityQ {
          |       ${duckCos("a.embedding", "b.embedding")} AS cos
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    // Per-label centroid vectors — the k-means/IVF training primitive
+    // (assign→average). One posexplode + hash aggregation on (label, dim):
+    // partial aggregation map-side, scales to any corpus. Exact cross-row
+    // parity: each float component scaled by 2^48 is an exact BIGINT
+    // (holds for |v| >= 2^-25; corpus min |v| ~ 1.3e-6 = 2^-19.5), summed
+    // order-free in integers, then divided back in an identical IEEE op
+    // sequence in both engines.
+    "embedding_centroid_per_label" -> QuerySpec(
+      (s, d) => {
+        val scale = 281474976710656L // 2^48
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+          .groupBy("label", "i")
+          .agg(((sum((col("v").cast("double") * lit(scale.toDouble))
+              .cast("long")).cast("double") / lit(scale.toDouble)) /
+            count(lit(1))).as("centroid"))
+          .orderBy("label", "i")
+      },
+      """SELECT label, i - 1 AS i,
+        |       (CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * 281474976710656.0
+        |          AS BIGINT)) AS DOUBLE) / 281474976710656.0) / COUNT(*) AS centroid
+        |FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |GROUP BY label, i ORDER BY label, i""".stripMargin)
   )
 }
