@@ -155,7 +155,7 @@ object Scale {
         |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin),
 
     // Bloom-filter join pruning — the 100 TB shuffle-reduction technique:
-    // a 1024-bit bloom (k=3 portable hashes, 32-bit words OR-aggregated)
+    // a 64 Ki-bit bloom (k=3 portable hashes, 32-bit words OR-aggregated)
     // is built from the dim-side key set and broadcast; the fact side is
     // probed BEFORE any shuffle, so only bloom-passing rows (members +
     // a bounded false-positive tail) would reach the real join. Fully
@@ -164,7 +164,7 @@ object Scale {
     // and the measured false-positive count.
     "bloom_filter_semi_prune" -> QuerySpec(
       (s, d) => {
-        val M = 1024; val KH = 3
+        val M = 65536; val KH = 3
         def bitsOf(key: org.apache.spark.sql.Column) =
           array((0 until KH).map(j =>
             pmod(graft.ext.TextOps.hash64(concat_ws("#", lit(j), key)),
@@ -205,7 +205,7 @@ object Scale {
         |js AS (SELECT unnest([0, 1, 2]) AS j),
         |dimbits AS (
         |  SELECT CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' ||
-        |    CAST(k AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 1024 AS bit
+        |    CAST(k AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 65536 AS bit
         |  FROM dim CROSS JOIN js),
         |bloom AS (
         |  SELECT bit // 32 AS w, bit_or((1::BIGINT) << (bit % 32)) AS mask
@@ -214,7 +214,7 @@ object Scale {
         |  SELECT o_orderkey, o_custkey,
         |         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' ||
         |           CAST(o_custkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)
-        |           % 1024 AS bit
+        |           % 65536 AS bit
         |  FROM orders CROSS JOIN js),
         |checked AS (
         |  SELECT o_orderkey, o_custkey,
