@@ -634,6 +634,108 @@ object Analytic {
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey
-        |LIMIT 10""".stripMargin)
+        |LIMIT 10""".stripMargin),
+
+    // SQL frontend, TPC-H Q5 shape: a 5-table dim chain (region → nation →
+    // customer → orders → lineitem) with a year filter — exercises join
+    // reorder + broadcast planning from pure SQL text.
+    "sql_frontend_q5" -> QuerySpec(
+      (s, d) => {
+        Tables.region(s, d).createOrReplaceTempView("v_region")
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT n_name,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+          FROM v_region JOIN v_nation ON n_regionkey = r_regionkey
+                        JOIN v_customer ON c_nationkey = n_nationkey
+                        JOIN v_orders ON o_custkey = c_custkey
+                        JOIN v_lineitem ON l_orderkey = o_orderkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1997-01-01'
+          GROUP BY n_name
+          ORDER BY revenue DESC, n_name""")
+      },
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |            JOIN customer ON c_nationkey = n_nationkey
+        |            JOIN orders ON o_custkey = c_custkey
+        |            JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin),
+
+    // SQL frontend, correlated subqueries: EXISTS + NOT EXISTS on the same
+    // table — exercises Catalyst's subquery decorrelation (rewrite to
+    // semi/anti joins; the plan must not degenerate into a per-row loop).
+    "sql_frontend_exists" -> QuerySpec(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        s.sql("""
+          SELECT c_custkey, c_name
+          FROM v_customer c
+          WHERE EXISTS (SELECT 1 FROM v_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 300000)
+            AND NOT EXISTS (SELECT 1 FROM v_orders o2
+                            WHERE o2.o_custkey = c.c_custkey
+                              AND o2.o_orderstatus = 'F')
+          ORDER BY c_custkey""")
+      },
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Z-order (Morton) layout statistics — the multi-dimensional
+    // data-layout technique behind file skipping on two filter columns at
+    // once: interleave 5 bits of each dimension into a 10-bit z-value,
+    // bucket rows by z-range, and emit each bucket's per-dimension min/max
+    // envelope. Tight envelopes on BOTH dims are exactly what lets a scan
+    // prune buckets for 2-D predicates (a linear sort gives tight bounds
+    // on one dim only). Pure bit arithmetic, identical in both engines.
+    "zorder_layout_stats" -> QuerySpec(
+      (s, d) => {
+        val x = col("c_nationkey").cast("long")
+        val y = pmod(col("c_custkey"), lit(32)).cast("long")
+        val z = (0 until 5).map(j =>
+          shiftleft(shiftright(x, j).bitwiseAND(lit(1L)), 2 * j + 1) +
+            shiftleft(shiftright(y, j).bitwiseAND(lit(1L)), 2 * j))
+          .reduce(_ + _)
+        Tables.customer(s, d)
+          .select(x.as("x"), y.as("y"), (z / 64).cast("long").as("zbucket"))
+          .groupBy("zbucket")
+          .agg(count(lit(1)).as("n"),
+            min("x").as("x_lo"), max("x").as("x_hi"),
+            min("y").as("y_lo"), max("y").as("y_hi"))
+          .orderBy("zbucket")
+      },
+      {
+        val zExpr = (0 until 5).map(j =>
+          s"(((c_nationkey >> $j) & 1) * ${1L << (2 * j + 1)}) + " +
+            s"((((c_custkey % 32) >> $j) & 1) * ${1L << (2 * j)})")
+          .mkString(" + ")
+        s"""WITH t AS (
+           |  SELECT CAST(c_nationkey AS BIGINT) AS x,
+           |         CAST(c_custkey % 32 AS BIGINT) AS y,
+           |         CAST(($zExpr) // 64 AS BIGINT) AS zbucket
+           |  FROM customer)
+           |SELECT zbucket, COUNT(*) AS n,
+           |       MIN(x) AS x_lo, MAX(x) AS x_hi,
+           |       MIN(y) AS y_lo, MAX(y) AS y_hi
+           |FROM t GROUP BY zbucket ORDER BY zbucket""".stripMargin
+      })
   )
 }
