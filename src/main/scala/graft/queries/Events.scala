@@ -129,6 +129,56 @@ object Events {
         |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin),
 
+    // Interval-overlap join, binned: which pairs of users have overlapping
+    // 30-minute sessions, and how many session pairs overlap. The
+    // scale-safe plan bins every session onto the hour grid it covers
+    // (sequence + explode) and equi-joins on the bin — the same
+    // pigeonhole trick as simhash banding: overlapping intervals must
+    // share a covered hour, so the equi-join finds every qualifying pair
+    // and the exact predicate verifies. Never a nested-loop/cartesian
+    // pair enumeration. Oracle = the naive all-pairs overlap join (fine
+    // at oracle SF).
+    "events_interval_overlap" -> QuerySpec(
+      (s, d) => {
+        val sess = Tables.eventsWithTs(s, d)
+          .filter(col("user_id") < 20)
+          .groupBy(session_window(col("ts_utc"), "30 minutes").as("w"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), col("w.start").as("st"), col("w.end").as("en"))
+        val binned = sess.select(col("user_id"), col("st"), col("en"),
+          explode(sequence(date_trunc("hour", col("st")),
+            date_trunc("hour", col("en")), expr("INTERVAL 1 HOUR"))).as("hr"))
+        binned.as("a").join(binned.as("b"),
+            col("a.hr") === col("b.hr") &&
+              col("a.user_id") < col("b.user_id") &&
+              col("a.st") <= col("b.en") && col("b.st") <= col("a.en"))
+          .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"),
+            col("a.st").as("st_a"), col("b.st").as("st_b"))
+          .distinct()
+          .groupBy("user_a", "user_b").agg(count(lit(1)).as("n_overlaps"))
+          .orderBy("user_a", "user_b")
+      },
+      """WITH t AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |                (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id < 20
+        |), s AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM t
+        |), sess AS (
+        |  SELECT user_id, MIN(ts) AS st, MAX(ts) + INTERVAL 30 MINUTE AS en
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |       COUNT(*) AS n_overlaps
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+        |GROUP BY 1, 2 ORDER BY user_a, user_b""".stripMargin),
+
     // Time-series gap fill: a per-user minute spine (sequence + explode,
     // capped at 6 hours) left-joined to per-minute sums, missing minutes
     // forward-filled with last(ignoreNulls) — the resample/ffill operator

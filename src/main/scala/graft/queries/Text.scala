@@ -301,6 +301,50 @@ object Text {
          |         (a, b) -> xor(a, b)) AS fp_xor
          |FROM f ORDER BY doc_id""".stripMargin),
 
+    // Bigram language-model statistics: for every token with enough
+    // support, its most likely successor and the conditional probability
+    // p(b|a) = n(a,b)/n(a·) — the n-gram-LM / next-token-statistics pass
+    // over a corpus. Positional pair extraction is per-row column work;
+    // the only shuffles are the bigram count and the per-prefix window.
+    // Ties broken by successor token so both engines pick the same row.
+    "text_bigram_lm" -> QuerySpec(
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val pairs = when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => struct(get(toks, i).as("a"), get(toks, i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+        val counts = Tables.documents(s, d)
+          .filter(col("doc_id") % 5 === 0)
+          .select(explode(pairs).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("a")
+        val rankW = w.orderBy(desc("n"), asc("b"))
+        counts
+          .withColumn("total", sum("n").over(w))
+          .withColumn("rn", row_number().over(rankW))
+          .filter(col("rn") === 1 && col("total") >= 100)
+          .select(col("a"), col("b").as("next_tok"), col("n"), col("total"),
+            (col("n").cast("double") / col("total").cast("double")).as("p"))
+          .orderBy("a")
+      },
+      s"""WITH t AS (SELECT $duckToks AS toks
+         |           FROM documents WHERE doc_id % 5 = 0),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |           i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+         |  FROM t),
+         |c AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+         |r AS (
+         |  SELECT a, b, n,
+         |         CAST(SUM(n) OVER (PARTITION BY a) AS BIGINT) AS total,
+         |         row_number() OVER (PARTITION BY a ORDER BY n DESC, b) AS rn
+         |  FROM c)
+         |SELECT a, b AS next_tok, CAST(n AS BIGINT) AS n, total,
+         |       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS p
+         |FROM r WHERE rn = 1 AND total >= 100 ORDER BY a""".stripMargin),
+
     "text_fingerprint" -> QuerySpec(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),

@@ -72,6 +72,11 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(scan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), scan)
   }
 
+  test("bloom probe broadcasts the filter (fact side never shuffles for it)") {
+    val q = SparkEntry.registry("bloom_filter_semi_prune").fn(spark, sf)
+    assert(plan(q).contains("BroadcastHashJoin"), plan(q))
+  }
+
   test("global sort + limit plans as TakeOrderedAndProject (per-partition heaps)") {
     val q = SparkEntry.registry("topk_orders_by_price").fn(spark, sf)
     assert(plan(q).contains("TakeOrderedAndProject"), plan(q))
@@ -81,7 +86,8 @@ class PhysicalPlanSpec extends SparkSpec {
     // The three near-dup pair plans must generate candidates through an
     // equi-join on a blocking key (band value / LSH bucket), never a
     // cartesian or nested-loop pair enumeration over the corpus.
-    Seq("dedup_simhash", "dedup_embedding_cosine", "fuzzy_match_levenshtein")
+    Seq("dedup_simhash", "dedup_embedding_cosine", "fuzzy_match_levenshtein",
+        "events_interval_overlap")
       .foreach { name =>
         val p = plan(SparkEntry.registry(name).fn(spark, sf))
         assert(!p.contains("CartesianProduct"),
