@@ -124,13 +124,20 @@ object DedupQ {
             col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
-        val sets = hashed.select(col("doc_id"), col("bh").as("s"))
+        // |A∪B| = |A|+|B|-|A∩B| for sets: one intersect build instead of
+        // intersect + union (the duplicated intersect subexpression is
+        // eliminated by codegen CSE — it is not a lambda).
+        val sets = hashed.select(col("doc_id"), col("bh").as("s"),
+          size(col("bh")).as("sz"))
+        val inter = size(array_intersect(col("sa"), col("sb")))
         cand
-          .join(sets.select(col("doc_id").as("id_a"), col("s").as("sa")), "id_a")
-          .join(sets.select(col("doc_id").as("id_b"), col("s").as("sb")), "id_b")
+          .join(sets.select(col("doc_id").as("id_a"), col("s").as("sa"),
+            col("sz").as("sza")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"), col("s").as("sb"),
+            col("sz").as("szb")), "id_b")
           .select(col("id_a"), col("id_b"),
-            (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-             size(array_union(col("sa"), col("sb")))).as("jaccard"))
+            (inter.cast("double") / (col("sza") + col("szb") - inter))
+              .as("jaccard"))
           .filter(col("jaccard") >= 0.02)
           .orderBy("id_a", "id_b")
       },

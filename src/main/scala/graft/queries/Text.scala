@@ -81,7 +81,10 @@ object Text {
     "text_tf_idf" -> QuerySpec(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val n = docs.count() // one tiny action; cluster-safe (scalar)
+        // one tiny action; cluster-safe (scalar). Counted off the raw scan
+        // (no fanOut) — a count needs no parallel CPU, and the repartition
+        // would shuffle the text payload just to count rows.
+        val n = Tables.table(s, d, "documents").count()
         val tf = docs.filter(col("doc_id") % 20 === 0)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
