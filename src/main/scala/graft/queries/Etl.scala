@@ -42,6 +42,28 @@ object Etl {
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
+    // Hive-partitioned parquet layout on the oracle-checked path: orders
+    // written partitionBy(status), read back with a partition filter —
+    // the 100 TB layout where a status predicate prunes whole directories
+    // before any IO (PartitionFilters pruning asserted in
+    // PhysicalPlanSpec; this query verifies the VALUES survive the
+    // layout round trip).
+    "partitioned_write_prune_scan" -> QuerySpec(
+      (s, d) => {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_part_orders_${Integer.toHexString(d.hashCode)}").getPath
+        Tables.orders(s, d)
+          .withColumn("status", col("o_orderstatus"))
+          .write.mode("overwrite").partitionBy("status").parquet(dir)
+        s.read.parquet(dir)
+          .filter(col("status") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"), col("status"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_totalprice, o_orderstatus AS status
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin),
+
     // JSONL source (the LLM-corpus interchange format) on the
     // oracle-checked path: region round-trips through newline-delimited
     // JSON read back with an explicit schema — no inference scan.

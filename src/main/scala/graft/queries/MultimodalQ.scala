@@ -48,6 +48,27 @@ object MultimodalQ {
         |           c -> ascii(c)), v -> v // 16 = k)) AS VARCHAR)), ',') AS hist
         |FROM documents ORDER BY asset_id""".stripMargin),
 
+    // Typed-metadata access on the media table: filter by a metadata map
+    // key and aggregate payload volume per (lang, source) — the
+    // modality-routing step of a multimodal ingestion pipeline (map
+    // lookups are per-row expressions; the only shuffle is the final
+    // grouped count).
+    "multimodal_metadata_filter" -> QuerySpec(
+      (s, d) => {
+        val assets = Multimodal.assetTable(Tables.documents(s, d))
+        assets
+          .filter(element_at(col("meta"), "lang").isin("en", "zh"))
+          .groupBy(element_at(col("meta"), "lang").as("lang"),
+            element_at(col("meta"), "source").as("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(Multimodal.byteLength(col("bytes"))).as("total_bytes"))
+          .orderBy("lang", "source")
+      },
+      """SELECT lang, source, COUNT(*) AS n,
+        |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents WHERE lang IN ('en', 'zh')
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin),
+
     // Deterministic frame sampling: four 64-byte slices, hex-rendered.
     "multimodal_frame_sample" -> QuerySpec(
       (s, d) => {
