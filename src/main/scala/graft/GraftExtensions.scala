@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{ByteHistogram, TokenCount}
+import graft.expressions.{ByteHistogram, NGramsGenerator, TokenCount}
 
 /** SparkSessionExtensions entry point: registers graft's native functions
   * for SQL users. Activate with
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.byteHistogramDescriptor)
     ext.injectFunction(GraftFunctions.tokenCountDescriptor)
+    ext.injectFunction(GraftFunctions.ngramsDescriptor)
   }
 }
 
@@ -50,11 +51,27 @@ object GraftFunctions {
     new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
     buildTokenCount)
 
+  private def buildNGrams(args: Seq[Expression]): Expression =
+    args match {
+      case Seq(child) => NGramsGenerator(child, 2)
+      case Seq(child, Literal(n: Int, _)) => NGramsGenerator(child, n)
+      case _ => throw new IllegalArgumentException(
+        "ngrams(text[, n]) — n must be an integer literal")
+    }
+
+  val ngramsDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("ngrams"),
+    new ExpressionInfo(classOf[NGramsGenerator].getName, "ngrams"),
+    buildNGrams)
+
   /** Register on an existing session (temp-function registry). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "byte_histogram", buildByteHistogram, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_count", buildTokenCount, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngrams", buildNGrams, "scala_udf")
   }
 }

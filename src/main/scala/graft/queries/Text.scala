@@ -304,6 +304,26 @@ object Text {
          |         (a, b) -> xor(a, b)) AS fp_xor
          |FROM f ORDER BY doc_id""".stripMargin),
 
+    // Custom table-valued generator (UDTF): word bigrams streamed
+    // row-by-row by graft.expressions.NGramsGenerator — planned through
+    // the same Generate node as explode, but without materializing the
+    // per-document n-gram array first.
+    "generator_ngrams_custom" -> QuerySpec(
+      (s, d) => Tables.documents(s, d)
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          graft.expressions.NGramsGenerator.ngrams(col("text"), 2)
+            .as(Seq("pos", "ngram")))
+        .orderBy("doc_id", "pos"),
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks
+         |           FROM documents WHERE doc_id < 30),
+         |x AS (SELECT doc_id, toks,
+         |             unnest(generate_series(1, len(toks) - 1)) AS i
+         |      FROM t)
+         |SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |       toks[i] || ' ' || toks[i+1] AS ngram
+         |FROM x ORDER BY doc_id, pos""".stripMargin),
+
     // Bigram language-model statistics: for every token with enough
     // support, its most likely successor and the conditional probability
     // p(b|a) = n(a,b)/n(a·) — the n-gram-LM / next-token-statistics pass

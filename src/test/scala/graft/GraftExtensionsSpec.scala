@@ -17,4 +17,21 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(r2.sum == 3)
   }
+
+  test("ngrams generator: lazy UDTF from SQL and the Column API") {
+    GraftFunctions.register(spark)
+    Seq(("a", "the quick brown fox"), ("b", "hi")).toDF("id", "t")
+      .createOrReplaceTempView("ext_ng")
+    val rows = spark.sql(
+      "SELECT id, pos, ngram FROM ext_ng LATERAL VIEW ngrams(t, 2) AS pos, ngram ORDER BY id, pos")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("a", 0, "the quick"), ("a", 1, "quick brown"), ("a", 2, "brown fox")))
+    // doc shorter than n yields no rows, not an error; trigram via Column API
+    val tri = Seq("one two three four").toDF("t")
+      .select(graft.expressions.NGramsGenerator.ngrams(col("t"), 3)
+        .as(Seq("pos", "ngram")))
+      .collect().map(_.getString(1))
+    assert(tri.toSeq == Seq("one two three", "two three four"))
+  }
 }
