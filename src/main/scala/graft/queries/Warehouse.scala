@@ -183,6 +183,28 @@ object Warehouse {
         |       (c_acctbal - mn) / (mx - mn) AS minmax
         |FROM s WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin),
 
+    // CDC log compaction: collapse an event log to the LATEST state per
+    // key — the materialized-view maintenance step downstream of a change
+    // stream (and the batch form of streaming dropDuplicates-keep-last).
+    // One window on the key, deterministic tie-breaking by event_id.
+    "cdc_latest_state_per_user" -> QuerySpec(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(desc("ts"), desc("event_id"))
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event"),
+            col("event_type").as("last_type"), col("value").as("last_value"))
+          .orderBy("user_id")
+      },
+      """SELECT user_id, event_id AS last_event,
+        |       event_type AS last_type, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+
     // Quantile bucketing: quartiles of order value within each priority
     // class via ntile over a total order (price, orderkey) — the
     // discretization step for bucketed features / stratified splits.
