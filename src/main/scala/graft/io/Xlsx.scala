@@ -188,4 +188,61 @@ object Xlsx {
     reader.close()
     rows.toVector
   }
+
+  // ---- writer ----------------------------------------------------------
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def colLetters(i: Int): String = {
+    var n = i + 1; val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  /** Minimal OOXML writer: one worksheet, every cell an inline string
+    * (types are the conform layer's job, mirroring the reader). Driver-
+    * side by design — spreadsheets are dimension feeds, never fact data;
+    * `df` must be small enough to collect. Produces a complete, valid
+    * package ([Content_Types], rels, workbook, sheet1) readable by
+    * [[read]] and by any spreadsheet tool. */
+  def write(df: DataFrame, path: String): Unit = {
+    val header = df.schema.fieldNames.toVector
+    val data = df.collect().toVector.map(r =>
+      header.indices.map(i => Option(r.get(i)).map(_.toString)).toVector)
+    val sheet = {
+      val sb = new StringBuilder
+      sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+      sb ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
+      (Vector(header.map(Option(_))) ++ data).zipWithIndex.foreach {
+        case (cells, r) =>
+          sb ++= s"""<row r="${r + 1}">"""
+          cells.zipWithIndex.foreach {
+            case (Some(v), c) =>
+              sb ++= s"""<c r="${colLetters(c)}${r + 1}" t="inlineStr"><is><t>${xmlEscape(v)}</t></is></c>"""
+            case (None, _) => // omitted cell = null (reader fills the gap)
+          }
+          sb ++= "</row>"
+      }
+      sb ++= "</sheetData></worksheet>"
+      sb.toString
+    }
+    val parts = Seq(
+      "[Content_Types].xml" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""",
+      "_rels/.rels" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""",
+      "xl/workbook.xml" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>""",
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""",
+      "xl/worksheets/sheet1.xml" -> sheet)
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    try parts.foreach { case (name, content) =>
+      out.putNextEntry(new java.util.zip.ZipEntry(name))
+      out.write(content.getBytes("UTF-8"))
+      out.closeEntry()
+    } finally out.close()
+  }
 }

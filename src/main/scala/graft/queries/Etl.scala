@@ -42,6 +42,46 @@ object Etl {
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
+    // S2 on the oracle-checked path: nation is round-tripped through a
+    // real XLSX workbook (written by Xlsx.write — a complete OOXML
+    // package — and read back by the native zip+StAX reader). The reader
+    // surfaces strings; the conform-layer casts re-type them, and the
+    // oracle scans the original parquet: a lossless round trip means
+    // both sides agree row-for-row.
+    "xlsx_roundtrip_scan" -> QuerySpec(
+      (s, d) => {
+        val path = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_nation_${Integer.toHexString(d.hashCode)}.xlsx").getPath
+        graft.io.Xlsx.write(Tables.nation(s, d), path)
+        graft.io.Xlsx.read(s, path)
+          .select(col("n_nationkey").cast("int").as("n_nationkey"),
+            col("n_name"),
+            col("n_regionkey").cast("int").as("n_regionkey"))
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // S4/S5 on the oracle-checked path: region written to an embedded
+    // Derby database through the JDBC sink (typed columns via
+    // createTableColumnTypes) and read back through the JDBC source —
+    // the reference's MySQL write → re-find loop, runnable offline.
+    // MySQL/Postgres swap in via url+properties with no code change.
+    "jdbc_roundtrip_scan" -> QuerySpec(
+      (s, d) => {
+        graft.io.GraftDerbyDialect.register()
+        val url = s"jdbc:derby:memory:graft_${Integer.toHexString(d.hashCode)};create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        graft.io.Writers.jdbc(Tables.region(s, d), url, "region_rt",
+          columnTypes = Some("r_regionkey INT, r_name VARCHAR(64)"),
+          properties = props)
+        s.read.jdbc(url, "region_rt", props)
+          .orderBy("r_regionkey")
+      },
+      """SELECT r_regionkey, r_name FROM region
+        |ORDER BY r_regionkey""".stripMargin),
+
     // Hive-partitioned parquet layout on the oracle-checked path: orders
     // written partitionBy(status), read back with a partition filter —
     // the 100 TB layout where a status predicate prunes whole directories

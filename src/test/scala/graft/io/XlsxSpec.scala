@@ -2,6 +2,7 @@ package graft.io
 
 import java.io.FileOutputStream
 import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.apache.spark.sql.functions.lit
 import graft.SparkSpec
 
 /** The reader is exercised against a workbook authored here from raw OOXML
@@ -105,5 +106,25 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.colIndex("Z9") == 25)
     assert(Xlsx.colIndex("AA3") == 26)
     assert(Xlsx.colIndex("BC12") == 54)
+  }
+
+  test("writer round trip: nulls, XML-special characters, 27+ columns") {
+    import spark.implicits._
+    val df = Seq(
+      ("a & b", Option("x<y>"), "1"),
+      ("plain", None, "2")).toDF("name", "note", "k")
+    val path = java.io.File.createTempFile("graft_wr", ".xlsx").getPath
+    Xlsx.write(df, path)
+    val back = Xlsx.read(spark, path).orderBy("k").collect()
+    assert(back(0).getString(0) == "a & b")
+    assert(back(0).getString(1) == "x<y>")
+    assert(back(1).isNullAt(1)) // omitted cell reads back as null
+    // column letters beyond Z (AA...) round-trip positionally
+    val wide = spark.range(1).toDF("c0")
+      .select((0 until 28).map(i => lit(s"v$i").as(s"c$i")): _*)
+    val widePath = java.io.File.createTempFile("graft_ww", ".xlsx").getPath
+    Xlsx.write(wide, widePath)
+    val w = Xlsx.read(spark, widePath).collect()(0)
+    assert(w.getString(26) == "v26" && w.getString(27) == "v27")
   }
 }
