@@ -171,4 +171,28 @@ object Similarity {
           (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Batch kNN JOIN — the production retrieval shape (every query row
+    * gets its k nearest corpus neighbors at once, vs the single-query
+    * topk entry points above). Candidates come from the shared sign-LSH
+    * bucket: one equi-join shuffle on the bucket key plus a per-query
+    * window — never a query×corpus product. At 100 TB the corpus side is
+    * bucket-partitioned once and reused across query batches. */
+  def knnJoinLsh(embeddings: DataFrame, queryPred: Column, k: Int,
+                 planes: Int): DataFrame = {
+    val b = embeddings.select(col("vec_id"), col("embedding"),
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val q = b.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    b.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy("q_id", "vec_id")
+  }
 }

@@ -107,6 +107,24 @@ object SimilarityQ {
          |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY id_a, id_b""".stripMargin),
 
+    // Batch kNN join: 10 query vectors resolved against the corpus in ONE
+    // bucket-blocked join + per-query window — the retrieval shape that
+    // replaces N single-query scans.
+    "similarity_knn_join" -> QuerySpec(
+      (s, d) => Similarity.knnJoinLsh(Tables.embeddings(s, d),
+        col("vec_id") < 10, k = 3, planes = 4),
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |             ${duckBucket("embedding", 4)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv, bucket
+         |      FROM b WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT q.q_id, b.vec_id, ${duckCos("b.embedding", "q.qv")} AS cos
+         |  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos DESC, vec_id) AS rn FROM cand)
+         |SELECT q_id, vec_id, cos FROM r WHERE rn <= 3
+         |ORDER BY q_id, vec_id""".stripMargin),
+
     // Per-label centroid vectors — the k-means/IVF training primitive
     // (assign→average). One posexplode + hash aggregation on (label, dim):
     // partial aggregation map-side, scales to any corpus. Exact cross-row

@@ -304,6 +304,42 @@ object Text {
          |         (a, b) -> xor(a, b)) AS fp_xor
          |FROM f ORDER BY doc_id""".stripMargin),
 
+    // Vocabulary coverage curve: the cumulative corpus share of the top-k
+    // tokens — the Zipf/coverage statistic behind vocab-size and
+    // tokenizer decisions. One count shuffle; the ranked cumulative
+    // window runs over vocab-sized data (not the corpus).
+    "text_vocab_coverage" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        val ord = Window.orderBy(desc("n"), asc("tok"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        counts
+          .withColumn("rank", row_number().over(ord))
+          .withColumn("cum_n", sum("n").over(cum))
+          .withColumn("total", sum("n").over(Window.partitionBy()))
+          .filter(col("rank") <= 50)
+          .select(col("rank"), col("tok"), col("n"),
+            (col("cum_n").cast("double") / col("total").cast("double"))
+              .as("cum_share"))
+          .orderBy("rank")
+      },
+      s"""WITH c AS (
+         |  SELECT tok, COUNT(*) AS n FROM (
+         |    SELECT unnest($duckToks) AS tok FROM documents) GROUP BY tok),
+         |r AS (
+         |  SELECT tok, n,
+         |         row_number() OVER (ORDER BY n DESC, tok) AS rank,
+         |         SUM(n) OVER (ORDER BY n DESC, tok
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         |         SUM(n) OVER () AS total
+         |  FROM c)
+         |SELECT CAST(rank AS INT) AS rank, tok, CAST(n AS BIGINT) AS n,
+         |       CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin),
+
     // Custom table-valued generator (UDTF): word bigrams streamed
     // row-by-row by graft.expressions.NGramsGenerator — planned through
     // the same Generate node as explode, but without materializing the
