@@ -129,6 +129,36 @@ object Events {
         |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin),
 
+    // Cohort retention matrix: users grouped by first-seen week, distinct
+    // active users counted per week offset — the engagement statistic
+    // behind every retention dashboard. Week index is an exact integer
+    // division of the raw ns timestamp (no calendar/locale semantics to
+    // diverge on); two shuffles total (per-user min, then the cohort
+    // grid).
+    "events_retention_cohorts" -> QuerySpec(
+      (s, d) => {
+        val week = expr("ts div 604800000000000") // 7 days in ns
+        val activity = Tables.events(s, d)
+          .filter(col("user_id") < 200)
+          .select(col("user_id"), week.as("week")).distinct()
+        val cohorts = activity.groupBy("user_id")
+          .agg(min("week").as("cohort_week"))
+        activity.join(cohorts, "user_id")
+          .groupBy(col("cohort_week"),
+            (col("week") - col("cohort_week")).as("offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "offset")
+      },
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS week
+        |  FROM events WHERE user_id < 200),
+        |coh AS (SELECT user_id, MIN(week) AS cohort_week FROM act
+        |        GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS "offset",
+        |       COUNT(*) AS n_users
+        |FROM act JOIN coh USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, "offset"""".stripMargin),
+
     // Interval-overlap join, binned: which pairs of users have overlapping
     // 30-minute sessions, and how many session pairs overlap. The
     // scale-safe plan bins every session onto the hour grid it covers

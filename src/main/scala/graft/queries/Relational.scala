@@ -155,6 +155,43 @@ object Relational {
         .select("o_orderkey", "o_totalprice")
         .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(10),
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    // TPC-H Q14 shape: class-share of revenue in one ship month —
+    // lineitem ⋈ part with a month predicate pushed to the fact scan,
+    // conditional + total revenue in one aggregation pass (exact decimal
+    // sums; final ratio in double with the same op order both sides).
+    "promo_revenue_share" -> QuerySpec(
+      (s, d) => {
+        val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(25,6)")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= "1996-01-01" &&
+            col("l_shipdate") < "1996-02-01")
+          .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "ECONOMY", rev)
+              .otherwise(lit(0).cast("decimal(25,6)"))).cast("double")
+              .as("economy_rev"),
+            sum(rev).cast("double").as("total_rev"))
+          .select(col("economy_rev"), col("total_rev"),
+            (col("economy_rev") / col("total_rev")).as("economy_share"))
+      },
+      """WITH j AS (
+        |  SELECT p_type,
+        |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-02-01'),
+        |a AS (
+        |  SELECT CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN rev
+        |                       ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+        |           AS economy_rev,
+        |         CAST(SUM(rev) AS DOUBLE) AS total_rev
+        |  FROM j)
+        |SELECT economy_rev, total_rev,
+        |       economy_rev / total_rev AS economy_share FROM a""".stripMargin)
   )
 }
