@@ -640,6 +640,35 @@ object Analytic {
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin),
 
+    // Exact discrete median per group (percentile_disc semantics): the
+    // value AT rank ceil(n/2) under a total order — no interpolation, so
+    // the result is an actual data value and exactly reproducible in any
+    // engine (the approximate t-digest variant lives in
+    // sketch_percentiles). One window shuffle on the group key.
+    "percentile_disc_exact" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("o_orderpriority"),
+            col("o_totalprice").as("median_price"), col("cnt").as("n"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, o_totalprice AS median_price, cnt AS n
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice, o_orderkey) AS rn,
+        |         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |  FROM orders)
+        |WHERE rn = (cnt + 1) // 2
+        |ORDER BY o_orderpriority""".stripMargin),
+
     // SQL frontend, TPC-H Q5 shape: a 5-table dim chain (region → nation →
     // customer → orders → lineitem) with a year filter — exercises join
     // reorder + broadcast planning from pure SQL text.

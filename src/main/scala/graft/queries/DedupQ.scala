@@ -102,8 +102,11 @@ object DedupQ {
         // of the verification join; verification jaccard runs over the
         // hashed shingle sets (bit-identical in both engines; a 60-bit
         // collision perturbing a set size is ~n²/2^61 per pair).
+        // Sorted once here: MinHashSignature is order-free, and the
+        // verification intersect below is a sorted-merge expression.
         val hashed = Tables.documents(s, d)
-          .select(col("doc_id"), Dedup.minhashBaseHashes(sh).as("bh"))
+          .select(col("doc_id"),
+            sort_array(Dedup.minhashBaseHashes(sh)).as("bh"))
           .localCheckpoint(true)
         val allBands = hashed
           .select(col("doc_id"),
@@ -124,12 +127,14 @@ object DedupQ {
             col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
-        // |A∪B| = |A|+|B|-|A∩B| for sets: one intersect build instead of
-        // intersect + union (the duplicated intersect subexpression is
-        // eliminated by codegen CSE — it is not a lambda).
+        // |A∪B| = |A|+|B|-|A∩B| for sets, and the intersect itself is the
+        // one-pass sorted-merge expression (array_intersect builds a hash
+        // set per pair; the duplicated subexpression is eliminated by
+        // codegen CSE — it is not a lambda).
         val sets = hashed.select(col("doc_id"), col("bh").as("s"),
           size(col("bh")).as("sz"))
-        val inter = size(array_intersect(col("sa"), col("sb")))
+        val inter = graft.expressions.SortedIntersectSize
+          .sorted_intersect_size(col("sa"), col("sb"))
         cand
           .join(sets.select(col("doc_id").as("id_a"), col("s").as("sa"),
             col("sz").as("sza")), "id_a")
