@@ -40,4 +40,33 @@ class SimHashSpec extends SparkSpec {
     assert(rows(0).getLong(0) == 0L)
     assert(rows(1).isNullAt(0))
   }
+
+  test("PortableHashArray equals the conv(md5) column chain (property)") {
+    val strGen = Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+    val samples = Gen.listOfN(100, strGen).sample.get
+    val df = samples.toDF("toks").select(
+      PortableHashArray.portable_hash_array(col("toks"), -1L >>> 4).as("fast"),
+      transform(col("toks"), t => graft.ext.TextOps.hash64(t)).as("ref"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("MinHashSignature equals the per-signature column folds (property)") {
+    val hashGen = Gen.chooseNum(0L, (1L << 60) - 1)
+    val samples = Gen.listOfN(100, Gen.nonEmptyListOf(hashGen)).sample.get
+    val k = 6
+    val sig = MinHashSignature.minhash_signature(col("hs"), k)
+    val refs = (0 until k).map { i =>
+      array_min(transform(col("hs"), h =>
+        (h.bitwiseAND(lit(MinHashSignature.Mask)) * lit(MinHashSignature.a(i))
+          + lit(MinHashSignature.b(i))) % lit(MinHashSignature.P)))
+        .as(s"r$i")
+    }
+    val df = samples.toDF("hs").select(sig.as("fast") +: refs: _*)
+    df.collect().foreach { r =>
+      val fast = r.getSeq[Long](0)
+      (0 until k).foreach(i => assert(fast(i) == r.getLong(i + 1)))
+    }
+  }
 }
