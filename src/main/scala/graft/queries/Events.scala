@@ -329,6 +329,40 @@ object Events {
         | AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
         |ORDER BY c_event, p_event""".stripMargin),
 
+    // Arbitrary stateful processing through the real engine:
+    // mapGroupsWithState running per-user totals (streaming/Streams
+    // .runningUserTotals), drained with AvailableNow. Only the event
+    // COUNT is projected — the count is arrival-order-free, while the
+    // double running total would depend on FP accumulation order inside
+    // the state fold (kept in the API, excluded from the hash contract).
+    "events_stream_running_totals" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.Trigger
+        val stream = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .filter(col("user_id") < 100)
+          .select(col("user_id"), col("value"))
+          .as[graft.streaming.Streams.UserEvent]
+        val totals = graft.streaming.Streams.runningUserTotals(stream)
+        val sinkName = "q_events_stream_totals"
+        val q = totals.toDF().writeStream
+          .outputMode("update")
+          .format("memory").queryName(sinkName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // one state row per user per batch; max(n) = the final state
+        s.table(sinkName)
+          .groupBy("user_id").agg(max("n").as("n_events"))
+          .orderBy("user_id")
+      },
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events WHERE user_id < 100
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // As-of (backward) join: each click enriched with the most recent
     // purchase at-or-before it for the same user. The engine composes
     // union + ordered-window carry-forward (see ops.AsOfJoin); the oracle
