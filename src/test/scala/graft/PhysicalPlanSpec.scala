@@ -77,6 +77,11 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(plan(q).contains("BroadcastHashJoin"), plan(q))
   }
 
+  test("Q14-style part join broadcasts the dimension") {
+    val q = SparkEntry.registry("promo_revenue_share").fn(spark, sf)
+    assert(plan(q).contains("BroadcastHashJoin"), plan(q))
+  }
+
   test("global sort + limit plans as TakeOrderedAndProject (per-partition heaps)") {
     val q = SparkEntry.registry("topk_orders_by_price").fn(spark, sf)
     assert(plan(q).contains("TakeOrderedAndProject"), plan(q))
@@ -87,7 +92,7 @@ class PhysicalPlanSpec extends SparkSpec {
     // equi-join on a blocking key (band value / LSH bucket), never a
     // cartesian or nested-loop pair enumeration over the corpus.
     Seq("dedup_simhash", "dedup_embedding_cosine", "fuzzy_match_levenshtein",
-        "events_interval_overlap")
+        "events_interval_overlap", "similarity_knn_join")
       .foreach { name =>
         val p = plan(SparkEntry.registry(name).fn(spark, sf))
         assert(!p.contains("CartesianProduct"),
