@@ -12,6 +12,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. sbt's default LoggedOutput prefixes forked output with "[info] " and
+// prints "[success] Total time..." after the program exits — both break the
+// parse. Pass the forked JVM's stdout through verbatim and silence the
+// success banner so Bench's final JSON line is literally the last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -140,10 +140,16 @@ object Dedup {
     * Implementation: fixed-round min-label propagation — each round every
     * node takes the min of its own label and its neighbors' labels. Rounds
     * are plain self-joins (no driver-side convergence actions), so the
-    * plan is static and distributable; `rounds` bounds reachable diameter
-    * at 2^rounds for doubling-free propagation, ample for near-dup
-    * clusters. GraphX could do this too, but the DataFrame form keeps it
-    * inside Catalyst (pruning, AQE) and oracle-checkable.
+    * plan is static and distributable. The min label advances ONE HOP per
+    * round (this is plain propagation, not pointer-doubling), so `rounds`
+    * must be >= the maximum graph distance from any node to its
+    * component's minimum-id node; near-dup components are near-cliques
+    * (distance ~1-2), so a small fixed budget suffices there, but a CHAIN
+    * component of length > rounds would silently under-merge — pass
+    * `verifyConverged = true` to turn that silence into a loud failure
+    * (one extra propagation round + a single count at the end asserts a
+    * fixed point was reached). GraphX could do this too, but the DataFrame
+    * form keeps it inside Catalyst (pruning, AQE) and oracle-checkable.
     *
     * Lineage truncation is mandatory (each round would otherwise re-embed
     * the full upstream subplan; measured 81s → 3s at sf0.1) and comes in
@@ -158,7 +164,8 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           rounds: Int,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          verifyConverged: Boolean = false): DataFrame = {
     val cut: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         pairs.sparkSession.sparkContext.setCheckpointDir(dir)
@@ -172,13 +179,26 @@ object Dedup {
         .distinct())
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = cut(nodes.withColumn("label", col("node")))
-    for (_ <- 1 to rounds) {
+    def propagate(ls: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(labels, edges("dst") === labels("node"))
+        .join(ls, edges("dst") === ls("node"))
         .groupBy(col("src").as("node")).agg(min("label").as("nmin"))
-      labels = cut(labels.join(neighborMin, Seq("node"), "left")
+      ls.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    }
+    for (_ <- 1 to rounds) labels = cut(propagate(labels))
+    if (verifyConverged) {
+      // One more round must be a fixed point; a single scalar action, so
+      // the plan stays static (this is an assertion, not a driver loop).
+      val changed = propagate(labels).as("p")
+        .join(labels.as("l"), "node")
+        .filter(col("p.label") < col("l.label"))
+        .count()
+      require(changed == 0,
+        s"connectedComponents: not converged after $rounds rounds " +
+          s"($changed labels still changing) — raise `rounds` " +
+          "(component diameter exceeds the budget)")
     }
     labels.select(col("node"), col("label").as("component"))
   }

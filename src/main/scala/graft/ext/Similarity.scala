@@ -60,7 +60,14 @@ object Similarity {
 
   /** Sign-LSH bucket id from `planes` fixed hyperplanes (bit j = sign of
     * the projection on plane j). Pure per-row expression over literal
-    * weight arrays — no sequence()/index generation per row. */
+    * weight arrays — no sequence()/index generation per row.
+    *
+    * Guards against a silent degenerate mode: if a vector's length differs
+    * from `dim`, zip_with would null-pad, every projection would go null,
+    * and ALL vectors would collapse into bucket 0 — turning every
+    * bucket-blocked pair join into an undetected all-pairs join. Instead a
+    * wrong-length vector fails the query loudly (raise_error), which is
+    * the correct behavior for a dimension mismatch in an ANN index. */
   def hyperplaneBucket(v: Column, planes: Int, dim: Int = 64): Column = {
     val ws = planeWeights(planes, dim)
     val bits = (0 until planes).map { j =>
@@ -70,7 +77,10 @@ object Similarity {
         lit(0.0), (acc: Column, x: Column) => acc + x)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    when(size(v) === dim, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"hyperplaneBucket: expected $dim-dim embedding, got "),
+        size(v).cast("string"))))
   }
 
   /** ANN top-k: exact ranking restricted to the query vector's bucket. */

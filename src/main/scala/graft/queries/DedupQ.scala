@@ -185,10 +185,12 @@ object DedupQ {
           Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
           "doc_id", array_distinct(TextOps.tokens(col("text"))),
           threshold = 0.9)
-        // Near-dup components at threshold 0.9 are near-cliques (diameter
-        // a small constant); 6 rounds leaves ample margin and saves two
-        // join+checkpoint stages vs the previous 8.
-        Dedup.connectedComponents(pairs, "id_a", "id_b", rounds = 6)
+        // Near-dup components at threshold 0.9 are near-cliques (min label
+        // reaches everyone in ~1-2 hops); 6 one-hop rounds leaves margin,
+        // and verifyConverged turns a too-chainy corpus into a loud
+        // failure instead of a silent under-merge vs the closure oracle.
+        Dedup.connectedComponents(pairs, "id_a", "id_b", rounds = 6,
+            verifyConverged = true)
           .orderBy("node")
       },
       """WITH RECURSIVE sets AS (

@@ -74,7 +74,7 @@ object Events {
       """WITH t AS (
         |  SELECT user_id, ts, value,
         |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-        |                (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |                (PARTITION BY user_id ORDER BY ts) >= 1800000000
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM events WHERE user_id < 20
         |), s AS (
@@ -109,12 +109,15 @@ object Events {
           .withColumn("value", col("value").cast("decimal(25,6)"))
         val agg = graft.streaming.Streams.tumblingHourly(stream)
         val sinkName = "q_events_tumbling_streaming"
-        val q = agg.writeStream
-          .outputMode("complete")
-          .format("memory").queryName(sinkName)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        graft.streaming.Streams.drained(s) { ckpt =>
+          val q = agg.writeStream
+            .outputMode("complete")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         // batchShape only anchors the schema contract above; the result
         // comes from the streaming engine's sink table.
         require(batchShape.schema.fieldNames.contains("ts_utc"))
@@ -192,7 +195,7 @@ object Events {
       """WITH t AS (
         |  SELECT user_id, ts,
         |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-        |                (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |                (PARTITION BY user_id ORDER BY ts) >= 1800000000
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM events WHERE user_id < 20
         |), s AS (
@@ -281,12 +284,15 @@ object Events {
           .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
           .select("user_id", "event_type", "minute")
         val sinkName = "q_events_stream_dedup"
-        val q = deduped.writeStream
-          .outputMode("append")
-          .format("memory").queryName(sinkName)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        graft.streaming.Streams.drained(s) { ckpt =>
+          val q = deduped.writeStream
+            .outputMode("append")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(sinkName).orderBy("user_id", "event_type", "minute")
       },
       """SELECT DISTINCT user_id, event_type,
@@ -313,12 +319,15 @@ object Events {
             intervalMinutes = 30)
           .select(col("c_user"), col("c_event"), col("p_event"), col("p_value"))
         val sinkName = "q_events_stream_join"
-        val q = joined.writeStream
-          .outputMode("append")
-          .format("memory").queryName(sinkName)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        graft.streaming.Streams.drained(s) { ckpt =>
+          val q = joined.writeStream
+            .outputMode("append")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(sinkName).orderBy("c_event", "p_event")
       },
       """SELECT c.user_id AS c_user, c.event_id AS c_event,
@@ -348,12 +357,15 @@ object Events {
           .as[graft.streaming.Streams.UserEvent]
         val totals = graft.streaming.Streams.runningUserTotals(stream)
         val sinkName = "q_events_stream_totals"
-        val q = totals.toDF().writeStream
-          .outputMode("update")
-          .format("memory").queryName(sinkName)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        graft.streaming.Streams.drained(s) { ckpt =>
+          val q = totals.toDF().writeStream
+            .outputMode("update")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         // one state row per user per batch; max(n) = the final state
         s.table(sinkName)
           .groupBy("user_id").agg(max("n").as("n_events"))

@@ -129,9 +129,14 @@ object SimilarityQ {
     // (assign→average). One posexplode + hash aggregation on (label, dim):
     // partial aggregation map-side, scales to any corpus. Exact cross-row
     // parity: each float component scaled by 2^48 is an exact BIGINT
-    // (holds for |v| >= 2^-25; corpus min |v| ~ 1.3e-6 = 2^-19.5), summed
-    // order-free in integers, then divided back in an identical IEEE op
-    // sequence in both engines.
+    // (holds for |v| >= 2^-25; corpus min |v| ~ 1.3e-6 = 2^-19.5), then
+    // summed order-free as DECIMAL(38,0) — Spark's sum(long) silently
+    // WRAPS on overflow with ANSI off, while DuckDB promotes SUM(BIGINT)
+    // to HUGEINT, so a (label,dim) group past ~32k rows with |v|≈1 would
+    // silently diverge; decimal sums are exact and non-wrapping in both
+    // engines at any group size (overflow past 38 digits raises, never
+    // corrupts). The decimal→double conversion is round-to-nearest in
+    // both engines, and the divide-back sequence is identical IEEE ops.
     "embedding_centroid_per_label" -> QuerySpec(
       (s, d) => {
         val scale = 281474976710656L // 2^48
@@ -139,7 +144,8 @@ object SimilarityQ {
           .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
           .groupBy("label", "i")
           .agg(((sum((col("v").cast("double") * lit(scale.toDouble))
-              .cast("long")).cast("double") / lit(scale.toDouble)) /
+              .cast("long").cast("decimal(38,0)")).cast("double") /
+            lit(scale.toDouble)) /
             count(lit(1))).as("centroid"))
           .orderBy("label", "i")
       },

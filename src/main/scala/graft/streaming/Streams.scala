@@ -143,6 +143,53 @@ object Streams {
       }
   }
 
+  /** Runs a drain-the-source streaming query (AvailableNow → terminate)
+    * with state-sized session tuning, passing a fresh checkpoint dir to
+    * `body` and restoring the session conf afterwards.
+    *
+    * Two knobs, both about matching state-store count to state VOLUME
+    * rather than CPU count — the per-instance commit (delta file + fsync)
+    * is the fixed cost of a micro-batch, so a KB-scale state spread over
+    * `spark.sql.shuffle.partitions`=32 pays 32× (128× for a stream-stream
+    * join: 4 stores per partition) the necessary commit latency:
+    *   - shuffle partitions lowered to `partitions` for the lifetime of
+    *     the query (pinned into the plan at start; a production job sizes
+    *     this to its state volume the same way);
+    *   - the checkpoint (offsets/commits/state) placed on tmpfs when the
+    *     host has one, so commit fsyncs don't hit rotational/virtio disk.
+    *     A durable deployment points this at HDFS/S3 instead — the knob is
+    *     the location, the layout is identical.
+    * No-data micro-batches are disabled: every query run this way emits
+    * its results in data batches (append dedup/inner join emit
+    * immediately; complete/update modes emit per batch), so the extra
+    * watermark-advancing empty batch only pays another full state commit
+    * round without changing the drained result. */
+  def drained[T](spark: org.apache.spark.sql.SparkSession, partitions: Int = 4)
+                (body: String => T): T = {
+    val pKey = "spark.sql.shuffle.partitions"
+    val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevP = spark.conf.get(pKey)
+    val prevN = spark.conf.getOption(nKey)
+    val base =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(base), "graft-ckpt-")
+    spark.conf.set(pKey, partitions.toString)
+    spark.conf.set(nKey, "false")
+    try body(ckpt.toString)
+    finally {
+      spark.conf.set(pKey, prevP)
+      prevN.fold(spark.conf.unset(nKey))(spark.conf.set(nKey, _))
+      scala.util.Try {
+        val walk = java.nio.file.Files.walk(ckpt)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => scala.util.Try(java.nio.file.Files.delete(p)))
+        finally walk.close()
+      }
+    }
+  }
+
   /** Convenience: the standard sink shape (memory table for tests,
     * parquet+checkpoint in production). */
   def startMemorySink(df: DataFrame, name: String, mode: OutputMode) =
