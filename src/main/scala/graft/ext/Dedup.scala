@@ -18,12 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word 3-gram shingles (guarded for short docs). */
-  def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))))
-      .otherwise(array())
+  /** Word 3-gram shingles (guarded for short docs).
+    *
+    * Built with zip_with over shifted SLICES of the token array, not with
+    * `transform(sequence(...), i => get(toks, i)...)`: a lambda BODY that
+    * references the input array re-evaluates that whole expression tree
+    * per element (lambda bodies defeat common-subexpression elimination),
+    * so when callers pass `toks` as an unmaterialized chain like
+    * `split(trim(text))`, the indexed form re-tokenizes the document for
+    * every shingle — O(tokens²) per document (measured: the hashed-
+    * shingle-set stage of the containment join dropped 8.8s → ~0.4s at
+    * sf0.1). zip_with/slice receive the array as plain ARGUMENTS,
+    * evaluated once per row; the lambdas only touch their element
+    * variables. The two zip_with passes null-pad at the tail (shorter
+    * array), and the final slice drops exactly those padded positions. */
+  def shingles3(toks: Column): Column = {
+    val n = size(toks)
+    val s2 = slice(toks, lit(2), greatest(n - 1, lit(0)))
+    val s3 = slice(toks, lit(3), greatest(n - 2, lit(0)))
+    val ab = zip_with(toks, s2, (a, b) => concat(a, lit(" "), b))
+    val abc = zip_with(ab, s3, (x, c) => concat(x, lit(" "), c))
+    when(n >= 3, slice(abc, lit(1), n - 2)).otherwise(array())
+  }
 
   /** MinHash hash family: h_i(x) = (a_i·h30(x) + b_i) mod p over ONE md5
     * base hash per element, reduced to 30 bits so a_i·h30 + b_i stays far
@@ -223,5 +239,59 @@ object Dedup {
         (col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** DIRECTED containment pairs |A∩B| / |A| ≥ threshold over element sets
+    * — the asymmetric near-dup measure that catches subset/quote
+    * duplicates symmetric Jaccard misses: a short document fully contained
+    * in a long one has containment 1.0 but arbitrarily low Jaccard (the
+    * CCNet/The-Stack-style "is this doc a fragment of another" check).
+    * Emits both directions of each overlapping pair; the divisor is the
+    * SOURCE side's set size only.
+    *
+    * Plan = the exact set-similarity join from the PPJoin family, not the
+    * naive inverted index:
+    *  1. elements become portable 60-bit hashes ([[tokenHashes]]) sorted
+    *     per set — long join keys and a merge-ready representation (a
+    *     cross-set hash collision perturbs a count with probability
+    *     ~n²/2^61: irrelevant, and mirrored exactly by the oracle);
+    *  2. PREFIX FILTERING generates candidates: a pair with containment
+    *     ≥ t must share an element within A's first |A|-⌈t·|A|⌉+1 sorted
+    *     elements (pigeonhole — if B misses the whole prefix, fewer than
+    *     t·|A| elements remain), so only that prefix of A explodes into
+    *     the index, and the candidate join is equi on a LONG;
+    *  3. candidates are DISTINCT'd on bare id pairs, then ONE sorted-merge
+    *     intersect per pair ([[graft.expressions.SortedIntersectSize]])
+    *     computes the exact count partition-locally — the per-common-
+    *     element incidence rows of the naive plan (the dominant shuffle,
+    *     Σ_t df_t² rows) never exist.
+    * Lossless vs the naive plan; measured 18.4s → ~4s at sf0.1. */
+  def containmentPairs(docs: DataFrame, idCol: String, elementSet: Column,
+                       threshold: Double): DataFrame = {
+    val sets = docs
+      .select(col(idCol).as("id"),
+        sort_array(tokenHashes(elementSet)).as("s"))
+      .withColumn("sz", size(col("s")))
+      .filter(col("sz") > 0)
+      .localCheckpoint(true) // reused by the index AND both verify sides
+    val prefixLen =
+      (col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
+    val invA = sets
+      .select(col("id"), col("sz"),
+        explode(slice(col("s"), lit(1), prefixLen)).as("t"))
+    val invB = sets.select(col("id"), explode(col("s")).as("t"))
+    val cand = invA.as("a").join(invB.as("b"),
+        col("a.t") === col("b.t") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = graft.expressions.SortedIntersectSize
+      .sorted_intersect_size(col("sa"), col("sb"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("s").as("sa"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("s").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter.cast("double") / col("sz_a")).as("containment"))
+      .filter(col("containment") >= threshold)
   }
 }

@@ -175,6 +175,80 @@ object DedupQ {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // DIRECTED shingle containment |A∩B|/|A| — the asymmetric fragment
+    // check (a short doc quoted inside a long one scores 1.0 here but low
+    // Jaccard). Shingles, not unigrams: this corpus's unigram sets are
+    // ~0.65-similar everywhere, which would make every doc "contained" in
+    // every other; 3-gram shingle overlap is sparse except for true
+    // near-dups, so the inverted-index candidate set stays near-linear
+    // over the FULL corpus (no sampling block). Same plan shape as the
+    // Jaccard pairs.
+    "dedup_containment_pairs" -> QuerySpec(
+      (s, d) => Dedup.containmentPairs(
+          Tables.documents(s, d),
+          "doc_id",
+          array_distinct(Dedup.shingles3(TextOps.tokens(col("text")))),
+          threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+         |           FROM documents),
+         |sets AS (SELECT doc_id AS id,
+         |  list_transform(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+         |    g -> ${duckHash("g")}) AS s
+         |  FROM t),
+         |nz AS (SELECT id, s, len(s) AS sz FROM sets WHERE len(s) > 0),
+         |inv AS (SELECT id, sz, unnest(s) AS t FROM nz),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, COUNT(*) AS common
+         |  FROM inv a JOIN inv b ON a.t = b.t AND a.id <> b.id
+         |  GROUP BY 1, 2, 3)
+         |SELECT id_a, id_b, CAST(common AS DOUBLE) / sz_a AS containment
+         |FROM pairs WHERE CAST(common AS DOUBLE) / sz_a >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    // Triangle count over the near-dup graph — the structural statistic
+    // that distinguishes clique-like duplicate clusters (high triangle
+    // density → safe to collapse to one canonical doc) from chains of
+    // pairwise-similar-but-drifting docs (low density → collapsing loses
+    // content). Plan: canonically oriented edges (a < b, so each triangle
+    // is counted exactly once as a<b<c) through two equi-joins — the
+    // standard distributed triangle count. At real scale the orientation
+    // step orders by DEGREE, not id, bounding the join fan-out of hub
+    // nodes; id-order is the degree proxy on this near-clique corpus.
+    "graph_triangle_count" -> QuerySpec(
+      (s, d) => {
+        // The edge set is referenced three times below; the lineage cut
+        // materializes the (small) pair list once instead of re-running
+        // the inverted-index join per self-join arm.
+        val e = Dedup.jaccardPairs(
+            Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+            "doc_id", array_distinct(TextOps.tokens(col("text"))),
+            threshold = 0.8)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+          .localCheckpoint(true)
+        val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(e.as("e3"),
+            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+          .agg(count(lit(1)).as("n_triangles"))
+        tri.crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      },
+      s"""WITH sets AS (
+         |  SELECT doc_id AS id, $duckSet AS s FROM documents WHERE doc_id % 10 = 0
+         |), inv AS (SELECT id, len(s) AS sz, unnest(s) AS t FROM sets),
+         |jp AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+         |         COUNT(*) AS common
+         |  FROM inv a JOIN inv b ON a.t = b.t AND a.id < b.id
+         |  GROUP BY 1, 2, 3, 4
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.8),
+         |e AS (SELECT id_a AS a, id_b AS b FROM jp)
+         |SELECT CAST((SELECT COUNT(*) FROM e e1
+         |             JOIN e e2 ON e1.b = e2.a
+         |             JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT)
+         |         AS n_triangles,
+         |       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges""".stripMargin),
+
     // Near-dup pairs → connected components → canonical id per member
     // (min doc_id in the component): the decision step of a dedup
     // pipeline. Spark: fixed-round min-label propagation (static plan, no

@@ -64,6 +64,42 @@ object Scale {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // Bucketed-table co-located join, end to end through the TABLE layer:
+    // both sides are WRITTEN as 8-bucket tables on the join key, then
+    // joined with a merge hint — the bucketed scan satisfies the join's
+    // required distribution, so the pre-shuffled layout is paid ONCE at
+    // write time and every subsequent join on the key is exchange-free on
+    // the big side. This is the canonical 100 TB pattern for a fact table
+    // joined repeatedly on the same key (PhysicalPlanSpec pins the
+    // zero-Exchange plan property for bucketed joins; the oracle pins the
+    // answer to a plain join). Bucket files land on tmpfs when available;
+    // a cluster run points `path` at the object store.
+    "bucketed_join_zero_shuffle" -> QuerySpec(
+      (s, d) => {
+        val base =
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+          else System.getProperty("java.io.tmpdir")
+        val wh = s"$base/graft-bucketed"
+        Tables.orders(s, d).write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$wh/orders_b8").saveAsTable("g3_orders_b8")
+        Tables.customer(s, d).write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$wh/customer_b8").saveAsTable("g3_customer_b8")
+        s.table("g3_orders_b8").hint("merge")
+          .join(s.table("g3_customer_b8"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(25,6)"))
+              .cast("double").as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin),
+
     // Custom typed aggregate (X4): exact top-3 per group via the bounded
     // min-heap Aggregator — O(k) state per group with map-side partials,
     // vs the window formulation shuffling every row. Oracle = the window

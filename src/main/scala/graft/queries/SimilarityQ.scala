@@ -153,6 +153,49 @@ object SimilarityQ {
         |       (CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * 281474976710656.0
         |          AS BIGINT)) AS DOUBLE) / 281474976710656.0) / COUNT(*) AS centroid
         |FROM embeddings CROSS JOIN range(1, 65) t(i)
-        |GROUP BY label, i ORDER BY label, i""".stripMargin)
+        |GROUP BY label, i ORDER BY label, i""".stripMargin),
+
+    // Symmetric per-vector int8 quantization — the 4× storage/bandwidth
+    // compression an ANN index applies before sharding (q_i = round(v_i ·
+    // 127/max|v|), reconstruct as q_i·max|v|/127). Pure per-row
+    // expressions, zero shuffle at any corpus size. Exact parity: float→
+    // double casts, one division 127/max, one multiply, then floor(x+0.5)
+    // — every step an identical IEEE op in both engines (round() is NOT
+    // portable: Spark rounds the decimal string HALF_UP, DuckDB rounds the
+    // binary; floor is bit-exact). Quantized codes render as a CSV string
+    // (checker can't hash arrays); q_sum is an integer checksum.
+    "embedding_quantize_int8" -> QuerySpec(
+      (s, d) => {
+        val vd = transform(col("embedding"), x => x.cast("double"))
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), vd.as("v"))
+          .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+          .filter(col("maxabs") > 0)
+          .withColumn("q", transform(col("v"),
+            x => floor(x * (lit(127.0) / col("maxabs")) + lit(0.5))))
+          .select(col("vec_id"), col("maxabs"),
+            array_join(transform(col("q"), _.cast("string")), ",").as("q_str"),
+            aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"))
+          .orderBy("vec_id")
+      },
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS maxabs
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, maxabs,
+        |         list_transform(v, x ->
+        |           CAST(floor(x * (127.0 / maxabs) + 0.5) AS BIGINT)) AS qv
+        |  FROM m WHERE maxabs > 0)
+        |SELECT vec_id, maxabs,
+        |       array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',')
+        |         AS q_str,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+        |            (a, b) -> a + b) AS BIGINT) AS q_sum
+        |FROM q ORDER BY vec_id""".stripMargin)
   )
 }

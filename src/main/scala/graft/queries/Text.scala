@@ -416,6 +416,78 @@ object Text {
          |      c -> CAST(ascii(c) AS BIGINT))),
          |    (a, b) -> (a * 31 + b) % ${TextOps.RollMod}) AS roll_hash,
          |  md5(array_to_string(list_sort(list_distinct($duckToks)), ' ')) AS bow_md5
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Sliding-window token chunking (window 50, stride 25) — the
+    // context-length splitter that turns documents into training
+    // sequences with overlap. Per-row explode of a start-offset sequence
+    // + array slice: no shuffle, output volume = tokens/stride per doc at
+    // any corpus size. Chunks are identified by (doc_id, chunk_id) and
+    // content-addressed with an md5 fingerprint — the chunk table an
+    // LLM-data pipeline persists for packing/dedup downstream.
+    "text_chunk_sliding" -> QuerySpec(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(25))).as("start"))
+        .select(col("doc_id"), expr("start div 25").as("chunk_id"),
+          slice(col("toks"), col("start") + 1, lit(50)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_toks"),
+          md5(array_join(col("chunk"), " ")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id"),
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 25)) AS start
+        |      FROM t),
+        |c AS (SELECT doc_id, start // 25 AS chunk_id,
+        |             toks[start + 1 : start + 50] AS chunk FROM s)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(len(chunk) AS BIGINT) AS n_toks,
+        |       md5(array_to_string(chunk, ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // Deterministic source-mixture sampling — the data-mixing step that
+    // assembles a training set from heterogeneous sources at declared
+    // rates (keep 100% of high-quality sources, 50% of mid, 25% of the
+    // rest). Selection is a content-hash coin per (source, doc) — exactly
+    // reproducible across runs, engines, and cluster layouts, unlike
+    // rand()-based sampling. Pure scan+filter then one aggregation on the
+    // source key: no data movement before the (tiny) per-source rollup.
+    "dataset_mixture_weights" -> QuerySpec(
+      (s, d) => {
+        val rate = when(col("source")
+            .isin("src0", "src1", "src2", "src3", "src4"), 100)
+          .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 50)
+          .otherwise(25)
+        Tables.documents(s, d)
+          .withColumn("keep",
+            pmod(TextOps.hash64(concat_ws(":", col("source"),
+              col("doc_id").cast("string"))), lit(100)) < rate)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("achieved_rate",
+            col("n_kept").cast("double") / col("n_total"))
+          .orderBy("source")
+      },
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |       CAST(SUM(CASE WHEN
+        |         CAST(('0x' || substr(md5(source || ':' ||
+        |           CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 100 <
+        |         CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |              THEN 100
+        |              WHEN source IN ('src5','src6','src7','src8','src9')
+        |              THEN 50 ELSE 25 END
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN
+        |         CAST(('0x' || substr(md5(source || ':' ||
+        |           CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) % 100 <
+        |         CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |              THEN 100
+        |              WHEN source IN ('src5','src6','src7','src8','src9')
+        |              THEN 50 ELSE 25 END
+        |         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS achieved_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
   )
 }

@@ -91,8 +91,11 @@ class PhysicalPlanSpec extends SparkSpec {
     // The three near-dup pair plans must generate candidates through an
     // equi-join on a blocking key (band value / LSH bucket), never a
     // cartesian or nested-loop pair enumeration over the corpus.
+    // (graph_triangle_count is excluded: its triangle joins are equi-keyed
+    // but it deliberately cross-joins two single-row aggregates at the end)
     Seq("dedup_simhash", "dedup_embedding_cosine", "fuzzy_match_levenshtein",
-        "events_interval_overlap", "similarity_knn_join")
+        "events_interval_overlap", "similarity_knn_join",
+        "dedup_containment_pairs")
       .foreach { name =>
         val p = plan(SparkEntry.registry(name).fn(spark, sf))
         assert(!p.contains("CartesianProduct"),
@@ -100,5 +103,19 @@ class PhysicalPlanSpec extends SparkSpec {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join:\n$p")
       }
+  }
+
+  test("declared bucketed join: merge join consumes the bucketed layout") {
+    // The query writes both sides as 8-bucket tables and joins with a
+    // merge hint; the bucketed scans must satisfy the join's required
+    // distribution — no Exchange on either join input (the only Exchange
+    // in the plan belongs to the downstream per-segment aggregation).
+    val q = SparkEntry.registry("bucketed_join_zero_shuffle").fn(spark, sf)
+    val p = plan(q)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("Bucketed: true"), p)
+    val joinSubtree = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinSubtree.contains("Exchange"),
+      s"bucketed join inputs should not shuffle:\n$p")
   }
 }

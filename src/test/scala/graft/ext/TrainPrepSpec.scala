@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-3 training-data operators: directed containment, sliding-window
+  * chunking invariants, int8 quantization bounds, triangle counting. */
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("containmentPairs: subset doc scores 1.0 toward superset, not back") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c")),           // contained in doc 2
+      (2L, Seq("a", "b", "c", "d", "e")),
+      (3L, Seq("x", "y", "z"))            // disjoint
+    ).toDF("id", "s")
+    val got = Dedup.containmentPairs(docs, "id", col("s"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 1→2 fully contained; 2→1 only 3/5 = 0.6 (below threshold); 3 nowhere
+    assert(got == Set((1L, 2L, 1.0)))
+  }
+
+  test("containmentPairs is direction-sensitive below 1.0") {
+    val docs = Seq(
+      (1L, Seq("a", "b")),
+      (2L, Seq("a", "b", "c", "d"))
+    ).toDF("id", "s")
+    val got = Dedup.containmentPairs(docs, "id", col("s"), threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((2L, 1L)) == 0.5)
+  }
+
+  test("sliding chunks: count = ceil(n/stride), full coverage, window bound") {
+    val text = (1 to 137).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = df
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(25))).as("start"))
+      .select(col("start"),
+        slice(col("toks"), col("start") + 1, lit(50)).as("chunk"))
+      .collect()
+    assert(chunks.length == 6) // ceil(137/25)
+    val sizes = chunks.map(_.getSeq[String](1).size)
+    assert(sizes.forall(_ <= 50))
+    // strides cover every token: last chunk starts at 125, ends at 137
+    assert(chunks.map(_.getInt(0)).toSeq.sorted == Seq(0, 25, 50, 75, 100, 125))
+    assert(sizes.sum >= 137) // overlap means total >= n
+  }
+
+  test("int8 quantization: codes within [-127, 127], max|v| hits ±127") {
+    val df = Seq((1L, Array(0.5f, -2.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = df
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", transform(col("v"),
+        x => floor(x * (lit(127.0) / col("maxabs")) + lit(0.5))))
+      .head().getSeq[Long](3)
+    assert(q.forall(c => c >= -127 && c <= 127))
+    assert(q(1) == -127) // the max-magnitude component saturates exactly
+    assert(q(3) == 0)
+  }
+
+  test("triangle count: one triangle plus a dangling edge counts 1") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .count()
+    assert(tri == 1L)
+  }
+
+  test("mixture sampling: rate-100 sources keep everything, hash is stable") {
+    val df = (0L to 99L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    def kept() = df.filter(
+      pmod(TextOps.hash64(concat_ws(":", col("source"),
+        col("doc_id").cast("string"))), lit(100)) < lit(100))
+      .count()
+    assert(kept() == 100) // rate 100 keeps all
+    val r50 = df.filter(
+      pmod(TextOps.hash64(concat_ws(":", col("source"),
+        col("doc_id").cast("string"))), lit(100)) < lit(50)).count()
+    val r50again = df.filter(
+      pmod(TextOps.hash64(concat_ws(":", col("source"),
+        col("doc_id").cast("string"))), lit(100)) < lit(50)).count()
+    assert(r50 == r50again) // deterministic, not rand()
+    assert(r50 > 20 && r50 < 80) // hash actually spreads
+  }
+}

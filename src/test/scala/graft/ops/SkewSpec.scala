@@ -49,6 +49,46 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed shuffle partition at runtime (skew join)") {
+    // The runtime counterpart of manual salting: one key carries ~99% of
+    // the left side; with AQE skew-join on (and thresholds scaled down to
+    // test-sized data), the sort-merge join's skewed partition must be
+    // split into multiple reader tasks — the final adaptive plan marks the
+    // join/read with the skew flag. This is the zero-code-change
+    // mitigation a 100 TB job relies on when skew is discovered at
+    // runtime rather than known upfront.
+    val prev = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000)
+        .select(lit(0L).as("k"), concat(lit("pad-pad-pad-pad-"),
+          col("id")).as("payload"))
+        .unionAll(spark.range(2000).select((col("id") % 50 + 1).as("k"),
+          col("id").cast("string").as("payload")))
+      val right = spark.range(51).select(col("id").as("k"),
+        concat(lit("seg_"), col("id")).as("seg"))
+        .repartition(8) // keep the dim side big enough to stay sort-merge
+      val joined = left.join(right.hint("merge"), Seq("k"))
+      // AQE finalizes the plan only on execution, and only on THIS
+      // QueryExecution (df.write would clone a fresh one) — drive the
+      // physical RDD directly, then inspect the finalized adaptive plan.
+      joined.queryExecution.toRdd.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally prev.keys.foreach { k =>
+      if (k == "spark.sql.adaptive.enabled") spark.conf.set(k, "true")
+      else spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join") {
     val left = Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4)).toDF("k", "lv")
     val right = Seq(("a", "x"), ("b", "y")).toDF("k", "rv")
