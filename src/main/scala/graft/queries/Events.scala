@@ -375,6 +375,80 @@ object Events {
         |FROM events WHERE user_id < 100
         |GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // The FULL arbitrary-state API on the oracle-checked path: gap-based
+    // sessionization via flatMapGroupsWithState with an EVENT-TIME
+    // timeout, run by the real engine and drained. Emission semantics are
+    // exactly what the oracle reproduces:
+    //  - within the (single) data batch, every session a user CLOSES by
+    //    starting a new one is emitted immediately;
+    //  - each user's final session stays in state with timeout
+    //    last + 30min, and is emitted only when the no-data batch's
+    //    watermark (global max event time − 10min) advances strictly past
+    //    that deadline — so per-user trailing sessions inside the
+    //    watermark frontier are correctly WITHHELD, and the oracle
+    //    replicates that frontier arithmetic;
+    //  - the state fold compares gaps in MILLISECONDS
+    //    (java.sql.Timestamp.getTime), so the oracle sessionizes over
+    //    epoch_ms too (µs-level gaps straddling a ms boundary must not
+    //    split differently);
+    //  - only arrival-order-free columns project (session start second,
+    //    event count): the double `total` kept in the state API would
+    //    expose FP accumulation order, so it stays out of the contract.
+    "events_stream_sessions" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.Trigger
+        val stream = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .filter(col("user_id") < 50)
+          .select(col("user_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts_utc"),
+            col("value"))
+          .as[graft.streaming.Streams.SessionEvent]
+        val sessions = graft.streaming.Streams.expiringSessions(stream)
+        val sinkName = "q_events_stream_sessions"
+        graft.streaming.Streams.drained(s, noDataBatches = true) { ckpt =>
+          val q = sessions.toDF().writeStream
+            .outputMode("append")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.table(sinkName)
+          .select(col("user_id"),
+            date_format(col("session_start"), fmt).as("session_start"),
+            col("n"))
+          .orderBy("user_id", "session_start")
+      },
+      """WITH e AS (
+        |  SELECT user_id, ts, epoch_ms(ts) AS ms FROM events
+        |  WHERE user_id < 50),
+        |t AS (
+        |  SELECT user_id, ts, ms,
+        |         CASE WHEN ms - lag(ms) OVER
+        |                (PARTITION BY user_id ORDER BY ts) > 1800000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts, ms,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, sid, MIN(ts) AS st, MAX(ms) AS last_ms,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s GROUP BY 1, 2),
+        |wm AS (SELECT MAX(ms) - 600000 AS w FROM e),
+        |last_sid AS (SELECT user_id, MAX(sid) AS maxsid FROM sess GROUP BY 1)
+        |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start, n
+        |FROM sess JOIN last_sid USING (user_id) CROSS JOIN wm
+        |WHERE sid < maxsid OR last_ms + 1800000 < w
+        |ORDER BY user_id, session_start""".stripMargin),
+
     // As-of (backward) join: each click enriched with the most recent
     // purchase at-or-before it for the same user. The engine composes
     // union + ordered-window carry-forward (see ops.AsOfJoin); the oracle

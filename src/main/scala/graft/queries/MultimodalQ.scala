@@ -82,6 +82,45 @@ object MultimodalQ {
       """SELECT doc_id AS asset_id,
         |       array_to_string(list_transform(range(0, 4),
         |         i -> hex(encode(substring(text, i*64 + 1, 64)))), ',') AS frames
-        |FROM documents ORDER BY asset_id""".stripMargin)
+        |FROM documents ORDER BY asset_id""".stripMargin),
+
+    // The partition-batched decoder harness END TO END on the declared
+    // path: assets → typed Dataset → mapPartitions decode (per-partition
+    // init, the honest home for a real codec/model handle) → features.
+    // The decode is the documented deterministic stub (byte stats + a
+    // fixed-width byte projection standing in for an image/audio feature
+    // vector), so the oracle reproduces it over character codes (corpus
+    // is pure ASCII: byte k == ascii of char k). Feature components are
+    // FLOAT math (byte/255 in single precision, like a real feature
+    // extractor) widened losslessly to double for hashing.
+    "multimodal_decode_batch" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val assets = Multimodal.assetTable(Tables.documents(s, d))
+          .select(col("asset_id"), col("bytes")).as[Multimodal.Asset]
+        val feats = (0 until 8).map(j =>
+          element_at(col("feature"), j + 1).cast("double").as(s"f$j"))
+        Multimodal.decodePartitions(assets).toDF()
+          .select(Seq(col("asset_id"), col("n_bytes"), col("mean_byte"))
+            ++ feats: _*)
+          .orderBy("asset_id")
+      },
+      {
+        val feats = (0 until 8).map(j =>
+          s"CAST(CAST(bytes[($j % n_bytes) + 1] AS FLOAT) / " +
+            s"CAST(255 AS FLOAT) AS DOUBLE) AS f$j").mkString(",\n|       ")
+        s"""WITH b AS (
+           |  SELECT doc_id AS asset_id,
+           |         octet_length(encode(text)) AS n_bytes,
+           |         list_transform(list_filter(string_split(text, ''),
+           |           c -> c <> ''), c -> ascii(c)) AS bytes
+           |  FROM documents)
+           |SELECT asset_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |         list_transform(bytes, x -> CAST(x AS BIGINT))),
+           |         (a, b) -> a + b) AS DOUBLE) / n_bytes AS mean_byte,
+           |       $feats
+           |FROM b ORDER BY asset_id""".stripMargin
+      })
   )
 }

@@ -159,12 +159,17 @@ object Streams {
     *     host has one, so commit fsyncs don't hit rotational/virtio disk.
     *     A durable deployment points this at HDFS/S3 instead — the knob is
     *     the location, the layout is identical.
-    * No-data micro-batches are disabled: every query run this way emits
-    * its results in data batches (append dedup/inner join emit
+    * No-data micro-batches are disabled by default: most queries run this
+    * way emit their results in data batches (append dedup/inner join emit
     * immediately; complete/update modes emit per batch), so the extra
     * watermark-advancing empty batch only pays another full state commit
-    * round without changing the drained result. */
-  def drained[T](spark: org.apache.spark.sql.SparkSession, partitions: Int = 4)
+    * round without changing the drained result. Pass `noDataBatches =
+    * true` for queries whose emission REQUIRES the final watermark
+    * advance — event-time TIMEOUTS (flatMapGroupsWithState) and append-
+    * mode windowed aggregations only release rows when a later batch
+    * moves the watermark past them. */
+  def drained[T](spark: org.apache.spark.sql.SparkSession, partitions: Int = 4,
+                 noDataBatches: Boolean = false)
                 (body: String => T): T = {
     val pKey = "spark.sql.shuffle.partitions"
     val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -176,7 +181,7 @@ object Streams {
     val ckpt = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(base), "graft-ckpt-")
     spark.conf.set(pKey, partitions.toString)
-    spark.conf.set(nKey, "false")
+    spark.conf.set(nKey, noDataBatches.toString)
     try body(ckpt.toString)
     finally {
       spark.conf.set(pKey, prevP)

@@ -250,4 +250,24 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == want)
   }
+
+  test("drained restores session conf and cleans its checkpoint dir") {
+    val pKey = "spark.sql.shuffle.partitions"
+    val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val before = spark.conf.get(pKey)
+    var ckptSeen: String = null
+    Streams.drained(spark, partitions = 2) { ckpt =>
+      ckptSeen = ckpt
+      assert(spark.conf.get(pKey) == "2")
+      assert(spark.conf.get(nKey) == "false")
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(ckpt)))
+    }
+    assert(spark.conf.get(pKey) == before, "shuffle partitions not restored")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ckptSeen)),
+      "checkpoint dir not cleaned up")
+    // timeout-dependent queries opt back into no-data batches
+    Streams.drained(spark, noDataBatches = true) { _ =>
+      assert(spark.conf.get(nKey) == "true")
+    }
+  }
 }
