@@ -138,6 +138,33 @@ object Etl {
       """SELECT s_suppkey, s_name, s_nationkey
         |FROM supplier ORDER BY s_suppkey""".stripMargin),
 
+    // Schema evolution across ingestion batches — the 100 TB reality that
+    // older files lack columns newer ones carry. Batch 1 is written
+    // WITHOUT n_regionkey, batch 2 WITH it; the mergeSchema read unifies
+    // the footers (no rewrite of old data) and old rows surface the new
+    // column as NULL, normalized here with a sentinel. The oracle derives
+    // the same frontier from the key split.
+    "schema_evolution_merge_scan" -> QuerySpec(
+      (s, d) => {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_evo_${Integer.toHexString(d.hashCode)}").getPath
+        Tables.nation(s, d).filter(col("n_nationkey") < 13)
+          .select("n_nationkey", "n_name")
+          .write.mode("overwrite").parquet(s"$dir/v1")
+        Tables.nation(s, d).filter(col("n_nationkey") >= 13)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .write.mode("overwrite").parquet(s"$dir/v2")
+        s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+          .select(col("n_nationkey"), col("n_name"),
+            coalesce(col("n_regionkey"), lit(-1L)).cast("long")
+              .as("n_regionkey"))
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name,
+        |       CAST(CASE WHEN n_nationkey < 13 THEN -1
+        |            ELSE n_regionkey END AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
     // C6 — entity typing from null patterns (insert.py:16-25). Nulls are
     // derived via NULLIF so all four null combinations occur.
     "entity_type_derivation" -> QuerySpec(

@@ -230,6 +230,36 @@ object Warehouse {
         |           ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
         |  FROM orders)
         |GROUP BY o_orderpriority, quartile
-        |ORDER BY o_orderpriority, quartile""".stripMargin)
+        |ORDER BY o_orderpriority, quartile""".stripMargin),
+
+    // Incremental aggregate maintenance — the materialized-view update
+    // pattern: keep PARTIAL aggregate state (count + exact decimal sum)
+    // per group, fold a new delta batch's partials in, and the merged
+    // state must equal a full recompute (which is what the oracle runs).
+    // This is what makes daily 100 TB rollups affordable: the base
+    // partials are table-sized-once, each delta touches only its own
+    // groups, and decimal sums make the merge order-insensitive so
+    // re-aggregation cannot drift from the from-scratch answer.
+    "incremental_agg_maintenance" -> QuerySpec(
+      (s, d) => {
+        def partials(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(25,6)")).as("rev"))
+        val base = partials(Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 =!= 0))   // yesterday's state
+        val delta = partials(Tables.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 0))   // today's batch
+        base.unionByName(delta)
+          .groupBy("o_orderpriority")
+          .agg(sum("n").cast("long").as("n_orders"),
+            sum("rev").cast("double").as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
   )
 }
