@@ -235,6 +235,31 @@ object Analytic {
         |       replace(p_brand, 'Brand', 'B') AS repl
         |FROM part ORDER BY p_partkey""".stripMargin),
 
+    // Remaining ranking/navigation window functions: cumulative
+    // distribution (exact integer ratio → identical IEEE division both
+    // engines) and nth_value over the full frame.
+    "window_dist_nth" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        Tables.customer(s, d)
+          .filter(col("c_custkey") < 500)
+          .select(col("c_mktsegment"), col("c_custkey"),
+            cume_dist().over(w).as("cd"),
+            nth_value(col("c_custkey"), 3).over(wf).as("third_richest"))
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      """SELECT c_mktsegment, c_custkey,
+        |       cume_dist() OVER w AS cd,
+        |       nth_value(c_custkey, 3) OVER (w ROWS BETWEEN UNBOUNDED
+        |         PRECEDING AND UNBOUNDED FOLLOWING) AS third_richest
+        |FROM customer WHERE c_custkey < 500
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin),
+
     // Exact math scalar surface (IEEE-exact ops only — no libm drift).
     "math_functions" -> QuerySpec(
       (s, d) => Tables.customer(s, d)

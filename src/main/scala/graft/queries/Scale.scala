@@ -64,6 +64,36 @@ object Scale {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // Small-file compaction — the table-maintenance pass every streaming/
+    // incremental ingest needs: a 64-shard "small files" layout is
+    // rewritten to a handful of right-sized files (real jobs target
+    // bytes; the fixed count keeps the oracle deterministic). Verified on
+    // three axes: row count survives, CONTENT survives (exact id
+    // checksum), and the physical file count after compaction is the
+    // target (counted from input_file_name() — the scan actually reads
+    // the compacted layout, not a metadata claim).
+    "compaction_small_files" -> QuerySpec(
+      (s, d) => {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_compact_${Integer.toHexString(d.hashCode)}").getPath
+        Tables.events(s, d).select("event_id", "user_id", "value")
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$dir/small")
+        s.read.parquet(s"$dir/small").repartition(4)
+          .write.mode("overwrite").parquet(s"$dir/compact")
+        s.read.parquet(s"$dir/compact")
+          // nondeterministic exprs can't sit inside an aggregate — bind
+          // the file name as a column first
+          .withColumn("f", input_file_name())
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("f")).cast("long").as("n_files"),
+            sum(col("event_id")).cast("long").as("id_sum"))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(4 AS BIGINT) AS n_files,
+        |       CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events""".stripMargin),
+
     // Bucketed-table co-located join, end to end through the TABLE layer:
     // both sides are WRITTEN as 8-bucket tables on the join key, then
     // joined with a merge hint — the bucketed scan satisfies the join's
