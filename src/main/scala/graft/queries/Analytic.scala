@@ -729,6 +729,63 @@ object Analytic {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin),
 
+    // SQL frontend, TPC-H Q18 shape (large-volume customers): an IN
+    // subquery over a grouped HAVING — the "find the heavy keys, then
+    // join back for detail" pattern. Catalyst rewrites the IN to a
+    // semi-join on the aggregated key set; the detail join never scans
+    // more than the qualifying orders.
+    "sql_frontend_q18" -> QuerySpec(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT c_name, c_custkey, o_orderkey,
+                 CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+          FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+                          JOIN v_lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderkey IN (
+            SELECT l_orderkey FROM v_lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 300)
+          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 100""")
+          .withColumn("o_orderdate",
+            date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      },
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_totalprice,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin),
+
+    // ANSI-safe error handling: try_cast / try_divide return NULL where
+    // strict ANSI evaluation would raise — the ingestion-grade behavior
+    // for dirty inputs (Spark 4 ships ANSI on by default, so the try_*
+    // family is the sanctioned escape hatch, not a config flip).
+    "ansi_try_cast" -> QuerySpec(
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          expr("try_cast(c_name AS INT)").as("name_as_int"),
+          expr("try_cast(substring(c_name, 10, 5) AS BIGINT)")
+            .as("name_digits"),
+          expr("try_divide(c_acctbal, c_custkey % 3)").as("safe_div"))
+        .orderBy("c_custkey"),
+      """SELECT c_custkey,
+        |       TRY_CAST(c_name AS INT) AS name_as_int,
+        |       TRY_CAST(substring(c_name, 10, 5) AS BIGINT) AS name_digits,
+        |       c_acctbal / NULLIF(c_custkey % 3, 0) AS safe_div
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
     // SQL frontend, correlated subqueries: EXISTS + NOT EXISTS on the same
     // table — exercises Catalyst's subquery decorrelation (rewrite to
     // semi/anti joins; the plan must not degenerate into a per-row loop).

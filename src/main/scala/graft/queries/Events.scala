@@ -132,6 +132,48 @@ object Events {
         |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin),
 
+    // APPEND-mode watermarked windows through the engine — the other half
+    // of the watermark contract: a window is RELEASED to the sink only
+    // once the watermark (global max event time − 10min) passes its end;
+    // trailing windows still open at end-of-stream are withheld. The
+    // oracle reproduces the released-set boundary exactly. Requires the
+    // no-data batch (that's where the final watermark advance fires), so
+    // drained() runs with noDataBatches = true.
+    "events_stream_append_windows" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val stream = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+          .withColumn("value", col("value").cast("decimal(25,6)"))
+        val agg = graft.streaming.Streams.tumblingHourly(stream)
+        val sinkName = "q_events_stream_append_windows"
+        graft.streaming.Streams.drained(s, noDataBatches = true) { ckpt =>
+          val q = agg.writeStream
+            .outputMode("append")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.table(sinkName)
+          .select(date_format(col("wstart"), fmt).as("wstart"),
+            col("event_type"), col("n"),
+            col("total").cast("double").as("total"))
+          .orderBy("wstart", "event_type")
+      },
+      """WITH wm AS (SELECT MAX(epoch_ms(ts)) - 600000 AS w FROM events)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM events CROSS JOIN wm
+        |GROUP BY 1, 2, wm.w
+        |HAVING epoch_ms(date_trunc('hour', MIN(ts))) + 3600000 <= wm.w
+        |ORDER BY wstart, event_type""".stripMargin),
+
     // Cohort retention matrix: users grouped by first-seen week, distinct
     // active users counted per week offset — the engagement statistic
     // behind every retention dashboard. Week index is an exact integer

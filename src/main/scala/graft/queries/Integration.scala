@@ -129,6 +129,70 @@ object Integration {
         |    (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_suppkey)
         |  UNION ALL SELECT 'customers_with_orders', COUNT(*) FROM customer c
         |    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        |) ORDER BY metric""".stripMargin)
+        |) ORDER BY metric""".stripMargin),
+
+    // E3 — the LLM corpus-prep dataflow as ONE declared query, composing
+    // four verified operators end to end: quality gate → exact dedup
+    // (keep min doc_id per bag-of-words fingerprint) → sliding-window
+    // chunking → per-source yield statistics. The threshold comparison is
+    // safe across engines because the quality doubles themselves
+    // hash-match (text_quality_score), so >= 0.6 selects identical rows.
+    // Plan shape: one window shuffle for the dedup, one explode for
+    // chunking, one final aggregation — the whole corpus passes through
+    // exactly once.
+    "corpus_prep_pipeline" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = Tables.documents(s, d)
+          .withColumn("quality",
+            graft.ext.TextOps.qualityScore(col("text")))
+          .filter(col("quality") >= 0.6)
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        val deduped = scored
+          .withColumn("fp", graft.ext.TextOps.bowFingerprint(col("text")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val chunks = deduped
+          .select(col("source"), col("doc_id"),
+            graft.ext.TextOps.tokens(col("text")).as("toks"))
+          .select(col("source"), col("doc_id"), col("toks"),
+            explode(sequence(lit(0), size(col("toks")) - 1, lit(25)))
+              .as("start"))
+          .select(col("source"), col("doc_id"),
+            size(slice(col("toks"), col("start") + 1, lit(50)))
+              .as("chunk_toks"))
+        chunks.groupBy("source")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum("chunk_toks").cast("long").as("total_tokens"))
+          .orderBy("source")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         string_split(trim(text), ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, toks,
+        |    least(1.0, CAST(len(toks) AS DOUBLE)/100.0)*0.4
+        |    + (CAST(len(list_filter(toks, x -> x IN ('the','a','of','and')))
+        |         AS DOUBLE) / len(toks))*0.3
+        |    + (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |         / length(text))*0.2
+        |    + (1.0 - CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+        |         / length(text))*0.1 AS quality,
+        |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        |  FROM t),
+        |q AS (SELECT * FROM c WHERE quality >= 0.6),
+        |dd AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+        |      AS rn FROM q) WHERE rn = 1),
+        |ch AS (
+        |  SELECT source, doc_id, len(toks[start + 1 : start + 50]) AS chunk_toks
+        |  FROM (SELECT source, doc_id, toks,
+        |          unnest(range(0, len(toks), 25)) AS start FROM dd))
+        |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |       CAST(SUM(chunk_toks) AS BIGINT) AS total_tokens
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin)
   )
 }

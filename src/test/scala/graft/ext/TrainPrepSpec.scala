@@ -63,6 +63,36 @@ class TrainPrepSpec extends SparkSpec {
     assert(q(3) == 0)
   }
 
+  test("int8 quantization: reconstruction error bounded by maxabs/254") {
+    // floor(x·scale + 0.5) with scale = 127/max|v| keeps every component
+    // within half a quantization step: |v − q/scale| ≤ max|v|/254.
+    val gen = org.scalacheck.Gen.listOfN(16,
+      org.scalacheck.Gen.choose(-10.0f, 10.0f))
+    val vecs = org.scalacheck.Gen.listOfN(50, gen).sample.get
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val rows = df
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("maxabs") > 0)
+      .withColumn("q", transform(col("v"),
+        x => floor(x * (lit(127.0) / col("maxabs")) + lit(0.5))))
+      .select(col("v"), col("maxabs"), col("q"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      val maxabs = r.getDouble(1)
+      val q = r.getSeq[Long](2)
+      val scale = 127.0 / maxabs
+      v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(x - c / scale) <= maxabs / 254.0 + 1e-9,
+          s"component $x reconstructs to ${c / scale} (maxabs $maxabs)")
+        assert(c >= -127 && c <= 127)
+      }
+    }
+  }
+
   test("triangle count: one triangle plus a dangling edge counts 1") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
     val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
