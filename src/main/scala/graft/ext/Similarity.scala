@@ -205,4 +205,73 @@ object Similarity {
       .filter(col("rn") <= k).drop("rn")
       .orderBy("q_id", "vec_id")
   }
+
+  /** Squared L2 between two (sub)vectors: zip, diff², sequential fold —
+    * deterministic double order, like [[dot]]. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc: Column, x: Column) => acc + x)
+
+  /** Product-quantization top-k with Asymmetric Distance Computation —
+    * the memory-bound ANN workhorse (IVF-PQ's second stage): vectors are
+    * ENCODED as m sub-space centroid codes (here m sub-slices of the
+    * embedding, codebook = `centroidIds`' stored vectors, deterministic
+    * stand-in for a trained codebook), and the query scores candidates
+    * WITHOUT touching raw vectors — per sub-space it builds a distance
+    * table to every centroid, then each candidate's approximate distance
+    * is the ordered sum of table entries selected by its codes.
+    *
+    * At 100 TB the persisted layout is (vec_id, code_0..code_{m-1}) —
+    * m bytes per vector instead of 4·dim — and scoring is a join of the
+    * code table against a BROADCAST distance table (m·k_centroids
+    * doubles), one shuffle on nothing: exactly the plan below, where
+    * encode and score both run as equi-joins over the tiny centroid set.
+    * Every double (sub-distances, the j-ordered ADC fold) is computed by
+    * the same IEEE op sequence in both engines, so even ties rank
+    * identically. */
+  def pqAdcTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+                centroidIds: Seq[Long], m: Int = 8,
+                dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val cents = embeddings
+      .filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val subIdx = explode(sequence(lit(0), lit(m - 1))).as("j")
+    def subslice(v: Column, j: Column) = slice(v, j * sub + 1, lit(sub))
+    // (vec, j, cent, d): distance of every vector's j-th sub-slice to
+    // every centroid's j-th sub-slice — data × |cents| broadcast × m
+    val dists = embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), col("embedding"), col("cvec"))
+      .select(col("vec_id"), col("cent_id"), subIdx,
+        col("embedding"), col("cvec"))
+      .select(col("vec_id"), col("cent_id"), col("j"),
+        l2sq(subslice(col("embedding"), col("j")),
+          subslice(col("cvec"), col("j"))).as("d"))
+    // codes: per (vec, j) the nearest centroid, ties to the lower cent_id
+    val wCode = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "j").orderBy(asc("d"), asc("cent_id"))
+    val codes = dists
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("cent_id").as("code"))
+    // the query's distance table: (j, cent_id) → qd
+    val qtable = dists.filter(col("vec_id") === queryVecId)
+      .select(col("j"), col("cent_id"), col("d").as("qd"))
+    // ADC = j-ordered sequential fold of the table entries the candidate's
+    // codes select (sum order pinned — a plain SUM(double) would expose
+    // accumulation order)
+    codes.filter(col("vec_id") =!= queryVecId)
+      .filter(!col("vec_id").isin(centroidIds: _*))
+      .join(broadcast(qtable),
+        codes("j") === qtable("j") && col("code") === qtable("cent_id"))
+      .groupBy("vec_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(codes("j"), col("qd")))),
+          e => e.getField("qd")),
+        lit(0.0), (acc: Column, x: Column) => acc + x).as("adc_dist"))
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+      .limit(k)
+  }
 }

@@ -125,6 +125,48 @@ object SimilarityQ {
          |SELECT q_id, vec_id, cos FROM r WHERE rn <= 3
          |ORDER BY q_id, vec_id""".stripMargin),
 
+    // PQ + Asymmetric Distance Computation — the memory-bound ANN stage
+    // after IVF: vectors live as m=8 centroid CODES, the query scores
+    // candidates from a broadcast distance table without touching raw
+    // vectors. Codebook = stored vectors 1..4 (deterministic stand-in for
+    // a trained one); ADC sums are j-ordered folds so double accumulation
+    // is pinned in both engines.
+    "similarity_pq_adc_topk" -> QuerySpec(
+      (s, d) => Similarity.pqAdcTopK(Tables.embeddings(s, d), 0L, 10,
+        centroidIds = (1L to 4L)),
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+        |  WHERE vec_id BETWEEN 1 AND 4),
+        |dists AS (
+        |  SELECT e.vec_id, c.cent_id, js.j,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+        |      i -> (CAST(e.embedding[js.j*8 + i] AS DOUBLE)
+        |              - CAST(c.cvec[js.j*8 + i] AS DOUBLE))
+        |         * (CAST(e.embedding[js.j*8 + i] AS DOUBLE)
+        |              - CAST(c.cvec[js.j*8 + i] AS DOUBLE)))),
+        |      (a, b) -> a + b) AS d
+        |  FROM embeddings e
+        |  CROSS JOIN cents c
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js),
+        |codes AS (
+        |  SELECT vec_id, j, cent_id AS code FROM (
+        |    SELECT vec_id, j, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id, j
+        |             ORDER BY d, cent_id) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |qt AS (SELECT j, cent_id, d AS qd FROM dists WHERE vec_id = 0),
+        |sel AS (
+        |  SELECT codes.vec_id, codes.j, qt.qd
+        |  FROM codes JOIN qt ON codes.j = qt.j AND codes.code = qt.cent_id
+        |  WHERE codes.vec_id <> 0 AND codes.vec_id NOT BETWEEN 1 AND 4),
+        |adc AS (
+        |  SELECT vec_id,
+        |         list_reduce(list_prepend(0.0, list(qd ORDER BY j)),
+        |           (a, b) -> a + b) AS adc_dist
+        |  FROM sel GROUP BY vec_id)
+        |SELECT vec_id, adc_dist FROM adc
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin),
+
     // Per-label centroid vectors — the k-means/IVF training primitive
     // (assign→average). One posexplode + hash aggregation on (label, dim):
     // partial aggregation map-side, scales to any corpus. Exact cross-row

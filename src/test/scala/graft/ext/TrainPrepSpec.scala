@@ -102,6 +102,31 @@ class TrainPrepSpec extends SparkSpec {
     assert(tri == 1L)
   }
 
+  test("degenerate inputs: short docs, empty edge sets, tiny chunks") {
+    // shingles3 on 0/1/2/3 tokens: empty until 3, then exactly one 3-gram
+    val sh = Seq("", "a", "a b", "a b c").toDF("text")
+      .select(Dedup.shingles3(split(trim(col("text")), "\\s+")).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(1).isEmpty && sh(2).isEmpty)
+    assert(sh(3) == Seq("a b c"))
+    // containment over docs whose shingle sets are empty: no pairs, no throw
+    val tiny = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(tiny, "doc_id",
+      array_distinct(Dedup.shingles3(split(trim(col("text")), "\\s+"))), 0.5)
+    assert(pairs.count() == 0)
+    // connected components over an empty edge list: empty result, no throw
+    val noEdges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(noEdges, "id_a", "id_b",
+      rounds = 2, verifyConverged = true).count() == 0)
+    // chunking a single-token doc: one chunk of one token
+    val one = Seq(Seq("tok")).toDF("toks")
+      .select(explode(sequence(lit(0), size(col("toks")) - 1, lit(25)))
+        .as("start"), col("toks"))
+      .select(slice(col("toks"), col("start") + 1, lit(50)).as("chunk"))
+      .collect()
+    assert(one.length == 1 && one.head.getSeq[String](0) == Seq("tok"))
+  }
+
   test("mixture sampling: rate-100 sources keep everything, hash is stable") {
     val df = (0L to 99L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     def kept() = df.filter(
