@@ -768,6 +768,34 @@ object Analytic {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin),
 
+    // The DataFrameNaFunctions surface (na.fill / na.drop / na.replace) —
+    // the missing-data API an ETL user reaches for first. Nulls are
+    // derived deterministically (nullif), then: drop rows where BOTH
+    // audited columns are null, fill the remaining balance nulls with a
+    // sentinel, and recode a categorical through na.replace. The oracle
+    // phrases the same semantics as predicates/COALESCE/CASE.
+    "na_fill_drop_replace" -> QuerySpec(
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+          nullif(col("c_acctbal"), col("c_acctbal"))
+            .as("bal_nulled"), // always null → exercises fill
+          when(col("c_custkey") % 3 === 0, col("c_acctbal")).as("bal_sparse"))
+        .na.drop("all", Seq("seg", "bal_sparse"))
+        .na.fill(Map("bal_nulled" -> -1.0))
+        .na.replace("seg", Map("MACHINERY" -> "MACH"))
+        .orderBy("c_custkey"),
+      """SELECT c_custkey,
+        |       CASE WHEN NULLIF(c_mktsegment, 'BUILDING') = 'MACHINERY'
+        |            THEN 'MACH'
+        |            ELSE NULLIF(c_mktsegment, 'BUILDING') END AS seg,
+        |       -1.0 AS bal_nulled,
+        |       CASE WHEN c_custkey % 3 = 0 THEN c_acctbal END AS bal_sparse
+        |FROM customer
+        |WHERE NULLIF(c_mktsegment, 'BUILDING') IS NOT NULL
+        |   OR (c_custkey % 3 = 0)
+        |ORDER BY c_custkey""".stripMargin),
+
     // ANSI-safe error handling: try_cast / try_divide return NULL where
     // strict ANSI evaluation would raise — the ingestion-grade behavior
     // for dirty inputs (Spark 4 ships ANSI on by default, so the try_*

@@ -447,6 +447,54 @@ object Text {
         |       md5(array_to_string(chunk, ' ')) AS chunk_fp
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
 
+    // Chunk-level exact dedup — the paragraph/window dedup pass training
+    // pipelines run AFTER chunking (boilerplate paragraphs repeat across
+    // documents that are not document-level duplicates). Chunks are
+    // content-addressed by fingerprint; groups spanning >1 document are
+    // the cross-document repetition to drop or downweight. One hash
+    // aggregation on the fingerprint — linear at any corpus size.
+    "text_chunk_dedup" -> QuerySpec(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(25))).as("start"))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("toks"), col("start") + 1, lit(50)), " "))
+            .as("chunk_fp"))
+        .groupBy("chunk_fp")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct("doc_id").as("n_docs"),
+          min("doc_id").as("canonical_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("chunk_fp"),
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |        md5(array_to_string(toks[start + 1 : start + 50], ' '))
+        |          AS chunk_fp
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(range(0, len(toks), 25)) AS start FROM t))
+        |SELECT chunk_fp, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       MIN(doc_id) AS canonical_doc
+        |FROM c GROUP BY chunk_fp HAVING COUNT(DISTINCT doc_id) > 1
+        |ORDER BY chunk_fp""".stripMargin),
+
+    // Hash-ranked uniform sample — the deterministic replacement for
+    // reservoir/rand() sampling: rank every row by a content hash and
+    // keep the lowest n. Uniform over the hash, identical on every run,
+    // engine, and cluster layout, and plans as TakeOrderedAndProject
+    // (per-partition heaps of n, no global sort) — the shape that holds
+    // at any corpus size.
+    "reservoir_sample_hash" -> QuerySpec(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.hash64(col("doc_id").cast("string")).as("h"))
+        .orderBy(asc("h"), asc("doc_id"))
+        .limit(100),
+      s"""SELECT doc_id, ${duckHash64("CAST(doc_id AS VARCHAR)")} AS h
+         |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin),
+
     // Deterministic source-mixture sampling — the data-mixing step that
     // assembles a training set from heterogeneous sources at declared
     // rates (keep 100% of high-quality sources, 50% of mid, 25% of the

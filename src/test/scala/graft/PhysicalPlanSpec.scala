@@ -83,8 +83,10 @@ class PhysicalPlanSpec extends SparkSpec {
   }
 
   test("global sort + limit plans as TakeOrderedAndProject (per-partition heaps)") {
-    val q = SparkEntry.registry("topk_orders_by_price").fn(spark, sf)
-    assert(plan(q).contains("TakeOrderedAndProject"), plan(q))
+    Seq("topk_orders_by_price", "reservoir_sample_hash").foreach { name =>
+      val q = SparkEntry.registry(name).fn(spark, sf)
+      assert(plan(q).contains("TakeOrderedAndProject"), s"$name:\n${plan(q)}")
+    }
   }
 
   test("pair queries block on equi-keys — no unblocked all-pairs join") {
