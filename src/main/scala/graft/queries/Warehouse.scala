@@ -150,13 +150,24 @@ object Warehouse {
     // variance, z) is computed with an identical IEEE op sequence in both
     // engines. Sample variance via the sum-of-squares identity; one
     // shuffle on the segment key.
+    //
+    // The decimal→double CONVERSION itself must be portable: once a sum's
+    // micro-units exceed 2^53 (hit by sum-of-squares at sf0.1), Spark
+    // rounds the true decimal to the nearest double while DuckDB converts
+    // the int128 to double BEFORE dividing by 10^scale — off by 1 ulp.
+    // Both engines convert int64→double correctly-rounded, so the sums go
+    // through exact BIGINT micro-units and ONE exact division instead
+    // (valid while |sum| < 2^63 µ-units ≈ 9.2e12 — scale-bounded per
+    // GROUP, and groups at 100 TB shard by segment key anyway).
     "feature_scale_per_segment" -> QuerySpec(
       (s, d) => {
         val w = Window.partitionBy("c_mktsegment")
-        val sumd = sum(col("c_acctbal").cast("decimal(25,6)")).over(w)
-          .cast("double")
-        val sumsq = sum((col("c_acctbal") * col("c_acctbal"))
-          .cast("decimal(25,6)")).over(w).cast("double")
+        def micro(c: org.apache.spark.sql.Column) =
+          (c.cast("decimal(25,6)") * lit(1000000).cast("decimal(7,0)"))
+            .cast("long").cast("double") / lit(1000000.0)
+        val sumd = micro(sum(col("c_acctbal").cast("decimal(25,6)")).over(w))
+        val sumsq = micro(sum((col("c_acctbal") * col("c_acctbal"))
+          .cast("decimal(25,6)")).over(w))
         val n = count(lit(1)).over(w).cast("double")
         val mean = sumd / n
         val variance = (sumsq - sumd * sumd / n) / (n - lit(1.0))
@@ -171,8 +182,12 @@ object Warehouse {
       },
       """WITH s AS (
         |  SELECT c_custkey, c_mktsegment, c_acctbal,
-        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sumd,
-        |         CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sumsq,
+        |         CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) OVER w
+        |             AS DECIMAL(25,6)) * CAST(1000000 AS DECIMAL(7,0))
+        |           AS BIGINT) AS DOUBLE) / 1000000.0 AS sumd,
+        |         CAST(CAST(CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(25,6))) OVER w
+        |             AS DECIMAL(25,6)) * CAST(1000000 AS DECIMAL(7,0))
+        |           AS BIGINT) AS DOUBLE) / 1000000.0 AS sumsq,
         |         CAST(COUNT(*) OVER w AS DOUBLE) AS n,
         |         MIN(c_acctbal) OVER w AS mn,
         |         MAX(c_acctbal) OVER w AS mx

@@ -107,6 +107,15 @@ class PhysicalPlanSpec extends SparkSpec {
       }
   }
 
+  test("big aggregations combine map-side (partial + final HashAggregate)") {
+    // The shuffle for a groupBy must carry pre-combined partials, not raw
+    // rows: the plan shows two HashAggregate stages around the Exchange.
+    val q = SparkEntry.registry("agg_pricing_summary").fn(spark, sf)
+    val aggs = "HashAggregate".r.findAllIn(plan(q)).length
+    assert(aggs >= 2, s"expected partial+final HashAggregate:\n${plan(q)}")
+    assert(plan(q).contains("Exchange hashpartitioning"), plan(q))
+  }
+
   test("declared bucketed join: merge join consumes the bucketed layout") {
     // The query writes both sides as 8-bucket tables and joins with a
     // merge hint; the bucketed scans must satisfy the join's required
