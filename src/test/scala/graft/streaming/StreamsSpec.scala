@@ -251,6 +251,36 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("append-mode windows release only once the watermark passes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(String, Double, Timestamp)]
+    val stream = mem.toDF().toDF("event_type", "value", "ts_utc")
+    val q = Streams.startMemorySink(
+      Streams.tumblingHourly(stream), "append_win_out", OutputMode.Append())
+    // batch 1: two events in the 09:00 window
+    mem.addData(Seq(("click", 1.0, ts("2024-01-01 09:10:00")),
+      ("click", 2.0, ts("2024-01-01 09:40:00"))))
+    q.processAllAvailable()
+    assert(spark.table("append_win_out").count() == 0,
+      "window emitted before watermark passed it")
+    // batch 2: an event far enough ahead that the watermark
+    // (max - 10min) passes the 09:00 window's end
+    mem.addData(Seq(("click", 3.0, ts("2024-01-01 11:30:00"))))
+    q.processAllAvailable()
+    // batch 3: anything at all, so the new watermark takes effect
+    mem.addData(Seq(("view", 0.0, ts("2024-01-01 11:45:00"))))
+    q.processAllAvailable(); q.stop()
+    val released = spark.table("append_win_out")
+      .select(date_format(col("wstart"), "yyyy-MM-dd HH:mm").as("w"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(released.get("2024-01-01 09:00").contains(2L),
+      s"09:00 window not released with both rows: $released")
+    assert(!released.contains("2024-01-01 11:00"),
+      s"11:00 window is inside the watermark frontier, must be withheld: $released")
+  }
+
   test("drained restores session conf and cleans its checkpoint dir") {
     val pKey = "spark.sql.shuffle.partitions"
     val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
