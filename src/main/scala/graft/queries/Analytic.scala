@@ -523,6 +523,65 @@ object Analytic {
         |       CAST(len(flatten([toks[1:2], toks[3:4]])) AS BIGINT) AS flat_size
         |FROM t ORDER BY doc_id""".stripMargin),
 
+    // Array SET algebra (union/except/intersect) — sizes projected, not
+    // element lists, because the two engines' dedup functions make no
+    // shared ordering promise; set CARDINALITY is order-free and pins the
+    // same semantics (Spark's array_* return distinct elements).
+    "array_set_ops" -> QuerySpec(
+      (s, d) => {
+        val toks = graft.ext.TextOps.tokens(col("text"))
+        val a = slice(toks, 1, 10)
+        val b = slice(toks, 6, 10)
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            size(array_distinct(a)).cast("long").as("n_a"),
+            size(array_union(a, b)).cast("long").as("n_union"),
+            size(array_except(a, b)).cast("long").as("n_except"),
+            size(array_intersect(a, b)).cast("long").as("n_intersect"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |  FROM documents WHERE doc_id < 100),
+        |ab AS (SELECT doc_id, toks[1:10] AS a, toks[6:15] AS b FROM t)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(a)) AS BIGINT) AS n_a,
+        |  CAST(len(list_distinct(list_concat(a, b))) AS BIGINT) AS n_union,
+        |  CAST(len(list_distinct(list_filter(a,
+        |    x -> NOT list_contains(b, x)))) AS BIGINT) AS n_except,
+        |  CAST(len(list_distinct(list_filter(a,
+        |    x -> list_contains(b, x)))) AS BIGINT) AS n_intersect
+        |FROM ab ORDER BY doc_id""".stripMargin),
+
+    // explode_outer — the null-preserving generator: rows with EMPTY
+    // arrays survive as a single null-element row (a plain explode would
+    // silently drop them — the classic lost-document bug when a pipeline
+    // explodes extracted entities). DuckDB has no outer unnest, so the
+    // oracle unions the empties back with NULL; null ordering pinned
+    // NULLS FIRST on both sides.
+    "generator_explode_outer" -> QuerySpec(
+      (s, d) => {
+        val toks = graft.ext.TextOps.tokens(col("text"))
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, array().cast("array<string>"))
+              .otherwise(slice(toks, 1, 2)).as("arr"))
+          .select(col("doc_id"), explode_outer(col("arr")).as("tok"))
+          .orderBy(asc("doc_id"), asc_nulls_first("tok"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN []
+        |              ELSE string_split(trim(text), ' ')[1:2] END AS arr
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, tok FROM (
+        |  SELECT doc_id, unnest(arr) AS tok FROM t
+        |  UNION ALL
+        |  SELECT doc_id, NULL FROM t WHERE len(arr) = 0)
+        |ORDER BY doc_id, tok NULLS FIRST""".stripMargin),
+
     // Funnel conversion: users whose first 'view' is later followed by a
     // 'purchase' (event-time funnel over the events stream).
     "funnel_view_to_purchase" -> QuerySpec(
