@@ -523,6 +523,42 @@ object Analytic {
         |       CAST(len(flatten([toks[1:2], toks[3:4]])) AS BIGINT) AS flat_size
         |FROM t ORDER BY doc_id""".stripMargin),
 
+    // Map higher-order functions — transform_keys / map_filter /
+    // map_zip_with over typed metadata maps (the map-column analogue of
+    // the array HOF surface). The oracle mirrors the SEMANTICS directly
+    // (the maps are built from known columns, so the surviving entries
+    // are expressible as plain string logic) — no reliance on any shared
+    // map-rendering order: entries render sorted.
+    "map_higher_order" -> QuerySpec(
+      (s, d) => {
+        val m1 = map(lit("seg"), col("c_mktsegment"),
+          lit("nat"), col("c_nationkey").cast("string"))
+        val m2 = map(lit("seg"), lit("S"), lit("nat"), lit("N"))
+        val upperKeys = transform_keys(m1, (k, _) => upper(k))
+        val onlySeg = map_filter(m1, (k, _) => k === "seg")
+        val zipped = map_zip_with(m1, m2,
+          (_, v1, v2) => concat(v2, lit(":"), v1))
+        def render(m: org.apache.spark.sql.Column) =
+          array_join(sort_array(transform(map_entries(m),
+            e => concat(e.getField("key"), lit("="), e.getField("value")))),
+            ",")
+        Tables.customer(s, d)
+          .filter(col("c_custkey") < 200)
+          .select(col("c_custkey"),
+            render(upperKeys).as("upper_keys"),
+            render(onlySeg).as("only_seg"),
+            render(zipped).as("zipped"))
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey,
+        |       'NAT=' || CAST(c_nationkey AS VARCHAR) ||
+        |         ',SEG=' || c_mktsegment AS upper_keys,
+        |       'seg=' || c_mktsegment AS only_seg,
+        |       'nat=N:' || CAST(c_nationkey AS VARCHAR) ||
+        |         ',seg=S:' || c_mktsegment AS zipped
+        |FROM customer WHERE c_custkey < 200
+        |ORDER BY c_custkey""".stripMargin),
+
     // Array SET algebra (union/except/intersect) — sizes projected, not
     // element lists, because the two engines' dedup functions make no
     // shared ordering promise; set CARDINALITY is order-free and pins the
