@@ -1,5 +1,8 @@
 package graft.queries
 
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QuerySpec
 import graft.io.Tables
@@ -7,7 +10,16 @@ import graft.ext.{Dedup, TextOps}
 
 /** Deduplication pack over the documents table. Oracle SQL for the
   * signature stages is generated from the same (k, r, bits) parameters as
-  * the Spark plans, so the two sides cannot drift independently. */
+  * the Spark plans, so the two sides cannot drift independently.
+  *
+  * The near-dup graph queries (pairs / triangles / components) all ride ONE
+  * candidate generator: full-corpus MinHash-LSH over 3-gram shingles with
+  * hot-bucket suppression ([[lshVerifiedPairs]]) — banding, never sampling,
+  * never an all-pairs join. The verified (id_a, id_b, jaccard) table is the
+  * narrow artifact a 100 TB dedup pipeline persists once and fans every
+  * downstream decision off of; here it is localCheckpointed and cached per
+  * (session, sf-dir) so the four consumers share one build.
+  */
 object DedupQ {
 
   private val K = 8  // minhash functions
@@ -23,6 +35,108 @@ object DedupQ {
   private def duckMinhash(i: Int) =
     s"list_min(list_transform(s, t -> ((${duckHash("t")} & ${Dedup.MinhashMask}) " +
       s"* ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP}))"
+
+  // ---------------------------------------------------------------------
+  // Shared candidate stage: MinHash over 3-gram SHINGLES → LSH bands →
+  // hot-bucket cap → DISTINCT candidate id pairs → verified shingle
+  // Jaccard. Shingling makes cross-doc Jaccard sparse (unigram token sets
+  // in this corpus are all ~0.65-similar — banding on them degenerates to
+  // the all-pairs join LSH exists to avoid). r=1 bands → candidate recall
+  // ≈ 1-(1-J)^8; the verified-jaccard distribution here is bimodal (true
+  // near-dups ≥ 0.9, background collisions ≤ 0.05), so downstream
+  // thresholds select cleanly.
+  // ---------------------------------------------------------------------
+
+  /** One verified-pair build per (session, sf-dir): every consumer below
+    * filters this table instead of re-shingling the corpus. The cache holds
+    * only localCheckpointed narrow tables (ids + one double), so its
+    * footprint is O(candidate pairs), not O(corpus). */
+  private val pairCache =
+    new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[queries] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    pairCache.computeIfAbsent((s, d), _ => {
+      val toks = TextOps.tokens(col("text"))
+      val sh = array_distinct(Dedup.shingles3(toks))
+      val sig = Dedup.minhashFromBase(col("bh"), K)
+      // FULL corpus — banding, not sampling. Shingling + hashing is the
+      // scan-heavy stage, so the (doc_id, hashed-shingles) table is
+      // materialized ONCE and reused by band generation AND both sides
+      // of the verification join; verification jaccard runs over the
+      // hashed shingle sets (bit-identical in both engines; a 60-bit
+      // collision perturbing a set size is ~n²/2^61 per pair).
+      // Sorted once here: MinHashSignature is order-free, and the
+      // verification intersect below is a sorted-merge expression.
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          sort_array(Dedup.minhashBaseHashes(sh)).as("bh"))
+        .localCheckpoint(true)
+      val allBands = hashed
+        .select(col("doc_id"),
+          posexplode(array(Dedup.lshBands(sig, 1): _*))
+            .as(Seq("band_idx", "band_key")))
+      // Hot-bucket suppression: a bucket holding >50 docs contributes
+      // O(bucket²) candidate pairs while carrying almost no similarity
+      // signal (it means one very common shingle won the min). Skipping
+      // such buckets is the standard industrial LSH guard and keeps
+      // candidate generation near-linear on low-diversity corpora.
+      val bands = allBands.withColumn("bsz",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("band_idx", "band_key")))
+        .filter(col("bsz") <= 50).drop("bsz")
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      // |A∪B| = |A|+|B|-|A∩B| for sets, and the intersect itself is the
+      // one-pass sorted-merge expression (array_intersect builds a hash
+      // set per pair; the duplicated subexpression is eliminated by
+      // codegen CSE — it is not a lambda).
+      val sets = hashed.select(col("doc_id"), col("bh").as("s"),
+        size(col("bh")).as("sz"))
+      val inter = graft.expressions.SortedIntersectSize
+        .sorted_intersect_size(col("sa"), col("sb"))
+      cand
+        .join(sets.select(col("doc_id").as("id_a"), col("s").as("sa"),
+          col("sz").as("sza")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("s").as("sb"),
+          col("sz").as("szb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (inter.cast("double") / (col("sza") + col("szb") - inter))
+            .as("jaccard"))
+        .localCheckpoint(true)
+    })
+
+  /** The same stage as DuckDB CTEs (no WITH prefix so callers can prepend
+    * WITH or WITH RECURSIVE). Ends in `verified(id_a, id_b, jaccard)`. */
+  private val duckVerifiedCtes: String = {
+    val duckShingles =
+      """list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin
+    s"""t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+       |      FROM documents),
+       |sets AS (SELECT doc_id, $duckShingles AS s FROM t),
+       |sig AS (SELECT doc_id, s,
+       |  ${(0 until K).map(i => s"${duckMinhash(i)} AS m$i").mkString(", ")}
+       |  FROM sets),
+       |ex0 AS (SELECT doc_id, unnest([${(0 until K)
+          .map(i => s"['$i', md5(CAST(m$i AS VARCHAR))]").mkString(", ")}]) AS bk
+       |       FROM sig),
+       |ex AS (SELECT doc_id, bk FROM (
+       |         SELECT doc_id, bk, COUNT(*) OVER (PARTITION BY bk) AS bsz
+       |         FROM ex0) WHERE bsz <= 50),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ex a JOIN ex b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT id_a, id_b,
+       |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |           len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+       |  FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+       |            JOIN sets sb ON cand.id_b = sb.doc_id)""".stripMargin
+  }
 
   val registry: Map[String, QuerySpec] = Map(
 
@@ -47,25 +161,18 @@ object DedupQ {
          |  FROM documents)
          |GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin),
 
-    // N-gram (word-set) Jaccard near-dup pairs over a deterministic 10%
-    // block. Threshold 0.9 → true near-duplicates in this corpus.
+    // Verified near-duplicate pairs over the FULL corpus: the shared
+    // shingle-LSH candidates filtered at the true-near-dup threshold (the
+    // verified-jaccard distribution is bimodal — ≥ 0.9 for real edits/
+    // copies, ≤ 0.05 for band collisions — so 0.5 splits it with a wide
+    // margin on both sides). This is the pair list a dedup pipeline acts
+    // on; the 0.02-threshold diagnostic view lives in dedup_minhash_lsh.
     "dedup_jaccard_pairs" -> QuerySpec(
-      (s, d) => Dedup.jaccardPairs(
-          Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
-          "doc_id", array_distinct(TextOps.tokens(col("text"))),
-          threshold = 0.9)
+      (s, d) => lshVerifiedPairs(s, d)
+        .filter(col("jaccard") >= 0.5)
         .orderBy("id_a", "id_b"),
-      s"""WITH sets AS (
-         |  SELECT doc_id AS id, $duckSet AS s FROM documents WHERE doc_id % 10 = 0
-         |), inv AS (SELECT id, len(s) AS sz, unnest(s) AS t FROM sets),
-         |pairs AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
-         |         COUNT(*) AS common
-         |  FROM inv a JOIN inv b ON a.t = b.t AND a.id < b.id
-         |  GROUP BY 1, 2, 3, 4)
-         |SELECT id_a, id_b,
-         |       CAST(common AS DOUBLE) / (sz_a + sz_b - common) AS jaccard
-         |FROM pairs WHERE CAST(common AS DOUBLE) / (sz_a + sz_b - common) >= 0.9
+      s"""WITH $duckVerifiedCtes
+         |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin),
 
     // MinHash signatures (k=8) — per-row, no shuffle; the narrow table an
@@ -85,95 +192,16 @@ object DedupQ {
          |SELECT doc_id, ${(0 until K).map(i => s"${duckMinhash(i)} AS m$i").mkString(", ")}
          |FROM t ORDER BY doc_id""".stripMargin),
 
-    // MinHash over 3-gram SHINGLES → LSH candidates → verified shingle
-    // Jaccard. The scale path: shingling makes cross-doc Jaccard sparse
-    // (unigram token sets in this corpus are all ~0.65-similar — banding
-    // on them degenerates to the all-pairs join LSH exists to avoid), and
-    // candidates are DISTINCT'd on bare id pairs before sets are re-joined
-    // for verification. r=1 bands → recall ≈ 1-(1-J)^8.
+    // The shared candidate stage itself, reported at the low diagnostic
+    // threshold: every band collision whose verified shingle Jaccard
+    // clears 0.02 (recall at r=1,k=8 bands ≈ 1-(1-J)^8).
     "dedup_minhash_lsh" -> QuerySpec(
-      (s, d) => {
-        val toks = TextOps.tokens(col("text"))
-        val sh = array_distinct(Dedup.shingles3(toks))
-        val sig = Dedup.minhashFromBase(col("bh"), K)
-        // FULL corpus — banding, not sampling. Shingling + hashing is the
-        // scan-heavy stage, so the (doc_id, hashed-shingles) table is
-        // materialized ONCE and reused by band generation AND both sides
-        // of the verification join; verification jaccard runs over the
-        // hashed shingle sets (bit-identical in both engines; a 60-bit
-        // collision perturbing a set size is ~n²/2^61 per pair).
-        // Sorted once here: MinHashSignature is order-free, and the
-        // verification intersect below is a sorted-merge expression.
-        val hashed = Tables.documents(s, d)
-          .select(col("doc_id"),
-            sort_array(Dedup.minhashBaseHashes(sh)).as("bh"))
-          .localCheckpoint(true)
-        val allBands = hashed
-          .select(col("doc_id"),
-            posexplode(array(Dedup.lshBands(sig, 1): _*))
-              .as(Seq("band_idx", "band_key")))
-        // Hot-bucket suppression: a bucket holding >50 docs contributes
-        // O(bucket²) candidate pairs while carrying almost no similarity
-        // signal (it means one very common shingle won the min). Skipping
-        // such buckets is the standard industrial LSH guard and keeps
-        // candidate generation near-linear on low-diversity corpora.
-        val bands = allBands.withColumn("bsz",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy("band_idx", "band_key")))
-          .filter(col("bsz") <= 50).drop("bsz")
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-        // |A∪B| = |A|+|B|-|A∩B| for sets, and the intersect itself is the
-        // one-pass sorted-merge expression (array_intersect builds a hash
-        // set per pair; the duplicated subexpression is eliminated by
-        // codegen CSE — it is not a lambda).
-        val sets = hashed.select(col("doc_id"), col("bh").as("s"),
-          size(col("bh")).as("sz"))
-        val inter = graft.expressions.SortedIntersectSize
-          .sorted_intersect_size(col("sa"), col("sb"))
-        cand
-          .join(sets.select(col("doc_id").as("id_a"), col("s").as("sa"),
-            col("sz").as("sza")), "id_a")
-          .join(sets.select(col("doc_id").as("id_b"), col("s").as("sb"),
-            col("sz").as("szb")), "id_b")
-          .select(col("id_a"), col("id_b"),
-            (inter.cast("double") / (col("sza") + col("szb") - inter))
-              .as("jaccard"))
-          .filter(col("jaccard") >= 0.02)
-          .orderBy("id_a", "id_b")
-      },
-      {
-        val duckShingles =
-          """list_distinct(list_transform(range(1, len(toks) - 1),
-            |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin
-        s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
-           |           FROM documents),
-           |sets AS (SELECT doc_id, $duckShingles AS s FROM t),
-           |sig AS (SELECT doc_id, s,
-           |  ${(0 until K).map(i => s"${duckMinhash(i)} AS m$i").mkString(", ")}
-           |  FROM sets),
-           |ex0 AS (SELECT doc_id, unnest([${(0 until K)
-              .map(i => s"['$i', md5(CAST(m$i AS VARCHAR))]").mkString(", ")}]) AS bk
-           |       FROM sig),
-           |ex AS (SELECT doc_id, bk FROM (
-           |         SELECT doc_id, bk, COUNT(*) OVER (PARTITION BY bk) AS bsz
-           |         FROM ex0) WHERE bsz <= 50),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM ex a JOIN ex b ON a.bk = b.bk AND a.doc_id < b.doc_id)
-           |SELECT id_a, id_b,
-           |       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-           |         len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
-           |FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
-           |          JOIN sets sb ON cand.id_b = sb.doc_id
-           |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-           |        len(list_distinct(list_concat(sa.s, sb.s))) >= 0.02
-           |ORDER BY id_a, id_b""".stripMargin
-      }),
+      (s, d) => lshVerifiedPairs(s, d)
+        .filter(col("jaccard") >= 0.02)
+        .orderBy("id_a", "id_b"),
+      s"""WITH $duckVerifiedCtes
+         |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.02
+         |ORDER BY id_a, id_b""".stripMargin),
 
     // DIRECTED shingle containment |A∩B|/|A| — the asymmetric fragment
     // check (a short doc quoted inside a long one scores 1.0 here but low
@@ -211,38 +239,23 @@ object DedupQ {
     // that distinguishes clique-like duplicate clusters (high triangle
     // density → safe to collapse to one canonical doc) from chains of
     // pairwise-similar-but-drifting docs (low density → collapsing loses
-    // content). Plan: canonically oriented edges (a < b, so each triangle
-    // is counted exactly once as a<b<c) through two equi-joins — the
-    // standard distributed triangle count. At real scale the orientation
-    // step orders by DEGREE, not id, bounding the join fan-out of hub
-    // nodes; id-order is the degree proxy on this near-clique corpus.
+    // content). Edges = the shared FULL-corpus LSH candidates at the
+    // permissive 0.015 threshold (the interesting graph: background
+    // band-collision edges included, so triangle density actually varies).
+    // Spark plan: degree-ordered orientation + wedge-close joins
+    // (Dedup.triangleCount) — hub fan-out bounded by O(sqrt(|E|)); the
+    // oracle uses the simple id-ordered a<b<c 2-join, valid because the
+    // triangle COUNT is orientation-invariant.
     "graph_triangle_count" -> QuerySpec(
       (s, d) => {
-        // The edge set is referenced three times below; the lineage cut
-        // materializes the (small) pair list once instead of re-running
-        // the inverted-index join per self-join arm.
-        val e = Dedup.jaccardPairs(
-            Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
-            "doc_id", array_distinct(TextOps.tokens(col("text"))),
-            threshold = 0.8)
-          .select(col("id_a").as("a"), col("id_b").as("b"))
-          .localCheckpoint(true)
-        val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
-          .join(e.as("e3"),
-            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-          .agg(count(lit(1)).as("n_triangles"))
-        tri.crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        val e = lshVerifiedPairs(s, d)
+          .filter(col("jaccard") >= 0.015)
+          .select(col("id_a"), col("id_b"))
+        Dedup.triangleCount(e, "id_a", "id_b")
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       },
-      s"""WITH sets AS (
-         |  SELECT doc_id AS id, $duckSet AS s FROM documents WHERE doc_id % 10 = 0
-         |), inv AS (SELECT id, len(s) AS sz, unnest(s) AS t FROM sets),
-         |jp AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
-         |         COUNT(*) AS common
-         |  FROM inv a JOIN inv b ON a.t = b.t AND a.id < b.id
-         |  GROUP BY 1, 2, 3, 4
-         |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.8),
-         |e AS (SELECT id_a AS a, id_b AS b FROM jp)
+      s"""WITH $duckVerifiedCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM verified WHERE jaccard >= 0.015)
          |SELECT CAST((SELECT COUNT(*) FROM e e1
          |             JOIN e e2 ON e1.b = e2.a
          |             JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b) AS BIGINT)
@@ -251,41 +264,32 @@ object DedupQ {
 
     // Near-dup pairs → connected components → canonical id per member
     // (min doc_id in the component): the decision step of a dedup
-    // pipeline. Spark: fixed-round min-label propagation (static plan, no
-    // driver convergence loop); oracle: recursive transitive closure.
+    // pipeline, fed by the shared FULL-corpus candidate stage at the
+    // true-near-dup threshold. Spark: fixed-round min-label propagation
+    // (static plan, no driver convergence loop); oracle: recursive
+    // transitive closure over the identical edge set.
     "dedup_cluster_canonical" -> QuerySpec(
       (s, d) => {
-        val pairs = Dedup.jaccardPairs(
-          Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
-          "doc_id", array_distinct(TextOps.tokens(col("text"))),
-          threshold = 0.9)
-        // Near-dup components at threshold 0.9 are near-cliques (min label
-        // reaches everyone in ~1-2 hops); 6 one-hop rounds leaves margin,
+        val pairs = lshVerifiedPairs(s, d).filter(col("jaccard") >= 0.5)
+        // True near-dup components at threshold 0.5 are tiny cliques
+        // (measured: max component 4 nodes, min-label converges in 1
+        // round at sf0.001/0.01/0.1); 6 one-hop rounds leaves margin,
         // and verifyConverged turns a too-chainy corpus into a loud
         // failure instead of a silent under-merge vs the closure oracle.
         Dedup.connectedComponents(pairs, "id_a", "id_b", rounds = 6,
             verifyConverged = true)
           .orderBy("node")
       },
-      """WITH RECURSIVE sets AS (
-        |  SELECT doc_id AS id, list_distinct(string_split(trim(text), ' ')) AS s
-        |  FROM documents WHERE doc_id % 10 = 0
-        |), inv AS (SELECT id, len(s) AS sz, unnest(s) AS t FROM sets),
-        |jp AS (
-        |  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
-        |         COUNT(*) AS common
-        |  FROM inv a JOIN inv b ON a.t = b.t AND a.id < b.id
-        |  GROUP BY 1, 2, 3, 4
-        |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.9),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
-        |          UNION SELECT id_b, id_a FROM jp),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-        |)
-        |SELECT src AS node, least(src, MIN(dst)) AS component
-        |FROM reach GROUP BY src ORDER BY node""".stripMargin),
+      s"""WITH RECURSIVE $duckVerifiedCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM verified WHERE jaccard >= 0.5
+         |          UNION SELECT id_b, id_a FROM verified WHERE jaccard >= 0.5),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS node, least(src, MIN(dst)) AS component
+         |FROM reach GROUP BY src ORDER BY node""".stripMargin),
 
     // SimHash near-pair detection over the FULL corpus (no sampling):
     // 60-bit simhash, banded 4 x 15 bits — by pigeonhole every pair at

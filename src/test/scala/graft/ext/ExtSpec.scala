@@ -109,6 +109,38 @@ class ExtSpec extends SparkSpec {
     mine.keySet.foreach(k => assert(mine(k) == gx(k), s"node $k"))
   }
 
+  test("triangle count: K4 has 4 triangles; star has 0; random graph matches brute force") {
+    val k4 = (for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong))
+      .toDF("id_a", "id_b")
+    assert(Dedup.triangleCount(k4, "id_a", "id_b").collect()(0).getLong(0) == 4L)
+    val star = (1 to 9).map(i => (0L, i.toLong)).toDF("id_a", "id_b")
+    assert(Dedup.triangleCount(star, "id_a", "id_b").collect()(0).getLong(0) == 0L)
+    val rng = new scala.util.Random(11)
+    val edges = Seq.fill(80)((rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val got = Dedup.triangleCount(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect()(0).getLong(0)
+    val es = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val want = (for {
+      a <- nodes; b <- nodes if a < b && es((a, b))
+      c <- nodes if b < c && es((b, c)) && es((a, c))
+    } yield 1).size.toLong
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("degree orientation bounds hub fan-out (id orientation would not)") {
+    // Hub-and-spoke: node 0 touches every spoke. Oriented by id the hub
+    // (lowest id) would emit out-degree = n wedge sources (O(n²) wedges);
+    // oriented by (degree, id) every spoke points AT the hub, so max
+    // out-degree is 1 and the wedge stage is empty.
+    val star = (1 to 20).map(i => (0L, i.toLong)).toDF("id_a", "id_b")
+    val outDeg = Dedup.orientByDegree(star, "id_a", "id_b")
+      .groupBy("src").count().agg(max("count")).collect()(0).getLong(0)
+    assert(outDeg == 1L, s"max oriented out-degree $outDeg, want 1")
+  }
+
   test("mapPartitions decode harness: deterministic stub features") {
     val ds = Seq(
       Multimodal.Asset(1L, "abc".getBytes("UTF-8")),
