@@ -154,6 +154,93 @@ object Similarity {
       .limit(k)
   }
 
+  /** Fixed-round Lloyd k-means over an embedding column, entirely as
+    * DataFrame joins — the trained coarse quantizer for [[ivfKmeansTopK]]
+    * (replacing the stored-vector stand-in of [[ivfTopK]]).
+    *
+    * Determinism/parity (every step oracle-checkable):
+    *  - init: the k seed vectors are the lowest-ranked rows under
+    *    sha2(vec_id) — a deterministic pseudo-random draw both engines
+    *    reproduce (at 100 TB, seed selection runs on a TABLESAMPLE instead
+    *    of a global sort; the training loop is unchanged);
+    *  - assignment: argmin of the sequential-fold L2² ([[l2sq]]), ties to
+    *    the lower centroid id;
+    *  - update: per-(cell, dim) means via 2^48-scaled integer sums in
+    *    DECIMAL(38,0) — order-free, exact, non-wrapping at any cell size
+    *    (the scaled doubles are integer-valued for |v| ≥ 2^-25), and a
+    *    scale-0 decimal→double conversion is a plain integer→double:
+    *    correctly rounded in BOTH engines at any magnitude (a nonzero
+    *    decimal scale would diverge by 1 ulp past 2^53);
+    *  - an emptied cell keeps its previous centroid (standard Lloyd
+    *    practice, mirrored by the oracle's left join).
+    *
+    * Scale shape per round: one broadcast of k centroids against the
+    * corpus scan (no shuffle of the vectors), one posexplode +
+    * partial-aggregated hash aggregation on (cell, dim) — k·dim groups.
+    * Lineage is cut per round so the plan stays flat. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scale = 281474976710656L // 2^48
+    val seedW = Window.orderBy(sha2(col("vec_id").cast("string"), 256),
+      col("vec_id"))
+    var cents = embeddings
+      .withColumn("rk", row_number().over(seedW))
+      .filter(col("rk") <= k)
+      .select((col("rk") - 1).cast("long").as("cent_id"),
+        transform(col("embedding"), _.cast("double")).as("cvec"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val aw = Window.partitionBy("vec_id").orderBy(asc("d"), asc("cent_id"))
+      val assigned = embeddings.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          l2sq(col("embedding"), col("cvec")).as("d"))
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy("cent_id", "i")
+        .agg((((sum((col("v").cast("double") * lit(scale.toDouble))
+            .cast("long").cast("decimal(38,0)")).cast("double") /
+          lit(scale.toDouble)) /
+          count(lit(1))).as("m"))
+        .groupBy("cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          e => e.getField("m")).as("nvec"))
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("nvec"), col("cvec")).as("cvec"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** IVF ANN with a TRAINED coarse quantizer: [[kmeansCentroids]] learns
+    * the cells, every vector is assigned to its nearest (L2²) cell, and
+    * the search ranks exactly (cosine) within the query's cell only —
+    * same dataflow as [[ivfTopK]], real recall instead of a stand-in
+    * codebook. At scale the corpus is persisted partitioned BY cell, so a
+    * query prunes to one cell's files; training touches the corpus
+    * `rounds` times with only broadcast + map-side aggregation. */
+  def ivfKmeansTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+                    cells: Int, rounds: Int): DataFrame = {
+    val cents = kmeansCentroids(embeddings, cells, rounds)
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(asc("d"), asc("cent_id"))
+    val assigned = embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        l2sq(col("embedding"), col("cvec")).as("d"))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q"), col("cell"))
+    assigned.join(broadcast(q), "cell")
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("cell"),
+        cosine(col("embedding"), col("q")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Near-duplicate pairs by cosine over the FULL corpus, blocked by
     * sign-LSH bucket — the scale-safe replacement for an all-pairs (or
     * sampled-stripe) self-join. Vectors are bucketed once by

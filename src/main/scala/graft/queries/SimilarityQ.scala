@@ -32,6 +32,44 @@ object SimilarityQ {
     }.mkString(" + ")
   }
 
+  /** DuckDB: sequential-fold L2² between two double lists (same op order
+    * as [[Similarity.l2sq]]). */
+  private def duckL2(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)""".stripMargin
+
+  /** DuckDB CTE chain mirroring [[Similarity.kmeansCentroids]] round by
+    * round: sha256-ranked seeds → (assign argmin-L2² → exact scaled-sum
+    * means → empty-cell carryover) × rounds. Ends in `c$rounds(cent_id,
+    * cvec)` plus the shared `ev(vec_id, v)` double-cast corpus. */
+  private def duckKmeansCtes(k: Int, rounds: Int): String = {
+    val S = "281474976710656.0" // 2^48, same literal the Spark side embeds
+    val sb = new StringBuilder
+    sb ++= s"""ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |       FROM embeddings),
+              |c0 AS (SELECT CAST(rk - 1 AS BIGINT) AS cent_id, v AS cvec FROM (
+              |         SELECT v, row_number() OVER (
+              |           ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+              |         FROM ev) WHERE rk <= $k)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+                |a$r AS (SELECT vec_id, v, cent_id FROM (
+                |  SELECT ev.vec_id, ev.v, c.cent_id,
+                |         row_number() OVER (PARTITION BY ev.vec_id
+                |           ORDER BY ${duckL2("ev.v", "c.cvec")}, c.cent_id) AS rn
+                |  FROM ev CROSS JOIN c${r - 1} c) WHERE rn = 1),
+                |m$r AS (SELECT cent_id, i,
+                |         (CAST(SUM(CAST(v[i] * $S AS BIGINT)) AS DOUBLE) / $S)
+                |           / COUNT(*) AS m
+                |       FROM a$r CROSS JOIN range(1, 65) t(i) GROUP BY cent_id, i),
+                |n$r AS (SELECT cent_id, list(m ORDER BY i) AS cvec
+                |        FROM m$r GROUP BY cent_id),
+                |c$r AS (SELECT p.cent_id, COALESCE(n.cvec, p.cvec) AS cvec
+                |        FROM c${r - 1} p LEFT JOIN n$r n USING (cent_id))""".stripMargin
+    }
+    sb.toString
+  }
+
   val registry: Map[String, QuerySpec] = Map(
 
     // Exact brute-force top-10 cosine neighbors of vector 0.
@@ -88,6 +126,26 @@ object SimilarityQ {
          |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
          |q AS (SELECT embedding AS qv, cell FROM assigned WHERE vec_id = 0)
          |SELECT a.vec_id, a.cell, ${duckCos("a.embedding", "qv")} AS cos
+         |FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+
+    // IVF with a TRAINED coarse quantizer: 2 Lloyd rounds of k-means
+    // (k=8 cells, sha2-ranked deterministic seeds, exact scaled-decimal
+    // centroid means) learn the cells, then exact cosine ranking within
+    // the query's cell — the real IVF recall path; similarity_ivf_topk
+    // keeps the stand-in-codebook variant for comparison. The oracle
+    // replays the identical training rounds CTE by CTE.
+    "similarity_ivf_kmeans_topk" -> QuerySpec(
+      (s, d) => Similarity.ivfKmeansTopK(Tables.embeddings(s, d), 0L, 10,
+        cells = 8, rounds = 2),
+      s"""WITH ${duckKmeansCtes(8, 2)},
+         |assigned AS (SELECT vec_id, v, cell FROM (
+         |  SELECT ev.vec_id, ev.v, c.cent_id AS cell,
+         |         row_number() OVER (PARTITION BY ev.vec_id
+         |           ORDER BY ${duckL2("ev.v", "c.cvec")}, c.cent_id) AS rn
+         |  FROM ev CROSS JOIN c2 c) WHERE rn = 1),
+         |q AS (SELECT v AS qv, cell FROM assigned WHERE vec_id = 0)
+         |SELECT a.vec_id, a.cell, ${duckCos("a.v", "qv")} AS cos
          |FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
 
