@@ -19,6 +19,17 @@ object Verify {
     // never sets it, so its runs always cover the full registry.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // A stray SPARK_GRAFT_ONLY in a verification environment would shrink
+    // coverage while the run still looked fully green — so a subset run is
+    // LOUD on stderr and leaves a machine-readable marker in outDir that
+    // downstream checkers can detect.
+    only.foreach { prefixes =>
+      System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_ONLY is set — PARTIAL coverage, " +
+          s"only query-name prefixes: ${prefixes.mkString(", ")}")
+      Files.writeString(Paths.get(s"$outDir/SUBSET_MARKER.json"),
+        prefixes.map(p => "\"" + p + "\"").mkString("[", ",", "]"))
+    }
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>

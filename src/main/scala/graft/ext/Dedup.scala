@@ -230,7 +230,18 @@ object Dedup {
     * downstream joins can compare edges under the SAME (degree, id) total
     * order without a global rank (no global sort at scale). */
   def orientByDegree(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    // Defensive normalization to a simple undirected graph: a self-loop
+    // would inflate its node's degree and survive into the wedge stage; an
+    // edge present twice (or in both orientations) doubles degrees and
+    // multiplies wedge counts. The callers here pass curated a<b distinct
+    // pairs (normalization is then an identity), but the helper is generic
+    // — one narrow (long,long) distinct is cheap insurance next to the
+    // wedge join it protects.
+    val e = pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))

@@ -166,8 +166,11 @@ object Similarity {
     *  - assignment: argmin of the sequential-fold L2² ([[l2sq]]), ties to
     *    the lower centroid id;
     *  - update: per-(cell, dim) means via 2^48-scaled integer sums in
-    *    DECIMAL(38,0) — order-free, exact, non-wrapping at any cell size
-    *    (the scaled doubles are integer-valued for |v| ≥ 2^-25), and a
+    *    DECIMAL(38,0) — order-free, exact, non-wrapping at any cell size.
+    *    The double→integer step is an explicit floor() on BOTH engines
+    *    (IEEE round-toward-−∞), so parity never hinges on an implicit
+    *    cast rule (Spark truncates, DuckDB rounds — they'd diverge on
+    *    non-integral scaled values), and a
     *    scale-0 decimal→double conversion is a plain integer→double:
     *    correctly rounded in BOTH engines at any magnitude (a nonzero
     *    decimal scale would diverge by 1 ulp past 2^53);
@@ -199,10 +202,10 @@ object Similarity {
       val means = assigned
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("i", "v")))
         .groupBy("cent_id", "i")
-        .agg((((sum((col("v").cast("double") * lit(scale.toDouble))
-            .cast("long").cast("decimal(38,0)")).cast("double") /
+        .agg((((sum(floor(col("v").cast("double") * lit(scale.toDouble))
+            .cast("decimal(38,0)")).cast("double") /
           lit(scale.toDouble)) /
-          count(lit(1))).as("m"))
+          count(lit(1))).as("m")))
         .groupBy("cent_id")
         .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
           e => e.getField("m")).as("nvec"))

@@ -208,7 +208,16 @@ object Xlsx {
     * [[read]] and by any spreadsheet tool. */
   def write(df: DataFrame, path: String): Unit = {
     val header = df.schema.fieldNames.toVector
-    val data = df.collect().toVector.map(r =>
+    // Fact-path misuse guard: collecting a big frame to the driver should
+    // fail LOUDLY, not OOM. limit(cap+1) bounds what the probe itself can
+    // pull back; xlsx is inherently a single-file dimension-feed format,
+    // so a cap (not a streaming writer) is the honest contract.
+    val cap = 100000
+    val probe = df.limit(cap + 1).collect().toVector
+    require(probe.size <= cap,
+      s"Xlsx.write is a dimension-feed sink (driver-side, single file); " +
+        s"input exceeds $cap rows — write parquet/orc/csv instead")
+    val data = probe.map(r =>
       header.indices.map(i => Option(r.get(i)).map(_.toString)).toVector)
     val sheet = {
       val sb = new StringBuilder

@@ -22,6 +22,58 @@ object Events {
     sum(col(c).cast("decimal(25,6)")).cast("double")
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** Time-sliced multi-file replay copy of the events table, built once per
+    * (session, sf-dir): repartitionByRange over (ts, event_id) writes
+    * non-overlapping ascending ts ranges, published as sequentially named
+    * files with strictly increasing mtimes — so the file source
+    * (maxFilesPerTrigger=1, oldest-first) replays the table as real
+    * in-order micro-batches and state insert/EVICTION across batch
+    * boundaries is exercised on the oracle-checked path. Ordered
+    * non-overlapping slices produce no late data, so each drained result
+    * equals its single-batch value (watermarks only ever trail the next
+    * slice's minimum by the full delay). Range partitioning samples its
+    * boundaries — no global single-partition sort — which is the same
+    * replay shape a cluster run uses on a 100 TB table. */
+  private val slicedDirs = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), String]()
+  private def slicedEventsDir(s: org.apache.spark.sql.SparkSession,
+                              d: String, slices: Int = 4): String =
+    slicedDirs.computeIfAbsent((s, d), _ => {
+      val base =
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val out = new java.io.File(base,
+        s"graft_events_sliced_${Integer.toHexString(d.hashCode)}")
+      val stage = new java.io.File(out, ".stage") // dot-prefix: invisible
+      Tables.events(s, d)                         // to the file source
+        .repartitionByRange(slices, col("ts"), col("event_id"))
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite").parquet(stage.getPath)
+      // part-file names sort in range order; publish them as slice-NNN
+      // with 1s-spaced mtimes so oldest-first processing is unambiguous
+      // on any filesystem timestamp resolution.
+      Option(out.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("slice-")).foreach(_.delete())
+      val parts = Option(stage.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val dst = new java.io.File(out, f"slice-$i%03d.parquet")
+        java.nio.file.Files.move(p.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(t0 + i * 1000L)
+      }
+      out.getPath
+    })
+
+  /** ≥ 3 observed data micro-batches, or the multi-batch claim is hollow —
+    * fail loudly rather than silently degrade to a one-shot drain. */
+  private def requireMultiBatch(
+      q: org.apache.spark.sql.streaming.StreamingQuery, name: String): Unit = {
+    val n = q.recentProgress.count(_.numInputRows > 0)
+    require(n >= 3, s"$name drained in $n data batches, want >= 3")
+  }
+
   val registry: Map[String, QuerySpec] = Map(
 
     // Tumbling 1-hour windows via the real window() operator (struct

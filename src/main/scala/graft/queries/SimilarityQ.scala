@@ -59,7 +59,7 @@ object SimilarityQ {
                 |           ORDER BY ${duckL2("ev.v", "c.cvec")}, c.cent_id) AS rn
                 |  FROM ev CROSS JOIN c${r - 1} c) WHERE rn = 1),
                 |m$r AS (SELECT cent_id, i,
-                |         (CAST(SUM(CAST(v[i] * $S AS BIGINT)) AS DOUBLE) / $S)
+                |         (CAST(SUM(CAST(FLOOR(v[i] * $S) AS BIGINT)) AS DOUBLE) / $S)
                 |           / COUNT(*) AS m
                 |       FROM a$r CROSS JOIN range(1, 65) t(i) GROUP BY cent_id, i),
                 |n$r AS (SELECT cent_id, list(m ORDER BY i) AS cvec

@@ -163,4 +163,44 @@ class ExtSpec extends SparkSpec {
     assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
     assert(pairs(0).getDouble(2) == 3.0 / 5.0)
   }
+
+  test("triangle count is immune to self-loops, dup edges, and reversed edges") {
+    // K4 has 4 triangles; polluting the edge list with a self-loop, an
+    // exact duplicate, and a reversed copy of an edge must not change it.
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val dirty = k4 ++ Seq((2L, 2L), (0L, 1L), (1L, 0L))
+    val clean = Dedup.triangleCount(k4.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect()(0).getLong(0)
+    val noisy = Dedup.triangleCount(dirty.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect()(0).getLong(0)
+    assert(clean == 4L && noisy == 4L, s"clean=$clean noisy=$noisy, want 4")
+  }
+
+  test("k-means IVF: trained cells recover brute-force top-k on clustered data") {
+    // Three well-separated clusters of 20 vectors each; deterministic
+    // per-coordinate jitter so nothing degenerates to exact duplicates.
+    val dim = 12
+    val vecs = (0L until 60L).map { id =>
+      val c = (id % 3).toInt
+      val arr = Array.tabulate(dim) { i =>
+        val base = if (i / (dim / 3) == c) 1.0f else 0.0f
+        base + (((id * 31 + i) % 7) - 3) * 0.01f
+      }
+      (id, arr)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+
+    val cents = Similarity.kmeansCentroids(df, k = 3, rounds = 3).collect()
+    assert(cents.length == 3)
+    assert(cents.forall(_.getSeq[Double](1).length == dim))
+
+    val brute = Similarity.bruteForceTopK(df, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfKmeansTopK(df, 0L, 10, cells = 3, rounds = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // With clean clusters the query's true neighbors share its cell; even a
+    // seed-split cluster keeps most of them, so demand a real bound.
+    assert(recall >= 0.8, s"IVF recall vs brute force was $recall, want >= 0.8")
+  }
 }

@@ -127,4 +127,11 @@ class XlsxSpec extends SparkSpec {
     val w = Xlsx.read(spark, widePath).collect()(0)
     assert(w.getString(26) == "v26" && w.getString(27) == "v27")
   }
+
+  test("writer refuses fact-sized input loudly instead of collecting it") {
+    val big = spark.range(100001).toDF("id")
+    val path = java.io.File.createTempFile("graft_big", ".xlsx").getPath
+    val e = intercept[IllegalArgumentException](Xlsx.write(big, path))
+    assert(e.getMessage.contains("dimension-feed"))
+  }
 }
