@@ -137,13 +137,11 @@ object Similarity {
     val cents = embeddings
       .filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))
-    val assigned = embeddings.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        cosine(col("embedding"), col("cvec")).as("ccos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // argmax cosine = argmin (-cosine); negation is an exact IEEE op, so
+    // (-a < -b) <=> (a > b) and the struct-min tie-break (lower cent_id)
+    // matches the previous desc(ccos), asc(cent_id) window exactly.
+    val assigned = nearestBy(embeddings, cents,
+        (v, c) => negate(cosine(v, c)))
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
     val q = assigned.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q"), col("cell"))
@@ -154,15 +152,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** Shuffle-free nearest-centroid assignment — the coarse-quantizer hot
+    * path shared by [[ivfTopK]], [[kmeansCentroids]] and [[ivfKmeansTopK]].
+    *
+    * The k centroids collapse to ONE row (a cent_id-sorted array of
+    * (cent_id, cvec) structs) that is crossJoin-broadcast against the
+    * corpus scan; the argmin is then a per-row `array_min` over
+    * (dist, cent_id) structs, whose struct ordering IS "min dist, ties to
+    * the lower cent_id". The plan is scan → project: zero Exchange, and
+    * the corpus is never duplicated k-fold (the previous
+    * Window.partitionBy(vec_id) argmin shuffled n·k rows each carrying the
+    * full embedding — the scale-killer at 100 TB). Distances use the same
+    * sequential-fold doubles as before and `array_min` compares with the
+    * same total ordering a sort uses, so the assignment is bit-identical
+    * to the window formulation (dist here is always ≥ +0.0 and non-NaN for
+    * finite inputs, so total-order vs `<` corner cases cannot arise). */
+  private def nearestBy(embeddings: DataFrame, cents: DataFrame,
+                        dist: (Column, Column) => Column): DataFrame = {
+    val packed = cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("cvec")))).as("cents"))
+    embeddings.crossJoin(broadcast(packed))
+      .withColumn("best", array_min(transform(col("cents"), c =>
+        struct(dist(col("embedding"), c.getField("cvec")).as("d"),
+          c.getField("cent_id").as("cent_id")))))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cent_id").as("cent_id"), col("best.d").as("d"))
+  }
+
   /** Fixed-round Lloyd k-means over an embedding column, entirely as
     * DataFrame joins — the trained coarse quantizer for [[ivfKmeansTopK]]
     * (replacing the stored-vector stand-in of [[ivfTopK]]).
     *
     * Determinism/parity (every step oracle-checkable):
-    *  - init: the k seed vectors are the lowest-ranked rows under
-    *    sha2(vec_id) — a deterministic pseudo-random draw both engines
-    *    reproduce (at 100 TB, seed selection runs on a TABLESAMPLE instead
-    *    of a global sort; the training loop is unchanged);
+    *  - init: the k seed vectors are the k lowest rows under sha2(vec_id) —
+    *    a deterministic pseudo-random draw both engines reproduce. Selection
+    *    is sample-then-rank: filter to sha2(vec_id) < `seedBound` (a hex
+    *    prefix predicate that pushes to the scan), then rank only the
+    *    surviving sample. Because every sampled row hashes strictly below
+    *    every unsampled row, the sample's k lowest ARE the global k lowest
+    *    whenever the sample has ≥ k rows (checked loudly) — exact
+    *    equivalence, not approximation, with the single-partition sort now
+    *    over ~n/16 rows instead of the corpus (tighten seedBound's prefix
+    *    for bigger corpora: '01' → n/256, '001' → n/4096, …);
     *  - assignment: argmin of the sequential-fold L2² ([[l2sq]]), ties to
     *    the lower centroid id;
     *  - update: per-(cell, dim) means via 2^48-scaled integer sums in
@@ -177,28 +208,31 @@ object Similarity {
     *  - an emptied cell keeps its previous centroid (standard Lloyd
     *    practice, mirrored by the oracle's left join).
     *
-    * Scale shape per round: one broadcast of k centroids against the
-    * corpus scan (no shuffle of the vectors), one posexplode +
+    * Scale shape per round: one broadcast of the packed centroid array
+    * against the corpus scan with a per-row fold argmin ([[nearestBy]] —
+    * zero Exchange, no k-fold duplication of the vectors), one posexplode +
     * partial-aggregated hash aggregation on (cell, dim) — k·dim groups.
     * Lineage is cut per round so the plan stays flat. */
-  def kmeansCentroids(embeddings: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kmeansCentroids(embeddings: DataFrame, k: Int, rounds: Int,
+                      seedBound: String = "1"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scale = 281474976710656L // 2^48
-    val seedW = Window.orderBy(sha2(col("vec_id").cast("string"), 256),
-      col("vec_id"))
+    val h = sha2(col("vec_id").cast("string"), 256)
+    val seedW = Window.orderBy(col("h"), col("vec_id"))
     var cents = embeddings
+      .filter(h < lit(seedBound))
+      .withColumn("h", h)
       .withColumn("rk", row_number().over(seedW))
       .filter(col("rk") <= k)
       .select((col("rk") - 1).cast("long").as("cent_id"),
         transform(col("embedding"), _.cast("double")).as("cvec"))
       .localCheckpoint(true)
+    require(cents.count() == k,
+      s"k-means seeding: sha2 < '$seedBound' sampled fewer than k=$k rows; " +
+        "widen seedBound (the sample must hold at least k rows for the " +
+        "sample-then-rank draw to equal the global k-lowest draw)")
     for (_ <- 1 to rounds) {
-      val aw = Window.partitionBy("vec_id").orderBy(asc("d"), asc("cent_id"))
-      val assigned = embeddings.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          l2sq(col("embedding"), col("cvec")).as("d"))
-        .withColumn("rn", row_number().over(aw))
-        .filter(col("rn") === 1)
+      val assigned = nearestBy(embeddings, cents, l2sq)
       val means = assigned
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("i", "v")))
         .groupBy("cent_id", "i")
@@ -226,13 +260,7 @@ object Similarity {
   def ivfKmeansTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
                     cells: Int, rounds: Int): DataFrame = {
     val cents = kmeansCentroids(embeddings, cells, rounds)
-    val aw = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(asc("d"), asc("cent_id"))
-    val assigned = embeddings.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        l2sq(col("embedding"), col("cvec")).as("d"))
-      .withColumn("rn", row_number().over(aw))
-      .filter(col("rn") === 1)
+    val assigned = nearestBy(embeddings, cents, l2sq)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
     val q = assigned.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q"), col("cell"))

@@ -39,10 +39,14 @@ object SimilarityQ {
        |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)""".stripMargin
 
   /** DuckDB CTE chain mirroring [[Similarity.kmeansCentroids]] round by
-    * round: sha256-ranked seeds → (assign argmin-L2² → exact scaled-sum
-    * means → empty-cell carryover) × rounds. Ends in `c$rounds(cent_id,
-    * cvec)` plus the shared `ev(vec_id, v)` double-cast corpus. */
-  private def duckKmeansCtes(k: Int, rounds: Int): String = {
+    * round: sha256-sampled-then-ranked seeds (the `< '$seedBound'` predicate
+    * is the same sample-then-rank draw the Spark side runs — exact, because
+    * every sampled hash sorts below every unsampled one) → (assign
+    * argmin-L2² → exact scaled-sum means → empty-cell carryover) × rounds.
+    * Ends in `c$rounds(cent_id, cvec)` plus the shared `ev(vec_id, v)`
+    * double-cast corpus. */
+  private def duckKmeansCtes(k: Int, rounds: Int,
+                             seedBound: String = "1"): String = {
     val S = "281474976710656.0" // 2^48, same literal the Spark side embeds
     val sb = new StringBuilder
     sb ++= s"""ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -50,7 +54,9 @@ object SimilarityQ {
               |c0 AS (SELECT CAST(rk - 1 AS BIGINT) AS cent_id, v AS cvec FROM (
               |         SELECT v, row_number() OVER (
               |           ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id) AS rk
-              |         FROM ev) WHERE rk <= $k)""".stripMargin
+              |         FROM ev
+              |         WHERE sha256(CAST(vec_id AS VARCHAR)) < '$seedBound')
+              |       WHERE rk <= $k)""".stripMargin
     for (r <- 1 to rounds) {
       sb ++= s""",
                 |a$r AS (SELECT vec_id, v, cent_id FROM (

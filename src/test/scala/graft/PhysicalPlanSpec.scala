@@ -116,6 +116,29 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(plan(q).contains("Exchange hashpartitioning"), plan(q))
   }
 
+  test("IVF centroid assignment is shuffle-free: no vec_id Exchange, no Window") {
+    // The coarse-quantizer assignment (shared by ivfTopK / kmeansCentroids /
+    // ivfKmeansTopK) must be a per-row fold over a 1-row broadcast centroid
+    // array — scan → project. The previous formulation shuffled the k-fold
+    // duplicated corpus through Exchange hashpartitioning(vec_id) for a
+    // window argmin; that is the 100 TB scale-killer this asserts against.
+    // (The only Exchanges allowed are the SinglePartition collapse of the
+    // k-row centroid set and broadcast builds.)
+    Seq(
+      graft.ext.Similarity.ivfTopK(
+        Tables.embeddings(spark, sf), 0L, 10, centroidIds = 1L to 8L),
+      graft.ext.Similarity.ivfKmeansTopK(
+        Tables.embeddings(spark, sf), 0L, 10, cells = 4, rounds = 1)
+    ).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning(vec_id"),
+        s"assignment shuffles the corpus on vec_id:\n$p")
+      assert(!p.contains("Window"),
+        s"assignment should be a fold argmin, not a window:\n$p")
+      assert(p.contains("BroadcastExchange"), p)
+    }
+  }
+
   test("declared bucketed join: merge join consumes the bucketed layout") {
     // The query writes both sides as 8-bucket tables and joins with a
     // merge hint; the bucketed scans must satisfy the join's required
