@@ -367,8 +367,9 @@ object Events {
         import org.apache.spark.sql.streaming.Trigger
         val stream = s.readStream
           .schema(Tables.events(s, d).schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
+          .option("pathGlobFilter", "slice-*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(slicedEventsDir(s, d))
           .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
           .select(col("user_id"), col("event_type"),
             date_format(date_trunc("minute", col("ts_utc")), fmt).as("minute"),
@@ -386,6 +387,11 @@ object Events {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          // Cross-batch dedup state is genuinely exercised: a key's
+          // duplicates sit within one minute of each other, while the
+          // watermark trails the previous slice's max by 10 minutes — so
+          // a later slice's duplicate always finds the key still in state.
+          requireMultiBatch(q, "events_stream_dedup")
         }
         s.table(sinkName).orderBy("user_id", "event_type", "minute")
       },
@@ -404,8 +410,9 @@ object Events {
         import org.apache.spark.sql.streaming.Trigger
         def src = s.readStream
           .schema(Tables.events(s, d).schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
+          .option("pathGlobFilter", "slice-*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(slicedEventsDir(s, d))
           .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
         val joined = graft.streaming.Streams.clickPurchaseJoin(
             src.filter(col("event_type") === "click"),
@@ -421,6 +428,11 @@ object Events {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          // Join state crosses batches: a purchase buffered in slice k
+          // must still be in state when its click arrives in slice k+1
+          // (watermark trails the click's slice by 10 min, so eviction at
+          // p_ts + 30min + delay can never precede the matching click).
+          requireMultiBatch(q, "events_stream_join")
         }
         s.table(sinkName).orderBy("c_event", "p_event")
       },
@@ -444,8 +456,9 @@ object Events {
         import org.apache.spark.sql.streaming.Trigger
         val stream = s.readStream
           .schema(Tables.events(s, d).schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
+          .option("pathGlobFilter", "slice-*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(slicedEventsDir(s, d))
           .filter(col("user_id") < 100)
           .select(col("user_id"), col("value"))
           .as[graft.streaming.Streams.UserEvent]
@@ -459,6 +472,9 @@ object Events {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          // Per-user counts accumulate across batches; max(n) below reads
+          // the final state, so the fold must have carried across slices.
+          requireMultiBatch(q, "events_stream_running_totals")
         }
         // one state row per user per batch; max(n) = the final state
         s.table(sinkName)
@@ -471,14 +487,19 @@ object Events {
 
     // The FULL arbitrary-state API on the oracle-checked path: gap-based
     // sessionization via flatMapGroupsWithState with an EVENT-TIME
-    // timeout, run by the real engine and drained. Emission semantics are
-    // exactly what the oracle reproduces:
-    //  - within the (single) data batch, every session a user CLOSES by
-    //    starting a new one is emitted immediately;
+    // timeout, run by the real engine over >= 3 time-sliced micro-batches.
+    // Emission semantics are exactly what the oracle reproduces:
+    //  - every session a user CLOSES by starting a new one is emitted in
+    //    the batch that closes it; an in-flight session carried in state
+    //    is EXTENDED by the next slice's rows (slices are ts-ordered, so
+    //    a within-gap successor always arrives before the watermark —
+    //    which trails the previous slice's max by 10 min — can fire the
+    //    session's last+30min timeout: a spurious mid-stream timeout
+    //    would need an event older than the already-processed range);
     //  - each user's final session stays in state with timeout
-    //    last + 30min, and is emitted only when the no-data batch's
-    //    watermark (global max event time − 10min) advances strictly past
-    //    that deadline — so per-user trailing sessions inside the
+    //    last + 30min, and is emitted only when a later batch's
+    //    watermark (max event time so far − 10min) advances strictly past
+    //    that deadline — so per-user trailing sessions inside the final
     //    watermark frontier are correctly WITHHELD, and the oracle
     //    replicates that frontier arithmetic;
     //  - the state fold compares gaps in MILLISECONDS
@@ -494,8 +515,9 @@ object Events {
         import org.apache.spark.sql.streaming.Trigger
         val stream = s.readStream
           .schema(Tables.events(s, d).schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
+          .option("pathGlobFilter", "slice-*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(slicedEventsDir(s, d))
           .filter(col("user_id") < 50)
           .select(col("user_id"),
             timestamp_micros(expr("ts div 1000")).as("ts_utc"),
@@ -511,6 +533,7 @@ object Events {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          requireMultiBatch(q, "events_stream_sessions")
         }
         s.table(sinkName)
           .select(col("user_id"),
