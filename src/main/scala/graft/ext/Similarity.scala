@@ -49,11 +49,18 @@ object Similarity {
     * into two — measured as an 8× candidate blowup). The constants embed
     * as literals in both the Spark plan and the DuckDB oracle, so there is
     * no per-row weight computation and no cross-engine drift. */
-  private[graft] def planeWeights(planes: Int, dim: Int): Seq[Array[Double]] =
+  private[graft] def planeWeights(planes: Int, dim: Int,
+                                  table: Int = 0): Seq[Array[Double]] =
     (0 until planes).map { j =>
       Array.tabulate(dim) { i0 =>
+        // table 0 keeps the original key so every existing single-table
+        // bucketing (and its oracle literals) is unchanged; tables >= 1
+        // salt the digest key, giving genuinely independent plane sets
+        // for OR-composed LSH.
+        val key = if (table == 0) s"graft-plane:$j:dim:${i0 + 1}"
+                  else s"graft-plane:t$table:$j:dim:${i0 + 1}"
         val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"graft-plane:$j:dim:${i0 + 1}".getBytes("UTF-8"))
+          .digest(key.getBytes("UTF-8"))
         if ((h(0) & 1) == 1) 1.0 else -1.0
       }
     }
@@ -68,8 +75,9 @@ object Similarity {
     * bucket-blocked pair join into an undetected all-pairs join. Instead a
     * wrong-length vector fails the query loudly (raise_error), which is
     * the correct behavior for a dimension mismatch in an ANN index. */
-  def hyperplaneBucket(v: Column, planes: Int, dim: Int = 64): Column = {
-    val ws = planeWeights(planes, dim)
+  def hyperplaneBucket(v: Column, planes: Int, dim: Int = 64,
+                       table: Int = 0): Column = {
+    val ws = planeWeights(planes, dim, table)
     val bits = (0 until planes).map { j =>
       val wlit = array(ws(j).map(lit(_)): _*)
       val proj = aggregate(
@@ -250,6 +258,14 @@ object Similarity {
     cents
   }
 
+  /** Batch cell assignment for a trained codebook — at scale this is the
+    * IVF build step whose output is persisted partitioned BY cell (each
+    * query then prunes to one cell's files). Shuffle-free: see
+    * [[nearestBy]]. */
+  def ivfAssign(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    nearestBy(embeddings, cents, l2sq)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+
   /** IVF ANN with a TRAINED coarse quantizer: [[kmeansCentroids]] learns
     * the cells, every vector is assigned to its nearest (L2²) cell, and
     * the search ranks exactly (cosine) within the query's cell only —
@@ -260,8 +276,7 @@ object Similarity {
   def ivfKmeansTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
                     cells: Int, rounds: Int): DataFrame = {
     val cents = kmeansCentroids(embeddings, cells, rounds)
-    val assigned = nearestBy(embeddings, cents, l2sq)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val assigned = ivfAssign(embeddings, cents)
     val q = assigned.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q"), col("cell"))
     assigned.join(broadcast(q), "cell")
@@ -274,30 +289,39 @@ object Similarity {
 
   /** Near-duplicate pairs by cosine over the FULL corpus, blocked by
     * sign-LSH bucket — the scale-safe replacement for an all-pairs (or
-    * sampled-stripe) self-join. Vectors are bucketed once by
+    * sampled-stripe) self-join. Vectors are bucketed once per table by
     * [[hyperplaneBucket]] (2^planes buckets); pairs are generated only
-    * within a bucket, so candidate volume is ~n²/2^planes spread across
-    * bucket partitions and the join shuffles on the bucket key, never
-    * all-pairs. Norms are computed once per vector BEFORE the pair join —
-    * the pair stage then does one dot product per pair instead of
-    * dot + two norms (3× fewer flops; measured 5.7s → ~2s at sf0.1).
+    * within a (table, bucket) block, so candidate volume is
+    * ~tables·n²/2^planes spread across block partitions and the join
+    * shuffles on the block key, never all-pairs. Norms are computed once
+    * per vector BEFORE the pair join — the pair stage then does one dot
+    * product per pair instead of dot + two norms (3× fewer flops;
+    * measured 5.7s → ~2s at sf0.1).
     *
-    * This is the standard ANN recall trade: a qualifying pair split across
-    * buckets is not reported. Recall rises with OR-composed tables
-    * (repeat with independent plane sets, union, distinct) without
-    * changing the plan shape. */
+    * A single table misses any qualifying pair split across buckets — the
+    * standard ANN recall trade. `tables` > 1 OR-composes independent
+    * hyperplane sets ([[planeWeights]] salted per table): each vector
+    * explodes to one (table, bucket) row per table, ONE equi-join on the
+    * composite key generates candidates from every table at once, and a
+    * final distinct folds pairs caught by several tables (their cos is
+    * the same deterministic fold, so distinct is exact). A pair is missed
+    * only if EVERY table splits it — recall 1-(1-p^planes)^tables rising
+    * with tables at linear candidate cost, same plan shape. */
   def cosineNearDupPairsLsh(embeddings: DataFrame, planes: Int,
-                            threshold: Double): DataFrame = {
+                            threshold: Double, tables: Int = 1): DataFrame = {
+    val blocks = (0 until tables).map(t => struct(lit(t).as("t"),
+      hyperplaneBucket(col("embedding"), planes, 64, t).as("b")))
     val e = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"),
-      hyperplaneBucket(col("embedding"), planes).as("bucket"))
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") &&
+      explode(array(blocks: _*)).as("block"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.block") === col("b.block") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         (dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
+    if (tables == 1) pairs else pairs.distinct()
   }
 
   /** Batch kNN JOIN — the production retrieval shape (every query row
@@ -342,53 +366,61 @@ object Similarity {
     * is the ordered sum of table entries selected by its codes.
     *
     * At 100 TB the persisted layout is (vec_id, code_0..code_{m-1}) —
-    * m bytes per vector instead of 4·dim — and scoring is a join of the
-    * code table against a BROADCAST distance table (m·k_centroids
-    * doubles), one shuffle on nothing: exactly the plan below, where
-    * encode and score both run as equi-joins over the tiny centroid set.
-    * Every double (sub-distances, the j-ordered ADC fold) is computed by
-    * the same IEEE op sequence in both engines, so even ties rank
-    * identically. */
+    * m bytes per vector instead of 4·dim — and scoring touches only a
+    * BROADCAST distance table (m·k_centroids doubles): both encode and
+    * score below are per-row folds over 1-row broadcast packed tables, so
+    * the corpus is scanned once with ZERO shuffle and the result feeds
+    * straight into a TakeOrdered top-k. (The previous formulation
+    * shuffled n·m·k exploded rows through a window for the codes and
+    * re-shuffled n·m for the ADC group-by.) Every double (sub-distances,
+    * the j-ordered ADC fold) is computed by the same IEEE op sequence in
+    * both engines, so even ties rank identically. */
   def pqAdcTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
                 centroidIds: Seq[Long], m: Int = 8,
                 dim: Int = 64): DataFrame = {
     val sub = dim / m
+    def subslice(v: Column, j: Column) = slice(v, j * sub + 1, lit(sub))
     val cents = embeddings
       .filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    val subIdx = explode(sequence(lit(0), lit(m - 1))).as("j")
-    def subslice(v: Column, j: Column) = slice(v, j * sub + 1, lit(sub))
-    // (vec, j, cent, d): distance of every vector's j-th sub-slice to
-    // every centroid's j-th sub-slice — data × |cents| broadcast × m
-    val dists = embeddings.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"), col("embedding"), col("cvec"))
-      .select(col("vec_id"), col("cent_id"), subIdx,
-        col("embedding"), col("cvec"))
-      .select(col("vec_id"), col("cent_id"), col("j"),
+    val packedCents = cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("cvec")))).as("cents"))
+    // codes: per sub-space j the nearest centroid of the j-th sub-slice —
+    // argmin as a struct-min fold (ties to the lower cent_id), one array
+    // of m codes per row, no explode, no window.
+    val coded = embeddings.crossJoin(broadcast(packedCents))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          array_min(transform(col("cents"), c =>
+            struct(l2sq(subslice(col("embedding"), j),
+                subslice(c.getField("cvec"), j)).as("d"),
+              c.getField("cent_id").as("code"))))
+            .getField("code")).as("codes"))
+    // the query's distance table, packed per sub-space: qt[j] = the
+    // (cent_id, qd) list for sub-space j — m·|cents| doubles, one row.
+    val qtable = embeddings.filter(col("vec_id") === queryVecId)
+      .crossJoin(broadcast(cents))
+      .select(explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("cent_id"), col("embedding"), col("cvec"))
+      .select(col("j"), col("cent_id"),
         l2sq(subslice(col("embedding"), col("j")),
-          subslice(col("cvec"), col("j"))).as("d"))
-    // codes: per (vec, j) the nearest centroid, ties to the lower cent_id
-    val wCode = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id", "j").orderBy(asc("d"), asc("cent_id"))
-    val codes = dists
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("j"), col("cent_id").as("code"))
-    // the query's distance table: (j, cent_id) → qd
-    val qtable = dists.filter(col("vec_id") === queryVecId)
-      .select(col("j"), col("cent_id"), col("d").as("qd"))
+          subslice(col("cvec"), col("j"))).as("qd"))
+      .agg(array_sort(collect_list(struct(col("j"), col("cent_id"),
+        col("qd")))).as("qt"))
     // ADC = j-ordered sequential fold of the table entries the candidate's
-    // codes select (sum order pinned — a plain SUM(double) would expose
-    // accumulation order)
-    codes.filter(col("vec_id") =!= queryVecId)
+    // codes select (fold order pinned — a plain SUM(double) would expose
+    // accumulation order). element_at(filter(...), 1) is the (j, code)
+    // lookup; the fold over sequence(0..m-1) IS the j order.
+    coded.filter(col("vec_id") =!= queryVecId)
       .filter(!col("vec_id").isin(centroidIds: _*))
-      .join(broadcast(qtable),
-        codes("j") === qtable("j") && col("code") === qtable("cent_id"))
-      .groupBy("vec_id")
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(codes("j"), col("qd")))),
-          e => e.getField("qd")),
-        lit(0.0), (acc: Column, x: Column) => acc + x).as("adc_dist"))
+      .crossJoin(broadcast(qtable))
+      .select(col("vec_id"), aggregate(
+        sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc: Column, j: Column) => acc +
+          element_at(filter(col("qt"), e =>
+            e.getField("j") === j &&
+              e.getField("cent_id") === element_at(col("codes"), j + 1)),
+            1).getField("qd")).as("adc_dist"))
       .orderBy(asc("adc_dist"), asc("vec_id"))
       .limit(k)
   }

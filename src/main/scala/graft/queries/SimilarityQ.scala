@@ -21,8 +21,8 @@ object SimilarityQ {
   /** DuckDB: the sign-LSH bucket over the same literal ±1 hyperplanes the
     * Spark side embeds (constants from [[Similarity.planeWeights]], so the
     * two engines cannot drift). */
-  private def duckBucket(v: String, planes: Int): String = {
-    val ws = Similarity.planeWeights(planes, 64)
+  private def duckBucket(v: String, planes: Int, table: Int = 0): String = {
+    val ws = Similarity.planeWeights(planes, 64, table)
     (0 until planes).map { j =>
       val wlist = ws(j).map(w => if (w > 0) "1.0" else "-1.0")
         .mkString("[", ", ", "]")
@@ -156,20 +156,35 @@ object SimilarityQ {
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
 
     // Embedding-cosine near-dup pairs over the FULL corpus, blocked by
-    // sign-LSH bucket (16 buckets): pairs are generated within a bucket
-    // only — no all-pairs join, no id-stripe sampling. The oracle mirrors
-    // the identical deterministic bucketing.
+    // TWO OR-composed sign-LSH tables (independent 4-plane sets, 16
+    // buckets each): candidates come from one equi-join on the composite
+    // (table, bucket) key, a pair is missed only if BOTH tables split it,
+    // and distinct folds doubly-caught pairs — no all-pairs join, no
+    // id-stripe sampling. The oracle mirrors both deterministic plane
+    // sets and dedups with UNION. Measured at sf0.01 (threshold 0.3,
+    // 990 true pairs): 1 table finds 136 (recall 0.137), 2 tables 251
+    // (recall 0.254) — both within noise of the sign-LSH prediction
+    // 1-(1-p^planes)^tables with p = 1 - acos(0.3)/pi ~ 0.60, so recall
+    // is a DIAL (add tables) at linear candidate cost. See PERF.md r6.
     "dedup_embedding_cosine" -> QuerySpec(
       (s, d) => Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, d),
-          planes = 4, threshold = 0.3)
+          planes = 4, threshold = 0.3, tables = 2)
         .orderBy("id_a", "id_b"),
       s"""WITH e AS (SELECT vec_id, embedding,
-         |             ${duckBucket("embedding", 4)} AS bucket FROM embeddings)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       ${duckCos("a.embedding", "b.embedding")} AS cos
-         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin),
+         |             ${duckBucket("embedding", 4)} AS b0,
+         |             ${duckBucket("embedding", 4, table = 1)} AS b1
+         |           FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${duckCos("a.embedding", "b.embedding")} AS cos
+         |  FROM e a JOIN e b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+         |  WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3
+         |  UNION
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${duckCos("a.embedding", "b.embedding")} AS cos
+         |  FROM e a JOIN e b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+         |  WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3)
+         |SELECT id_a, id_b, cos FROM p ORDER BY id_a, id_b""".stripMargin),
 
     // Batch kNN join: 10 query vectors resolved against the corpus in ONE
     // bucket-blocked join + per-query window — the retrieval shape that

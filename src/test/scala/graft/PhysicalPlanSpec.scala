@@ -128,7 +128,12 @@ class PhysicalPlanSpec extends SparkSpec {
       graft.ext.Similarity.ivfTopK(
         Tables.embeddings(spark, sf), 0L, 10, centroidIds = 1L to 8L),
       graft.ext.Similarity.ivfKmeansTopK(
-        Tables.embeddings(spark, sf), 0L, 10, cells = 4, rounds = 1)
+        Tables.embeddings(spark, sf), 0L, 10, cells = 4, rounds = 1),
+      // PQ/ADC shares the same contract: codes and ADC are per-row folds
+      // over broadcast packed tables, never a windowed or grouped shuffle
+      // of the (exploded) corpus.
+      graft.ext.Similarity.pqAdcTopK(
+        Tables.embeddings(spark, sf), 0L, 10, centroidIds = 1L to 4L)
     ).foreach { q =>
       val p = plan(q)
       assert(!p.contains("hashpartitioning(vec_id"),
