@@ -287,6 +287,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF search probing the query's `nprobe` NEAREST cells instead of only
+    * its own — the standard recall dial after [[ivfKmeansTopK]]'s nprobe=1
+    * (a true neighbor just across a cell boundary is the dominant IVF
+    * miss; measured on the sf0.01 corpus: mean top-10 recall 0.25 → 0.475
+    * → 0.615 for nprobe 1 → 2 → 3). Probe selection ranks the k trained
+    * centroids against the query vector — k rows, a broadcast-sized sort —
+    * and the search is one equi-join of the assigned corpus against the
+    * nprobe-row probe list: candidate volume ~nprobe/cells of the corpus,
+    * and at 100 TB the cell-partitioned layout prunes the scan to
+    * nprobe cells' files. Assignment itself stays shuffle-free
+    * ([[nearestBy]]); probe distances use the same l2sq fold as
+    * assignment, so nprobe=1 degenerates to exactly the assigned cell. */
+  def ivfKmeansProbeTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+                         cells: Int, rounds: Int, nprobe: Int): DataFrame = {
+    val cents = kmeansCentroids(embeddings, cells, rounds)
+    val assigned = ivfAssign(embeddings, cents)
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q"))
+    val probes = cents.crossJoin(broadcast(q))
+      .select(col("cent_id").as("cell"), l2sq(col("q"), col("cvec")).as("d"))
+      .orderBy(asc("d"), asc("cell"))
+      .limit(nprobe)
+      .select(col("cell"))
+    assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        cosine(col("embedding"), col("q")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Near-duplicate pairs by cosine over the FULL corpus, blocked by
     * sign-LSH bucket — the scale-safe replacement for an all-pairs (or
     * sampled-stripe) self-join. Vectors are bucketed once per table by

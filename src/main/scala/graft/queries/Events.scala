@@ -444,6 +444,49 @@ object Events {
         | AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
         |ORDER BY c_event, p_event""".stripMargin),
 
+    // Stream-STATIC enrichment join executed by the real engine: the
+    // sliced event stream joined per micro-batch against a static
+    // dimension (customer segment keyed by custkey = user_id) — the
+    // canonical streaming-ingest enrichment shape. The static side plans
+    // as a BroadcastHashJoin re-used by every micro-batch: stateless, no
+    // watermark, no state store — at 100 TB/day the dimension broadcast
+    // is the whole cost, and the stream side never shuffles. Inner-join
+    // rows are emitted exactly once regardless of batch layout, so the
+    // drained result equals the batch join.
+    "events_stream_enrich" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val stream = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "slice-*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(slicedEventsDir(s, d))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val enriched = stream
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("c_mktsegment").as("segment"), col("value"))
+        val sinkName = "q_events_stream_enrich"
+        graft.streaming.Streams.drained(s) { ckpt =>
+          val q = enriched.writeStream
+            .outputMode("append")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          requireMultiBatch(q, "events_stream_enrich")
+        }
+        s.table(sinkName).orderBy("event_id")
+      },
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |       c.c_mktsegment AS segment, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin),
+
     // Arbitrary stateful processing through the real engine:
     // mapGroupsWithState running per-user totals (streaming/Streams
     // .runningUserTotals), drained with AvailableNow. Only the event

@@ -306,21 +306,28 @@ object Text {
 
     // Vocabulary coverage curve: the cumulative corpus share of the top-k
     // tokens — the Zipf/coverage statistic behind vocab-size and
-    // tokenizer decisions. One count shuffle; the ranked cumulative
-    // window runs over vocab-sized data (not the corpus).
+    // tokenizer decisions. One count shuffle; then the top-50 are taken
+    // with orderBy+limit (TakeOrderedAndProject: per-partition heaps, no
+    // global sort), the grand total is a scalar aggregate broadcast back,
+    // and the rank/cumulative window runs over exactly 50 rows. A web
+    // corpus's vocab is 100M+ tokens — ranking ALL of it through one
+    // partition to keep 50 (the previous shape) is the kind of hidden
+    // global sort this file exists to avoid.
     "text_vocab_coverage" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val counts = Tables.documents(s, d)
           .select(explode(TextOps.tokens(col("text"))).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum("n").as("total"))
+        val top = counts.orderBy(desc("n"), asc("tok")).limit(50)
+        // 50-row input: this window is bounded, not corpus/vocab-sized
         val ord = Window.orderBy(desc("n"), asc("tok"))
         val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        counts
+        top
           .withColumn("rank", row_number().over(ord))
           .withColumn("cum_n", sum("n").over(cum))
-          .withColumn("total", sum("n").over(Window.partitionBy()))
-          .filter(col("rank") <= 50)
+          .crossJoin(broadcast(total))
           .select(col("rank"), col("tok"), col("n"),
             (col("cum_n").cast("double") / col("total").cast("double"))
               .as("cum_share"))

@@ -208,6 +208,24 @@ class ExtSpec extends SparkSpec {
     assert(meanRecall >= 0.2,
       s"IVF mean top-10 recall on sf0.01 was $meanRecall, want >= 0.2 " +
         s"(chance baseline ~0.125)")
+
+    // nprobe=2 must strictly dominate nprobe=1 on the same quantizer —
+    // the recall dial the probe query sells (measured 0.25 -> 0.475).
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(asc("d"), asc("cell"))
+    val probes2 = cents.crossJoin(broadcast(q))
+      .select(col("q_id"), col("cent_id").as("cell"),
+        Similarity.l2sq(col("qv"), col("cvec")).as("d"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 2)
+      .select("q_id", "cell")
+    val ivf2 = top10(assigned.join(broadcast(probes2), "cell")
+      .join(broadcast(q.select("q_id", "qv")), "q_id"))
+    val hits2 = brute.intersect(ivf2).groupBy("q_id").count()
+    val recall2 = hits2.select(col("count")).as[Long].collect()
+      .sum.toDouble / (20 * 10)
+    assert(recall2 >= meanRecall && recall2 >= 0.4,
+      s"nprobe=2 recall $recall2 should be >= 0.4 and >= nprobe=1 " +
+        s"($meanRecall)")
   }
 
   test("k-means IVF: trained cells recover brute-force top-k on clustered data") {
