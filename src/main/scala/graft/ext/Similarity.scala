@@ -319,6 +319,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** The full two-stage ANN pipeline — IVF-PQ: a TRAINED coarse quantizer
+    * ([[kmeansCentroids]]) restricts the search to the query's `nprobe`
+    * nearest cells, and PQ/ADC ranks those candidates from their codes
+    * and a broadcast distance table WITHOUT touching raw candidate
+    * vectors at score time. This is the composition every production
+    * vector index runs (FAISS IVFx,PQy): stage 1 cuts candidates to
+    * ~nprobe/cells of the corpus, stage 2 cuts per-candidate cost to m
+    * table lookups. Here both stages keep the engine's scale contracts —
+    * assignment and encoding are per-row folds over broadcast packed
+    * codebooks (zero corpus shuffle, [[nearestBy]]/[[pqAdcScore]]), probe
+    * selection is a k-row sort, and at 100 TB the cell-partitioned code
+    * layout prunes the scan to nprobe cells' code files (m bytes/vector).
+    * Fully deterministic, so the oracle replays training, probing,
+    * encoding and the j-ordered ADC fold CTE by CTE. */
+  def ivfPqTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
+                cells: Int, rounds: Int, nprobe: Int,
+                pqCentroidIds: Seq[Long], m: Int = 8,
+                dim: Int = 64): DataFrame = {
+    val cents = kmeansCentroids(embeddings, cells, rounds)
+    val assigned = ivfAssign(embeddings, cents)
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q"))
+    val probes = cents.crossJoin(broadcast(q))
+      .select(col("cent_id").as("cell"), l2sq(col("q"), col("cvec")).as("d"))
+      .orderBy(asc("d"), asc("cell"))
+      .limit(nprobe)
+      .select(col("cell"))
+    val candidates = assigned.join(broadcast(probes), "cell")
+      .select(col("vec_id"), col("embedding"))
+    pqAdcScore(candidates, embeddings, queryVecId, k, pqCentroidIds, m, dim)
+  }
+
   /** Near-duplicate pairs by cosine over the FULL corpus, blocked by
     * sign-LSH bucket — the scale-safe replacement for an all-pairs (or
     * sampled-stripe) self-join. Vectors are bucketed once per table by
@@ -409,7 +441,16 @@ object Similarity {
     * both engines, so even ties rank identically. */
   def pqAdcTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
                 centroidIds: Seq[Long], m: Int = 8,
-                dim: Int = 64): DataFrame = {
+                dim: Int = 64): DataFrame =
+    pqAdcScore(embeddings, embeddings, queryVecId, k, centroidIds, m, dim)
+
+  /** The PQ/ADC scorer over an arbitrary CANDIDATE set (same plan as
+    * [[pqAdcTopK]], which scores the whole corpus): codebook and query
+    * always come from `embeddings`; only `candidates` rows are encoded
+    * and ranked. This is the second stage of [[ivfPqTopK]]. */
+  private def pqAdcScore(candidates: DataFrame, embeddings: DataFrame,
+                         queryVecId: Long, k: Int, centroidIds: Seq[Long],
+                         m: Int, dim: Int): DataFrame = {
     val sub = dim / m
     def subslice(v: Column, j: Column) = slice(v, j * sub + 1, lit(sub))
     val cents = embeddings
@@ -420,7 +461,7 @@ object Similarity {
     // codes: per sub-space j the nearest centroid of the j-th sub-slice —
     // argmin as a struct-min fold (ties to the lower cent_id), one array
     // of m codes per row, no explode, no window.
-    val coded = embeddings.crossJoin(broadcast(packedCents))
+    val coded = candidates.crossJoin(broadcast(packedCents))
       .select(col("vec_id"),
         transform(sequence(lit(0), lit(m - 1)), j =>
           array_min(transform(col("cents"), c =>

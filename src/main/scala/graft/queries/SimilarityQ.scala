@@ -270,6 +270,60 @@ object SimilarityQ {
         |SELECT vec_id, adc_dist FROM adc
         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin),
 
+    // The full two-stage ANN pipeline (FAISS-style IVF-PQ): trained
+    // 8-cell coarse quantizer -> probe the query's 2 nearest cells ->
+    // PQ-encode only those candidates -> rank by ADC table lookups.
+    // Composes the three oracle-checked stages (k-means training CTEs,
+    // probe ranking, PQ distance table) into one query; the candidates
+    // never ship raw vectors into the scoring stage.
+    "similarity_ivf_pq_topk" -> QuerySpec(
+      (s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d), 0L, 10,
+        cells = 8, rounds = 2, nprobe = 2, pqCentroidIds = (1L to 4L)),
+      s"""WITH ${duckKmeansCtes(8, 2)},
+         |qv AS (SELECT v FROM ev WHERE vec_id = 0),
+         |probes AS (SELECT cent_id AS cell FROM (
+         |  SELECT c.cent_id, ${duckL2("q.v", "c.cvec")} AS d
+         |  FROM c2 c CROSS JOIN qv q)
+         |  ORDER BY d, cent_id LIMIT 2),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT ev.vec_id, c.cent_id AS cell,
+         |         row_number() OVER (PARTITION BY ev.vec_id
+         |           ORDER BY ${duckL2("ev.v", "c.cvec")}, c.cent_id) AS rn
+         |  FROM ev CROSS JOIN c2 c) WHERE rn = 1),
+         |cand AS (SELECT vec_id FROM assigned JOIN probes USING (cell)),
+         |pqc AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 4),
+         |dists AS (
+         |  SELECT e.vec_id, c.cent_id, js.j,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+         |      i -> (CAST(e.embedding[js.j*8 + i] AS DOUBLE)
+         |              - CAST(c.cvec[js.j*8 + i] AS DOUBLE))
+         |         * (CAST(e.embedding[js.j*8 + i] AS DOUBLE)
+         |              - CAST(c.cvec[js.j*8 + i] AS DOUBLE)))),
+         |      (a, b) -> a + b) AS d
+         |  FROM embeddings e
+         |  CROSS JOIN pqc c
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js),
+         |codes AS (
+         |  SELECT vec_id, j, cent_id AS code FROM (
+         |    SELECT d.vec_id, d.j, d.cent_id,
+         |           row_number() OVER (PARTITION BY d.vec_id, d.j
+         |             ORDER BY d.d, d.cent_id) AS rn
+         |    FROM dists d JOIN cand USING (vec_id)) WHERE rn = 1),
+         |qt AS (SELECT j, cent_id, d AS qd FROM dists WHERE vec_id = 0),
+         |sel AS (
+         |  SELECT codes.vec_id, codes.j, qt.qd
+         |  FROM codes JOIN qt ON codes.j = qt.j AND codes.code = qt.cent_id
+         |  WHERE codes.vec_id <> 0 AND codes.vec_id NOT BETWEEN 1 AND 4),
+         |adc AS (
+         |  SELECT vec_id,
+         |         list_reduce(list_prepend(0.0, list(qd ORDER BY j)),
+         |           (a, b) -> a + b) AS adc_dist
+         |  FROM sel GROUP BY vec_id)
+         |SELECT vec_id, adc_dist FROM adc
+         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin),
+
     // Per-label centroid vectors — the k-means/IVF training primitive
     // (assign→average). One posexplode + hash aggregation on (label, dim):
     // partial aggregation map-side, scales to any corpus. Exact cross-row

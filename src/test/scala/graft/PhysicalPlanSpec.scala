@@ -133,7 +133,10 @@ class PhysicalPlanSpec extends SparkSpec {
       // over broadcast packed tables, never a windowed or grouped shuffle
       // of the (exploded) corpus.
       graft.ext.Similarity.pqAdcTopK(
-        Tables.embeddings(spark, sf), 0L, 10, centroidIds = 1L to 4L)
+        Tables.embeddings(spark, sf), 0L, 10, centroidIds = 1L to 4L),
+      graft.ext.Similarity.ivfPqTopK(
+        Tables.embeddings(spark, sf), 0L, 10, cells = 4, rounds = 1,
+        nprobe = 2, pqCentroidIds = 1L to 4L)
     ).foreach { q =>
       val p = plan(q)
       assert(!p.contains("hashpartitioning(vec_id"),
