@@ -528,6 +528,60 @@ object Events {
         |FROM events WHERE user_id < 100
         |GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // foreachBatch parquet SINK on the oracle-checked path — the
+    // production landing shape (idempotent per-batch append with the
+    // batch id stamped for exactly-once-style reconciliation), via
+    // streaming.Streams.startForeachBatchParquet. The sliced stream is
+    // drained with processAllAvailable (the helper's default-trigger
+    // sink), the sunk files are read BACK, and the declared result is
+    // the reconciliation aggregate — which must equal the batch table's,
+    // proving no batch was lost or double-applied. Arrival-order-free:
+    // only keyed counts and exact decimal sums project; the batch_id
+    // layout is asserted in code (>= 3 data batches), not hashed.
+    "events_stream_batch_sink" -> QuerySpec(
+      (s, d) => {
+        val base =
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+          else System.getProperty("java.io.tmpdir")
+        // Deterministic landing dir per sf-dir, CLEARED before each drain:
+        // the checkpoint is fresh every call, so batch ids restart at 0
+        // and appending over a previous run's files would double-count —
+        // clearing at start (not after: the returned plan reads lazily)
+        // keeps repeated bench sweeps correct and bounds tmpfs litter.
+        val outF = new java.io.File(base,
+          s"graft_fbsink_${Integer.toHexString(d.hashCode)}")
+        if (outF.isDirectory) {
+          val walk = java.nio.file.Files.walk(outF.toPath)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.delete(p); () })
+          finally walk.close()
+        }
+        val out = outF.getPath
+        val stream = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "slice-*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(slicedEventsDir(s, d))
+          .select(col("event_type"), col("value"))
+        graft.streaming.Streams.drained(s) { ckpt =>
+          val q = graft.streaming.Streams
+            .startForeachBatchParquet(stream, out, ckpt)
+          q.processAllAvailable()
+          q.stop()
+          requireMultiBatch(q, "events_stream_batch_sink")
+        }
+        val sunk = s.read.parquet(out)
+        val nBatches = sunk.select("batch_id").distinct().count()
+        require(nBatches >= 3,
+          s"foreachBatch sink landed $nBatches batches, want >= 3")
+        sunk.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum("value").as("total"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // The FULL arbitrary-state API on the oracle-checked path: gap-based
     // sessionization via flatMapGroupsWithState with an EVENT-TIME
     // timeout, run by the real engine over >= 3 time-sliced micro-batches.
