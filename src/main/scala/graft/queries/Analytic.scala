@@ -974,6 +974,114 @@ object Analytic {
            |       MIN(x) AS x_lo, MAX(x) AS x_hi,
            |       MIN(y) AS y_lo, MAX(y) AS y_hi
            |FROM t GROUP BY zbucket ORDER BY zbucket""".stripMargin
-      })
+      }),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE) — hierarchical closure walked
+    // by the engine's own iterative plan, not a driver loop: each customer
+    // climbs a decimal-trie hierarchy (parent key = floor(key / 10), a
+    // dense synthetic org chart over the contiguous custkey range) via a
+    // per-step JOIN back to the base table until no parent row exists.
+    // Depth is the recursion count; the root is the path minimum (keys
+    // strictly decrease along the walk). The recursion is bounded at
+    // O(log10 N) iterations, each a keyed equi-join — the same shape
+    // scales to a billion-row hierarchy as log10 joins, no driver state.
+    // FLOOR(x / 10.0) over doubles is exact for keys < 2^52, so one SQL
+    // text serves both engines.
+    "recursive_cte_hierarchy" -> QuerySpec(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_cust_rec")
+        s.sql(recursiveHierarchySql("v_cust_rec"))
+      },
+      recursiveHierarchySql("customer")),
+
+    // VARIANT semi-structured type (Spark 4): nested JSON parsed once into
+    // the binary variant encoding, then path-extracted with typed
+    // variant_get — object field, nested object field, and array index.
+    // Unlike string get_json_object (json_extract_props), the variant
+    // value is parsed ONCE and every extraction is an O(path) walk over
+    // the binary form — the engine-native shape for repeated multi-path
+    // access on a 100 TB semi-structured column. The JSON itself is built
+    // from row columns with identical string concatenation in both
+    // engines; DuckDB extracts from the same text with JSON operators.
+    "variant_json_path" -> QuerySpec(
+      (s, d) => {
+        val js = concat(
+          lit("{\"meta\": {\"type\": \""), col("event_type"),
+          lit("\", \"k\": "), get_json_object(col("props"), "$.k"),
+          lit("}, \"vals\": ["), col("event_id"), lit(", "), col("user_id"),
+          lit("]}"))
+        Tables.events(s, d)
+          .select(col("event_id"), parse_json(js).as("v"))
+          .select(col("event_id"),
+            expr("variant_get(v, '$.meta.type', 'string')").as("etype"),
+            expr("variant_get(v, '$.meta.k', 'int')").as("k_val"),
+            expr("variant_get(v, '$.vals[1]', 'bigint')").as("uid"))
+          .groupBy("etype")
+          .agg(count(lit(1)).as("n"), sum("k_val").as("k_sum"),
+            sum("uid").as("uid_sum"))
+          .orderBy("etype")
+      },
+      """WITH j AS (
+        |  SELECT event_id,
+        |         '{"meta": {"type": "' || event_type || '", "k": ' ||
+        |         (props->>'k') || '}, "vals": [' || event_id || ', ' ||
+        |         user_id || ']}' AS js
+        |  FROM events),
+        |x AS (
+        |  SELECT event_id,
+        |         json_extract_string(js, '$.meta.type') AS etype,
+        |         CAST(json_extract(js, '$.meta.k') AS INT) AS k_val,
+        |         CAST(json_extract(js, '$.vals[1]') AS BIGINT) AS uid
+        |  FROM j)
+        |SELECT etype, COUNT(*) AS n,
+        |       CAST(SUM(k_val) AS BIGINT) AS k_sum,
+        |       CAST(SUM(uid) AS BIGINT) AS uid_sum
+        |FROM x GROUP BY etype ORDER BY etype""".stripMargin),
+
+    // SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN):
+    // the margin expression is declared ONCE as a catalog object in pure
+    // SQL — no JVM closure, fully visible to Catalyst (the body is
+    // inlined into the plan, so codegen/pushdown treat it exactly like
+    // the hand-written expression; contrast with a black-box UDF). The
+    // oracle inlines the identical arithmetic; per-row double products
+    // are IEEE-identical, and the sum is exact-decimal on both sides.
+    "sql_udf_margin" -> QuerySpec(
+      (s, d) => {
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_margin(
+                |  price DOUBLE, discount DOUBLE, tax DOUBLE)
+                |RETURNS DOUBLE
+                |RETURN price * (1.0 - discount) * (1.0 + tax)""".stripMargin)
+        Tables.lineitem(s, d).createOrReplaceTempView("v_li_udf")
+        s.sql("""
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(graft_margin(l_extendedprice, l_discount, l_tax)
+                               AS DECIMAL(25,6))) AS DOUBLE) AS margin_total,
+                 COUNT(*) AS n
+          FROM v_li_udf GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+        |                     AS DECIMAL(25,6))) AS DOUBLE) AS margin_total,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
+
+  /** One SQL text for both engines (see recursive_cte_hierarchy): only the
+    * base-table name differs. */
+  private def recursiveHierarchySql(tbl: String): String =
+    s"""WITH RECURSIVE up AS (
+       |  SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+       |  FROM $tbl
+       |  UNION ALL
+       |  SELECT u.start_key, c.c_custkey, u.depth + 1
+       |  FROM up u JOIN $tbl c
+       |    ON c.c_custkey = CAST(FLOOR(u.cur / 10.0) AS BIGINT)
+       |  WHERE u.cur > 0
+       |)
+       |SELECT max_depth, COUNT(*) AS n_custs,
+       |       CAST(SUM(start_key) AS BIGINT) AS key_sum,
+       |       MIN(root_key) AS root_lo, MAX(root_key) AS root_hi
+       |FROM (SELECT start_key, MAX(depth) AS max_depth, MIN(cur) AS root_key
+       |      FROM up GROUP BY start_key) AS per_cust
+       |GROUP BY max_depth ORDER BY max_depth""".stripMargin
 }

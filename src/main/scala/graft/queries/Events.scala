@@ -663,6 +663,61 @@ object Events {
         |WHERE sid < maxsid OR last_ms + 1800000 < w
         |ORDER BY user_id, session_start""".stripMargin),
 
+    // The Spark 4 transformWithState API (typed state handles + per-state
+    // TTL + timers; successor to flatMapGroupsWithState) on the
+    // oracle-checked path: per-user running (count, max) folded across
+    // >= 3 time-sliced micro-batches. The API requires the RocksDB state
+    // store provider — set for this query's lifetime, restored after.
+    // Running count/max are arrival-order-free given the in-processor
+    // per-batch (tsNs, event_id) sort plus ts-ordered slices (ts is
+    // µs-exact, so the ns sort and the oracle's µs ORDER BY agree), so
+    // every emitted row equals the batch window fold the oracle computes —
+    // cross-batch state carry is load-bearing for all but the first
+    // slice's rows.
+    "events_stream_tws_running_stats" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+        val stream = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "slice-*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(slicedEventsDir(s, d))
+          .filter(col("user_id") < 75)
+          .select(col("user_id"), col("event_id"), col("ts").as("tsNs"),
+            col("value"))
+          .as[graft.streaming.EventIn]
+        val folded = stream.groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.RunningStatsProcessor,
+            TimeMode.None(), OutputMode.Append())
+        val sinkName = "q_events_stream_tws"
+        val pcKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(pcKey)
+        s.conf.set(pcKey, "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+        try graft.streaming.Streams.drained(s) { ckpt =>
+          val q = folded.toDF().writeStream
+            .outputMode("append")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          requireMultiBatch(q, "events_stream_tws_running_stats")
+        } finally prev match {
+          case Some(v) => s.conf.set(pcKey, v)
+          case None    => s.conf.unset(pcKey)
+        }
+        s.table(sinkName).orderBy("event_id")
+      },
+      """SELECT user_id, event_id,
+        |       COUNT(*) OVER w AS run_n,
+        |       MAX(value) OVER w AS run_max
+        |FROM events WHERE user_id < 75
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin),
+
     // As-of (backward) join: each click enriched with the most recent
     // purchase at-or-before it for the same user. The engine composes
     // union + ordered-window carry-forward (see ops.AsOfJoin); the oracle
