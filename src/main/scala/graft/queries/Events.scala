@@ -663,6 +663,78 @@ object Events {
         |WHERE sid < maxsid OR last_ms + 1800000 < w
         |ORDER BY user_id, session_start""".stripMargin),
 
+    // Checkpoint RESTART RECOVERY on the oracle-checked path — the
+    // exactly-once production story actually exercised: query #1 drains
+    // the first two slices (bounded by its file glob) and stops; query #2
+    // restarts from the SAME checkpoint with the full glob, so the file
+    // source's seen-files log skips the processed slices and the state
+    // store reloads the per-user aggregate — the remaining slices fold
+    // onto recovered state, not from zero. Deterministic by construction
+    // (the phase split is the glob, not a timed stop). The sink is an
+    // idempotent per-batch-directory overwrite (a replayed batch rewrites
+    // its own dir), and reconciliation takes each user's LAST update-mode
+    // emission — together that is restart-safe end-to-end. The final
+    // per-user totals must equal the batch aggregate exactly: recovery
+    // lost nothing and replayed nothing.
+    "events_stream_restart_recovery" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val base =
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+          else System.getProperty("java.io.tmpdir")
+        val outF = new java.io.File(base,
+          s"graft_restart_${Integer.toHexString(d.hashCode)}")
+        if (outF.isDirectory) {
+          val walk = java.nio.file.Files.walk(outF.toPath)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.delete(p); () })
+          finally walk.close()
+        }
+        val out = outF.getPath
+        def agg(glob: String) = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", glob)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(slicedEventsDir(s, d))
+          .filter(col("user_id") < 100)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), dsum("value").as("total"))
+        def run(glob: String, ckpt: String) = {
+          val q = agg(glob).writeStream
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               id: Long) =>
+                batch.write.mode("overwrite").parquet(s"$out/bid=$id")
+            }
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q.recentProgress.count(_.numInputRows > 0)
+        }
+        graft.streaming.Streams.drained(s) { ckpt =>
+          val n1 = run("slice-00[01].parquet", ckpt)
+          val n2 = run("slice-*.parquet", ckpt)
+          require(n1 >= 2 && n2 >= 2,
+            s"restart recovery saw $n1 pre-stop + $n2 post-restart data " +
+              "batches, want >= 2 each (state must be recovered, not rebuilt)")
+        }
+        // partition discovery yields the bid column; last emission per
+        // user = final recovered state
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("bid").desc)
+        s.read.parquet(out)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "n_events", "total")
+          .orderBy("user_id")
+      },
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM events WHERE user_id < 100
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // The Spark 4 transformWithState API (typed state handles + per-state
     // TTL + timers; successor to flatMapGroupsWithState) on the
     // oracle-checked path: per-user running (count, max) folded across
