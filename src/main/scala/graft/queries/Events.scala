@@ -444,6 +444,71 @@ object Events {
         | AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
         |ORDER BY c_event, p_event""".stripMargin),
 
+    // Stream-stream LEFT OUTER interval join — the semantics inner joins
+    // don't exercise: an unmatched click is emitted null-extended only
+    // when the global watermark (min over both inputs of max-event-time −
+    // 10 min) passes the last instant a matching purchase could still
+    // arrive (p_ts ≤ c_ts ⇒ the click's own timestamp); unmatched clicks
+    // inside the final watermark frontier stay WITHHELD in state. The
+    // oracle reproduces exactly that frontier arithmetic in µs. Matched
+    // rows emit as in the inner join; the final no-data batch (enabled in
+    // the drain) advances the watermark so eviction actually runs. NULL
+    // ordering differs between engines' defaults, so both sides order by
+    // COALESCE(p_event, -1).
+    "events_stream_left_outer_join" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        def src = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "slice-*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(slicedEventsDir(s, d))
+          .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        val joined = graft.streaming.Streams.clickPurchaseJoin(
+            src.filter(col("event_type") === "click"),
+            src.filter(col("event_type") === "purchase"),
+            intervalMinutes = 30, joinType = "leftOuter")
+          .select(col("c_user"), col("c_event"), col("p_event"), col("p_value"))
+        val sinkName = "q_events_stream_loj"
+        graft.streaming.Streams.drained(s, noDataBatches = true) { ckpt =>
+          val q = joined.writeStream
+            .outputMode("append")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          requireMultiBatch(q, "events_stream_left_outer_join")
+        }
+        s.table(sinkName)
+          .orderBy(col("c_event"), coalesce(col("p_event"), lit(-1L)))
+      },
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT LEAST((SELECT MAX(us) FROM c), (SELECT MAX(us) FROM p))
+        |         - 600000000 AS w),
+        |matched AS (
+        |  SELECT c.user_id AS c_user, c.event_id AS c_event,
+        |         p.event_id AS p_event, p.value AS p_value
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND p.us BETWEEN c.us - 1800000000 AND c.us),
+        |unmatched AS (
+        |  SELECT c.user_id AS c_user, c.event_id AS c_event,
+        |         CAST(NULL AS BIGINT) AS p_event,
+        |         CAST(NULL AS DOUBLE) AS p_value
+        |  FROM c CROSS JOIN wm
+        |  WHERE c.us < wm.w AND NOT EXISTS (
+        |    SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |      AND p.us BETWEEN c.us - 1800000000 AND c.us))
+        |SELECT * FROM (
+        |  SELECT * FROM matched UNION ALL SELECT * FROM unmatched) AS u
+        |ORDER BY c_event, COALESCE(p_event, -1)""".stripMargin),
+
     // Stream-STATIC enrichment join executed by the real engine: the
     // sliced event stream joined per micro-batch against a static
     // dimension (customer segment keyed by custkey = user_id) — the

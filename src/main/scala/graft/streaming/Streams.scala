@@ -51,7 +51,8 @@ object Streams {
     * watermark + interval). Column prefixes keep the two sides' schemas
     * disjoint. */
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
-                        intervalMinutes: Int = 30): DataFrame = {
+                        intervalMinutes: Int = 30,
+                        joinType: String = "inner"): DataFrame = {
     val c = clicks.select(col("user_id").as("c_user"),
       col("event_id").as("c_event"), col("ts_utc").as("c_ts"))
       .withWatermark("c_ts", "10 minutes")
@@ -62,7 +63,7 @@ object Streams {
     c.join(p, expr(
       s"""c_user = p_user AND
          |p_ts BETWEEN c_ts - INTERVAL $intervalMinutes MINUTES AND c_ts
-         |""".stripMargin))
+         |""".stripMargin), joinType)
   }
 
   // ---- custom state: running per-user aggregate via mapGroupsWithState ----
