@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.io.Tables
+
+/** Link-analysis pack: iterative graph algorithms expressed as fixed-round
+  * DataFrame dataflows (static plans, no driver convergence loop on the
+  * hot path — the same discipline as `Dedup.connectedComponents` and
+  * `Similarity.kmeansCentroids`).
+  *
+  * Graph source: the part CO-PURCHASE graph — an undirected edge (a, b)
+  * whenever parts a and b appear in the same order. This is the canonical
+  * "importance over an association graph" workload (web-graph link
+  * analysis, citation ranking, product affinity): nodes ~ |part|, edges ~
+  * orders x (items/order)^2, built with ONE self-equi-join on the order
+  * key.
+  *
+  * Determinism/parity: every PageRank iteration's incoming-mass sum is a
+  * 2^48-scaled integer sum in DECIMAL(38,0) (order-free, exact; the
+  * double→integer step is an explicit floor() on BOTH engines), and the
+  * scale factor is a power of two so the scale/unscale multiplications are
+  * exact IEEE ops. The per-edge contribution rank/deg, the damping
+  * multiply and the teleport add are single IEEE ops written in the same
+  * order on both sides — so five chained iterations stay bit-identical
+  * between Spark and DuckDB, and the final doubles hash-match.
+  */
+object GraphQ {
+
+  private val Damping = 0.85
+  private val Rounds = 5
+  private val Scale = 281474976710656L // 2^48: exact scale/unscale
+
+  /** One DuckDB iteration CTE: r{i} from r{i-1}. Kept in lockstep with the
+    * Spark loop below — same floor/decimal/unscale sequence, same
+    * LEFT JOIN + COALESCE for nodes that received no mass. */
+  private def duckRound(i: Int): String =
+    s"""r$i AS (
+       |  SELECT nodes.node,
+       |         (0.15 / (SELECT nd FROM nn)) + 0.85 * COALESCE(m.s, 0.0) AS pr
+       |  FROM nodes LEFT JOIN (
+       |    SELECT e.dst,
+       |           CAST(SUM(CAST(floor((r.pr / CAST(e.deg AS DOUBLE)) * 281474976710656.0)
+       |                         AS DECIMAL(38,0))) AS DOUBLE) / 281474976710656.0 AS s
+       |    FROM e JOIN r${i - 1} r ON e.src = r.node
+       |    GROUP BY e.dst) m ON nodes.node = m.dst)""".stripMargin
+
+  val registry: Map[String, QuerySpec] = Map(
+
+    // PageRank over the part co-purchase graph, 5 rounds, d = 0.85,
+    // top 20 parts. Scale shape per iteration: the rank vector (|nodes|
+    // rows, two narrow columns) is BROADCAST against the edge scan — the
+    // edge list, the big side, is never shuffled by the join — and the
+    // only Exchange is the partial-aggregated groupBy(dst) of the scaled
+    // contributions (map-side combine cuts it to ~|nodes| rows per
+    // partition). Edges are built ONCE (one self-join shuffle on the
+    // order key + distinct) and localCheckpointed, so the 5 iterations
+    // re-read a materialized narrow table instead of replaying the join;
+    // lineage is cut per round exactly like kmeansCentroids. When the
+    // rank vector outgrows broadcast (web-scale node counts), the same
+    // loop runs with edges bucketed by src and a co-partitioned
+    // shuffle join — the plan shape is a config, not a rewrite.
+    // Every node in the edge set has deg >= 1 by construction (the edge
+    // set is symmetric), so there is no dangling-mass term; isolated
+    // parts (never co-purchased) are out of the graph by definition.
+    "graph_pagerank_copurchase" -> QuerySpec(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val e0 = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+          .distinct()
+          .localCheckpoint(true)
+        val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
+        val edges = e0.join(deg, "src").localCheckpoint(true)
+        val nodes = e0.select(col("src").as("node")).distinct()
+          .localCheckpoint(true)
+        val n = nodes.count()
+        require(n > 0, "pagerank: empty co-purchase graph")
+        var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+          .localCheckpoint(true)
+        for (_ <- 1 to Rounds) {
+          val mass = edges.join(broadcast(ranks),
+              edges("src") === ranks("node"))
+            .select(col("dst"),
+              floor(col("pr") / col("deg").cast("double") *
+                lit(Scale.toDouble)).cast("decimal(38,0)").as("c"))
+            .groupBy("dst")
+            .agg((sum(col("c")).cast("double") / lit(Scale.toDouble)).as("s"))
+          ranks = nodes.join(mass, nodes("node") === mass("dst"), "left")
+            .select(col("node"),
+              (lit(0.15 / n) + lit(Damping) * coalesce(col("s"), lit(0.0)))
+                .as("pr"))
+            .localCheckpoint(true)
+        }
+        ranks.orderBy(desc("pr"), asc("node")).limit(20)
+      },
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+         |e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+         |nodes AS (SELECT DISTINCT src AS node FROM e0),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes),
+         |r0 AS (SELECT node, 1.0 / (SELECT nd FROM nn) AS pr FROM nodes),
+         |${(1 to Rounds).map(duckRound).mkString(",\n")}
+         |SELECT node, pr FROM r$Rounds ORDER BY pr DESC, node LIMIT 20""".stripMargin)
+  )
+}

@@ -17,7 +17,8 @@ object Registry {
       MultimodalQ.registry,
       Scale.registry,
       Warehouse.registry,
-      Integration.registry
+      Integration.registry,
+      GraphQ.registry
     )
     val merged = parts.flatten
     require(merged.size == parts.map(_.size).sum,
