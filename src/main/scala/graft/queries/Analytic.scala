@@ -937,6 +937,44 @@ object Analytic {
         |                    AND o2.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin),
 
+    // LATERAL correlated subquery — the SQL-frontend form of "top-N per
+    // group" (every region's 3 priciest orders, reached through the
+    // nation→customer chain): the lateral subquery re-executes per outer
+    // row with ORDER BY + LIMIT inside. Catalyst decorrelates it to a
+    // window-ranked join (no nested-loop re-execution), the same physical
+    // shape as window_topn_per_customer — asserting the frontend accepts
+    // the standard syntax AND plans it scalably.
+    "sql_frontend_lateral" -> QuerySpec(
+      (s, d) => {
+        Tables.region(s, d).createOrReplaceTempView("v_region")
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        s.sql("""
+          SELECT r.r_name, t.o_orderkey, t.o_totalprice
+          FROM v_region r,
+          LATERAL (
+            SELECT o.o_orderkey, o.o_totalprice
+            FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+                            JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 3
+          ) t
+          ORDER BY r.r_name, t.o_totalprice DESC, t.o_orderkey""")
+      },
+      """SELECT r.r_name, t.o_orderkey, t.o_totalprice
+        |FROM region r,
+        |LATERAL (
+        |  SELECT o.o_orderkey, o.o_totalprice
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |                JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |  LIMIT 3
+        |) t
+        |ORDER BY r.r_name, t.o_totalprice DESC, t.o_orderkey""".stripMargin),
+
     // Z-order (Morton) layout statistics — the multi-dimensional
     // data-layout technique behind file skipping on two filter columns at
     // once: interleave 5 bits of each dimension into a 10-bit z-value,

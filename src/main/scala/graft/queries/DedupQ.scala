@@ -261,6 +261,64 @@ object DedupQ {
          |FROM pairs WHERE CAST(common AS DOUBLE) / sz_a >= 0.5
          |ORDER BY id_a, id_b""".stripMargin),
 
+    // Incremental ingestion dedup: an incoming BATCH (two sources) is
+    // admitted against the already-indexed corpus (the other 18 sources) —
+    // the shape a production pipeline runs on every new crawl/delivery:
+    // never re-dedup the corpus, only test new docs against it. Each
+    // incoming doc is rejected iff it has a verified near-dup (jaccard
+    // >= 0.5) on the CORPUS side; batch-internal duplicates do not reject
+    // (they are the corpus-build dedup's job, not admission's). Rides the
+    // shared full-corpus verified-pair stage (the persisted artifact an
+    // incremental pipeline keeps warm); at 100 TB the candidate join is
+    // asymmetric — the batch's band keys probe the corpus' banded index,
+    // so cost scales with |batch|, not |corpus|.
+    "dedup_incremental_admit" -> QuerySpec(
+      (s, d) => {
+        val batch = Seq("src0", "src1")
+        val lab = Tables.documents(s, d)
+          .select(col("doc_id"), col("source").isin(batch: _*).as("is_new"))
+        val p = lshVerifiedPairs(s, d).filter(col("jaccard") >= 0.5)
+          .join(lab.select(col("doc_id").as("id_a"), col("is_new").as("new_a")), "id_a")
+          .join(lab.select(col("doc_id").as("id_b"), col("is_new").as("new_b")), "id_b")
+        val hits = p.filter(col("new_a") && !col("new_b"))
+          .select(col("id_a").as("in_id"), col("id_b").as("match_id"),
+            col("jaccard"))
+          .unionAll(p.filter(col("new_b") && !col("new_a"))
+            .select(col("id_b").as("in_id"), col("id_a").as("match_id"),
+              col("jaccard")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("in_id").orderBy(desc("jaccard"), asc("match_id"))
+        val best = hits.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        lab.filter(col("is_new")).select(col("doc_id"))
+          .join(best, col("doc_id") === col("in_id"), "left")
+          .select(col("doc_id"), col("in_id").isNull.as("admitted"),
+            col("match_id"), col("jaccard").as("match_jaccard"))
+          .orderBy("doc_id")
+      },
+      s"""WITH $duckVerifiedCtes,
+         |lab AS (SELECT doc_id, source IN ('src0', 'src1') AS is_new
+         |        FROM documents),
+         |p AS (SELECT v.id_a, v.id_b, v.jaccard,
+         |             la.is_new AS new_a, lb.is_new AS new_b
+         |      FROM verified v JOIN lab la ON v.id_a = la.doc_id
+         |                      JOIN lab lb ON v.id_b = lb.doc_id
+         |      WHERE v.jaccard >= 0.5),
+         |hits AS (
+         |  SELECT id_a AS in_id, id_b AS match_id, jaccard FROM p
+         |  WHERE new_a AND NOT new_b
+         |  UNION ALL
+         |  SELECT id_b, id_a, jaccard FROM p WHERE new_b AND NOT new_a),
+         |best AS (SELECT in_id, match_id, jaccard FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY in_id
+         |             ORDER BY jaccard DESC, match_id) AS rn FROM hits)
+         |         WHERE rn = 1)
+         |SELECT i.doc_id, best.in_id IS NULL AS admitted,
+         |       best.match_id, best.jaccard AS match_jaccard
+         |FROM (SELECT doc_id FROM lab WHERE is_new) i
+         |LEFT JOIN best ON i.doc_id = best.in_id
+         |ORDER BY doc_id""".stripMargin),
+
     // Triangle count over the near-dup graph — the structural statistic
     // that distinguishes clique-like duplicate clusters (high triangle
     // density → safe to collapse to one canonical doc) from chains of

@@ -31,6 +31,26 @@ object GraphQ {
   private val Rounds = 5
   private val Scale = 281474976710656L // 2^48: exact scale/unscale
 
+  /** One PageRank round: ranks(node, pr) → next ranks(node, pr).
+    * `edges` must carry (src, dst, deg). Exposed so PhysicalPlanSpec can
+    * assert the iteration's shape (rank vector broadcast, edge scan never
+    * shuffled by the join). */
+  private[graft] def pagerankRound(edges: org.apache.spark.sql.DataFrame,
+                                   nodes: org.apache.spark.sql.DataFrame,
+                                   ranks: org.apache.spark.sql.DataFrame,
+                                   teleport: Double): org.apache.spark.sql.DataFrame = {
+    val mass = edges.join(broadcast(ranks), edges("src") === ranks("node"))
+      .select(col("dst"),
+        floor(col("pr") / col("deg").cast("double") *
+          lit(Scale.toDouble)).cast("decimal(38,0)").as("c"))
+      .groupBy("dst")
+      .agg((sum(col("c")).cast("double") / lit(Scale.toDouble)).as("s"))
+    nodes.join(mass, nodes("node") === mass("dst"), "left")
+      .select(col("node"),
+        (lit(teleport) + lit(Damping) * coalesce(col("s"), lit(0.0)))
+          .as("pr"))
+  }
+
   /** One DuckDB iteration CTE: r{i} from r{i-1}. Kept in lockstep with the
     * Spark loop below — same floor/decimal/unscale sequence, same
     * LEFT JOIN + COALESCE for nodes that received no mass. */
@@ -80,20 +100,9 @@ object GraphQ {
         require(n > 0, "pagerank: empty co-purchase graph")
         var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
           .localCheckpoint(true)
-        for (_ <- 1 to Rounds) {
-          val mass = edges.join(broadcast(ranks),
-              edges("src") === ranks("node"))
-            .select(col("dst"),
-              floor(col("pr") / col("deg").cast("double") *
-                lit(Scale.toDouble)).cast("decimal(38,0)").as("c"))
-            .groupBy("dst")
-            .agg((sum(col("c")).cast("double") / lit(Scale.toDouble)).as("s"))
-          ranks = nodes.join(mass, nodes("node") === mass("dst"), "left")
-            .select(col("node"),
-              (lit(0.15 / n) + lit(Damping) * coalesce(col("s"), lit(0.0)))
-                .as("pr"))
+        for (_ <- 1 to Rounds)
+          ranks = pagerankRound(edges, nodes, ranks, 0.15 / n)
             .localCheckpoint(true)
-        }
         ranks.orderBy(desc("pr"), asc("node")).limit(20)
       },
       s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

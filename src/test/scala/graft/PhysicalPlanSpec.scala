@@ -147,6 +147,28 @@ class PhysicalPlanSpec extends SparkSpec {
     }
   }
 
+  test("pagerank iteration broadcasts the rank vector, never shuffles edges") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "deg")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val ranks = nodes.select(col("node"), lit(1.0 / 3).as("pr"))
+    val p = plan(graft.queries.GraphQ.pagerankRound(edges, nodes, ranks, 0.05))
+    assert(p.contains("BroadcastExchange"), p)
+    // the only hash Exchange allowed is the map-side-combined groupBy(dst)
+    assert(!p.contains("hashpartitioning(src"),
+      s"edge list should not shuffle through the rank join:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("lateral top-N decorrelates to a window group-limit, not a loop") {
+    val q = SparkEntry.registry("sql_frontend_lateral").fn(spark, sf)
+    val p = plan(q)
+    assert(p.contains("WindowGroupLimit"),
+      s"lateral LIMIT should plan as a per-group top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("declared bucketed join: merge join consumes the bucketed layout") {
     // The query writes both sides as 8-bucket tables and joins with a
     // merge hint; the bucketed scans must satisfy the join's required

@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantic checks for the link-analysis pack (graph_pagerank_copurchase).
+  * The oracle already proves bit-exact parity; these assert the MATH is
+  * PageRank: probability mass conservation and hub dominance. */
+class GraphQSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pagerank distributes ~unit mass and ranks the hub first") {
+    // Star graph: node 0 co-occurs with everyone, leaves only with 0.
+    // Symmetric edge list with degrees, exactly the query's edge shape.
+    import spark.implicits._
+    val leaves = (1L to 6L)
+    val edges = (leaves.map(l => (0L, l, 6L)) ++ leaves.map(l => (l, 0L, 1L)))
+      .toDF("src", "dst", "deg")
+    val nodes = (0L +: leaves).toDF("node")
+    val n = 7
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to 5)
+      ranks = graft.queries.GraphQ.pagerankRound(edges, nodes, ranks, 0.15 / n)
+        .localCheckpoint(true)
+    val rows = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val total = rows.values.sum
+    // teleport 0.15 + damped mass 0.85 (minus ~2^-48-scale truncation)
+    assert(math.abs(total - 1.0) < 1e-9, s"mass not conserved: $total")
+    val hub = rows(0L)
+    leaves.foreach(l => assert(hub > rows(l), s"hub $hub <= leaf ${rows(l)}"))
+    // leaves are symmetric: identical rank, bit-exact (same fold inputs)
+    assert(leaves.map(rows).distinct.size == 1, "asymmetric leaf ranks")
+  }
+
+  test("declared pagerank query returns 20 ranked parts at sf0.001") {
+    val out = graft.queries.GraphQ.registry("graph_pagerank_copurchase")
+      .fn(spark, sf).collect()
+    assert(out.length == 20)
+    val prs = out.map(_.getDouble(1))
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b },
+      "not sorted by pr desc")
+    assert(prs.forall(p => p > 0 && p < 1))
+  }
+}
