@@ -110,6 +110,39 @@ object Events {
         |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
         |FROM x GROUP BY 1 ORDER BY wstart""".stripMargin),
 
+    // Value-based RANGE window frame: per user, each event's trailing
+    // 1-hour sum/count — the "activity in the last hour as of every
+    // event" feature a fraud/abuse scorer computes, and the window-frame
+    // variant the ROWS-based packs can't express (the frame is bounded by
+    // the ORDER value, not a row count, so it is gap- and tie-correct:
+    // all ts peers share one frame). Ordering is epoch MICROSECONDS
+    // (exact integers on both engines — no interval arithmetic crosses
+    // the engine boundary) and the frame sum is the exact DECIMAL(25,6)
+    // pattern. Scale: one hash Exchange on user_id, then per-partition
+    // sorted frames; no global sort until the output ORDER BY.
+    "events_window_range_1h" -> QuerySpec(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0L)
+        Tables.eventsWithTs(s, d)
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"), col("value"))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("value").cast("decimal(25,6)")).over(w)
+              .cast("double").as("sum_1h"))
+          .orderBy("user_id", "ts_us", "event_id")
+      },
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin),
+
     // Session windows (30-minute gap) per user — the batch session_window
     // operator; oracle replicates gap-based sessionization with
     // lag + cumulative-sum labeling.

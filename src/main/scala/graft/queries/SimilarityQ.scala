@@ -155,6 +155,59 @@ object SimilarityQ {
          |FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
 
+    // Corpus organization: the trained 8-cell quantizer as a CLUSTERING
+    // (not a search index) — per cell: member count, label diversity, and
+    // majority-label purity. This is the "cluster the corpus, inspect
+    // what each cluster holds" pass of a curation pipeline (domain
+    // balancing, contamination triage). All statistics are counts and
+    // one exact division, so the profile hashes bit-identically; the
+    // oracle replays the identical training rounds CTE by CTE. Scale:
+    // training is the broadcast-fold loop (zero corpus shuffle); the
+    // profile itself is two keyed aggregations over (cell, label).
+    "embedding_kmeans_clusters" -> QuerySpec(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.kmeansCentroids(emb, 8, 2)
+        val labeled = Similarity.ivfAssign(emb, cents)
+          .select(col("vec_id"), col("cell"))
+          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy(desc("ln"), asc("label"))
+        val top = labeled.groupBy("cell", "label")
+          .agg(count(lit(1)).as("ln"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cell"), col("label").as("top_label"),
+            col("ln").as("top_n"))
+        labeled.groupBy("cell")
+          .agg(count(lit(1)).as("n"), countDistinct("label").as("n_labels"))
+          .join(top, "cell")
+          .select(col("cell"), col("n"), col("n_labels"), col("top_label"),
+            col("top_n"),
+            (col("top_n").cast("double") / col("n").cast("double"))
+              .as("purity"))
+          .orderBy("cell")
+      },
+      s"""WITH ${duckKmeansCtes(8, 2)},
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT ev.vec_id, c.cent_id AS cell,
+         |         row_number() OVER (PARTITION BY ev.vec_id
+         |           ORDER BY ${duckL2("ev.v", "c.cvec")}, c.cent_id) AS rn
+         |  FROM ev CROSS JOIN c2 c) WHERE rn = 1),
+         |lab AS (SELECT a.cell, e.label
+         |        FROM assigned a JOIN embeddings e USING (vec_id)),
+         |pl AS (SELECT cell, label, COUNT(*) AS ln FROM lab GROUP BY 1, 2),
+         |top AS (SELECT cell, label AS top_label, ln AS top_n FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cell
+         |    ORDER BY ln DESC, label) AS rn FROM pl) WHERE rn = 1),
+         |sz AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+         |              CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+         |       FROM lab GROUP BY 1)
+         |SELECT sz.cell, sz.n, sz.n_labels, top.top_label,
+         |       CAST(top.top_n AS BIGINT) AS top_n,
+         |       CAST(top.top_n AS DOUBLE) / CAST(sz.n AS DOUBLE) AS purity
+         |FROM sz JOIN top USING (cell) ORDER BY cell""".stripMargin),
+
     // IVF with nprobe=2: same trained quantizer, but the search probes
     // the query's TWO nearest cells — the recall dial (measured mean
     // top-10 recall 0.25 -> 0.475 on this corpus) at 2/8 of the corpus

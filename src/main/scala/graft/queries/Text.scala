@@ -411,6 +411,36 @@ object Text {
          |       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS p
          |FROM r WHERE rn = 1 AND total >= 100 ORDER BY a""".stripMargin),
 
+    // Cross-document boilerplate detection: the 3-gram shingles that
+    // recur across the MOST documents (headers, footers, templates — the
+    // repeated-substring noise a corpus cleaner strips before training).
+    // Document frequency, not term frequency: each doc contributes a
+    // shingle once (array_distinct before the explode), so one spammy
+    // doc cannot promote its own repetition. Scale: distinct-per-doc
+    // explode → one keyed count with map-side combine → TakeOrdered
+    // top-20; the corpus-size scalar is a single narrow action.
+    "text_boilerplate_ngrams" -> QuerySpec(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = Tables.table(s, d, "documents").count()
+        docs.select(explode(array_distinct(
+            graft.ext.Dedup.shingles3(TextOps.tokens(col("text"))))).as("ngram"))
+          .groupBy("ngram").agg(count(lit(1)).as("df"))
+          .select(col("ngram"), col("df"),
+            (col("df").cast("double") / lit(n.toDouble)).as("doc_share"))
+          .orderBy(desc("df"), asc("ngram"))
+          .limit(20)
+      },
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT unnest(list_distinct(list_transform(
+         |         range(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS ngram
+         |       FROM t),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents)
+         |SELECT ngram, COUNT(*) AS df,
+         |       CAST(COUNT(*) AS DOUBLE) / (SELECT nd FROM n) AS doc_share
+         |FROM sh GROUP BY ngram ORDER BY df DESC, ngram LIMIT 20""".stripMargin),
+
     // BM25 ranked retrieval for a fixed 3-term query — the relevance
     // scorer a corpus-search / hard-negative-mining stage runs, one step
     // past text_tf_idf (adds document-length normalization, k1 = 1.2,
