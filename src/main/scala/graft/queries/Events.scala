@@ -110,6 +110,39 @@ object Events {
         |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
         |FROM x GROUP BY 1 ORDER BY wstart""".stripMargin),
 
+    // Sequential pattern mining: the 10 most common 3-event PATHS
+    // (ordered event_type trigrams within each user's timeline) — the
+    // behavioral n-gram pass behind funnel discovery and next-action
+    // models. Per-user sequences are assembled with ONE keyed
+    // collect_list + array_sort (struct order (ts, event_id, event_type)
+    // — the same total order the oracle's list(... ORDER BY) uses, so
+    // duplicate-key rows cannot reorder between engines), trigrams are
+    // the same zip_with shingle expression the dedup pack uses, and the
+    // count is a keyed agg with map-side combine into a TakeOrdered
+    // top-10. The per-user list is bounded by a user's event count —
+    // the standard sessionize-then-mine memory contract (at 100 TB,
+    // burst users would first be split by session_window).
+    "events_path_trigrams" -> QuerySpec(
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("evs"))
+        .select(explode(graft.ext.Dedup.shingles3(
+          transform(col("evs"), e => e.getField("event_type")))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("path"))
+        .limit(10),
+      """WITH s AS (SELECT user_id,
+        |             list(event_type ORDER BY ts, event_id, event_type)
+        |               AS types
+        |           FROM events GROUP BY user_id),
+        |g AS (SELECT unnest(list_transform(range(1, len(types) - 1),
+        |        i -> types[i] || ' ' || types[i+1] || ' ' || types[i+2]))
+        |        AS path
+        |      FROM s)
+        |SELECT path, COUNT(*) AS n FROM g
+        |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin),
+
     // Value-based RANGE window frame: per user, each event's trailing
     // 1-hour sum/count — the "activity in the last hour as of every
     // event" feature a fraud/abuse scorer computes, and the window-frame

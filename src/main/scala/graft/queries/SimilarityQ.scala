@@ -155,6 +155,55 @@ object SimilarityQ {
          |FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
 
+    // Hybrid retrieval: reciprocal-rank fusion of the LEXICAL top-10
+    // (BM25, Text.bm25Scored — the 3-term keyword query) and the DENSE
+    // top-10 (exact cosine neighbors of vector 0), joined on document id
+    // — the standard two-tower search fusion (RRF, k = 60). Fusion
+    // consumes only the two 10-row rank lists (the per-list windows run
+    // AFTER each TakeOrdered top-k, over 10 rows — not over the corpus),
+    // so the determinism burden is two integer ranks and one
+    // fixed-order double sum; a doc missing from one list contributes
+    // 0.0 from that side via COALESCE on both engines. At scale each arm
+    // keeps its own contract (BM25: keyed aggs; ANN: broadcast + top-k)
+    // and fusion cost is O(k).
+    "hybrid_search_rrf" -> QuerySpec(
+      (s, d) => {
+        val wb = org.apache.spark.sql.expressions.Window
+          .orderBy(desc("bm25"), asc("doc_id"))
+        val bm = Text.bm25Scored(s, d)
+          .orderBy(desc("bm25"), asc("doc_id")).limit(10)
+          .select(col("doc_id").as("id"),
+            row_number().over(wb).cast("long").as("r_bm"))
+        val wa = org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cos"), asc("vec_id"))
+        val ann = Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)
+          .select(col("vec_id"), col("cos"))
+          .withColumn("r_ann", row_number().over(wa).cast("long"))
+          .select(col("vec_id").as("id"), col("r_ann"))
+        bm.join(ann, Seq("id"), "full_outer")
+          .select(col("id").as("doc_id"), col("r_bm"), col("r_ann"),
+            (coalesce(lit(1.0) / (lit(60.0) + col("r_bm").cast("double")),
+              lit(0.0)) +
+             coalesce(lit(1.0) / (lit(60.0) + col("r_ann").cast("double")),
+               lit(0.0))).as("rrf"))
+          .orderBy(desc("rrf"), asc("doc_id"))
+      },
+      s"""WITH ${Text.duckBm25Ctes},
+         |bmtop AS (SELECT doc_id AS id,
+         |            row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
+         |          FROM bmscore ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |anntop AS (SELECT vec_id AS id,
+         |             row_number() OVER (ORDER BY cos DESC, vec_id) AS r_ann
+         |           FROM (SELECT vec_id, ${duckCos("embedding", "qv")} AS cos
+         |                 FROM embeddings, q WHERE vec_id <> 0
+         |                 ORDER BY cos DESC, vec_id LIMIT 10))
+         |SELECT COALESCE(b.id, a.id) AS doc_id, b.r_bm, a.r_ann,
+         |       COALESCE(1.0 / (60.0 + CAST(b.r_bm AS DOUBLE)), 0.0) +
+         |       COALESCE(1.0 / (60.0 + CAST(a.r_ann AS DOUBLE)), 0.0) AS rrf
+         |FROM bmtop b FULL OUTER JOIN anntop a ON b.id = a.id
+         |ORDER BY rrf DESC, doc_id""".stripMargin),
+
     // Corpus organization: the trained 8-cell quantizer as a CLUSTERING
     // (not a search index) — per cell: member count, label diversity, and
     // majority-label purity. This is the "cluster the corpus, inspect

@@ -14,6 +14,75 @@ object Text {
   private def duckHash64(e: String) =
     s"CAST(('0x' || substr(md5($e), 1, 15))::UBIGINT AS BIGINT)"
 
+  /** BM25 document scores for the fixed 3-term query — shared by
+    * text_bm25_topk and the RRF hybrid-search fusion in SimilarityQ.
+    * Returns (doc_id, n_hit, bm25); see text_bm25_topk for the
+    * determinism contract (rational idf, 2^40-scaled DECIMAL sums). */
+  private[queries] def bm25Scored(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame = {
+    val terms = Seq("vector", "window", "merge")
+    val scale = 1099511627776L // 2^40: exact scale/unscale
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+    val st = toks.agg(count(lit(1)).as("n"),
+      sum(size(col("ts")).cast("long")).as("tot")).head()
+    val n = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / n.toDouble
+    val tf = toks
+      .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
+        explode(col("ts")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = toks
+      .select(col("doc_id"), explode(array_distinct(col("ts"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = (lit(n.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5))
+    val tfpart = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl))))
+    tf.join(df, "term")
+      .select(col("doc_id"),
+        floor(idf * tfpart * lit(scale.toDouble))
+          .cast("decimal(38,0)").as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"),
+        (sum(col("c")).cast("double") / lit(scale.toDouble)).as("bm25"))
+  }
+
+  /** The same scoring as DuckDB CTEs, ending in `bmscore(doc_id, n_hit,
+    * bm25)` (no WITH prefix). Shared with the hybrid-search oracle. */
+  private[queries] val duckBm25Ctes: String =
+    s"""toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+       |              CAST(SUM(len(ts)) AS DOUBLE) /
+       |                CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |       FROM toks),
+       |tf AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl, term,
+       |              CAST(COUNT(*) AS DOUBLE) AS tf
+       |       FROM (SELECT doc_id, ts, unnest(ts) AS term FROM toks)
+       |       WHERE term IN ('vector', 'window', 'merge')
+       |       GROUP BY 1, 2, 3),
+       |dfc AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+       |        FROM (SELECT doc_id, unnest(list_distinct(ts)) AS term
+       |              FROM toks)
+       |        WHERE term IN ('vector', 'window', 'merge')
+       |        GROUP BY 1),
+       |sc AS (SELECT doc_id,
+       |         floor((((SELECT nd FROM st) - df + 0.5) / (df + 0.5)) *
+       |               ((tf * 2.2) /
+       |                (tf + 1.2 * (0.25 + 0.75 *
+       |                             (dl / (SELECT avgdl FROM st))))) *
+       |               1099511627776.0) AS c
+       |       FROM tf JOIN dfc USING (term)),
+       |bmscore AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+       |         CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) /
+       |           1099511627776.0 AS bm25
+       |  FROM sc GROUP BY doc_id)""".stripMargin
+
   val registry: Map[String, QuerySpec] = Map(
 
     "text_token_stats" -> QuerySpec(
@@ -456,66 +525,12 @@ object Text {
     // combine; the corpus-stats scalar (N, avgdl) is one narrow action;
     // the final ranking is a TakeOrdered top-10, never a global sort.
     "text_bm25_topk" -> QuerySpec(
-      (s, d) => {
-        val terms = Seq("vector", "window", "merge")
-        val scale = 1099511627776L // 2^40: exact scale/unscale
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-        val st = toks.agg(count(lit(1)).as("n"),
-          sum(size(col("ts")).cast("long")).as("tot")).head()
-        val n = st.getLong(0)
-        val avgdl = st.getLong(1).toDouble / n.toDouble
-        val tf = toks
-          .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
-            explode(col("ts")).as("term"))
-          .filter(col("term").isin(terms: _*))
-          .groupBy(col("doc_id"), col("dl"), col("term"))
-          .agg(count(lit(1)).cast("double").as("tf"))
-        val df = toks
-          .select(col("doc_id"), explode(array_distinct(col("ts"))).as("term"))
-          .filter(col("term").isin(terms: _*))
-          .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-        val idf = (lit(n.toDouble) - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))
-        val tfpart = (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl))))
-        tf.join(df, "term")
-          .select(col("doc_id"),
-            floor(idf * tfpart * lit(scale.toDouble))
-              .cast("decimal(38,0)").as("c"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_hit"),
-            (sum(col("c")).cast("double") / lit(scale.toDouble)).as("bm25"))
-          .orderBy(desc("bm25"), asc("doc_id"))
-          .limit(10)
-      },
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
-         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
-         |              CAST(SUM(len(ts)) AS DOUBLE) /
-         |                CAST(COUNT(*) AS DOUBLE) AS avgdl
-         |       FROM toks),
-         |tf AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl, term,
-         |              CAST(COUNT(*) AS DOUBLE) AS tf
-         |       FROM (SELECT doc_id, ts, unnest(ts) AS term FROM toks)
-         |       WHERE term IN ('vector', 'window', 'merge')
-         |       GROUP BY 1, 2, 3),
-         |dfc AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
-         |        FROM (SELECT doc_id, unnest(list_distinct(ts)) AS term
-         |              FROM toks)
-         |        WHERE term IN ('vector', 'window', 'merge')
-         |        GROUP BY 1),
-         |sc AS (SELECT doc_id,
-         |         floor((((SELECT nd FROM st) - df + 0.5) / (df + 0.5)) *
-         |               ((tf * 2.2) /
-         |                (tf + 1.2 * (0.25 + 0.75 *
-         |                             (dl / (SELECT avgdl FROM st))))) *
-         |               1099511627776.0) AS c
-         |       FROM tf JOIN dfc USING (term))
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
-         |       CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) /
-         |         1099511627776.0 AS bm25
-         |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin),
+      (s, d) => bm25Scored(s, d)
+        .orderBy(desc("bm25"), asc("doc_id"))
+        .limit(10),
+      s"""WITH $duckBm25Ctes
+         |SELECT doc_id, n_hit, bm25 FROM bmscore
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin),
 
     "text_fingerprint" -> QuerySpec(
       (s, d) => Tables.documents(s, d)
