@@ -975,6 +975,51 @@ object Analytic {
         |) t
         |ORDER BY r.r_name, t.o_totalprice DESC, t.o_orderkey""".stripMargin),
 
+    // Equi-width histogram per group (10 buckets over l_extendedprice per
+    // return flag) — the distribution profile a data-quality / drift
+    // monitor emits per column. min/max come from one window over the
+    // group key; bucket assignment is pure per-row IEEE arithmetic
+    // written identically on both engines (floor of (v-min)/width,
+    // clamped to bucket 9 so v = max lands in the last bucket; a
+    // degenerate zero-width group collapses to bucket 0 by the same
+    // guard on both sides); counts are exact. Scale: one window + one
+    // keyed count, both partitioned by the group key.
+    "histogram_price_per_flag" -> QuerySpec(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+        val mn = min("l_extendedprice").over(w)
+        val mx = max("l_extendedprice").over(w)
+        val width = (mx - mn) / lit(10.0)
+        val bucket = when(mx > mn,
+          least(floor((col("l_extendedprice") - mn) / width).cast("long"),
+            lit(9L))).otherwise(lit(0L))
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            bucket.as("bucket"), (mn + bucket.cast("double") * width)
+              .as("bucket_lo"))
+          .groupBy("l_returnflag", "bucket", "bucket_lo")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("l_returnflag", "bucket")
+      },
+      """WITH b AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         MIN(l_extendedprice) OVER w AS mn,
+        |         MAX(l_extendedprice) OVER w AS mx
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag)),
+        |x AS (
+        |  SELECT l_returnflag, mn, mx, (mx - mn) / 10.0 AS width,
+        |         CASE WHEN mx > mn THEN LEAST(CAST(floor(
+        |           (l_extendedprice - mn) / ((mx - mn) / 10.0)) AS BIGINT), 9)
+        |         ELSE 0 END AS bucket
+        |  FROM b)
+        |SELECT l_returnflag, bucket,
+        |       mn + CAST(bucket AS DOUBLE) * width AS bucket_lo,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM x GROUP BY l_returnflag, bucket, mn, width
+        |ORDER BY l_returnflag, bucket""".stripMargin),
+
     // Z-order (Morton) layout statistics — the multi-dimensional
     // data-layout technique behind file skipping on two filter columns at
     // once: interleave 5 bits of each dimension into a 10-bit z-value,

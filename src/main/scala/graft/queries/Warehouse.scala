@@ -152,6 +152,70 @@ object Warehouse {
     // shuffle on the segment key.
     //
     // The decimal→double CONVERSION itself must be portable: once a sum's
+    // Per-segment winsorization — the robust-stats feature-prep step
+    // (clip outliers to the exact p5/p95 order statistics before
+    // training). Percentiles are computed MANUALLY as the value at rank
+    // ceil(q·n) in each segment's value order — percentile_disc
+    // definitions differ subtly between engines, an explicit rank does
+    // not; the value at rank k is tie-insensitive (equal values at the
+    // boundary yield the same cut regardless of row order). Clamping is
+    // pure comparison; the winsorized sum goes through the exact
+    // DECIMAL(25,6) pattern. Scale: two windows over the segment
+    // partitioning (rank + count), one broadcast-sized cut table joined
+    // back, one keyed aggregation.
+    "feature_winsorize_per_segment" -> QuerySpec(
+      (s, d) => {
+        val seg = Window.partitionBy("c_mktsegment")
+        val base = Tables.customer(s, d)
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+          .withColumn("rn", row_number().over(
+            seg.orderBy(col("c_acctbal"), col("c_custkey"))))
+          .withColumn("n", count(lit(1)).over(seg))
+        val klo = greatest(lit(1L),
+          ceil(lit(0.05) * col("n").cast("double")).cast("long"))
+        val khi = ceil(lit(0.95) * col("n").cast("double")).cast("long")
+        val cuts = base
+          .select(col("c_mktsegment"),
+            when(col("rn") === klo, col("c_acctbal")).as("lo"),
+            when(col("rn") === khi, col("c_acctbal")).as("hi"))
+          .groupBy("c_mktsegment")
+          .agg(max("lo").as("p05"), max("hi").as("p95"))
+        base.join(cuts, "c_mktsegment")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), min("p05").as("p05"),
+            min("p95").as("p95"),
+            sum(when(col("c_acctbal") < col("p05"), 1L).otherwise(0L))
+              .as("n_lo"),
+            sum(when(col("c_acctbal") > col("p95"), 1L).otherwise(0L))
+              .as("n_hi"),
+            sum(least(greatest(col("c_acctbal"), col("p05")), col("p95"))
+              .cast("decimal(25,6)")).cast("double").as("wsum"))
+          .orderBy("c_mktsegment")
+      },
+      """WITH b AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY c_acctbal, c_custkey) AS rn,
+        |         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer),
+        |cuts AS (
+        |  SELECT c_mktsegment,
+        |         MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.05 *
+        |           CAST(n AS DOUBLE)) AS BIGINT)) THEN c_acctbal END) AS p05,
+        |         MAX(CASE WHEN rn = CAST(ceil(0.95 *
+        |           CAST(n AS DOUBLE)) AS BIGINT) THEN c_acctbal END) AS p95
+        |  FROM b GROUP BY 1)
+        |SELECT b.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(p05) AS p05, MIN(p95) AS p95,
+        |       CAST(SUM(CASE WHEN c_acctbal < p05 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_lo,
+        |       CAST(SUM(CASE WHEN c_acctbal > p95 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_hi,
+        |       CAST(SUM(CAST(LEAST(GREATEST(c_acctbal, p05), p95)
+        |         AS DECIMAL(25,6))) AS DOUBLE) AS wsum
+        |FROM b JOIN cuts USING (c_mktsegment)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // micro-units exceed 2^53 (hit by sum-of-squares at sf0.1), Spark
     // rounds the true decimal to the nearest double while DuckDB converts
     // the int128 to double BEFORE dividing by 10^scale — off by 1 ulp.
