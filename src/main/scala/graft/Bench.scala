@@ -31,6 +31,18 @@ object Bench {
       "dedup_lsh_shared_stage" -> (System.nanoTime() - t0) / 1e9
     }
 
+    // Same treatment for the trained IVF codebook: the four quantizer
+    // consumers (search, nprobe, IVF-PQ, cluster profile) reuse ONE
+    // k-means train, charged to its own entry.
+    val sharedTrain = {
+      val t0 = System.nanoTime()
+      try graft.queries.SimilarityQ.buildSharedTrainStage(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] shared kmeans train failed: ${e.getMessage}")
+      }
+      "similarity_kmeans_shared_train" -> (System.nanoTime() - t0) / 1e9
+    }
+
     // noop sink forces FULL evaluation of every column (a bare .count()
     // would let Catalyst prune projection work and under-measure
     // expression-heavy queries). Every query below executes fully inside
@@ -61,7 +73,7 @@ object Bench {
     val sweeps = (1 to runsN).map(_ => sweep())
     val names = sweeps.head.map(_._1)
     val maps = sweeps.map(_.toMap)
-    val results = Seq(sharedStage) ++
+    val results = Seq(sharedStage, sharedTrain) ++
       names.map(n => n -> median(maps.map(_(n))))
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

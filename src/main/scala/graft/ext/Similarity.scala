@@ -274,8 +274,15 @@ object Similarity {
     * query prunes to one cell's files; training touches the corpus
     * `rounds` times with only broadcast + map-side aggregation. */
   def ivfKmeansTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
-                    cells: Int, rounds: Int): DataFrame = {
-    val cents = kmeansCentroids(embeddings, cells, rounds)
+                    cells: Int, rounds: Int): DataFrame =
+    ivfKmeansTopKWith(embeddings,
+      kmeansCentroids(embeddings, cells, rounds), queryVecId, k)
+
+  /** [[ivfKmeansTopK]] against a PRE-TRAINED codebook — the production
+    * split: the quantizer is a persisted artifact trained once and reused
+    * by every search/build consumer (see SimilarityQ's shared stage). */
+  def ivfKmeansTopKWith(embeddings: DataFrame, cents: DataFrame,
+                        queryVecId: Long, k: Int): DataFrame = {
     val assigned = ivfAssign(embeddings, cents)
     val q = assigned.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q"), col("cell"))
@@ -300,8 +307,14 @@ object Similarity {
     * ([[nearestBy]]); probe distances use the same l2sq fold as
     * assignment, so nprobe=1 degenerates to exactly the assigned cell. */
   def ivfKmeansProbeTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
-                         cells: Int, rounds: Int, nprobe: Int): DataFrame = {
-    val cents = kmeansCentroids(embeddings, cells, rounds)
+                         cells: Int, rounds: Int, nprobe: Int): DataFrame =
+    ivfKmeansProbeTopKWith(embeddings,
+      kmeansCentroids(embeddings, cells, rounds), queryVecId, k, nprobe)
+
+  /** [[ivfKmeansProbeTopK]] against a pre-trained codebook. */
+  def ivfKmeansProbeTopKWith(embeddings: DataFrame, cents: DataFrame,
+                             queryVecId: Long, k: Int,
+                             nprobe: Int): DataFrame = {
     val assigned = ivfAssign(embeddings, cents)
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q"))
@@ -336,8 +349,15 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
                 cells: Int, rounds: Int, nprobe: Int,
                 pqCentroidIds: Seq[Long], m: Int = 8,
-                dim: Int = 64): DataFrame = {
-    val cents = kmeansCentroids(embeddings, cells, rounds)
+                dim: Int = 64): DataFrame =
+    ivfPqTopKWith(embeddings, kmeansCentroids(embeddings, cells, rounds),
+      queryVecId, k, nprobe, pqCentroidIds, m, dim)
+
+  /** [[ivfPqTopK]] against a pre-trained coarse codebook. */
+  def ivfPqTopKWith(embeddings: DataFrame, cents: DataFrame,
+                    queryVecId: Long, k: Int, nprobe: Int,
+                    pqCentroidIds: Seq[Long], m: Int = 8,
+                    dim: Int = 64): DataFrame = {
     val assigned = ivfAssign(embeddings, cents)
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q"))
