@@ -48,6 +48,82 @@ object MultimodalQ {
         |           c -> ascii(c)), v -> v // 16 = k)) AS VARCHAR)), ',') AS hist
         |FROM documents ORDER BY asset_id""".stripMargin),
 
+    // Binary asset near-dup detection by CHUNK-HASH overlap — the
+    // re-upload/copy catcher for opaque payloads (no text semantics
+    // assumed): each asset's bytes are cut into fixed 64-byte chunks,
+    // chunks are hashed with the portable 60-bit digest, and a pair is a
+    // near-dup when the shared-chunk containment |A∩B|/|A| reaches 0.5.
+    // Fixed-size chunking is deliberately byte-shift brittle (an insert
+    // breaks all downstream chunk boundaries — production upgrades to
+    // content-defined chunking, same dataflow); byte-identical and
+    // tail-appended copies are caught exactly. Plan shape mirrors the
+    // text LSH stage: per-row chunk arrays, hot-chunk cap (a 64-byte run
+    // shared by > 50 assets carries no identity signal), DISTINCT
+    // candidate pairs from ONE equi-join on the chunk key, exact verify
+    // via the sorted-merge intersect over the (sorted, distinct) chunk
+    // arrays — never an all-pairs join on payloads.
+    "multimodal_chunk_dedup" -> QuerySpec(
+      (s, d) => {
+        val cap = 50
+        val assets = Multimodal.assetTable(Tables.documents(s, d))
+        val nchunks = ceil(Multimodal.byteLength(col("bytes")) / 64.0)
+          .cast("long")
+        val chunkHash = (i: org.apache.spark.sql.Column) =>
+          graft.ext.TextOps.hash64(
+            substr(col("bytes"), (i * 64 + 1).cast("int"), lit(64)))
+        val sets = assets.select(col("asset_id"),
+            sort_array(array_distinct(transform(
+              sequence(lit(0L), greatest(nchunks - 1, lit(0L))),
+              chunkHash))).as("cs"))
+          .select(col("asset_id"), col("cs"), size(col("cs")).as("sz"))
+        val ex = sets.select(col("asset_id"), explode(col("cs")).as("c"))
+          .withColumn("bsz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("c")))
+          .filter(col("bsz") <= cap).drop("bsz")
+        val cand = ex.as("x").join(ex.as("y"),
+            col("x.c") === col("y.c") &&
+              col("x.asset_id") < col("y.asset_id"))
+          .select(col("x.asset_id").as("id_a"), col("y.asset_id").as("id_b"))
+          .distinct()
+        val inter = graft.expressions.SortedIntersectSize
+          .sorted_intersect_size(col("sa"), col("sb"))
+        cand
+          .join(sets.select(col("asset_id").as("id_a"), col("cs").as("sa"),
+            col("sz").as("sza")), "id_a")
+          .join(sets.select(col("asset_id").as("id_b"), col("cs").as("sb")),
+            "id_b")
+          .select(col("id_a"), col("id_b"), inter.as("shared"),
+            (inter.cast("double") / col("sza").cast("double"))
+              .as("containment"))
+          .filter(col("containment") >= 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      """WITH a AS (SELECT doc_id AS asset_id, text FROM documents),
+        |ch AS (SELECT asset_id, list_sort(list_distinct(list_transform(
+        |         range(0, GREATEST(CAST(ceil(octet_length(encode(text))
+        |           / 64.0) AS BIGINT), 1)),
+        |         i -> CAST(('0x' || substr(md5(substring(text,
+        |           CAST(i * 64 + 1 AS INT), 64)), 1, 15))::UBIGINT
+        |           AS BIGINT)))) AS cs
+        |       FROM a),
+        |sets AS (SELECT asset_id, cs, len(cs) AS sz FROM ch),
+        |ex0 AS (SELECT asset_id, unnest(cs) AS c FROM sets),
+        |ex AS (SELECT asset_id, c FROM (
+        |         SELECT asset_id, c, COUNT(*) OVER (PARTITION BY c) AS bsz
+        |         FROM ex0) WHERE bsz <= 50),
+        |cand AS (SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b
+        |         FROM ex x JOIN ex y ON x.c = y.c
+        |           AND x.asset_id < y.asset_id),
+        |v AS (SELECT id_a, id_b,
+        |             len(list_intersect(sa.cs, sb.cs)) AS shared,
+        |             sa.sz AS sza
+        |      FROM cand JOIN sets sa ON cand.id_a = sa.asset_id
+        |                JOIN sets sb ON cand.id_b = sb.asset_id)
+        |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+        |       CAST(shared AS DOUBLE) / CAST(sza AS DOUBLE) AS containment
+        |FROM v WHERE CAST(shared AS DOUBLE) / CAST(sza AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+
     // Typed-metadata access on the media table: filter by a metadata map
     // key and aggregate payload volume per (lang, source) — the
     // modality-routing step of a multimodal ingestion pipeline (map
