@@ -405,6 +405,75 @@ object DedupQ {
            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY id_a, id_b""".stripMargin
-      })
+      }),
+
+    // Cross-document EXACT-substring sharing (the "dedup training data at
+    // the substring level" pass of Lee et al., ACL'22, done the winnowing
+    // way instead of the suffix-array way): two documents sharing any run
+    // of >= w+k-1 = 6 tokens are guaranteed to share a winnowing
+    // fingerprint (Schleimer et al., SIGMOD'03), so fingerprint collisions
+    // are a COMPLETE candidate generator for 6-token substring overlap at
+    // ~2/(w+1) the density of all shingles. Each selected fingerprint
+    // carries its source 3-gram TEXT, and the pair join matches on
+    // (hash, gram) — string equality makes the evidence exact, not
+    // probabilistic. Hot fingerprints (df > 50: boilerplate) are
+    // suppressed before the join, so bucket fan-out is bounded and the
+    // plan is explode -> one equi-join -> keyed count: no all-pairs, no
+    // global sort, every stage keyed — the 100 TB shape.
+    "dedup_substring_spans" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val W = 4
+        val cap = 50
+        val base = Tables.documents(s, d)
+          .withColumn("shs", Dedup.shingles3(TextOps.tokens(col("text"))))
+          .withColumn("hs", Dedup.tokenHashes(col("shs")))
+          .withColumn("fps", TextOps.winnow(col("hs"), W))
+        val sel = base.select(col("doc_id"),
+            explode(array_distinct(filter(
+              zip_with(col("hs"), col("shs"),
+                (h, g) => struct(h.as("fp"), g.as("gram"))),
+              p => array_contains(col("fps"), p("fp"))))).as("p"))
+          .select(col("doc_id"), col("p.fp").as("fp"), col("p.gram").as("gram"))
+        val capped = sel
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+          .filter(col("df") <= cap).drop("df")
+        capped.as("x").join(capped.as("y"),
+            col("x.fp") === col("y.fp") && col("x.gram") === col("y.gram") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"),
+            max(col("x.gram")).as("sample_gram"))
+          .filter(col("n_shared") >= 3)
+          .orderBy("id_a", "id_b")
+      },
+      s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+         |           FROM documents),
+         |sh AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shs
+         |       FROM t),
+         |h AS (SELECT doc_id, shs,
+         |             list_transform(shs, x -> ${duckHash("x")}) AS hs
+         |      FROM sh),
+         |w AS (SELECT doc_id, shs, hs,
+         |             list_distinct(list_transform(range(1, len(hs) - 2),
+         |               i -> list_min(hs[i:i+3]))) AS fps
+         |      FROM h),
+         |sel AS (SELECT doc_id, unnest(list_filter(
+         |          list_transform(range(1, len(hs) + 1),
+         |            i -> {'fp': hs[i], 'gram': shs[i]}),
+         |          p -> list_contains(fps, p.fp))) AS p
+         |        FROM w),
+         |e AS (SELECT DISTINCT doc_id, p.fp AS fp, p.gram AS gram FROM sel),
+         |capped AS (SELECT doc_id, fp, gram FROM (
+         |             SELECT doc_id, fp, gram,
+         |                    COUNT(*) OVER (PARTITION BY fp) AS df FROM e)
+         |           WHERE df <= 50)
+         |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         |       COUNT(*) AS n_shared, max(x.gram) AS sample_gram
+         |FROM capped x JOIN capped y
+         |  ON x.fp = y.fp AND x.gram = y.gram AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY id_a, id_b""".stripMargin)
   )
 }

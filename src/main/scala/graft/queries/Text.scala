@@ -664,6 +664,121 @@ object Text {
         |              WHEN source IN ('src5','src6','src7','src8','src9')
         |              THEN 50 ELSE 25 END
         |         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS achieved_rate
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    // Bigram-LM plausibility filter: score each document by the mean
+    // corpus conditional probability p(b|a) of its bigrams and flag the
+    // implausible tail — the shape of a perplexity-based quality filter
+    // (CCNet / Gopher rules), with the mean PROBABILITY standing in for
+    // mean log-prob because ln() carries no cross-engine bit-exactness
+    // guarantee (same rationale as text_bm25_topk's rational idf). The
+    // per-doc sum runs over 2^40-scaled floor()ed integers in
+    // DECIMAL(38,0) so accumulation order cannot diverge. Scale shape:
+    // LM counts are two keyed aggs with map-side combine; scoring is ONE
+    // shuffle join keyed by bigram (the canonical score-every-doc-
+    // against-the-corpus-LM pass), then a keyed per-doc agg — no windows,
+    // no global sort until the final tiny ORDER BY.
+    "text_lm_plausibility" -> QuerySpec(
+      (s, d) => {
+        val scale = 1099511627776L // 2^40
+        val toks = TextOps.tokens(col("text"))
+        val pairs = when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => struct(get(toks, i).as("a"), get(toks, i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+        val bg = Tables.documents(s, d)
+          .select(col("doc_id"), explode(pairs).as("p"))
+          .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+        val counts = bg.groupBy("a", "b").agg(count(lit(1)).as("nab"))
+        val totals = bg.groupBy("a").agg(count(lit(1)).as("na"))
+        val probs = counts.join(totals, "a")
+          .select(col("a"), col("b"),
+            (col("nab").cast("double") / col("na").cast("double")).as("p"))
+        bg.join(probs, Seq("a", "b"))
+          .select(col("doc_id"),
+            floor(col("p") * lit(scale.toDouble))
+              .cast("decimal(38,0)").as("c"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            ((sum(col("c")).cast("double") / lit(scale.toDouble)) /
+              count(lit(1)).cast("double")).as("plausibility"))
+          .withColumn("low_quality", col("plausibility") < 0.033)
+          .orderBy("doc_id")
+      },
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |         i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+         |       FROM t WHERE len(toks) >= 2),
+         |e AS (SELECT doc_id, p.a AS a, p.b AS b FROM bg),
+         |c AS (SELECT a, b, COUNT(*) AS nab FROM e GROUP BY 1, 2),
+         |ta AS (SELECT a, COUNT(*) AS na FROM e GROUP BY 1),
+         |pr AS (SELECT a, b,
+         |              CAST(nab AS DOUBLE) / CAST(na AS DOUBLE) AS p
+         |       FROM c JOIN ta USING (a)),
+         |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |              (CAST(SUM(CAST(floor(p * 1099511627776.0)
+         |                 AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0) /
+         |                CAST(COUNT(*) AS DOUBLE) AS plausibility
+         |       FROM e JOIN pr USING (a, b) GROUP BY 1)
+         |SELECT doc_id, n_bigrams, plausibility,
+         |       plausibility < 0.033 AS low_quality
+         |FROM sc ORDER BY doc_id""".stripMargin),
+
+    // Heaps-law vocabulary growth: cumulative distinct-token count vs
+    // cumulative token count across the corpus in ingestion (doc_id)
+    // order — the statistic behind "how much new vocabulary does the
+    // next TB buy". Naive cumulative-distinct is inherently sequential;
+    // the distributed shape used here attributes each token to the
+    // BUCKET of its first occurrence (min bucket per token: one keyed
+    // agg), so the only window is a running sum over the 20 bucket rows.
+    // Buckets are equal-width doc_id ranges from a scalar max (one
+    // narrow action) — every corpus-sized stage is keyed, shuffle-free
+    // of global sorts.
+    "text_heaps_law" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 20
+        val docs = Tables.documents(s, d)
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val bucketOf = (id: org.apache.spark.sql.Column) =>
+          least(floor(id * B / (maxId + 1)).cast("int"), lit(B - 1))
+        val toks = docs.select(bucketOf(col("doc_id")).as("bucket"),
+          TextOps.tokens(col("text")).as("ts"))
+        val perBucketTokens = toks.groupBy("bucket")
+          .agg(sum(size(col("ts")).cast("long")).as("n_tokens"))
+        val firstSeen = toks
+          .select(col("bucket"), explode(array_distinct(col("ts"))).as("tok"))
+          .groupBy("tok").agg(min("bucket").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_new_vocab"))
+        val w = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perBucketTokens.join(firstSeen, Seq("bucket"), "left")
+          .na.fill(0L, Seq("n_new_vocab"))
+          .select(col("bucket"),
+            sum(col("n_tokens")).over(w).as("cum_tokens"),
+            sum(col("n_new_vocab")).over(w).as("cum_vocab"))
+          .orderBy("bucket")
+      },
+      s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+         |t AS (SELECT LEAST(CAST(floor(doc_id * 20 /
+         |               ((SELECT m FROM mx) + 1)) AS INT), 19) AS bucket,
+         |             $duckToks AS ts
+         |      FROM documents),
+         |pb AS (SELECT bucket, CAST(SUM(len(ts)) AS BIGINT) AS n_tokens
+         |       FROM t GROUP BY 1),
+         |fs AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new_vocab
+         |       FROM (SELECT tok, min(bucket) AS bucket
+         |             FROM (SELECT bucket, unnest(list_distinct(ts)) AS tok
+         |                   FROM t) GROUP BY tok)
+         |       GROUP BY 1)
+         |SELECT bucket,
+         |       CAST(SUM(n_tokens) OVER (ORDER BY bucket
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cum_tokens,
+         |       CAST(SUM(COALESCE(n_new_vocab, 0)) OVER (ORDER BY bucket
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cum_vocab
+         |FROM pb LEFT JOIN fs USING (bucket)
+         |ORDER BY bucket""".stripMargin)
   )
 }

@@ -339,6 +339,37 @@ object Warehouse {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
         |         AS revenue
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // Hashing-trick featurization (Weinberger et al., ICML'09): map
+    // "name=value" categorical features into a fixed 64-bucket space with
+    // the portable 60-bit hash and report per-bucket load + collision
+    // fan-in (distinct features sharing the bucket) — the audit a feature
+    // platform runs before committing to a hash width. No vocabulary
+    // build, no driver-side dictionary: featurization is per-row column
+    // work and the audit is one keyed agg — the property that makes the
+    // trick the default encoder at 100 TB, where a value dictionary would
+    // itself be a distributed build artifact.
+    "feature_hash_trick" -> QuerySpec(
+      (s, d) => Tables.customer(s, d)
+        .select(explode(array(
+          concat(lit("seg="), col("c_mktsegment")),
+          concat(lit("nat="), col("c_nationkey").cast("string"))))
+          .as("feat"))
+        .select(pmod(TextOps.hash64(col("feat")), lit(64)).as("bucket"),
+          col("feat"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("feat")).as("n_feats"))
+        .orderBy("bucket"),
+      """WITH f AS (
+        |  SELECT unnest(['seg=' || c_mktsegment,
+        |                 'nat=' || CAST(c_nationkey AS VARCHAR)]) AS feat
+        |  FROM customer)
+        |SELECT CAST(('0x' || substr(md5(feat), 1, 15))::UBIGINT AS BIGINT)
+        |         % 64 AS bucket,
+        |       COUNT(*) AS n_rows,
+        |       CAST(COUNT(DISTINCT feat) AS BIGINT) AS n_feats
+        |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin)
   )
 }

@@ -48,6 +48,18 @@ class WinnowSpec extends SparkSpec {
     assert(fps("s").isEmpty)
   }
 
+  test("substring-span pairs: ordered ids, exact 3-gram evidence, threshold") {
+    val rows = graft.SparkEntry.registry("dedup_substring_spans")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b")))
+      assert(a < b, s"unordered pair ($a, $b)")
+      assert(r.getLong(r.fieldIndex("n_shared")) >= 3)
+      assert(r.getString(r.fieldIndex("sample_gram")).split(" ").length == 3,
+        "sample_gram must be a 3-token shingle")
+    }
+  }
+
   test("count-min estimate is always >= the exact count") {
     val rows = graft.SparkEntry.registry("sketch_count_min")
       .fn(spark, "/root/testdata/sf0.001").collect()
