@@ -1146,7 +1146,39 @@ object Analytic {
         |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
         |                     AS DECIMAL(25,6))) AS DOUBLE) AS margin_total,
         |       COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Collation-aware grouping (Spark 4 collated string type): group a
+    // mixed-case column under UNICODE_CI so casings fold into one key —
+    // engine-native case-insensitive semantics (hash/sort operators
+    // compare by collation key) instead of the lower()-everything rewrite
+    // scattered through application code. The mixed-case input is
+    // synthesized from the segment column with identical string ops on
+    // both engines; the oracle groups by lower() — equivalent for ASCII —
+    // and the per-group binary-distinct count proves the CI group really
+    // merged 3 distinct casings. Plan: explode → one keyed agg, nothing
+    // else.
+    "string_collation_ci" -> QuerySpec(
+      (s, d) => {
+        val seg = col("c_mktsegment")
+        val title = concat(upper(substring(seg, 1, 1)),
+          lower(substring(seg, 2, 1000)))
+        Tables.customer(s, d)
+          .select(explode(array(seg, lower(seg), title)).as("v"))
+          .groupBy(collate(col("v"), "UNICODE_CI").as("k"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("v")).as("n_casings"))
+          .select(lower(col("k")).as("seg"), col("n"), col("n_casings"))
+          .orderBy("seg")
+      },
+      """WITH v AS (
+        |  SELECT unnest([c_mktsegment, lower(c_mktsegment),
+        |                 upper(substr(c_mktsegment, 1, 1)) ||
+        |                   lower(substr(c_mktsegment, 2, 1000))]) AS v
+        |  FROM customer)
+        |SELECT lower(v) AS seg, COUNT(*) AS n,
+        |       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_casings
+        |FROM v GROUP BY lower(v) ORDER BY seg""".stripMargin)
   )
 
   /** One SQL text for both engines (see recursive_cte_hierarchy): only the

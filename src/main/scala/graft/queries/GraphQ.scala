@@ -114,6 +114,57 @@ object GraphQ {
          |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes),
          |r0 AS (SELECT node, 1.0 / (SELECT nd FROM nn) AS pr FROM nodes),
          |${(1 to Rounds).map(duckRound).mkString(",\n")}
-         |SELECT node, pr FROM r$Rounds ORDER BY pr DESC, node LIMIT 20""".stripMargin)
+         |SELECT node, pr FROM r$Rounds ORDER BY pr DESC, node LIMIT 20""".stripMargin),
+
+    // k-core decomposition (fixed-round peeling): repeatedly delete nodes
+    // of degree < k from the co-purchase graph — the density filter a
+    // graph-dedup / community pipeline runs to strip hangers-on before
+    // clustering. Five peel rounds, k = 8; like connectedComponents and
+    // the PageRank loop this is a STATIC unrolled dataflow (no driver
+    // convergence test on the hot path), and 5 rounds is a documented
+    // truncation: a true core needs peeling to fixpoint, and nodes the
+    // truncation retains can still have degree < k in the infinite-round
+    // core. Per round: one keyed degree agg + one semi-join of the edge
+    // scan against the surviving-node set (broadcast at these node
+    // counts, co-partitioned shuffle join at web scale) —
+    // localCheckpointed so each round reads a materialized narrow table.
+    "graph_kcore" -> QuerySpec(
+      (s, d) => {
+        val K = 8
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        var edges = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+          .distinct()
+          .localCheckpoint(true)
+        for (_ <- 1 to 5) {
+          val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= K)
+            .select(col("src").as("node"))
+          edges = edges
+            .join(broadcast(keep), edges("src") === keep("node"), "left_semi")
+            .join(broadcast(keep), edges("dst") === keep("node"), "left_semi")
+            .localCheckpoint(true)
+        }
+        edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("core_deg"))
+          .orderBy(desc("core_deg"), asc("node"))
+          .limit(20)
+      },
+      {
+        def round(i: Int): String =
+          s"""k$i AS (SELECT src AS node FROM e${i - 1}
+             |        GROUP BY src HAVING COUNT(*) >= 8),
+             |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+             |        JOIN k$i a ON e.src = a.node
+             |        JOIN k$i b ON e.dst = b.node)""".stripMargin
+        s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+           |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+           |${(1 to 5).map(round).mkString(",\n")}
+           |SELECT src AS node, COUNT(*) AS core_deg FROM e5
+           |GROUP BY src ORDER BY core_deg DESC, node LIMIT 20""".stripMargin
+      })
   )
 }

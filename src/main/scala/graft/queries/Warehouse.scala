@@ -370,6 +370,38 @@ object Warehouse {
         |         % 64 AS bucket,
         |       COUNT(*) AS n_rows,
         |       CAST(COUNT(DISTINCT feat) AS BIGINT) AS n_feats
-        |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin)
+        |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    // Leave-one-out target encoding: replace a categorical with the mean
+    // of the target over the OTHER rows of its group — the standard
+    // leakage-free mean encoding for tree/linear models. The group sum
+    // runs in exact DECIMAL(25,6) (order-free), the row's own value is
+    // subtracted in decimal (exact), and only then does ONE
+    // correctly-rounded cast→double + ONE division happen — so Spark and
+    // DuckDB agree bit-for-bit. One window on the segment key; groups at
+    // scale shard by that key, no global state.
+    "feature_target_encode_loo" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+        val dec = col("c_acctbal").cast("decimal(25,6)")
+        val looSum = (sum(dec).over(w) - dec).cast("double")
+        val looN = (count(lit(1)).over(w) - lit(1)).cast("double")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            (looSum / looN).as("seg_loo_mean"))
+          .filter(col("c_custkey") < 500)
+          .orderBy("c_custkey")
+      },
+      """WITH s AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6)))
+        |                OVER (PARTITION BY c_mktsegment)
+        |              - CAST(c_acctbal AS DECIMAL(25,6)) AS DOUBLE) /
+        |           CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) - 1
+        |                AS DOUBLE) AS seg_loo_mean
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment, c_acctbal, seg_loo_mean
+        |FROM s WHERE c_custkey < 500
+        |ORDER BY c_custkey""".stripMargin)
   )
 }

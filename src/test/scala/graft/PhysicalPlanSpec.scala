@@ -97,7 +97,8 @@ class PhysicalPlanSpec extends SparkSpec {
     // but it deliberately cross-joins two single-row aggregates at the end)
     Seq("dedup_simhash", "dedup_embedding_cosine", "fuzzy_match_levenshtein",
         "events_interval_overlap", "similarity_knn_join",
-        "dedup_containment_pairs")
+        "dedup_containment_pairs", "dedup_substring_spans",
+        "multimodal_chunk_dedup", "text_lm_plausibility")
       .foreach { name =>
         val p = plan(SparkEntry.registry(name).fn(spark, sf))
         assert(!p.contains("CartesianProduct"),
