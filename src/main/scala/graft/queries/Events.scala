@@ -954,6 +954,70 @@ object Events {
         |      WHERE event_type = 'click') c
         |ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
-        |ORDER BY c.user_id, c.event_id""".stripMargin)
+        |ORDER BY c.user_id, c.event_id""".stripMargin),
+
+    // Robust anomaly counting via MEDIAN ABSOLUTE DEVIATION: per event
+    // type, the exact discrete median of `value` (row_number select with
+    // (cnt+1) div 2, event_id tie-break — same parity trick as
+    // percentile_disc_exact), then the exact median of |value - med|,
+    // then count events beyond 3 MADs. MAD tolerates the heavy tails
+    // that wreck mean/stddev z-scores — the robust detector a metrics
+    // pipeline runs over skewed telemetry. Both medians are windows on
+    // the type key (a handful of partitions that shard cleanly); the
+    // abs-deviation subtraction is a single exact IEEE op, so no decimal
+    // scaling is needed anywhere.
+    "events_anomaly_mad" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byType = Window.partitionBy("event_type")
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val medRank = Window.partitionBy("event_type")
+          .orderBy("value", "event_id")
+        val med = e
+          .withColumn("rn", row_number().over(medRank))
+          .withColumn("cnt", count(lit(1)).over(byType))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("event_type"), col("value").as("med"))
+        val dev = e.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("value") - col("med")))
+        val madRank = Window.partitionBy("event_type")
+          .orderBy("dev", "event_id")
+        val mad = dev
+          .withColumn("rn", row_number().over(madRank))
+          .withColumn("cnt", count(lit(1)).over(byType))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("event_type"), col("dev").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(max(col("med")).as("median_value"),
+            max(col("mad")).as("mad"),
+            count(lit(1)).as("n"),
+            sum(when(col("dev") > lit(3.0) * col("mad"), 1L)
+              .otherwise(0L)).as("n_anomalies"))
+          .orderBy("event_type")
+      },
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |med AS (SELECT event_type, value AS med FROM (
+        |          SELECT event_type, value,
+        |                 row_number() OVER (PARTITION BY event_type
+        |                   ORDER BY value, event_id) AS rn,
+        |                 COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |          FROM e) WHERE rn = (cnt + 1) // 2),
+        |dev AS (SELECT e.event_id, e.event_type,
+        |               abs(e.value - med.med) AS dev, med.med
+        |        FROM e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, dev AS mad FROM (
+        |          SELECT event_type, dev,
+        |                 row_number() OVER (PARTITION BY event_type
+        |                   ORDER BY dev, event_id) AS rn,
+        |                 COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |          FROM dev) WHERE rn = (cnt + 1) // 2)
+        |SELECT event_type, MAX(med) AS median_value, MAX(mad) AS mad,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_anomalies
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }

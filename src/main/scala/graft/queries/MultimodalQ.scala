@@ -124,6 +124,69 @@ object MultimodalQ {
         |FROM v WHERE CAST(shared AS DOUBLE) / CAST(sza AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
 
+    // Perceptual near-dup pairs via AVERAGE-HASH (the aHash of classic
+    // image dedup, computed over the byte stream since the real decoder
+    // is stubbed): the payload is cut into 60 equal segments and bit j
+    // is set when segment j's mean byte exceeds the global mean. Both
+    // comparisons are INTEGER cross-multiplications (segSum * n >
+    // total * segLen) — no division, so no float drift — and the bits
+    // pack into a 60-bit long by an exact a*2+b fold (no shifts; stays
+    // under BIGINT overflow, which DuckDB raises on). Pair generation
+    // reuses the simhash machinery: 4 bands x 15 bits, pigeonhole-
+    // complete for hamming distance <= 3, hot buckets bounded — never an
+    // all-pairs scan of the corpus; the tiny-scale oracle verifies
+    // against a literal all-pairs hamming join.
+    "multimodal_ahash_pairs" -> QuerySpec(
+      (s, d) => {
+        val assets = Multimodal.assetTable(Tables.documents(s, d))
+        // ASCII corpus: byte stream == character-code stream (see header)
+        val hashed = assets
+          .withColumn("txt", decode(col("bytes"), "UTF-8"))
+          .withColumn("codes", transform(
+            filter(split(col("txt"), ""), c => c =!= ""),
+            c => ascii(c).cast("long")))
+          .withColumn("n", size(col("codes")).cast("long"))
+          .withColumn("total", aggregate(col("codes"), lit(0L), _ + _))
+          .withColumn("L", ceil(col("n") / 60.0).cast("int"))
+          .withColumn("bits", transform(sequence(lit(0), lit(59)), j => {
+            val seg = slice(col("codes"), j * col("L") + 1, col("L"))
+            val segSum = aggregate(seg, lit(0L), _ + _)
+            when(segSum * col("n") > col("total") * size(seg).cast("long"),
+              lit(1L)).otherwise(lit(0L))
+          }))
+          .select(col("asset_id"),
+            aggregate(col("bits"), lit(0L),
+              (a, b) => a * lit(2L) + b).as("ahash"))
+        graft.ext.Dedup.simhashBandPairs(hashed, "asset_id", "ahash",
+            bands = 4, bitsPerBand = 15, maxDist = 3)
+          .orderBy("id_a", "id_b")
+      },
+      """WITH c AS (SELECT doc_id, list_transform(
+        |             list_filter(string_split(text, ''), c -> c <> ''),
+        |             c -> CAST(ascii(c) AS BIGINT)) AS codes
+        |           FROM documents),
+        |m AS (SELECT doc_id, codes, len(codes) AS n,
+        |             list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+        |               (a, b) -> a + b) AS total,
+        |             CAST(ceil(len(codes) / 60.0) AS INT) AS L
+        |      FROM c),
+        |sg AS (SELECT doc_id, n, total,
+        |              list_transform(range(0, 60),
+        |                j -> codes[j*L+1 : j*L+L]) AS segs
+        |       FROM m),
+        |bt AS (SELECT doc_id, list_transform(segs, seg -> CASE WHEN
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT), seg),
+        |           (a, x) -> a + x) * n > total * len(seg)
+        |         THEN 1 ELSE 0 END) AS bits FROM sg),
+        |h AS (SELECT doc_id, list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT), bits),
+        |        (a, b) -> a * 2 + b) AS ahash FROM bt)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       bit_count(xor(a.ahash, b.ahash)) AS dist
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin),
+
     // Typed-metadata access on the media table: filter by a metadata map
     // key and aggregate payload volume per (lang, source) — the
     // modality-routing step of a multimodal ingestion pipeline (map

@@ -402,6 +402,64 @@ object Warehouse {
         |  FROM customer)
         |SELECT c_custkey, c_mktsegment, c_acctbal, seg_loo_mean
         |FROM s WHERE c_custkey < 500
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Declarative data-quality expectations (the Deequ/Great-Expectations
+    // shape): a rule set of column predicates evaluated in ONE aggregation
+    // pass over the table — per-rule violation counts and rates come from
+    // sum(when(!rule, 1)) legs of the same agg, so N rules cost one scan
+    // and one 1-row shuffle regardless of table size, then the single
+    // result row unpivots to a row per rule. Adding a rule is adding a
+    // Column, not a pass — the property that keeps an expectation suite
+    // viable on a 100 TB table.
+    "profile_expectations" -> QuerySpec(
+      (s, d) => {
+        val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+          "acctbal_in_range" -> col("c_acctbal").between(-1000.0, 10000.0),
+          "custkey_nonnull" -> col("c_custkey").isNotNull,
+          "name_pattern" -> col("c_name").rlike("^Customer#[0-9]{9}$"),
+          "nationkey_in_domain" -> col("c_nationkey").between(0, 24),
+          "segment_in_domain" -> col("c_mktsegment").isin(
+            "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        val legs = rules.map { case (name, p) =>
+          sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as(name)
+        }
+        val one = Tables.customer(s, d)
+          .agg(count(lit(1)).as("n_rows"), legs: _*)
+        one.select(col("n_rows"), explode(array(rules.map { case (name, _) =>
+            struct(lit(name).as("rule"), col(name).as("n_violations"))
+          }: _*)).as("r"))
+          .select(col("r.rule").as("rule"),
+            col("r.n_violations").as("n_violations"),
+            (col("r.n_violations").cast("double") /
+              col("n_rows").cast("double")).as("violation_rate"))
+          .orderBy("rule")
+      },
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN NOT COALESCE(c_acctbal BETWEEN -1000.0 AND 10000.0,
+        |      FALSE) THEN 1 ELSE 0 END) AS v_acctbal,
+        |    SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS v_custkey,
+        |    SUM(CASE WHEN NOT COALESCE(
+        |      regexp_matches(c_name, '^Customer#[0-9]{9}$'), FALSE)
+        |      THEN 1 ELSE 0 END) AS v_name,
+        |    SUM(CASE WHEN NOT COALESCE(c_nationkey BETWEEN 0 AND 24, FALSE)
+        |      THEN 1 ELSE 0 END) AS v_nation,
+        |    SUM(CASE WHEN NOT COALESCE(c_mktsegment IN ('AUTOMOBILE',
+        |      'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY'), FALSE)
+        |      THEN 1 ELSE 0 END) AS v_segment
+        |  FROM customer),
+        |x AS (SELECT n_rows, unnest([
+        |  {'rule': 'acctbal_in_range',    'n_violations': v_acctbal},
+        |  {'rule': 'custkey_nonnull',     'n_violations': v_custkey},
+        |  {'rule': 'name_pattern',        'n_violations': v_name},
+        |  {'rule': 'nationkey_in_domain', 'n_violations': v_nation},
+        |  {'rule': 'segment_in_domain',   'n_violations': v_segment}]) AS u
+        |  FROM a)
+        |SELECT u.rule AS rule,
+        |       CAST(u.n_violations AS BIGINT) AS n_violations,
+        |       CAST(u.n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |         AS violation_rate
+        |FROM x ORDER BY rule""".stripMargin)
   )
 }
