@@ -351,6 +351,108 @@ object SimilarityQ {
     // Batch kNN join: 10 query vectors resolved against the corpus in ONE
     // bucket-blocked join + per-query window — the retrieval shape that
     // replaces N single-query scans.
+    // Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    // SIGIR'98): from each query's brute-force top-10 pool, greedily pick
+    // 5 results maximizing 0.7*relevance - 0.3*max-similarity-to-already-
+    // selected — the diversification pass a retrieval pipeline runs so
+    // near-duplicate hits don't crowd the result page. The greedy loop is
+    // inherently sequential PER QUERY but embarrassingly parallel ACROSS
+    // queries, so each query's pool packs into ONE row (10 candidates,
+    // rank-ordered), the 10x10 cosine matrix is precomputed once per row,
+    // and the 5 picks are 5 unrolled pure-Column steps over positions —
+    // no driver loop, no UDF, no extra shuffle after the pool build.
+    // Cross-engine: every float op (fold dot, 0.7/0.3 combine, negate)
+    // is written in the same order on both sides, ties break by pool
+    // position, and the OUTPUT is integer-only (query, rank, picked id).
+    "similarity_mmr_rerank" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(desc("rel"), asc("vec_id"))
+        val cands = emb.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), col("embedding"),
+            Similarity.cosine(col("embedding"), col("q")).as("rel"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+        val packed = cands.groupBy("query_id")
+          .agg(collect_list(struct(col("rn"), col("vec_id"), col("rel"),
+            col("embedding"))).as("cl"))
+          // rn is unique 1..10, so the struct sort pins candidate order
+          .withColumn("cands", array_sort(col("cl"))).drop("cl")
+          .withColumn("simmat", transform(col("cands"), c =>
+            transform(col("cands"), x =>
+              Similarity.cosine(c("embedding"), x("embedding")))))
+        // The greedy loop is ONE aggregate fold over 5 step indices: the
+        // accumulator (selected positions) is a runtime lambda variable,
+        // so the plan stays linear in step count — an unrolled
+        // withColumn chain would re-inline the simmat expression at
+        // every `sel` reference and blow up exponentially.
+        def step(sel: org.apache.spark.sql.Column) = {
+          val scored = filter(
+            transform(sequence(lit(1), size(col("cands"))), p => {
+              val rel = element_at(col("cands"), p)("rel")
+              val maxsim = coalesce(array_max(transform(sel, q2 =>
+                element_at(element_at(col("simmat"), p), q2))), lit(0.0))
+              struct((lit(-1.0) * (lit(0.7) * rel - lit(0.3) * maxsim))
+                .as("neg"), p.as("pos"))
+            }),
+            st => !array_contains(sel, st("pos")))
+          concat(sel, array(element_at(array_sort(scored), 1)("pos")))
+        }
+        val df = packed.withColumn("sel",
+          aggregate(sequence(lit(1), lit(5)),
+            array().cast("array<int>"), (sel, _) => step(sel)))
+        df.select(col("query_id"), col("cands"),
+            posexplode(col("sel")).as(Seq("r", "pos")))
+          .select(col("query_id"), (col("r") + 1).cast("long").as("rank"),
+            element_at(col("cands"), col("pos"))("vec_id").as("selected_id"))
+          .orderBy("query_id", "rank")
+      },
+      {
+        val argmax =
+          """list_sort(list_filter(list_transform(range(1, len(cands) + 1),
+            |  p -> {'neg': -1.0 * (0.7 * cands[p].rel - 0.3 * COALESCE(
+            |          list_max(list_transform(sel, q2 -> simmat[p][q2])), 0.0)),
+            |        'pos': p}),
+            |  st -> NOT list_contains(sel, st.pos)))[1].pos""".stripMargin
+        // MATERIALIZED: without it DuckDB inlines each step's CTE at every
+        // `sel` reference and the simmat expression duplicates 3^5 times
+        def stepCte(i: Int) =
+          s"""s$i AS MATERIALIZED (SELECT query_id, cands, simmat,
+             |  list_append(sel, $argmax) AS sel FROM s${i - 1})""".stripMargin
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |           FROM embeddings WHERE vec_id < 3),
+           |rel AS (SELECT q.query_id, e.vec_id, e.embedding,
+           |               ${duckCos("e.embedding", "q.qv")} AS rel
+           |        FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+           |top AS (SELECT * FROM (
+           |          SELECT query_id, vec_id, embedding, rel,
+           |                 row_number() OVER (PARTITION BY query_id
+           |                   ORDER BY rel DESC, vec_id) AS rn
+           |          FROM rel) WHERE rn <= 10),
+           |packed AS (SELECT query_id,
+           |             list({'vec_id': vec_id, 'rel': rel,
+           |                   'embedding': embedding} ORDER BY rn) AS cands
+           |           FROM top GROUP BY query_id),
+           |sm AS MATERIALIZED (SELECT query_id, cands,
+           |         list_transform(cands, c -> list_transform(cands,
+           |           x -> ${duckCos("c.embedding", "x.embedding")})) AS simmat
+           |       FROM packed),
+           |s0 AS (SELECT query_id, cands, simmat,
+           |              []::BIGINT[] AS sel FROM sm),
+           |${(1 to 5).map(stepCte).mkString(",\n")},
+           |x AS (SELECT query_id, unnest(list_transform(range(1, len(sel) + 1),
+           |        r -> {'rank': r, 'id': cands[sel[r]].vec_id})) AS u
+           |      FROM s5)
+           |SELECT query_id, CAST(u.rank AS BIGINT) AS rank,
+           |       u.id AS selected_id
+           |FROM x ORDER BY query_id, rank""".stripMargin
+      }),
+
     "similarity_knn_join" -> QuerySpec(
       (s, d) => Similarity.knnJoinLsh(Tables.embeddings(s, d),
         col("vec_id") < 10, k = 3, planes = 4),
