@@ -460,6 +460,96 @@ object Warehouse {
         |       CAST(u.n_violations AS BIGINT) AS n_violations,
         |       CAST(u.n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
         |         AS violation_rate
-        |FROM x ORDER BY rule""".stripMargin)
+        |FROM x ORDER BY rule""".stripMargin),
+
+    // Pre-join key-skew audit: the per-key count distribution of a join
+    // key (nearest-rank p50/p99/max, mean, and the hottest key's share) —
+    // the diagnostic that decides between a plain shuffle join, salting,
+    // and AQE skew handling BEFORE burning a 100 TB shuffle. One keyed
+    // count (map-side combined), then order statistics over the KEY
+    // distribution (|keys| rows, not |rows|) via the deterministic
+    // row_number nearest-rank select; the result is a single row.
+    "profile_join_skew" -> QuerySpec(
+      (s, d) => {
+        val counts = Tables.orders(s, d)
+          .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy("cnt", "o_custkey")
+        val ranked = counts
+          .withColumn("rn", row_number().over(w))
+          .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
+        val p50 = ranked.filter(col("rn") === expr("(nk + 1) div 2"))
+          .select(col("cnt").as("p50_cnt"))
+        val p99 = ranked.filter(col("rn") === expr("(99 * (nk - 1)) div 100 + 1"))
+          .select(col("cnt").as("p99_cnt"))
+        val agg = counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum("cnt").cast("long").as("n_rows"),
+          max("cnt").as("max_cnt"))
+        agg.crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
+          .select(col("n_keys"), col("n_rows"), col("p50_cnt"),
+            col("p99_cnt"), col("max_cnt"),
+            (col("n_rows").cast("double") / col("n_keys").cast("double"))
+              .as("mean_cnt"),
+            (col("max_cnt").cast("double") / col("n_rows").cast("double"))
+              .as("top_key_share"))
+      },
+      """WITH c AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+        |           GROUP BY o_custkey),
+        |r AS (SELECT cnt,
+        |             row_number() OVER (ORDER BY cnt, o_custkey) AS rn,
+        |             COUNT(*) OVER () AS nk
+        |      FROM c),
+        |p50 AS (SELECT cnt AS p50_cnt FROM r WHERE rn = (nk + 1) // 2),
+        |p99 AS (SELECT cnt AS p99_cnt FROM r
+        |        WHERE rn = (99 * (nk - 1)) // 100 + 1),
+        |a AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |             MAX(cnt) AS max_cnt FROM c)
+        |SELECT n_keys, n_rows, p50_cnt, p99_cnt, max_cnt,
+        |       CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS mean_cnt,
+        |       CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |         AS top_key_share
+        |FROM a, p50, p99""".stripMargin),
+
+    // RFM segmentation: per-customer Recency / Frequency / Monetary
+    // quartiles composed into the classic 3-digit segment code — the
+    // customer-value stratification a marketing warehouse materializes.
+    // Metrics are one keyed agg over orders (monetary summed in exact
+    // decimal); quartiles are ntile(4) with a total order (metric +
+    // custkey tie-break) so assignment is deterministic in both engines.
+    // The ntile windows rank the CUSTOMER aggregate, not the order log;
+    // at 100 TB the same query shards by market segment or swaps ntile
+    // for precomputed quantile thresholds — noted, not needed here.
+    "customer_rfm_segments" -> QuerySpec(
+      (s, d) => {
+        val m = Tables.orders(s, d).groupBy("o_custkey")
+          .agg(max("o_orderdate").as("last_order"),
+            count(lit(1)).as("frequency"),
+            sum(col("o_totalprice").cast("decimal(25,6)")).as("mdec"))
+          .withColumn("monetary", col("mdec").cast("double")).drop("mdec")
+        val r = ntile(4).over(Window.orderBy(desc("last_order"), asc("o_custkey")))
+        val f = ntile(4).over(Window.orderBy(desc("frequency"), asc("o_custkey")))
+        val mo = ntile(4).over(Window.orderBy(desc("monetary"), asc("o_custkey")))
+        m.select(col("o_custkey"), col("frequency"), col("monetary"),
+            r.as("r_q"), f.as("f_q"), mo.as("m_q"))
+          .withColumn("rfm_code",
+            (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("long"))
+          .filter(col("o_custkey") < 300)
+          .orderBy("o_custkey")
+      },
+      """WITH m AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+        |         COUNT(*) AS frequency,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+        |           AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |q AS (
+        |  SELECT o_custkey, frequency, monetary,
+        |         ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+        |         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+        |         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+        |  FROM m)
+        |SELECT o_custkey, frequency, monetary, r_q, f_q, m_q,
+        |       CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
+        |FROM q WHERE o_custkey < 300 ORDER BY o_custkey""".stripMargin)
   )
 }
