@@ -41,6 +41,15 @@ object Dedup {
     when(n >= 3, slice(abc, lit(1), n - 2)).otherwise(array())
   }
 
+  /** Word 2-gram shingles — same shifted-slice construction (and the same
+    * CSE rationale) as [[shingles3]], one zip_with pass. */
+  def shingles2(toks: Column): Column = {
+    val n = size(toks)
+    val s2 = slice(toks, lit(2), greatest(n - 1, lit(0)))
+    val ab = zip_with(toks, s2, (a, b) => concat(a, lit(" "), b))
+    when(n >= 2, slice(ab, lit(1), n - 1)).otherwise(array())
+  }
+
   /** MinHash hash family: h_i(x) = (a_i·h30(x) + b_i) mod p over ONE md5
     * base hash per element, reduced to 30 bits so a_i·h30 + b_i stays far
     * below 2^63 (DuckDB errors on BIGINT overflow; Java would silently

@@ -31,6 +31,25 @@ object TextOps {
   def regexTokenCount(text: Column): Column =
     graft.expressions.TokenCount.token_count(text)
 
+  /** Max multiplicity of any element of a SORTED string array, as a
+    * single partition-local fold with a (prev, run, best) struct
+    * accumulator — equal elements are adjacent after the sort, so the
+    * longest equal-run IS the highest count. No explode, no (row, elem)
+    * shuffle: the Gopher top-n-gram repetition rule stays inside the
+    * scan projection. Empty array → 0. */
+  def maxMultiplicity(sorted: Column): Column = {
+    val init = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"))
+    aggregate(sorted, init,
+      (st, x) => {
+        val run = when(x === st.getField("prev"),
+          st.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+  }
+
   /** Language-ID stopword table. The harness corpus shares one English
     * vocabulary across all `lang` labels, so accuracy against the label is
     * meaningless — the operator contract is the deterministic scoring

@@ -201,6 +201,39 @@ object DedupQ {
          |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin),
 
+    // Cross-source near-duplicate overlap matrix — the corpus-curation
+    // question behind dedup: WHICH sources duplicate each other (mirror
+    // crawls, re-hosted dumps, licensing overlap)? One more keyed filter
+    // over the SAME shared verified-pair stage (no re-shingling), joined
+    // to the narrow (doc_id, source) projection on both endpoints, then
+    // counted per unordered source pair — least/greatest folds (a,b) and
+    // (b,a) into one cell, so the matrix is upper-triangular including
+    // the self-overlap diagonal. Scale shape: pairs ⋈ docs is a keyed
+    // join on doc_id (the pair table is narrow); the matrix itself is
+    // |sources|² tiny. Integer counts only.
+    "dedup_source_overlap_matrix" -> QuerySpec(
+      (s, d) => {
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        lshVerifiedPairs(s, d).filter(col("jaccard") >= 0.5)
+          .join(src.select(col("doc_id").as("id_a"),
+            col("source").as("src_a")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"),
+            col("source").as("src_b")), "id_b")
+          .select(least(col("src_a"), col("src_b")).as("source_lo"),
+            greatest(col("src_a"), col("src_b")).as("source_hi"))
+          .groupBy("source_lo", "source_hi")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_lo", "source_hi")
+      },
+      s"""WITH $duckVerifiedCtes
+         |SELECT least(sa.source, sb.source) AS source_lo,
+         |       greatest(sa.source, sb.source) AS source_hi,
+         |       COUNT(*) AS n_pairs
+         |FROM verified v JOIN documents sa ON v.id_a = sa.doc_id
+         |                JOIN documents sb ON v.id_b = sb.doc_id
+         |WHERE v.jaccard >= 0.5
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // MinHash signatures (k=8) — per-row, no shuffle; the narrow table an
     // LSH pipeline persists at scale.
     "dedup_minhash_signatures" -> QuerySpec(

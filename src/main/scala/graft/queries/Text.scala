@@ -779,6 +779,121 @@ object Text {
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |         AS BIGINT) AS cum_vocab
          |FROM pb LEFT JOIN fs USING (bucket)
-         |ORDER BY bucket""".stripMargin)
+         |ORDER BY bucket""".stripMargin),
+
+    // Gopher-style INTRA-document repetition rules (Rae et al. 2021,
+    // table A1) — the quality filters that catch degenerate generations
+    // and boilerplate loops: (a) the fraction of 3-gram occurrences that
+    // are repeats of an earlier 3-gram in the SAME document, and (b) the
+    // share of all 2-gram slots taken by the single most frequent 2-gram.
+    // Distinct from text_boilerplate_ngrams, which measures CROSS-document
+    // n-gram document frequency. Cross-engine determinism: every measure
+    // is an integer count and the thresholds are integer cross-
+    // multiplications (top2·25 > bi_total·2 ⟺ top2/bi_total > 0.08, the
+    // Gopher top-2-gram bound) — no division crosses the engine boundary.
+    // Scale shape: the per-document stats are ONE projection — the
+    // top-2-gram count folds a sorted shingle array with a (prev, run,
+    // best) struct accumulator, so max-multiplicity needs no explode and
+    // no (doc, gram) shuffle — and the only exchange is the final tiny
+    // groupBy(source). The oracle computes top2 the relational way
+    // (unnest + GROUP BY); identical integers either way.
+    "text_gopher_repetition" -> QuerySpec(
+      (s, d) => {
+        val toksed = Tables.documents(s, d)
+          .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+        val top2 = TextOps.maxMultiplicity(
+          sort_array(graft.ext.Dedup.shingles2(col("toks"))))
+        val per = toksed.select(col("source"),
+          greatest(size(col("toks")) - 2, lit(0)).cast("long").as("tri_total"),
+          size(array_distinct(graft.ext.Dedup.shingles3(col("toks"))))
+            .cast("long").as("tri_distinct"),
+          greatest(size(col("toks")) - 1, lit(0)).cast("long").as("bi_total"),
+          top2.as("top2"))
+        per.select(col("source"),
+            (col("tri_total") - col("tri_distinct")).as("dup3"),
+            col("bi_total"), col("top2"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("dup3") > 0, 1L).otherwise(0L)).as("n_dup3_docs"),
+            sum(when(col("top2") * 25 > col("bi_total") * 2, 1L)
+              .otherwise(0L)).as("n_top2_flagged"),
+            sum(col("dup3")).as("sum_dup3"),
+            max(col("top2")).as("max_top2"))
+          .orderBy("source")
+      },
+      s"""WITH t AS (SELECT doc_id, source, $duckToks AS toks FROM documents),
+         |st AS (SELECT doc_id, source,
+         |         greatest(len(toks) - 2, 0) AS tri_total,
+         |         len(list_distinct(list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+         |           AS tri_distinct,
+         |         greatest(len(toks) - 1, 0) AS bi_total
+         |       FROM t),
+         |tp AS (SELECT doc_id, MAX(c) AS top2 FROM (
+         |         SELECT doc_id, COUNT(*) AS c FROM (
+         |           SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |             i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t)
+         |         GROUP BY doc_id, bg) GROUP BY doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN tri_total - tri_distinct > 0
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup3_docs,
+         |       CAST(SUM(CASE WHEN top2 * 25 > bi_total * 2
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_top2_flagged,
+         |       CAST(SUM(tri_total - tri_distinct) AS BIGINT) AS sum_dup3,
+         |       CAST(MAX(top2) AS BIGINT) AS max_top2
+         |FROM st JOIN tp USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin),
+
+    // Length-bucketed padded-batch packing — the batch-assembly step of a
+    // training dataloader: group documents into fixed-size batches of 16
+    // and pad every document to its batch's max length. Batching docs of
+    // similar length together is what makes padding affordable; this
+    // query quantifies it (pad_waste = Σ over batches of
+    // n_docs·max_len − Σ tokens). Determinism: batch membership is
+    // row_number over (n_tokens, doc_id) — a total order — and every
+    // output is an integer. Scale shape: the only window runs
+    // PARTITIONED BY band (a 64-token-wide length bucket), so each band
+    // packs independently — exactly how a 1000-worker loader shards the
+    // job; nothing global, no single-partition sort. The alternative
+    // (one global length-sorted batching) would be a full-corpus total
+    // sort; banding trades ≤1 partial batch per band for shard
+    // parallelism.
+    "corpus_pack_batches" -> QuerySpec(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band").orderBy("n_tokens", "doc_id")
+        val per = Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("band", floor(col("n_tokens") / lit(16)).cast("long"))
+        val perBatch = per
+          .withColumn("batch", floor((row_number().over(w) - 1) / lit(16)))
+          .groupBy("band", "batch")
+          .agg(count(lit(1)).as("bdocs"), max("n_tokens").as("max_len"),
+            sum("n_tokens").as("btok"))
+        perBatch.groupBy("band")
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("bdocs")).as("n_docs"),
+            sum(col("btok")).as("sum_tokens"),
+            sum(col("bdocs") * col("max_len") - col("btok")).as("pad_waste"))
+          .orderBy("band")
+      },
+      s"""WITH per AS (SELECT doc_id,
+         |         CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |         CAST(floor(len($duckToks) / 16) AS BIGINT) AS band
+         |       FROM documents),
+         |b AS (SELECT band, n_tokens,
+         |        CAST(floor((row_number() OVER (PARTITION BY band
+         |          ORDER BY n_tokens, doc_id) - 1) / 16) AS BIGINT) AS batch
+         |      FROM per),
+         |pb AS (SELECT band, batch, COUNT(*) AS bdocs,
+         |         MAX(n_tokens) AS max_len,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS btok
+         |       FROM b GROUP BY band, batch)
+         |SELECT band, COUNT(*) AS n_batches,
+         |       CAST(SUM(bdocs) AS BIGINT) AS n_docs,
+         |       CAST(SUM(btok) AS BIGINT) AS sum_tokens,
+         |       CAST(SUM(bdocs * max_len - btok) AS BIGINT) AS pad_waste
+         |FROM pb GROUP BY band ORDER BY band""".stripMargin)
   )
 }

@@ -255,4 +255,24 @@ class ExtSpec extends SparkSpec {
     // seed-split cluster keeps most of them, so demand a real bound.
     assert(recall >= 0.8, s"IVF recall vs brute force was $recall, want >= 0.8")
   }
+
+  test("maxMultiplicity fold equals relational unnest+count max; shingles2 shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      "a b a b a b",   // bigrams: "a b"×3, "b a"×2 → max 3
+      "x y z",         // all distinct → 1
+      "w",             // no bigrams → 0
+      "q q q q"        // "q q"×3 → 3
+    ).toDF("text")
+    val got = docs.select(TextOps.maxMultiplicity(
+        sort_array(Dedup.shingles2(TextOps.tokens(col("text"))))).as("m"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(3L, 1L, 0L, 3L))
+    // Relational cross-check on the nontrivial row.
+    val rel = docs.limit(1)
+      .select(explode(Dedup.shingles2(TextOps.tokens(col("text")))).as("bg"))
+      .groupBy("bg").count().agg(max("count")).as[Long].head()
+    assert(rel == 3L)
+  }
 }
