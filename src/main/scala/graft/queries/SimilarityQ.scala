@@ -348,6 +348,63 @@ object SimilarityQ {
          |  WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3)
          |SELECT id_a, id_b, cos FROM p ORDER BY id_a, id_b""".stripMargin),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup = cluster the corpus
+    // with the trained coarse quantizer, then drop near-duplicates ONLY
+    // within each cluster — the cluster assignment replaces the global
+    // pair problem with k independent local ones. This rides the SAME
+    // shared 8-cell codebook as every IVF consumer (assignment is the
+    // shuffle-free broadcast fold), and within a cell candidates are
+    // blocked by a 4-plane sign-LSH bucket, so the pair join's key is the
+    // composite (cell, bucket) — never all-pairs, even inside a cell. Of
+    // each pair with cosine ≥ 0.3 the HIGHER vec_id is dropped (pure
+    // order rule — no float leaves the pair stage); the declared result
+    // is the per-cell keep/drop ledger, integer-only. At 100 TB the
+    // corpus is persisted partitioned by cell, so each cell's prune is an
+    // independent partition-local job — the reason SemDeDup scales where
+    // global near-dup graphs do not.
+    "similarity_semdedup_prune" -> QuerySpec(
+      (s, d) => {
+        val assigned = Similarity
+          .ivfAssign(Tables.embeddings(s, d), trainedCents8x2(s, d))
+          .select(col("vec_id"), col("cell"), col("embedding"),
+            Similarity.norm(col("embedding")).as("nrm"),
+            Similarity.hyperplaneBucket(col("embedding"), 4).as("bkt"))
+        val dropped = assigned.as("a").join(assigned.as("b"),
+            col("a.cell") === col("b.cell") && col("a.bkt") === col("b.bkt") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .filter((Similarity.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))) >= 0.3)
+          .select(col("a.cell").as("cell"), col("b.vec_id").as("vec_id"))
+          .distinct()
+          .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+        assigned.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+          .join(dropped, Seq("cell"), "left")
+          .na.fill(0L, Seq("n_dropped"))
+          .select(col("cell"), col("n_vectors"), col("n_dropped"),
+            (col("n_vectors") - col("n_dropped")).as("n_kept"))
+          .orderBy("cell")
+      },
+      s"""WITH ${duckKmeansCtes(8, 2)},
+         |assigned AS (SELECT vec_id, v, cell FROM (
+         |  SELECT ev.vec_id, ev.v, c.cent_id AS cell,
+         |         row_number() OVER (PARTITION BY ev.vec_id
+         |           ORDER BY ${duckL2("ev.v", "c.cvec")}, c.cent_id) AS rn
+         |  FROM ev CROSS JOIN c2 c) WHERE rn = 1),
+         |e AS (SELECT vec_id, cell, v, ${duckBucket("v", 4)} AS bkt
+         |      FROM assigned),
+         |drp AS (SELECT a.cell AS cell, COUNT(DISTINCT b.vec_id) AS n_dropped
+         |        FROM e a JOIN e b ON a.cell = b.cell AND a.bkt = b.bkt
+         |          AND a.vec_id < b.vec_id
+         |        WHERE ${duckCos("a.v", "b.v")} >= 0.3
+         |        GROUP BY a.cell),
+         |sz AS (SELECT cell, COUNT(*) AS n_vectors FROM assigned
+         |       GROUP BY cell)
+         |SELECT sz.cell, CAST(sz.n_vectors AS BIGINT) AS n_vectors,
+         |       CAST(COALESCE(drp.n_dropped, 0) AS BIGINT) AS n_dropped,
+         |       CAST(sz.n_vectors - COALESCE(drp.n_dropped, 0) AS BIGINT)
+         |         AS n_kept
+         |FROM sz LEFT JOIN drp USING (cell) ORDER BY cell""".stripMargin),
+
     // Batch kNN join: 10 query vectors resolved against the corpus in ONE
     // bucket-blocked join + per-query window — the retrieval shape that
     // replaces N single-query scans.
