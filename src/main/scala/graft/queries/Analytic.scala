@@ -760,6 +760,36 @@ object Analytic {
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin),
 
+    // Spark 4 LISTAGG ... WITHIN GROUP (SPARK-42746) — ordered string
+    // aggregation, the SQL:2016 way to materialize a per-key event
+    // timeline as one row (here: each customer's order-priority path,
+    // the sequence feature a churn model consumes). Deterministic: the
+    // WITHIN GROUP order is (o_orderdate, o_orderkey) — a total order
+    // because orderkey is unique — mirrored by DuckDB's string_agg
+    // ORDER BY. Scale shape: single keyed aggregation, map-side
+    // combinable; the per-key string is bounded by the key's own order
+    // count (no global collect).
+    "sql_listagg_timeline" -> QuerySpec(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_orders_la")
+        s.sql("""
+          SELECT o_custkey,
+                 listagg(o_orderpriority, ',')
+                   WITHIN GROUP (ORDER BY o_orderdate, o_orderkey)
+                   AS prio_path,
+                 COUNT(*) AS n_orders
+          FROM v_orders_la
+          WHERE o_custkey < 150
+          GROUP BY o_custkey
+          ORDER BY o_custkey""")
+      },
+      """SELECT o_custkey,
+        |       string_agg(o_orderpriority, ','
+        |         ORDER BY o_orderdate, o_orderkey) AS prio_path,
+        |       COUNT(*) AS n_orders
+        |FROM orders WHERE o_custkey < 150
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+
     // Exact discrete median per group (percentile_disc semantics): the
     // value AT rank ceil(n/2) under a total order — no interpolation, so
     // the result is an actual data value and exactly reproducible in any

@@ -550,6 +550,89 @@ object Warehouse {
         |  FROM m)
         |SELECT o_custkey, frequency, monetary, r_q, f_q, m_q,
         |       CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
-        |FROM q WHERE o_custkey < 300 ORDER BY o_custkey""".stripMargin)
+        |FROM q WHERE o_custkey < 300 ORDER BY o_custkey""".stripMargin),
+
+    // Higher-moment + regression profile: per-returnflag skewness and
+    // kurtosis of quantity, and the OLS fit (slope/intercept/corr) of
+    // extendedprice on quantity — the distribution-shape and
+    // drift-detection statistics a feature-store profiler emits next to
+    // profile_expectations' rule verdicts. Cross-engine determinism is
+    // the POWER-SUM trick: both columns are exact at 2 decimals, so
+    // floor(v·100+0.5) lifts them to integers, every power/cross term
+    // (x², x³, x⁴, y², xy) stays in BIGINT (x ≤ 5·10³ cents → x⁴ ≤
+    // 6.25·10¹⁴), the per-group Σ accumulate in DECIMAL(38,0) — exact,
+    // order-free — and ONLY the closed-form combination of the (bit-equal)
+    // sums runs in double, written in the same operation order on both
+    // engines. No naive one-pass variance, no engine skewness() (sample
+    // vs population conventions differ); skew/kurt/corr/slope are scale-
+    // invariant so the ×100 lift cancels. Scale shape: one map-side-
+    // combinable keyed agg over the scan — the cheapest possible profile
+    // pass; DECIMAL(38,0) holds Σx⁴ past 10¹² rows per group.
+    "profile_moments_regression" -> QuerySpec(
+      (s, d) => {
+        def cents(c: org.apache.spark.sql.Column) =
+          floor(c * 100 + lit(0.5)).cast("long")
+        def dsum(c: org.apache.spark.sql.Column) =
+          sum(c.cast("decimal(38,0)"))
+        val g = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), cents(col("l_quantity")).as("x"),
+            cents(col("l_extendedprice")).as("y"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("x")).as("d1"),
+            dsum(col("x") * col("x")).as("d2"),
+            dsum(col("x") * col("x") * col("x")).as("d3"),
+            dsum(col("x") * col("x") * col("x") * col("x")).as("d4"),
+            dsum(col("y")).as("dy"),
+            dsum(col("y") * col("y")).as("dy2"),
+            dsum(col("x") * col("y")).as("dxy"))
+        val nd = col("n").cast("double")
+        val Seq(s1, s2, s3, s4, sy, sy2, sxy) =
+          Seq("d1", "d2", "d3", "d4", "dy", "dy2", "dxy")
+            .map(c => col(c).cast("double"))
+        val m = s1 / nd
+        val m2 = s2 / nd - m * m
+        val m3 = s3 / nd - lit(3.0) * m * (s2 / nd) + lit(2.0) * m * m * m
+        val m4 = s4 / nd - lit(4.0) * m * (s3 / nd) +
+          lit(6.0) * m * m * (s2 / nd) - lit(3.0) * m * m * m * m
+        val slope = (nd * sxy - s1 * sy) / (nd * s2 - s1 * s1)
+        g.select(col("l_returnflag"), col("n"),
+            (m3 / (m2 * sqrt(m2))).as("skew_qty"),
+            (m4 / (m2 * m2) - lit(3.0)).as("kurt_qty"),
+            ((nd * sxy - s1 * sy) /
+              sqrt((nd * s2 - s1 * s1) * (nd * sy2 - sy * sy)))
+              .as("corr_qty_price"),
+            slope.as("slope"),
+            ((sy - slope * s1) / nd / lit(100.0)).as("intercept"))
+          .orderBy("l_returnflag")
+      },
+      """WITH b AS (SELECT l_returnflag,
+        |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |       FROM lineitem),
+        |a AS (SELECT l_returnflag, COUNT(*) AS n,
+        |        CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+        |        CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+        |        CAST(SUM(CAST(x*x*x AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+        |        CAST(SUM(CAST(x*x*x*x AS DECIMAL(38,0))) AS DOUBLE) AS s4,
+        |        CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |        CAST(SUM(CAST(y*y AS DECIMAL(38,0))) AS DOUBLE) AS sy2,
+        |        CAST(SUM(CAST(x*y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+        |        CAST(COUNT(*) AS DOUBLE) AS nd
+        |      FROM b GROUP BY l_returnflag),
+        |m AS (SELECT *, s1 / nd AS mu, s2 / nd - (s1 / nd) * (s1 / nd) AS m2,
+        |        (nd * sxy - s1 * sy) / (nd * s2 - s1 * s1) AS slope
+        |      FROM a)
+        |SELECT l_returnflag, n,
+        |       (s3 / nd - 3.0 * mu * (s2 / nd) + 2.0 * mu * mu * mu) /
+        |         (m2 * sqrt(m2)) AS skew_qty,
+        |       (s4 / nd - 4.0 * mu * (s3 / nd) + 6.0 * mu * mu * (s2 / nd)
+        |          - 3.0 * mu * mu * mu * mu) / (m2 * m2) - 3.0 AS kurt_qty,
+        |       (nd * sxy - s1 * sy) /
+        |         sqrt((nd * s2 - s1 * s1) * (nd * sy2 - sy * sy))
+        |         AS corr_qty_price,
+        |       slope,
+        |       (sy - slope * s1) / nd / 100.0 AS intercept
+        |FROM m ORDER BY l_returnflag""".stripMargin)
   )
 }
