@@ -790,6 +790,25 @@ object Analytic {
         |FROM orders WHERE o_custkey < 150
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
 
+    // DataFrameStatFunctions.crosstab — the API-surface contingency-table
+    // op (pairwise frequency of two categoricals, one column per distinct
+    // value of the second). Deterministic: counts only; the checker sorts
+    // columns by name and rows are ordered by the key column. Scale: one
+    // keyed count agg + a driver-side pivot of |distinct(v2)| columns —
+    // crosstab is only for LOW-cardinality pairs by contract (the
+    // general keyed rollup is agg_pricing_summary).
+    "stat_crosstab" -> QuerySpec(
+      (s, d) => Tables.lineitem(s, d)
+        .stat.crosstab("l_returnflag", "l_linestatus")
+        .orderBy("l_returnflag_l_linestatus"),
+      """SELECT l_returnflag AS l_returnflag_l_linestatus,
+        |       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS F,
+        |       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS O
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag_l_linestatus""".stripMargin),
+
     // Exact discrete median per group (percentile_disc semantics): the
     // value AT rank ceil(n/2) under a total order — no interpolation, so
     // the result is an actual data value and exactly reproducible in any

@@ -894,6 +894,41 @@ object Text {
          |       CAST(SUM(bdocs) AS BIGINT) AS n_docs,
          |       CAST(SUM(btok) AS BIGINT) AS sum_tokens,
          |       CAST(SUM(bdocs * max_len - btok) AS BIGINT) AS pad_waste
-         |FROM pb GROUP BY band ORDER BY band""".stripMargin)
+         |FROM pb GROUP BY band ORDER BY band""".stripMargin),
+
+    // Deterministic stratified train/val/test split — the one assignment
+    // every training pipeline makes and must NEVER leak across: the split
+    // is a pure function of doc_id (salted content hash mod 100 → <80
+    // train, <90 val, else test), so a document lands in exactly one
+    // split on every engine, every rerun, every scale — no rand(), no
+    // global sort, no coordination. Declared result is the per-(source,
+    // split) census with exact token sums, which is also the stratification
+    // audit (each source splits ≈80/10/10 independently). Scale: one
+    // map-side hash + one keyed agg.
+    "dataset_split_stratified" -> QuerySpec(
+      (s, d) => {
+        val h = pmod(TextOps.hash64(concat_ws(":", lit("split"),
+          col("doc_id").cast("string"))), lit(100))
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(TextOps.tokens(col("text"))).cast("long"))
+              .as("n_tokens"))
+          .orderBy("source", "split")
+      },
+      s"""WITH t AS (SELECT source,
+         |         CAST(('0x' || substr(md5('split:' ||
+         |           CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)
+         |           % 100 AS h,
+         |         CAST(len($duckToks) AS BIGINT) AS n_tok
+         |       FROM documents)
+         |SELECT source,
+         |       CASE WHEN h < 80 THEN 'train'
+         |            WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin)
   )
 }
