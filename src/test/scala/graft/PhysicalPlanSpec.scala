@@ -98,7 +98,8 @@ class PhysicalPlanSpec extends SparkSpec {
     Seq("dedup_simhash", "dedup_embedding_cosine", "fuzzy_match_levenshtein",
         "events_interval_overlap", "similarity_knn_join",
         "dedup_containment_pairs", "dedup_substring_spans",
-        "multimodal_chunk_dedup", "text_lm_plausibility")
+        "multimodal_chunk_dedup", "text_lm_plausibility",
+        "dedup_source_overlap_matrix")
       .foreach { name =>
         val p = plan(SparkEntry.registry(name).fn(spark, sf))
         assert(!p.contains("CartesianProduct"),
@@ -106,6 +107,43 @@ class PhysicalPlanSpec extends SparkSpec {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join:\n$p")
       }
+  }
+
+  test("semdedup pair join is equi-keyed; its only nested loops are 1-row broadcasts") {
+    // similarity_semdedup_prune legitimately contains BroadcastNestedLoopJoin
+    // Cross nodes: they are the 1-ROW broadcast centroid-array folds of the
+    // shuffle-free IVF assignment (the shape the IVF test below asserts FOR).
+    // What must NOT happen is the within-cell pair enumeration running as a
+    // cartesian: the candidate join has to be an equi hash/merge join on the
+    // composite (cell, bucket) key.
+    val p = plan(SparkEntry.registry("similarity_semdedup_prune").fn(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"semdedup cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin Inner") ||
+      p.contains("SortMergeJoin") && p.contains("Inner"),
+      s"semdedup pair join is not an equi join:\n$p")
+    val nlj = "BroadcastNestedLoopJoin Cross".r.findAllIn(p).length
+    // one per ivfAssign call site (assignment is invoked for the pair's two
+    // aliases + the per-cell census); all build a single aggregated row
+    assert(nlj <= 3, s"unexpected nested-loop joins ($nlj):\n$p")
+  }
+
+  test("gopher repetition stays window-free; batch packing windows per band") {
+    // text_gopher_repetition's top-bigram count is a sorted-array fold, so
+    // the whole per-document stage must plan as scan → project → one keyed
+    // agg: no WindowExec, no (doc, gram) explode shuffle.
+    val g = plan(SparkEntry.registry("text_gopher_repetition").fn(spark, sf))
+    assert(!g.contains("Window"), s"gopher plan grew a window:\n$g")
+    assert(!g.contains("Generate"), s"gopher plan explodes:\n$g")
+    // corpus_pack_batches may window, but only PARTITIONED BY band — a
+    // global (empty-partition) window would serialize the corpus through
+    // one task, the exact shape banding exists to avoid.
+    val p = plan(SparkEntry.registry("corpus_pack_batches").fn(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Window [row_number()") ||
+      p.contains("partitionBy") || p.contains("hashpartitioning(band"),
+      s"pack window lost its band partitioning:\n$p")
+    assert(p.contains("hashpartitioning(band"),
+      s"expected the window exchange keyed on band:\n$p")
   }
 
   test("big aggregations combine map-side (partial + final HashAggregate)") {
