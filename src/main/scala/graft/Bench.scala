@@ -43,6 +43,17 @@ object Bench {
       "similarity_kmeans_shared_train" -> (System.nanoTime() - t0) / 1e9
     }
 
+    // And for the co-purchase edge list: PageRank and k-core peel the
+    // SAME graph, built once and charged here.
+    val sharedEdges = {
+      val t0 = System.nanoTime()
+      try graft.queries.GraphQ.buildSharedEdgeStage(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] shared edge stage failed: ${e.getMessage}")
+      }
+      "graph_edges_shared_stage" -> (System.nanoTime() - t0) / 1e9
+    }
+
     // noop sink forces FULL evaluation of every column (a bare .count()
     // would let Catalyst prune projection work and under-measure
     // expression-heavy queries). Every query below executes fully inside
@@ -73,7 +84,7 @@ object Bench {
     val sweeps = (1 to runsN).map(_ => sweep())
     val names = sweeps.head.map(_._1)
     val maps = sweeps.map(_.toMap)
-    val results = Seq(sharedStage, sharedTrain) ++
+    val results = Seq(sharedStage, sharedTrain, sharedEdges) ++
       names.map(n => n -> median(maps.map(_(n))))
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

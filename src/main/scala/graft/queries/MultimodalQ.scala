@@ -140,7 +140,15 @@ object MultimodalQ {
       (s, d) => {
         val assets = Multimodal.assetTable(Tables.documents(s, d))
         // ASCII corpus: byte stream == character-code stream (see header)
-        val hashed = assets
+        // The 60 segment bits are UNROLLED top-level expressions, not a
+        // transform() over sequence(0,59): a lambda body that references
+        // `codes` re-evaluates the whole split+ascii chain per element
+        // (lambda bodies defeat CSE — the same trap Dedup.shingles3
+        // documents), which measured 60× the tokenize cost (~100 s at
+        // sf0.1). Sixty top-level references instead BLOCK CollapseProject
+        // from inlining `codes`, so the array materializes once per row
+        // and each slice is O(L) over the stored array: ~3 passes total.
+        val staged = assets
           .withColumn("txt", decode(col("bytes"), "UTF-8"))
           .withColumn("codes", transform(
             filter(split(col("txt"), ""), c => c =!= ""),
@@ -148,12 +156,14 @@ object MultimodalQ {
           .withColumn("n", size(col("codes")).cast("long"))
           .withColumn("total", aggregate(col("codes"), lit(0L), _ + _))
           .withColumn("L", ceil(col("n") / 60.0).cast("int"))
-          .withColumn("bits", transform(sequence(lit(0), lit(59)), j => {
-            val seg = slice(col("codes"), j * col("L") + 1, col("L"))
-            val segSum = aggregate(seg, lit(0L), _ + _)
-            when(segSum * col("n") > col("total") * size(seg).cast("long"),
-              lit(1L)).otherwise(lit(0L))
-          }))
+        val bitCols = (0 until 60).map { j =>
+          val seg = slice(col("codes"), col("L") * j + 1, col("L"))
+          val segSum = aggregate(seg, lit(0L), _ + _)
+          when(segSum * col("n") > col("total") * size(seg).cast("long"),
+            lit(1L)).otherwise(lit(0L))
+        }
+        val hashed = staged
+          .withColumn("bits", array(bitCols: _*))
           .select(col("asset_id"),
             aggregate(col("bits"), lit(0L),
               (a, b) => a * lit(2L) + b).as("ahash"))

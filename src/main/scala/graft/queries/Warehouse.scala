@@ -552,6 +552,54 @@ object Warehouse {
         |       CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code
         |FROM q WHERE o_custkey < 300 ORDER BY o_custkey""".stripMargin),
 
+    // Dataset release diff — the audit every corpus VERSION bump ships
+    // with: content-hash the old and new snapshots, full-outer join on
+    // the stable key, classify each document added / removed / changed /
+    // unchanged, and report the census. The "new" snapshot is derived
+    // deterministically from the base corpus (drop doc_id % 97 = 0,
+    // rewrite text for % 89 = 0, add fresh ids for % 101 = 0) so both
+    // engines construct bit-identical versions — the operator under test
+    // is the diff, not the synthesis. Scale shape: two scans + one keyed
+    // full-outer join on doc_id + a 4-row count agg; content equality is
+    // sha2 so row width never crosses the shuffle twice.
+    "dataset_version_diff" -> QuerySpec(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        val v1 = base.select(col("doc_id"), sha2(col("text"), 256).as("h1"))
+        val kept = base.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+          .select(col("doc_id"),
+            sha2(when(pmod(col("doc_id"), lit(89)) === 0,
+              concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")), 256).as("h2"))
+        val added = base.filter(pmod(col("doc_id"), lit(101)) === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            sha2(concat(lit("new:"), col("text")), 256).as("h2"))
+        val v2 = kept.unionAll(added)
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(when(col("h2").isNull, "removed")
+            .when(col("h1").isNull, "added")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("status"))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+          .orderBy("status")
+      },
+      """WITH v1 AS (SELECT doc_id, sha256(text) AS h1 FROM documents),
+        |kept AS (SELECT doc_id,
+        |           sha256(CASE WHEN doc_id % 89 = 0
+        |                       THEN text || ' [rev2]' ELSE text END) AS h2
+        |         FROM documents WHERE doc_id % 97 <> 0),
+        |added AS (SELECT doc_id + 1000000000 AS doc_id,
+        |            sha256('new:' || text) AS h2
+        |          FROM documents WHERE doc_id % 101 = 0),
+        |v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM added)
+        |SELECT CASE WHEN h2 IS NULL THEN 'removed'
+        |            WHEN h1 IS NULL THEN 'added'
+        |            WHEN h1 <> h2 THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       COUNT(*) AS n
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |GROUP BY 1 ORDER BY status""".stripMargin),
+
     // Higher-moment + regression profile: per-returnflag skewness and
     // kurtosis of quantity, and the OLS fit (slope/intercept/corr) of
     // extendedprice on quantity — the distribution-shape and
