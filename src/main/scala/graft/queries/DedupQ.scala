@@ -137,7 +137,7 @@ object DedupQ {
 
   /** The same stage as DuckDB CTEs (no WITH prefix so callers can prepend
     * WITH or WITH RECURSIVE). Ends in `verified(id_a, id_b, jaccard)`. */
-  private val duckVerifiedCtes: String = {
+  private[queries] val duckVerifiedCtes: String = {
     val duckShingles =
       """list_distinct(list_transform(range(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin

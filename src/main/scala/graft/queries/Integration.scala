@@ -193,6 +193,95 @@ object Integration {
         |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
         |       CAST(SUM(chunk_toks) AS BIGINT) AS total_tokens
-        |FROM ch GROUP BY source ORDER BY source""".stripMargin)
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin),
+
+    // Curation FUNNEL observability — the per-stage yield report every
+    // production corpus build publishes: how many documents (and tokens)
+    // survive each successive gate. Stages: ingest → language filter
+    // (metadata lang = 'en') → Gopher-style quality (30-90 tokens, zero
+    // intra-doc duplicate 3-grams) → exact dedup (first doc per
+    // bag-of-words fingerprint among quality survivors) → near-dup prune
+    // (drop any doc with a SMALLER-id quality-surviving partner at
+    // verified shingle-jaccard ≥ 0.5, via the shared LSH pair stage —
+    // chain-consistent with the min-canonical cluster rule). The narrow
+    // per-doc feature table (id, lang, n_tokens, dup3, fp) is
+    // materialized ONCE and the five stage censuses aggregate over it;
+    // the only non-scan work is the fingerprint window and one
+    // anti-join against the pair list. Integer-only output.
+    "corpus_curation_funnel" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = graft.ext.TextOps.tokens(col("text"))
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(toks).cast("long").as("n_tokens"),
+            (greatest(size(toks) - 2, lit(0)).cast("long") -
+              size(array_distinct(graft.ext.Dedup.shingles3(toks)))
+                .cast("long")).as("dup3"),
+            graft.ext.TextOps.bowFingerprint(col("text")).as("fp"))
+          .localCheckpoint(true)
+        val s1 = base.filter(col("lang") === "en")
+        val s2 = s1.filter(col("n_tokens").between(30, 90) &&
+          col("dup3") === 0)
+        val s3 = s2.withColumn("rn", row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("rn") === 1).drop("rn")
+        val partners = DedupQ.lshVerifiedPairs(s, d)
+          .filter(col("jaccard") >= 0.5)
+          .join(s3.select(col("doc_id").as("id_a")), "id_a")
+          .select(col("id_b").as("doc_id")).distinct()
+        val s4 = s3.join(partners, Seq("doc_id"), "left_anti")
+        def census(idx: Int, name: String,
+                   df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+            .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+              col("n_docs"), col("n_tokens"))
+        census(0, "ingest", base)
+          .unionAll(census(1, "lang_en", s1))
+          .unionAll(census(2, "quality", s2))
+          .unionAll(census(3, "exact_dedup", s3))
+          .unionAll(census(4, "near_dedup", s4))
+          .orderBy("stage_idx")
+      },
+      s"""WITH ${DedupQ.duckVerifiedCtes},
+         |b AS (SELECT doc_id, lang,
+         |        CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+         |          AS n_tokens,
+         |        CAST(greatest(len(string_split(trim(text), ' ')) - 2, 0)
+         |          - len(list_distinct(list_transform(
+         |              range(1, len(string_split(trim(text), ' ')) - 1),
+         |              i -> string_split(trim(text), ' ')[i] || ' ' ||
+         |                   string_split(trim(text), ' ')[i+1] || ' ' ||
+         |                   string_split(trim(text), ' ')[i+2])))
+         |          AS BIGINT) AS dup3,
+         |        md5(array_to_string(list_sort(list_distinct(
+         |          string_split(trim(text), ' '))), ' ')) AS fp
+         |      FROM documents),
+         |s1 AS (SELECT * FROM b WHERE lang = 'en'),
+         |s2 AS (SELECT * FROM s1
+         |       WHERE n_tokens BETWEEN 30 AND 90 AND dup3 = 0),
+         |s3 AS (SELECT * FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY fp
+         |           ORDER BY doc_id) AS rn FROM s2) WHERE rn = 1),
+         |prt AS (SELECT DISTINCT v.id_b AS doc_id
+         |        FROM verified v JOIN s3 a ON v.id_a = a.doc_id
+         |        WHERE v.jaccard >= 0.5),
+         |s4 AS (SELECT s3.* FROM s3
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM prt))
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'ingest' AS stage,
+         |         COUNT(*) AS n_docs,
+         |         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens
+         |  FROM b
+         |  UNION ALL SELECT 1, 'lang_en', COUNT(*),
+         |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s1
+         |  UNION ALL SELECT 2, 'quality', COUNT(*),
+         |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s2
+         |  UNION ALL SELECT 3, 'exact_dedup', COUNT(*),
+         |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s3
+         |  UNION ALL SELECT 4, 'near_dedup', COUNT(*),
+         |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s4)
+         |ORDER BY stage_idx""".stripMargin)
   )
 }
