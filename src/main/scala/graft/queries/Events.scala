@@ -807,6 +807,78 @@ object Events {
     // emission — together that is restart-safe end-to-end. The final
     // per-user totals must equal the batch aggregate exactly: recovery
     // lost nothing and replayed nothing.
+    // DECLARATIVE streaming sessionization: the built-in session_window
+    // aggregation (merging session state store) over the same multi-batch
+    // replay — the engine-native counterpart of the arbitrary-state
+    // flatMapGroupsWithState version above. Semantics differences the
+    // oracle encodes exactly:
+    //  - session_window merges at MICROSECOND precision with an
+    //    end-EXCLUSIVE window [ts, ts+gap), so two events exactly gap
+    //    apart do NOT merge (diff >= gap splits; the state-fold version
+    //    compares ms and splits only on diff > gap);
+    //  - append mode emits a session when the watermark passes its END
+    //    (last event + gap); the watermark is the max event time seen in
+    //    PRIOR batches, truncated to ms, minus the 10-minute delay — the
+    //    AvailableNow drain ends with a no-data batch, so the final
+    //    frontier uses the global max;
+    //  - sessions whose end is still inside the frontier stay in state
+    //    and are WITHHELD, exactly like the state-API version.
+    "events_stream_session_window" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val stream = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "slice-*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(slicedEventsDir(s, d))
+          .filter(col("user_id") < 50)
+          .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts_utc", "10 minutes")
+        val sessions = stream
+          .groupBy(col("user_id"),
+            session_window(col("ts_utc"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+        val sinkName = "q_events_stream_session_window"
+        graft.streaming.Streams.drained(s, noDataBatches = true) { ckpt =>
+          val q = sessions.writeStream
+            .outputMode("append")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          requireMultiBatch(q, "events_stream_session_window")
+        }
+        s.table(sinkName)
+          .select(col("user_id"),
+            date_format(col("w.start"), fmt).as("session_start"),
+            col("n"))
+          .orderBy("user_id", "session_start")
+      },
+      """WITH e AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS us FROM events
+        |  WHERE user_id < 50),
+        |t AS (
+        |  SELECT user_id, ts, us,
+        |         CASE WHEN us - lag(us) OVER
+        |                (PARTITION BY user_id ORDER BY us) >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts, us,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM t),
+        |sess AS (
+        |  SELECT user_id, sid, MIN(ts) AS st, MAX(us) AS last_us,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s GROUP BY 1, 2),
+        |wm AS (SELECT ((MAX(us) // 1000) - 600000) * 1000 AS w FROM e)
+        |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start, n
+        |FROM sess CROSS JOIN wm
+        |WHERE last_us + 1800000000 < w
+        |ORDER BY user_id, session_start""".stripMargin),
+
     "events_stream_restart_recovery" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
