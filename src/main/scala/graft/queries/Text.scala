@@ -929,6 +929,97 @@ object Text {
          |            WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
          |       COUNT(*) AS n_docs,
          |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-         |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin)
+         |FROM t GROUP BY 1, 2 ORDER BY source, split""".stripMargin),
+
+    // BPE tokenizer TRAINING on the engine (Sennrich et al. 2016, the
+    // merge-learning loop): 5 rounds of (count adjacent symbol pairs
+    // weighted by word frequency → take the most frequent pair, ties by
+    // (a, b) — a total order → apply the merge corpus-wide). The classic
+    // scale trick is built in: training runs on the DISTINCT-WORD table
+    // with counts (types, not tokens — the corpus collapses by orders of
+    // magnitude before any per-round work), so each round is one tiny
+    // keyed agg + a 1-row driver argmax + a map-side string rewrite.
+    // Merge application is leftmost non-overlapping `replace` over a
+    // delimited symbol encoding (" a  b " → " ab "), identical semantics
+    // in both engines — no per-symbol fold crosses the engine boundary.
+    // Output: the learned merge table plus the weighted corpus symbol
+    // count after each merge (each merged occurrence removes exactly one
+    // symbol). Integers and strings only.
+    "text_bpe_merges" -> QuerySpec(
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+          .withColumn("enc", concat_ws("", transform(
+            filter(split(col("w"), ""), ch => ch =!= ""),
+            ch => concat(lit(" "), ch, lit(" ")))))
+          .localCheckpoint(true)
+        val syms = split(trim(col("enc")), "  ")
+        val n0 = words
+          .agg(sum(size(syms).cast("long") * col("c")).as("n"))
+          .head().getLong(0)
+        var enc = words
+        var remaining = n0
+        val rules = (1 to 5).map { r =>
+          val sy = split(trim(col("enc")), "  ")
+          val top = enc
+            .select(col("c"), posexplode(zip_with(sy,
+              slice(sy, lit(2), greatest(size(sy) - 1, lit(0))),
+              (a, b) => struct(a.as("a"), b.as("b"))))
+              .as(Seq("i", "pr")))
+            .filter(col("pr.b").isNotNull)
+            .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+            .agg(sum(col("c")).as("f"))
+            .orderBy(desc("f"), asc("a"), asc("b"))
+            .limit(1).head()
+          val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
+          enc = enc.withColumn("enc", replace(col("enc"),
+              lit(s" $a  $b "), lit(s" $a$b ")))
+            .localCheckpoint(true)
+          remaining -= f
+          (r.toLong, a + b, f, remaining)
+        }
+        import s.implicits._
+        rules.toDF("round", "merged", "freq", "n_symbols_after")
+          .orderBy("round")
+      },
+      {
+        def round(i: Int): String =
+          s"""p$i AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(c) AS BIGINT) AS f
+             |        FROM (SELECT c, unnest(list_transform(
+             |                range(1, len(s)),
+             |                k -> {'a': s[k], 'b': s[k+1]})) AS pr
+             |              FROM (SELECT c, string_split(trim(enc), '  ') AS s
+             |                    FROM e${i - 1}))
+             |        GROUP BY 1, 2),
+             |t$i AS (SELECT a, b, f FROM p$i ORDER BY f DESC, a, b LIMIT 1),
+             |e$i AS (SELECT w, c, replace(enc,
+             |          ' ' || (SELECT a FROM t$i) || '  ' ||
+             |            (SELECT b FROM t$i) || ' ',
+             |          ' ' || (SELECT a FROM t$i) ||
+             |            (SELECT b FROM t$i) || ' ') AS enc
+             |        FROM e${i - 1})""".stripMargin
+        val freqs = (1 to 5).map(j => s"(SELECT f FROM t$j)")
+        def nAfter(i: Int) =
+          s"(SELECT n FROM n0) - ${freqs.take(i).mkString(" - ")}"
+        s"""WITH w0 AS (SELECT w, COUNT(*) AS c FROM (
+           |         SELECT unnest(string_split(trim(text), ' ')) AS w
+           |         FROM documents) GROUP BY w),
+           |e0 AS (SELECT w, c, array_to_string(list_transform(
+           |         list_filter(string_split(w, ''), x -> x <> ''),
+           |         x -> ' ' || x || ' '), '') AS enc FROM w0),
+           |n0 AS (SELECT CAST(SUM(len(string_split(trim(enc), '  ')) * c)
+           |         AS BIGINT) AS n FROM e0),
+           |${(1 to 5).map(round).mkString(",\n")}
+           |SELECT * FROM (
+           |${(1 to 5).map(i =>
+              s"""  SELECT CAST($i AS BIGINT) AS round,
+                 |    (SELECT a FROM t$i) || (SELECT b FROM t$i) AS merged,
+                 |    (SELECT f FROM t$i) AS freq,
+                 |    CAST(${nAfter(i)} AS BIGINT) AS n_symbols_after
+                 |  FROM (SELECT 1)""".stripMargin)
+             .mkString("\n  UNION ALL\n")}
+           |) ORDER BY round""".stripMargin
+      })
   )
 }
