@@ -54,6 +54,17 @@ object Bench {
       "graph_edges_shared_stage" -> (System.nanoTime() - t0) / 1e9
     }
 
+    // And the trained BPE merge table: both tokenizer consumers (merge
+    // table, fertility) reuse one 5-round train, charged here.
+    val sharedBpe = {
+      val t0 = System.nanoTime()
+      try graft.queries.Text.buildSharedBpeStage(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] shared BPE train failed: ${e.getMessage}")
+      }
+      "text_bpe_shared_train" -> (System.nanoTime() - t0) / 1e9
+    }
+
     // noop sink forces FULL evaluation of every column (a bare .count()
     // would let Catalyst prune projection work and under-measure
     // expression-heavy queries). Every query below executes fully inside
@@ -84,7 +95,7 @@ object Bench {
     val sweeps = (1 to runsN).map(_ => sweep())
     val names = sweeps.head.map(_._1)
     val maps = sweeps.map(_.toMap)
-    val results = Seq(sharedStage, sharedTrain, sharedEdges) ++
+    val results = Seq(sharedStage, sharedTrain, sharedEdges, sharedBpe) ++
       names.map(n => n -> median(maps.map(_(n))))
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

@@ -83,6 +83,112 @@ object Text {
        |           1099511627776.0 AS bm25
        |  FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** One BPE training run per (session, sf-dir) — the learned merge table
+    * and the post-merge word encodings are the tokenizer artifact both
+    * BPE consumers (merge table, fertility) reuse, like DedupQ's pair
+    * stage and SimilarityQ's codebook. The cached DataFrame is the
+    * localCheckpointed distinct-word table (tiny); rules are plain
+    * driver values. Entries evict when their session stops. */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (Seq[(Long, String, Long, Long)], org.apache.spark.sql.DataFrame)]()
+
+  private val evictionHooked = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[org.apache.spark.sql.SparkSession]()
+
+  private def hookEviction(s: org.apache.spark.sql.SparkSession): Unit =
+    if (evictionHooked.add(s))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          bpeCache.keySet.removeIf(_._1 eq s)
+          evictionHooked.remove(s)
+        }
+      })
+
+  /** 5-round BPE merge training over the distinct-word table; returns
+    * (rules as (round, merged, freq, n_symbols_after), final encodings
+    * (w, c, enc)). See text_bpe_merges for the full contract. */
+  private def trainedBpe(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(Long, String, Long, Long)], org.apache.spark.sql.DataFrame) =
+    bpeCache.computeIfAbsent((s, d), _ => {
+      hookEviction(s)
+      val words = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .withColumn("enc", concat_ws("", transform(
+          filter(split(col("w"), ""), ch => ch =!= ""),
+          ch => concat(lit(" "), ch, lit(" ")))))
+        .localCheckpoint(true)
+      val syms = split(trim(col("enc")), "  ")
+      val n0 = words
+        .agg(sum(size(syms).cast("long") * col("c")).as("n"))
+        .head().getLong(0)
+      var enc = words
+      var remaining = n0
+      val rules = (1 to 5).map { r =>
+        val sy = split(trim(col("enc")), "  ")
+        val top = enc
+          .select(col("c"), posexplode(zip_with(sy,
+            slice(sy, lit(2), greatest(size(sy) - 1, lit(0))),
+            (a, b) => struct(a.as("a"), b.as("b"))))
+            .as(Seq("i", "pr")))
+          .filter(col("pr.b").isNotNull)
+          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+          .agg(sum(col("c")).as("f"))
+          .orderBy(desc("f"), asc("a"), asc("b"))
+          .limit(1).head()
+        val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
+        enc = enc.withColumn("enc", replace(col("enc"),
+            lit(s" $a  $b "), lit(s" $a$b ")))
+          .localCheckpoint(true)
+        remaining -= f
+        (r.toLong, a + b, f, remaining)
+      }
+      (rules, enc)
+    })
+
+  /** Benchmark hook: train the shared BPE stage NOW so it lands in its
+    * own timing entry instead of whichever BPE consumer runs first. */
+  def buildSharedBpeStage(s: org.apache.spark.sql.SparkSession,
+                          d: String): Unit = {
+    trainedBpe(s, d); ()
+  }
+
+  /** The BPE training replay as DuckDB CTEs (no WITH prefix): w0/e0/n0 +
+    * per-round p$i (pair counts), t$i (argmax), e$i (rewritten
+    * encodings). Shared by both BPE oracles. Every CTE is MATERIALIZED:
+    * DuckDB inlines CTEs by default, and each e$i references t$i through
+    * four scalar subqueries, so inlining re-expands the whole prior
+    * round chain per reference — exponential replay (minutes at sf0.01);
+    * materialized, the full 5-round oracle runs in ~0.4 s. */
+  private def duckBpeCtes(rounds: Int): String = {
+    def round(i: Int): String =
+      s"""p$i AS MATERIALIZED (SELECT pr.a AS a, pr.b AS b, CAST(SUM(c) AS BIGINT) AS f
+         |        FROM (SELECT c, unnest(list_transform(
+         |                range(1, len(s)),
+         |                k -> {'a': s[k], 'b': s[k+1]})) AS pr
+         |              FROM (SELECT c, string_split(trim(enc), '  ') AS s
+         |                    FROM e${i - 1}))
+         |        GROUP BY 1, 2),
+         |t$i AS MATERIALIZED (SELECT a, b, f FROM p$i ORDER BY f DESC, a, b LIMIT 1),
+         |e$i AS MATERIALIZED (SELECT w, c, replace(enc,
+         |          ' ' || (SELECT a FROM t$i) || '  ' ||
+         |            (SELECT b FROM t$i) || ' ',
+         |          ' ' || (SELECT a FROM t$i) ||
+         |            (SELECT b FROM t$i) || ' ') AS enc
+         |        FROM e${i - 1})""".stripMargin
+    s"""w0 AS MATERIALIZED (SELECT w, COUNT(*) AS c FROM (
+       |         SELECT unnest(string_split(trim(text), ' ')) AS w
+       |         FROM documents) GROUP BY w),
+       |e0 AS MATERIALIZED (SELECT w, c, array_to_string(list_transform(
+       |         list_filter(string_split(w, ''), x -> x <> ''),
+       |         x -> ' ' || x || ' '), '') AS enc FROM w0),
+       |n0 AS MATERIALIZED (SELECT CAST(SUM(len(string_split(trim(enc), '  ')) * c)
+       |         AS BIGINT) AS n FROM e0),
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
   val registry: Map[String, QuerySpec] = Map(
 
     "text_token_stats" -> QuerySpec(
@@ -947,70 +1053,16 @@ object Text {
     // symbol). Integers and strings only.
     "text_bpe_merges" -> QuerySpec(
       (s, d) => {
-        val words = Tables.documents(s, d)
-          .select(explode(TextOps.tokens(col("text"))).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("c"))
-          .withColumn("enc", concat_ws("", transform(
-            filter(split(col("w"), ""), ch => ch =!= ""),
-            ch => concat(lit(" "), ch, lit(" ")))))
-          .localCheckpoint(true)
-        val syms = split(trim(col("enc")), "  ")
-        val n0 = words
-          .agg(sum(size(syms).cast("long") * col("c")).as("n"))
-          .head().getLong(0)
-        var enc = words
-        var remaining = n0
-        val rules = (1 to 5).map { r =>
-          val sy = split(trim(col("enc")), "  ")
-          val top = enc
-            .select(col("c"), posexplode(zip_with(sy,
-              slice(sy, lit(2), greatest(size(sy) - 1, lit(0))),
-              (a, b) => struct(a.as("a"), b.as("b"))))
-              .as(Seq("i", "pr")))
-            .filter(col("pr.b").isNotNull)
-            .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-            .agg(sum(col("c")).as("f"))
-            .orderBy(desc("f"), asc("a"), asc("b"))
-            .limit(1).head()
-          val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
-          enc = enc.withColumn("enc", replace(col("enc"),
-              lit(s" $a  $b "), lit(s" $a$b ")))
-            .localCheckpoint(true)
-          remaining -= f
-          (r.toLong, a + b, f, remaining)
-        }
+        val (rules, _) = trainedBpe(s, d)
         import s.implicits._
         rules.toDF("round", "merged", "freq", "n_symbols_after")
           .orderBy("round")
       },
       {
-        def round(i: Int): String =
-          s"""p$i AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(c) AS BIGINT) AS f
-             |        FROM (SELECT c, unnest(list_transform(
-             |                range(1, len(s)),
-             |                k -> {'a': s[k], 'b': s[k+1]})) AS pr
-             |              FROM (SELECT c, string_split(trim(enc), '  ') AS s
-             |                    FROM e${i - 1}))
-             |        GROUP BY 1, 2),
-             |t$i AS (SELECT a, b, f FROM p$i ORDER BY f DESC, a, b LIMIT 1),
-             |e$i AS (SELECT w, c, replace(enc,
-             |          ' ' || (SELECT a FROM t$i) || '  ' ||
-             |            (SELECT b FROM t$i) || ' ',
-             |          ' ' || (SELECT a FROM t$i) ||
-             |            (SELECT b FROM t$i) || ' ') AS enc
-             |        FROM e${i - 1})""".stripMargin
         val freqs = (1 to 5).map(j => s"(SELECT f FROM t$j)")
         def nAfter(i: Int) =
           s"(SELECT n FROM n0) - ${freqs.take(i).mkString(" - ")}"
-        s"""WITH w0 AS (SELECT w, COUNT(*) AS c FROM (
-           |         SELECT unnest(string_split(trim(text), ' ')) AS w
-           |         FROM documents) GROUP BY w),
-           |e0 AS (SELECT w, c, array_to_string(list_transform(
-           |         list_filter(string_split(w, ''), x -> x <> ''),
-           |         x -> ' ' || x || ' '), '') AS enc FROM w0),
-           |n0 AS (SELECT CAST(SUM(len(string_split(trim(enc), '  ')) * c)
-           |         AS BIGINT) AS n FROM e0),
-           |${(1 to 5).map(round).mkString(",\n")}
+        s"""WITH ${duckBpeCtes(5)}
            |SELECT * FROM (
            |${(1 to 5).map(i =>
               s"""  SELECT CAST($i AS BIGINT) AS round,
@@ -1020,6 +1072,43 @@ object Text {
                  |  FROM (SELECT 1)""".stripMargin)
              .mkString("\n  UNION ALL\n")}
            |) ORDER BY round""".stripMargin
-      })
+      }),
+
+    // BPE ENCODE + fertility audit — the other half of the tokenizer
+    // story: apply the 5 learned merges to the corpus and report
+    // symbols-per-token fertility per source (the metric that decides
+    // whether a tokenizer fits a domain; fertility spikes flag
+    // out-of-domain sources). Encoding never touches the corpus text
+    // again: the trained (word → symbol count) table is TINY and
+    // broadcast against the exploded token stream — the standard
+    // vocabulary-join shape. Counts integer; the single fertility
+    // division is one IEEE op written identically on both sides.
+    "text_bpe_fertility" -> QuerySpec(
+      (s, d) => {
+        val (_, enc5) = trainedBpe(s, d)
+        val vocab = enc5.select(col("w"),
+          size(split(trim(col("enc")), "  ")).cast("long").as("n_syms"))
+        Tables.documents(s, d)
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+          .join(broadcast(vocab), "w")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("n_syms")).as("n_symbols"))
+          .select(col("source"), col("n_tokens"), col("n_symbols"),
+            (col("n_symbols").cast("double") /
+              col("n_tokens").cast("double")).as("fertility"))
+          .orderBy("source")
+      },
+      s"""WITH ${duckBpeCtes(5)},
+         |v AS (SELECT w, CAST(len(string_split(trim(enc), '  ')) AS BIGINT)
+         |        AS n_syms FROM e5),
+         |tok AS (SELECT source, unnest(string_split(trim(text), ' ')) AS w
+         |        FROM documents)
+         |SELECT source, COUNT(*) AS n_tokens,
+         |       CAST(SUM(n_syms) AS BIGINT) AS n_symbols,
+         |       CAST(CAST(SUM(n_syms) AS BIGINT) AS DOUBLE) /
+         |         CAST(COUNT(*) AS DOUBLE) AS fertility
+         |FROM tok JOIN v USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin)
   )
 }
