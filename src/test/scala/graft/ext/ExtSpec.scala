@@ -256,6 +256,25 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall vs brute force was $recall, want >= 0.8")
   }
 
+  test("BPE merges on the real corpus: monotone symbol shrink, argmax order") {
+    // Pins the training invariants the oracle hash can't explain on its
+    // own: each merge removes exactly freq symbols (n_symbols_after is
+    // strictly decreasing by freq), frequencies are non-increasing across
+    // rounds only when ties allow (not asserted), and every merged symbol
+    // is the concatenation of two non-empty parts.
+    val rows = graft.SparkEntry.registry("text_bpe_merges")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 5)
+    val freqs = rows.map(_.getLong(2))
+    val after = rows.map(_.getLong(3))
+    assert(freqs.forall(_ > 0))
+    (1 until 5).foreach { i =>
+      assert(after(i) == after(i - 1) - freqs(i),
+        s"round ${i + 1} did not shrink by its merge count")
+    }
+    assert(rows.forall(_.getString(1).length >= 2))
+  }
+
   test("maxMultiplicity fold equals relational unnest+count max; shingles2 shape") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
