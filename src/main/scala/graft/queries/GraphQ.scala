@@ -143,13 +143,20 @@ object GraphQ {
             .localCheckpoint(true)
         ranks.orderBy(desc("pr"), asc("node")).limit(20)
       },
-      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-         |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      // MATERIALIZED: each round references e and nodes, so DuckDB's
+      // default CTE inlining would rebuild the distinct self-join edge
+      // list ~2x per round (see graph_kcore for the pathological case).
+      s"""WITH li AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey AS pk
+         |       FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
          |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
-         |deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
-         |e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
-         |nodes AS (SELECT DISTINCT src AS node FROM e0),
-         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM nodes),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e0
+         |       GROUP BY src),
+         |e AS MATERIALIZED (SELECT e0.src, e0.dst, deg.deg
+         |       FROM e0 JOIN deg USING (src)),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e0),
+         |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd
+         |       FROM nodes),
          |r0 AS (SELECT node, 1.0 / (SELECT nd FROM nn) AS pr FROM nodes),
          |${(1 to Rounds).map(duckRound).mkString(",\n")}
          |SELECT node, pr FROM r$Rounds ORDER BY pr DESC, node LIMIT 20""".stripMargin),
@@ -185,14 +192,21 @@ object GraphQ {
           .limit(20)
       },
       {
+        // Every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+        // e$i references e${i-1} three times (directly + via both k$i
+        // joins), so the inlined chain re-expands the 2M-edge distinct
+        // self-join 3^5 times — at sf0.1 that exhausted DuckDB's temp
+        // disk. Materialized, each round runs once (same fix as
+        // Text.duckBpeCtes).
         def round(i: Int): String =
-          s"""k$i AS (SELECT src AS node FROM e${i - 1}
+          s"""k$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1}
              |        GROUP BY src HAVING COUNT(*) >= 8),
-             |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+             |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
              |        JOIN k$i a ON e.src = a.node
              |        JOIN k$i b ON e.dst = b.node)""".stripMargin
-        s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-           |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        s"""WITH li AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey AS pk
+           |       FROM lineitem),
+           |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
            |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
            |${(1 to 5).map(round).mkString(",\n")}
            |SELECT src AS node, COUNT(*) AS core_deg FROM e5
