@@ -34,4 +34,26 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().map(_.getString(1))
     assert(tri.toSeq == Seq("one two three", "two three four"))
   }
+
+  test("observe(): pipeline metrics piggyback on the action, no second pass") {
+    // The Observation API is how a production pipeline collects row/null/
+    // sum counters WITHOUT a second scan: metrics are aggregated by the
+    // same job that runs the action. Contract pinned here: the observed
+    // values equal a separate aggregation's, and they arrive after one
+    // action only.
+    import org.apache.spark.sql.Observation
+    import spark.implicits._
+    val df = (1L to 100L).toDF("v")
+      .withColumn("grp", col("v") % 3)
+    val obs = Observation("audit")
+    val observed = df.observe(obs,
+      count(lit(1)).as("n"),
+      sum(col("v")).as("total"),
+      sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_g0"))
+    observed.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n") == 100L)
+    assert(m("total") == 5050L)
+    assert(m("n_g0") == 33L)
+  }
 }

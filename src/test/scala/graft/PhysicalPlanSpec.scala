@@ -127,6 +127,24 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(nlj <= 3, s"unexpected nested-loop joins ($nlj):\n$p")
   }
 
+  test("fingerprint pair joins consume a MATERIALIZED hash table") {
+    // Regression pin for the per-pair deferred-evaluation cliff
+    // (PERF.md round 6): simhashBandPairs localCheckpoints the narrow
+    // (id, fingerprint) projection, so the executed pair-join plan must
+    // read an existing RDD — the raw hash expression (ascii folds for
+    // aHash, bit votes for simhash) must NOT appear anywhere in it.
+    Seq("multimodal_ahash_pairs" -> "ascii(",
+        "dedup_simhash" -> "simhash_from_hashes")
+      .foreach { case (name, marker) =>
+        val p = plan(SparkEntry.registry(name).fn(spark, sf))
+        assert(!p.toLowerCase.contains(marker.toLowerCase),
+          s"$name recomputes its fingerprint inside the pair join:\n" +
+            p.take(2000))
+        assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+          s"$name lost its materialized fingerprint input:\n${p.take(2000)}")
+      }
+  }
+
   test("gopher repetition stays window-free; batch packing windows per band") {
     // text_gopher_repetition's top-bigram count is a sorted-array fold, so
     // the whole per-document stage must plan as scan → project → one keyed
