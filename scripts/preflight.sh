@@ -9,9 +9,26 @@
 #
 # Run this before ANY end-of-round commit; it exits nonzero unless both
 # main and test sources compile. Deliberately does NOT run the full test
-# suite or verify sweep — those are quality gates with their own cadence;
-# this is the cheap never-snapshot-a-broken-tree floor (~30 s warm).
+# suite or verify sweep by default — those are quality gates with their
+# own cadence; this is the cheap never-snapshot-a-broken-tree floor
+# (~30 s warm).
+#
+# --full-sf: additionally run the Verify dump + DuckDB oracle compare at
+# sf0.1 (~10 min). sf0.01 cannot see every scale bug on the ORACLE side
+# either: round 6's sweep caught a DuckDB CTE-inlining blowup (k-core
+# round chain re-expanding 3^5 times) that only bites once the edge table
+# is big enough to exhaust temp disk. Run it when round time allows —
+# at minimum whenever a round added or changed oracle SQL with chained /
+# recursive CTEs.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 sbt -batch compile Test/compile < /dev/null
 echo "preflight OK: main + test sources compile"
+
+if [[ "${1:-}" == "--full-sf" ]]; then
+  out=$(mktemp -d /tmp/preflight_sf01.XXXX)
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $out" < /dev/null \
+    2>&1 | tail -3
+  python3 scripts/check.py "$out" /root/testdata/sf0.1
+  echo "preflight OK: full sf0.1 verify sweep green"
+fi

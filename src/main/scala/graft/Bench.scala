@@ -17,52 +17,39 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
-    // The four dedup/graph consumers share ONE LSH verified-pair build,
+    // Failed shared stages / queries are NOT silently timed as if they
+    // succeeded: the entry gets a -1.0 sentinel and the name lands in
+    // `errors` on both output lines, so a broken build can't masquerade
+    // as a fast one (its cost would otherwise shift into the first
+    // consumer query's median).
+    val errors = scala.collection.mutable.ListBuffer[String]()
+    def timed(name: String)(body: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      try { body; name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        errors.synchronized { if (!errors.contains(name)) errors += name }
+        name -> -1.0
+      }
+    }
+
+    // The dedup/graph consumers share ONE LSH verified-pair build,
     // amortized exactly as a production pipeline persists that artifact
     // once. Build it here under its OWN timing entry so their per-query
     // numbers measure their own plans — not whichever consumer happened
-    // to run first absorbing the whole stage.
-    val sharedStage = {
-      val t0 = System.nanoTime()
-      try graft.queries.DedupQ.buildSharedPairStage(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] shared pair stage failed: ${e.getMessage}")
-      }
-      "dedup_lsh_shared_stage" -> (System.nanoTime() - t0) / 1e9
+    // to run first absorbing the whole stage. Same for the trained IVF
+    // codebook, the co-purchase edge list, and the BPE merge table.
+    val sharedStage = timed("dedup_lsh_shared_stage") {
+      graft.queries.DedupQ.buildSharedPairStage(spark, sfDir)
     }
-
-    // Same treatment for the trained IVF codebook: the four quantizer
-    // consumers (search, nprobe, IVF-PQ, cluster profile) reuse ONE
-    // k-means train, charged to its own entry.
-    val sharedTrain = {
-      val t0 = System.nanoTime()
-      try graft.queries.SimilarityQ.buildSharedTrainStage(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] shared kmeans train failed: ${e.getMessage}")
-      }
-      "similarity_kmeans_shared_train" -> (System.nanoTime() - t0) / 1e9
+    val sharedTrain = timed("similarity_kmeans_shared_train") {
+      graft.queries.SimilarityQ.buildSharedTrainStage(spark, sfDir)
     }
-
-    // And for the co-purchase edge list: PageRank and k-core peel the
-    // SAME graph, built once and charged here.
-    val sharedEdges = {
-      val t0 = System.nanoTime()
-      try graft.queries.GraphQ.buildSharedEdgeStage(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] shared edge stage failed: ${e.getMessage}")
-      }
-      "graph_edges_shared_stage" -> (System.nanoTime() - t0) / 1e9
+    val sharedEdges = timed("graph_edges_shared_stage") {
+      graft.queries.GraphQ.buildSharedEdgeStage(spark, sfDir)
     }
-
-    // And the trained BPE merge table: both tokenizer consumers (merge
-    // table, fertility) reuse one 5-round train, charged here.
-    val sharedBpe = {
-      val t0 = System.nanoTime()
-      try graft.queries.Text.buildSharedBpeStage(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] shared BPE train failed: ${e.getMessage}")
-      }
-      "text_bpe_shared_train" -> (System.nanoTime() - t0) / 1e9
+    val sharedBpe = timed("text_bpe_shared_train") {
+      graft.queries.Text.buildSharedBpeStage(spark, sfDir)
     }
 
     // noop sink forces FULL evaluation of every column (a bare .count()
@@ -72,24 +59,22 @@ object Bench {
     // pre-built shared stage above (charged to its own entry).
     def sweep(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       }
 
-    // SPARK_GRAFT_BENCH_RUNS > 1 → per-query MEDIAN over that many full
-    // sweeps (single runs at local[32] show >1.5x swings on unchanged
-    // queries from GC/scheduler noise). Default 1 keeps the driver's
-    // per-round wall time unchanged; medians are for committed
-    // BENCH_DETAIL snapshots.
+    // Per-query MEDIAN over SPARK_GRAFT_BENCH_RUNS full sweeps — DEFAULT 3.
+    // Single runs at local[32] show >2x swings on unchanged queries from
+    // GC/scheduler/box contention (round 6: a contended single run printed
+    // 384s where the 3-run median was 174.5s), so the official snapshot
+    // must be the robust number, not the lucky/unlucky one.
     val runsN = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // Median over SUCCESSFUL runs only; if every run failed, keep the
+    // -1.0 sentinel so the entry reads as broken, not fast.
     def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
+      val s = xs.filter(_ >= 0).sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val sweeps = (1 to runsN).map(_ => sweep())
@@ -100,12 +85,17 @@ object Bench {
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Total over successful entries only: a -1.0 failure sentinel must
+    // surface in `errors`, not silently lower the total.
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errJson = errors.toSeq.distinct.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // The harness keeps only the TAIL of stdout (~2000 chars), so the full
     // per-query map (~4 KB for 80+ queries) must NOT be on the final line:
-    // print detail first (and persist it), then a compact total line LAST
-    // that always fits inside the tail window.
-    val detail = s"""{"metric":"detail","unit":"sec","runs":$runsN,"queries":$qs,"sf":"$sfDir"}"""
+    // print detail first (and persist it to BENCH_DETAIL.json — the
+    // complete per-query medians the truncated snapshot points at), then a
+    // compact total line LAST that always fits inside the tail window.
+    val detail = s"""{"metric":"detail","unit":"sec","runs":$runsN,"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     println(detail)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -116,7 +106,7 @@ object Bench {
       .mkString("{", ",", "}")
     // n_queries counts declared registry queries; the shared-stage entry
     // is a timing line item (inside total), not a query.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${SparkEntry.queries.size},"queries":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runsN,"n_queries":${SparkEntry.queries.size},"errors":$errJson,"detail":"BENCH_DETAIL.json","queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -51,25 +50,9 @@ object DedupQ {
     * filters this table instead of re-shingling the corpus. The cache holds
     * only localCheckpointed narrow tables (ids + one double), so its
     * footprint is O(candidate pairs), not O(corpus); entries are evicted
-    * when their session's SparkContext stops (listener below), so a
+    * when their session's SparkContext stops (SessionScopedCache), so a
     * long-lived driver cycling sessions does not accumulate dead pins. */
-  private val pairCache =
-    new ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private val evictionHooked = ConcurrentHashMap.newKeySet[SparkSession]()
-
-  /** Drop a stopping session's cache entries (their checkpointed blocks
-    * died with the context; the keys would otherwise pin dead references
-    * for the JVM lifetime). */
-  private def hookEviction(s: SparkSession): Unit =
-    if (evictionHooked.add(s))
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          pairCache.keySet.removeIf(_._1 eq s)
-          evictionHooked.remove(s)
-        }
-      })
+  private val pairCache = new graft.util.SessionScopedCache[DataFrame]()
 
   /** Benchmark hook: force the shared verified-pair stage to build NOW so
     * it lands in its own timing entry — otherwise whichever of the four
@@ -80,8 +63,7 @@ object DedupQ {
   }
 
   private[queries] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.computeIfAbsent((s, d), _ => {
-      hookEviction(s)
+    pairCache.getOrBuild(s, d) {
       val toks = TextOps.tokens(col("text"))
       val sh = array_distinct(Dedup.shingles3(toks))
       val sig = Dedup.minhashFromBase(col("bh"), K)
@@ -133,7 +115,7 @@ object DedupQ {
           (inter.cast("double") / (col("sza") + col("szb") - inter))
             .as("jaccard"))
         .localCheckpoint(true)
-    })
+    }
 
   /** The same stage as DuckDB CTEs (no WITH prefix so callers can prepend
     * WITH or WITH RECURSIVE). Ends in `verified(id_a, id_b, jaccard)`. */

@@ -38,27 +38,12 @@ object GraphQ {
     * SimilarityQ's trained codebook; the bench charges the build to its
     * own entry. Footprint is the narrow (src, dst) edge table; entries
     * evict when their session stops. */
-  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String),
-    org.apache.spark.sql.DataFrame]()
-
-  private val evictionHooked = java.util.concurrent.ConcurrentHashMap
-    .newKeySet[org.apache.spark.sql.SparkSession]()
-
-  private def hookEviction(s: org.apache.spark.sql.SparkSession): Unit =
-    if (evictionHooked.add(s))
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          edgeCache.keySet.removeIf(_._1 eq s)
-          evictionHooked.remove(s)
-        }
-      })
+  private val edgeCache =
+    new graft.util.SessionScopedCache[org.apache.spark.sql.DataFrame]()
 
   private[queries] def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
                                        d: String): org.apache.spark.sql.DataFrame =
-    edgeCache.computeIfAbsent((s, d), _ => {
-      hookEviction(s)
+    edgeCache.getOrBuild(s, d) {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       li.as("a").join(li.as("b"),
@@ -66,7 +51,7 @@ object GraphQ {
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
         .distinct()
         .localCheckpoint(true)
-    })
+    }
 
   /** Benchmark hook: build the shared edge list NOW so it lands in its
     * own timing entry instead of whichever graph consumer runs first. */
@@ -166,18 +151,23 @@ object GraphQ {
     // graph-dedup / community pipeline runs to strip hangers-on before
     // clustering. Five peel rounds, k = 8; like connectedComponents and
     // the PageRank loop this is a STATIC unrolled dataflow (no driver
-    // convergence test on the hot path), and 5 rounds is a documented
-    // truncation: a true core needs peeling to fixpoint, and nodes the
-    // truncation retains can still have degree < k in the infinite-round
-    // core. Per round: one keyed degree agg + one semi-join of the edge
-    // scan against the surviving-node set (broadcast at these node
-    // counts, co-partitioned shuffle join at web scale) —
-    // localCheckpointed so each round reads a materialized narrow table.
+    // convergence test on the hot path). Per round: one keyed degree agg
+    // + one semi-join of the edge scan against the surviving-node set
+    // (broadcast at these node counts, co-partitioned shuffle join at
+    // web scale) — localCheckpointed so each round reads a materialized
+    // narrow table. 5 rounds is a BUDGET, not the semantics: like
+    // Dedup.connectedComponents' verifyConverged, a scalar fixpoint
+    // assertion (round-5 edge set == round-4 edge set; counts suffice
+    // since each round's edges are a subset of the previous round's)
+    // turns a too-deep graph into a loud failure instead of a silent
+    // not-quite-core (retained nodes with degree < k).
     "graph_kcore" -> QuerySpec(
       (s, d) => {
         val K = 8
         var edges = coPurchaseEdges(s, d)
+        var prevEdges = edges
         for (_ <- 1 to 5) {
+          prevEdges = edges
           val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= K)
             .select(col("src").as("node"))
@@ -186,6 +176,13 @@ object GraphQ {
             .join(broadcast(keep), edges("dst") === keep("node"), "left_semi")
             .localCheckpoint(true)
         }
+        // Loud truncation guard: if the last peel still removed edges,
+        // the 5-round unroll has NOT reached the true k-core.
+        val (nPrev, nLast) = (prevEdges.count(), edges.count())
+        require(nLast == nPrev,
+          s"graph_kcore: peeling not converged after 5 rounds " +
+            s"($nPrev -> $nLast edges in the final round) — raise the " +
+            "round budget (graph peels deeper than the unroll)")
         edges.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("core_deg"))
           .orderBy(desc("core_deg"), asc("node"))

@@ -16,29 +16,14 @@ object SimilarityQ {
     * shared verified-pair stage. The cached table is 8 rows
     * (localCheckpointed by kmeansCentroids), so the footprint is the
     * codebook, not the corpus; entries evict when their session stops. */
-  private val centsCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String),
-    org.apache.spark.sql.DataFrame]()
-
-  private val evictionHooked = java.util.concurrent.ConcurrentHashMap
-    .newKeySet[org.apache.spark.sql.SparkSession]()
-
-  private def hookEviction(s: org.apache.spark.sql.SparkSession): Unit =
-    if (evictionHooked.add(s))
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          centsCache.keySet.removeIf(_._1 eq s)
-          evictionHooked.remove(s)
-        }
-      })
+  private val centsCache =
+    new graft.util.SessionScopedCache[org.apache.spark.sql.DataFrame]()
 
   private def trainedCents8x2(s: org.apache.spark.sql.SparkSession,
                               d: String): org.apache.spark.sql.DataFrame =
-    centsCache.computeIfAbsent((s, d), _ => {
-      hookEviction(s)
+    centsCache.getOrBuild(s, d) {
       Similarity.kmeansCentroids(Tables.embeddings(s, d), 8, 2)
-    })
+    }
 
   /** Benchmark hook: train the shared codebook NOW so it lands in its own
     * timing entry instead of whichever IVF consumer runs first. */

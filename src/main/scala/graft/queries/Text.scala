@@ -89,30 +89,15 @@ object Text {
     * stage and SimilarityQ's codebook. The cached DataFrame is the
     * localCheckpointed distinct-word table (tiny); rules are plain
     * driver values. Entries evict when their session stops. */
-  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String),
+  private val bpeCache = new graft.util.SessionScopedCache[
     (Seq[(Long, String, Long, Long)], org.apache.spark.sql.DataFrame)]()
-
-  private val evictionHooked = java.util.concurrent.ConcurrentHashMap
-    .newKeySet[org.apache.spark.sql.SparkSession]()
-
-  private def hookEviction(s: org.apache.spark.sql.SparkSession): Unit =
-    if (evictionHooked.add(s))
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          bpeCache.keySet.removeIf(_._1 eq s)
-          evictionHooked.remove(s)
-        }
-      })
 
   /** 5-round BPE merge training over the distinct-word table; returns
     * (rules as (round, merged, freq, n_symbols_after), final encodings
     * (w, c, enc)). See text_bpe_merges for the full contract. */
   private def trainedBpe(s: org.apache.spark.sql.SparkSession, d: String)
       : (Seq[(Long, String, Long, Long)], org.apache.spark.sql.DataFrame) =
-    bpeCache.computeIfAbsent((s, d), _ => {
-      hookEviction(s)
+    bpeCache.getOrBuild(s, d) {
       val words = Tables.documents(s, d)
         .select(explode(TextOps.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
@@ -120,12 +105,17 @@ object Text {
           filter(split(col("w"), ""), ch => ch =!= ""),
           ch => concat(lit(" "), ch, lit(" ")))))
         .localCheckpoint(true)
-      val syms = split(trim(col("enc")), "  ")
-      val n0 = words
-        .agg(sum(size(syms).cast("long") * col("c")).as("n"))
+      // n_symbols_after is DERIVED from the rewritten encodings each
+      // round (one scalar agg over the tiny type table), not n0 − Σf:
+      // pair counts include overlapping self-adjacent pairs ("q q q"
+      // counts (q,q) twice) while leftmost non-overlapping replace
+      // merges it once, so the subtract-f invariant is wrong whenever
+      // an a==b merge wins a round.
+      def weightedSymbols(df: org.apache.spark.sql.DataFrame): Long = df
+        .agg(sum(size(split(trim(col("enc")), "  ")).cast("long") * col("c"))
+          .as("n"))
         .head().getLong(0)
       var enc = words
-      var remaining = n0
       val rules = (1 to 5).map { r =>
         val sy = split(trim(col("enc")), "  ")
         val top = enc
@@ -142,11 +132,10 @@ object Text {
         enc = enc.withColumn("enc", replace(col("enc"),
             lit(s" $a  $b "), lit(s" $a$b ")))
           .localCheckpoint(true)
-        remaining -= f
-        (r.toLong, a + b, f, remaining)
+        (r.toLong, a + b, f, weightedSymbols(enc))
       }
       (rules, enc)
-    })
+    }
 
   /** Benchmark hook: train the shared BPE stage NOW so it lands in its
     * own timing entry instead of whichever BPE consumer runs first. */
@@ -902,7 +891,10 @@ object Text {
     // best) struct accumulator, so max-multiplicity needs no explode and
     // no (doc, gram) shuffle — and the only exchange is the final tiny
     // groupBy(source). The oracle computes top2 the relational way
-    // (unnest + GROUP BY); identical integers either way.
+    // (unnest + GROUP BY); identical integers either way. Its tp CTE only
+    // has rows for docs with ≥1 bigram, so it joins LEFT with
+    // COALESCE(top2, 0): an inner join would silently drop 0/1-token
+    // documents that the engine side keeps with top2 = 0.
     "text_gopher_repetition" -> QuerySpec(
       (s, d) => {
         val toksed = Tables.documents(s, d)
@@ -943,11 +935,11 @@ object Text {
          |SELECT source, COUNT(*) AS n_docs,
          |       CAST(SUM(CASE WHEN tri_total - tri_distinct > 0
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup3_docs,
-         |       CAST(SUM(CASE WHEN top2 * 25 > bi_total * 2
+         |       CAST(SUM(CASE WHEN COALESCE(top2, 0) * 25 > bi_total * 2
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_top2_flagged,
          |       CAST(SUM(tri_total - tri_distinct) AS BIGINT) AS sum_dup3,
-         |       CAST(MAX(top2) AS BIGINT) AS max_top2
-         |FROM st JOIN tp USING (doc_id)
+         |       CAST(MAX(COALESCE(top2, 0)) AS BIGINT) AS max_top2
+         |FROM st LEFT JOIN tp USING (doc_id)
          |GROUP BY source ORDER BY source""".stripMargin),
 
     // Length-bucketed padded-batch packing — the batch-assembly step of a
@@ -958,7 +950,7 @@ object Text {
     // n_docs·max_len − Σ tokens). Determinism: batch membership is
     // row_number over (n_tokens, doc_id) — a total order — and every
     // output is an integer. Scale shape: the only window runs
-    // PARTITIONED BY band (a 64-token-wide length bucket), so each band
+    // PARTITIONED BY band (a 16-token-wide length bucket), so each band
     // packs independently — exactly how a 1000-worker loader shards the
     // job; nothing global, no single-partition sort. The alternative
     // (one global length-sorted batching) would be a full-corpus total
@@ -1049,8 +1041,9 @@ object Text {
     // delimited symbol encoding (" a  b " → " ab "), identical semantics
     // in both engines — no per-symbol fold crosses the engine boundary.
     // Output: the learned merge table plus the weighted corpus symbol
-    // count after each merge (each merged occurrence removes exactly one
-    // symbol). Integers and strings only.
+    // count after each merge, derived from the rewritten encodings (NOT
+    // n0 − Σf, which over-subtracts when a self-adjacent a==b pair wins
+    // a round). Integers and strings only.
     "text_bpe_merges" -> QuerySpec(
       (s, d) => {
         val (rules, _) = trainedBpe(s, d)
@@ -1059,9 +1052,11 @@ object Text {
           .orderBy("round")
       },
       {
-        val freqs = (1 to 5).map(j => s"(SELECT f FROM t$j)")
+        // Derived from e$i, mirroring the engine side (NOT n0 − Σf —
+        // see trainedBpe's self-adjacent-pair caveat).
         def nAfter(i: Int) =
-          s"(SELECT n FROM n0) - ${freqs.take(i).mkString(" - ")}"
+          s"""(SELECT SUM(len(string_split(trim(enc), '  ')) * c)
+             |     FROM e$i)""".stripMargin
         s"""WITH ${duckBpeCtes(5)}
            |SELECT * FROM (
            |${(1 to 5).map(i =>
