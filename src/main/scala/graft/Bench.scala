@@ -51,6 +51,9 @@ object Bench {
     val sharedBpe = timed("text_bpe_shared_train") {
       graft.queries.Text.buildSharedBpeStage(spark, sfDir)
     }
+    val sharedPng = timed("multimodal_png_shared_encode") {
+      graft.queries.MultimodalQ.buildSharedPngStage(spark, sfDir)
+    }
 
     // noop sink forces FULL evaluation of every column (a bare .count()
     // would let Catalyst prune projection work and under-measure
@@ -80,7 +83,8 @@ object Bench {
     val sweeps = (1 to runsN).map(_ => sweep())
     val names = sweeps.head.map(_._1)
     val maps = sweeps.map(_.toMap)
-    val results = Seq(sharedStage, sharedTrain, sharedEdges, sharedBpe) ++
+    val results = Seq(sharedStage, sharedTrain, sharedEdges, sharedBpe,
+      sharedPng) ++
       names.map(n => n -> median(maps.map(_(n))))
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

@@ -1,35 +1,48 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+
 import graft.expressions.ByteHistogram
 
 /** Multimodal column surface (north-star X3): media as opaque binary
-  * columns with typed metadata, plus the decode / feature-extract /
+  * columns with typed metadata, plus decode / feature-extract /
   * frame-sample plumbing.
   *
-  * The actual codec step (JPEG decode, audio PCM, video frames) is STUBBED
-  * — no media libraries ship in this offline image — behind
-  * [[assetTable]]'s deterministic fake: bytes are the UTF-8 encoding of a
-  * source text column. Everything around the stub is real engine surface:
-  * the binary schema, per-row codegen'd feature kernels
-  * ([[graft.expressions.ByteHistogram]]), deterministic frame slicing, and
-  * metadata maps — swap the stub for a real decoder (mapPartitions over a
-  * JNI codec, or a vectorized Python UDF in PySpark deployments) and the
-  * rest of the pipeline is unchanged.
+  * Two payload families:
   *
-  * Scale: all operators here are per-row expressions over the binary
-  * column — single scan, no shuffle; frame sampling yields arrays, not
-  * exploded rows, so row counts stay bounded until the caller explodes.
+  *  - [[assetTable]]: UTF-8 document payloads as `binary` — the
+  *    modality-agnostic surface (byte stats, histograms, chunk-hash
+  *    dedup, frame slicing work on ANY payload, text or media).
+  *  - [[pngAssetTable]] / [[decodePngPartitions]]: a REAL image codec
+  *    path, offline-safe via the JDK's `javax.imageio`. Each document is
+  *    rendered into a genuine grayscale PNG (a 10×6 "thumbnail" whose
+  *    pixels stride-sample the document — deterministic, so oracles can
+  *    recompute the expected raster), and the decode side parses the
+  *    actual PNG byte stream back into pixels inside the
+  *    partition-batched harness. The codec is real (zlib/PNG encode +
+  *    decode round trip through ImageIO); only the *content* of the
+  *    fixture images is synthetic, as any reproducible test corpus's
+  *    must be.
+  *
+  * Scale: expression operators here are per-row over the binary column —
+  * single scan, no shuffle; frame sampling yields arrays, not exploded
+  * rows. The codec runs in `mapPartitions` so a real deployment can
+  * amortize decoder/model initialization per batch instead of per row
+  * (the same shape a vectorized Arrow/Pandas UDF gives PySpark).
   */
 object Multimodal {
 
-  /** Deterministic fake "media" assets from a text corpus (the stub). */
+  /** UTF-8 document payloads as a binary asset table. */
   def assetTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("asset_id"),
       encode(col("text"), "UTF-8").as("bytes"),
-      lit("text/plain;fake=1").as("media_type"),
+      lit("text/plain;charset=utf-8").as("media_type"),
       map(lit("lang"), col("lang"), lit("source"), col("source"))
         .as(("meta")))
 
@@ -52,36 +65,101 @@ object Multimodal {
   def frameHex(bytes: Column, frameSize: Int, n: Int): Column =
     transform(frameSample(bytes, frameSize, n), f => hex(f))
 
-  // ---- partition-batched decoder harness --------------------------------
+  // ---- real PNG codec path (javax.imageio, JDK-offline-safe) -----------
 
-  final case class Asset(asset_id: Long, bytes: Array[Byte])
-  final case class DecodedFeatures(asset_id: Long, n_bytes: Long,
-                                   mean_byte: Double, feature: Array[Float])
+  /** 10×6 = 60 pixels: one per aHash bit (60 keeps the packed hash inside
+    * a signed 64-bit long — DuckDB BIGINT raises on overflow). */
+  val PngWidth = 10
+  val PngHeight = 6
+  val PngPixels: Int = PngWidth * PngHeight
 
-  /** The mapPartitions-shaped decode harness: the Scala analogue of a
-    * vectorized (Arrow/Pandas) UDF — rows arrive per partition so a real
-    * decoder can amortize codec/model initialization per batch instead of
-    * per row. The decode itself is the deterministic STUB (byte stats + a
-    * fixed-width projection standing in for an image/audio feature
-    * vector); swap `decodeOne` for a JNI/codec call and the signature,
-    * batching, and schema stay as-is.
-    */
-  def decodePartitions(assets: org.apache.spark.sql.Dataset[Asset])
-      : org.apache.spark.sql.Dataset[DecodedFeatures] = {
+  final case class PngAsset(asset_id: Long, png: Array[Byte])
+  final case class DecodedImage(asset_id: Long, width: Int, height: Int,
+                                pixels: Array[Int])
+
+  /** Deterministic gray level of pixel j for a document of length n: the
+    * box-filtered downsample a real thumbnailer computes — the mean
+    * character code over slice [⌊j·n/60⌋, ⌊(j+1)·n/60⌋) (floor-divided,
+    * so integer-exact cross-engine). Averaging makes the raster robust
+    * to small insertions (a point sample would shift EVERY pixel of a
+    * near-dup edit); near-dup documents get near-identical rasters,
+    * unrelated ones diverge. Mirrored verbatim by the DuckDB oracles. */
+  def pixelLevel(text: String, j: Int): Int = {
+    val n = text.length
+    if (n == 0) 0
+    else {
+      val start = j * n / PngPixels
+      val len = math.max((j + 1) * n / PngPixels - start, 1)
+      var sum = 0
+      var i = start
+      while (i < start + len) { sum += text.charAt(i).toInt & 0xff; i += 1 }
+      sum / len
+    }
+  }
+
+  /** Gray-level offset of the second rendition: a global brightness
+    * shift, the canonical perturbation a re-encoded copy of an image
+    * carries. Stays inside 0..255 for this corpus (box-filtered ASCII
+    * means top out at 122). */
+  val RenditionBrightness = 8
+
+  /** Render each document into TWO genuine grayscale PNGs via ImageIO —
+    * the original raster (asset_id = 2·doc_id) and a brightness-shifted
+    * re-encode (asset_id = 2·doc_id + 1). A perceptual-dedup corpus is
+    * precisely one that contains multiple renditions of the same
+    * content; modelling the renditions in the fixture gives the pair
+    * stage REAL positives to find. The `png` column holds genuine,
+    * decodable image files (header, zlib-compressed IDAT and all).
+    * Per-partition init disables ImageIO's disk cache
+    * (temp-file-per-image is the classic throughput killer). */
+  def pngAssetTable(docs: DataFrame): Dataset[PngAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        ImageIO.setUseCache(false)
+        def render(id: Long, text: String, offset: Int): PngAsset = {
+          val img = new java.awt.image.BufferedImage(
+            PngWidth, PngHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var j = 0
+          while (j < PngPixels) {
+            raster.setSample(j % PngWidth, j / PngWidth, 0,
+              pixelLevel(text, j) + offset)
+            j += 1
+          }
+          val out = new ByteArrayOutputStream(256)
+          ImageIO.write(img, "png", out)
+          PngAsset(id, out.toByteArray)
+        }
+        batch.flatMap { case (id, text) => Iterator(
+          render(2 * id, text, 0),
+          render(2 * id + 1, text, RenditionBrightness))
+        }
+      }
+  }
+
+  /** Decode REAL PNG byte streams back into pixel rasters — the
+    * partition-batched decode harness with an actual codec in it.
+    * 8-bit grayscale PNG is lossless, so decoded samples are bit-exact
+    * against the generation formula (that equality IS the round-trip
+    * test the queries hash-check). */
+  def decodePngPartitions(assets: Dataset[PngAsset]): Dataset[DecodedImage] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
-      // per-partition init happens HERE (decoder handles, model weights…)
-      def decodeOne(a: Asset): DecodedFeatures = {
-        val n = a.bytes.length
-        var sum = 0L
-        var i = 0
-        while (i < n) { sum += (a.bytes(i) & 0xff); i += 1 }
-        val feat = Array.tabulate(8)(j =>
-          if (n == 0) 0f else (a.bytes(j % n) & 0xff).toFloat / 255f)
-        DecodedFeatures(a.asset_id, n.toLong,
-          if (n == 0) 0.0 else sum.toDouble / n, feat)
+      ImageIO.setUseCache(false)  // per-partition codec init lives here
+      batch.map { a =>
+        val img = ImageIO.read(new ByteArrayInputStream(a.png))
+        require(img != null, s"asset ${a.asset_id}: not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val px = new Array[Int](w * h)
+        var j = 0
+        while (j < px.length) {
+          px(j) = raster.getSample(j % w, j / w, 0)
+          j += 1
+        }
+        DecodedImage(a.asset_id, w, h, px)
       }
-      batch.map(decodeOne)
     }
   }
 }

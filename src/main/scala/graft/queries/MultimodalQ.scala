@@ -5,10 +5,70 @@ import graft.QuerySpec
 import graft.ext.Multimodal
 import graft.io.Tables
 
-/** Multimodal pack: binary-column plumbing over the stubbed asset table.
+/** Multimodal pack: binary-column plumbing over UTF-8 payloads, plus a
+  * REAL image-codec path (genuine PNGs encoded and decoded through the
+  * JDK's javax.imageio — see [[graft.ext.Multimodal.pngAssetTable]]).
   * The corpus is pure ASCII (verified: max code point 121), so byte-level
-  * oracles can be phrased over character codes in DuckDB. */
+  * oracles can be phrased over character codes in DuckDB, and the PNG
+  * fixtures' rasters are deterministic functions of the text, so oracles
+  * recompute the expected pixels relationally while the engine side
+  * round-trips them through the actual codec. */
 object MultimodalQ {
+
+  /** One PNG encode per (session, sf-dir): the ingest artifact both
+    * decode-side queries read. localCheckpointed so the ImageIO encode
+    * cost is paid once, like any persisted binary corpus. */
+  private val pngCache =
+    new graft.util.SessionScopedCache[org.apache.spark.sql.DataFrame]()
+
+  private def pngAssets(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame =
+    pngCache.getOrBuild(s, d) {
+      Multimodal.pngAssetTable(Tables.documents(s, d))
+        .toDF().localCheckpoint(true)
+    }
+
+  /** Benchmark hook: encode the PNG corpus NOW so the cost lands in its
+    * own timing entry instead of whichever decode query runs first. */
+  def buildSharedPngStage(s: org.apache.spark.sql.SparkSession,
+                          d: String): Unit = {
+    pngAssets(s, d); ()
+  }
+
+  /** Decoded raster table: real ImageIO decode of the cached PNG bytes. */
+  private def decodedPngs(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Multimodal.decodePngPartitions(
+      pngAssets(s, d).as[Multimodal.PngAsset]).toDF()
+  }
+
+  /** DuckDB CTEs (no WITH prefix) reproducing the deterministic rasters
+    * of BOTH renditions: pixel j of the base raster is the mean
+    * character code over document slice [⌊j·n/60⌋, ⌊(j+1)·n/60⌋) — the
+    * exact box-filter formula in [[graft.ext.Multimodal.pixelLevel]] —
+    * and the second rendition adds the global brightness offset 8.
+    * Ends in `px(asset_id, px)`, asset_id = 2·doc_id + rendition. The
+    * engine side must recover these integers from real PNG byte streams
+    * for the hash to match. */
+  private val duckPxCtes: String =
+    """t AS (SELECT doc_id, list_transform(
+      |         list_filter(string_split(text, ''), c -> c <> ''),
+      |         c -> CAST(ascii(c) AS BIGINT)) AS codes,
+      |       length(text) AS n FROM documents),
+      |base AS (SELECT doc_id, list_transform(range(0, 60), j ->
+      |         CASE WHEN n = 0 THEN 0 ELSE CAST(
+      |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             codes[CAST(j*n//60 AS INT) + 1 :
+      |                   CAST(j*n//60 AS INT) +
+      |                   CAST(GREATEST((j+1)*n//60 - j*n//60, 1) AS INT)]),
+      |             (a, b) -> a + b)
+      |           // GREATEST((j+1)*n//60 - j*n//60, 1) AS INTEGER) END) AS px
+      |       FROM t),
+      |px AS (SELECT doc_id * 2 + r AS asset_id,
+      |         CASE WHEN r = 0 THEN px
+      |              ELSE list_transform(px, x -> x + 8) END AS px
+      |       FROM base CROSS JOIN (SELECT unnest([0, 1]) AS r))""".stripMargin
 
   val registry: Map[String, QuerySpec] = Map(
 
@@ -124,49 +184,45 @@ object MultimodalQ {
         |FROM v WHERE CAST(shared AS DOUBLE) / CAST(sza AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
 
-    // Perceptual near-dup pairs via AVERAGE-HASH (the aHash of classic
-    // image dedup, computed over the byte stream since the real decoder
-    // is stubbed): the payload is cut into 60 equal segments and bit j
-    // is set when segment j's mean byte exceeds the global mean. Both
-    // comparisons are INTEGER cross-multiplications (segSum * n >
-    // total * segLen) — no division, so no float drift — and the bits
-    // pack into a 60-bit long by an exact a*2+b fold (no shifts; stays
-    // under BIGINT overflow, which DuckDB raises on). Pair generation
-    // reuses the simhash machinery: 4 bands x 15 bits, pigeonhole-
-    // complete for hamming distance <= 3, hot buckets bounded — never an
-    // all-pairs scan of the corpus; the tiny-scale oracle verifies
-    // against a literal all-pairs hamming join.
+    // Perceptual near-dup pairs via AVERAGE-HASH over REAL decoded
+    // images — the aHash of classic image dedup: decode each PNG
+    // (genuine ImageIO parse of the byte stream), set bit j when pixel
+    // j exceeds the image mean. The fixture corpus carries two
+    // renditions of every image (original + brightness-shifted
+    // re-encode, both genuine PNGs — see pngAssetTable), so the pair
+    // stage has real positives: aHash thresholds against the image's
+    // OWN mean, so a global brightness shift preserves all 60 bits and
+    // rendition pairs land at distance 0 — the invariance aHash exists
+    // for, proven here through the actual codec. (Shingle-level text
+    // near-dups are correctly NOT found: token edits scatter a
+    // document's raster, and a perceptual hash answers "same image",
+    // not "same text" — that's dedup_simhash's job.) The bit comparison
+    // is an INTEGER cross-multiplication (px_j * 60 > total) — no
+    // division, so no float drift — and the 60 bits pack into a long by
+    // an exact a*2+b fold (stays under BIGINT overflow, which DuckDB
+    // raises on). Pair generation reuses the simhash machinery: 4 bands
+    // x 15 bits, pigeonhole-complete for hamming distance <= 3, hot
+    // buckets bounded — never an all-pairs scan of the corpus; the
+    // tiny-scale oracle verifies against a literal all-pairs hamming
+    // join over the EXPECTED rasters (the codec round trip is what
+    // makes the engine's hashes land on the oracle's).
     "multimodal_ahash_pairs" -> QuerySpec(
       (s, d) => {
-        val assets = Multimodal.assetTable(Tables.documents(s, d))
-        // ASCII corpus: byte stream == character-code stream (see header)
-        // The 60 segment bits are UNROLLED top-level expressions, not a
-        // transform() over sequence(0,59): a lambda body that references
-        // `codes` re-evaluates the whole split+ascii chain per element
-        // (lambda bodies defeat CSE — the same trap Dedup.shingles3
-        // documents), which measured 60× the tokenize cost (~100 s at
-        // sf0.1). Sixty top-level references instead BLOCK CollapseProject
-        // from inlining `codes`, so the array materializes once per row
-        // and each slice is O(L) over the stored array: ~3 passes total.
-        val staged = assets
-          .withColumn("txt", decode(col("bytes"), "UTF-8"))
-          .withColumn("codes", transform(
-            filter(split(col("txt"), ""), c => c =!= ""),
-            c => ascii(c).cast("long")))
-          .withColumn("n", size(col("codes")).cast("long"))
-          .withColumn("total", aggregate(col("codes"), lit(0L), _ + _))
-          .withColumn("L", ceil(col("n") / 60.0).cast("int"))
+        // The 60 bit expressions are UNROLLED top-level element_at
+        // references, not a transform() lambda over the array: multiple
+        // top-level references block CollapseProject from inlining the
+        // pixel array, so it materializes once per row (the lambda-CSE
+        // trap Dedup.shingles3 documents). simhashBandPairs then
+        // localCheckpoints the narrow (id, ahash) table before its
+        // self-join — essential: without it the decode would re-run per
+        // matched pair (the measured 95 s → ~1 s round-6 cliff).
+        val staged = decodedPngs(s, d)
+          .withColumn("px", transform(col("pixels"), _.cast("long")))
+          .withColumn("total", aggregate(col("px"), lit(0L), _ + _))
         val bitCols = (0 until 60).map { j =>
-          val seg = slice(col("codes"), col("L") * j + 1, col("L"))
-          val segSum = aggregate(seg, lit(0L), _ + _)
-          when(segSum * col("n") > col("total") * size(seg).cast("long"),
+          when(element_at(col("px"), j + 1) * lit(60L) > col("total"),
             lit(1L)).otherwise(lit(0L))
         }
-        // simhashBandPairs materializes the narrow fingerprint table
-        // before its self-join — essential here: the 60-fold hash is an
-        // interpreted higher-order expression, and unmaterialized it was
-        // re-evaluated once per MATCHED PAIR (measured 95 s → ~1 s; see
-        // the helper's doc).
         val hashed = staged
           .withColumn("bits", array(bitCols: _*))
           .select(col("asset_id"),
@@ -176,29 +232,22 @@ object MultimodalQ {
             bands = 4, bitsPerBand = 15, maxDist = 3)
           .orderBy("id_a", "id_b")
       },
-      """WITH c AS (SELECT doc_id, list_transform(
-        |             list_filter(string_split(text, ''), c -> c <> ''),
-        |             c -> CAST(ascii(c) AS BIGINT)) AS codes
-        |           FROM documents),
-        |m AS (SELECT doc_id, codes, len(codes) AS n,
-        |             list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
-        |               (a, b) -> a + b) AS total,
-        |             CAST(ceil(len(codes) / 60.0) AS INT) AS L
-        |      FROM c),
-        |sg AS (SELECT doc_id, n, total,
-        |              list_transform(range(0, 60),
-        |                j -> codes[j*L+1 : j*L+L]) AS segs
-        |       FROM m),
-        |bt AS (SELECT doc_id, list_transform(segs, seg -> CASE WHEN
-        |         list_reduce(list_prepend(CAST(0 AS BIGINT), seg),
-        |           (a, x) -> a + x) * n > total * len(seg)
-        |         THEN 1 ELSE 0 END) AS bits FROM sg),
-        |h AS (SELECT doc_id, list_reduce(
-        |        list_prepend(CAST(0 AS BIGINT), bits),
+      s"""WITH $duckPxCtes,
+        |m AS (SELECT asset_id, px,
+        |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(px, x -> CAST(x AS BIGINT))),
+        |               (a, b) -> a + b) AS total
+        |      FROM px),
+        |bt AS (SELECT asset_id, list_transform(px, p -> CASE WHEN
+        |         CAST(p AS BIGINT) * 60 > total
+        |         THEN 1 ELSE 0 END) AS bits FROM m),
+        |h AS (SELECT asset_id, list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(bits, b -> CAST(b AS BIGINT))),
         |        (a, b) -> a * 2 + b) AS ahash FROM bt)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
         |       bit_count(xor(a.ahash, b.ahash)) AS dist
-        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |FROM h a JOIN h b ON a.asset_id < b.asset_id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin),
 
@@ -238,43 +287,48 @@ object MultimodalQ {
         |         i -> hex(encode(substring(text, i*64 + 1, 64)))), ',') AS frames
         |FROM documents ORDER BY asset_id""".stripMargin),
 
-    // The partition-batched decoder harness END TO END on the declared
-    // path: assets → typed Dataset → mapPartitions decode (per-partition
-    // init, the honest home for a real codec/model handle) → features.
-    // The decode is the documented deterministic stub (byte stats + a
-    // fixed-width byte projection standing in for an image/audio feature
-    // vector), so the oracle reproduces it over character codes (corpus
-    // is pure ASCII: byte k == ascii of char k). Feature components are
-    // FLOAT math (byte/255 in single precision, like a real feature
-    // extractor) widened losslessly to double for hashing.
+    // The partition-batched decoder harness END TO END with a REAL codec
+    // in it: documents → genuine grayscale PNGs (ImageIO encode, cached
+    // once per session as the ingest artifact) → typed Dataset →
+    // mapPartitions decode (per-partition codec init — ImageIO disk
+    // cache off) → pixel rasters → features. The oracle recomputes the
+    // EXPECTED raster from the deterministic generation formula; the
+    // engine side must recover the identical integers from the actual
+    // PNG byte stream (header + zlib IDAT), so the hash match IS the
+    // lossless round-trip proof. Feature components are pixel/255 in
+    // IEEE double — one division of exact integers, written identically
+    // on both sides (Spark promotes fractional division to double, so
+    // double-from-the-start is the cross-engine-stable form).
     "multimodal_decode_batch" -> QuerySpec(
       (s, d) => {
-        import s.implicits._
-        val assets = Multimodal.assetTable(Tables.documents(s, d))
-          .select(col("asset_id"), col("bytes")).as[Multimodal.Asset]
         val feats = (0 until 8).map(j =>
-          element_at(col("feature"), j + 1).cast("double").as(s"f$j"))
-        Multimodal.decodePartitions(assets).toDF()
-          .select(Seq(col("asset_id"), col("n_bytes"), col("mean_byte"))
+          (element_at(col("pixels"), j + 1).cast("double") /
+            lit(255.0)).as(s"f$j"))
+        decodedPngs(s, d)
+          .withColumn("sum_px", aggregate(
+            transform(col("pixels"), _.cast("long")), lit(0L), _ + _))
+          .select(Seq(col("asset_id"), col("width"), col("height"),
+            size(col("pixels")).as("n_px"), col("sum_px"),
+            (col("sum_px").cast("double") / lit(60.0)).as("mean_px"))
             ++ feats: _*)
           .orderBy("asset_id")
       },
       {
         val feats = (0 until 8).map(j =>
-          s"CAST(CAST(bytes[($j % n_bytes) + 1] AS FLOAT) / " +
-            s"CAST(255 AS FLOAT) AS DOUBLE) AS f$j").mkString(",\n|       ")
-        s"""WITH b AS (
-           |  SELECT doc_id AS asset_id,
-           |         octet_length(encode(text)) AS n_bytes,
-           |         list_transform(list_filter(string_split(text, ''),
-           |           c -> c <> ''), c -> ascii(c)) AS bytes
-           |  FROM documents)
-           |SELECT asset_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+          s"CAST(px[$j + 1] AS DOUBLE) / 255.0 AS f$j")
+          .mkString(",\n|       ")
+        s"""WITH $duckPxCtes
+           |SELECT asset_id,
+           |       CAST(10 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+           |       CAST(60 AS INTEGER) AS n_px,
            |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |         list_transform(bytes, x -> CAST(x AS BIGINT))),
-           |         (a, b) -> a + b) AS DOUBLE) / n_bytes AS mean_byte,
+           |         list_transform(px, x -> CAST(x AS BIGINT))),
+           |         (a, b) -> a + b) AS BIGINT) AS sum_px,
+           |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |         list_transform(px, x -> CAST(x AS BIGINT))),
+           |         (a, b) -> a + b) AS DOUBLE) / 60.0 AS mean_px,
            |       $feats
-           |FROM b ORDER BY asset_id""".stripMargin
+           |FROM px ORDER BY asset_id""".stripMargin
       })
   )
 }

@@ -141,15 +141,34 @@ class ExtSpec extends SparkSpec {
     assert(outDeg == 1L, s"max oriented out-degree $outDeg, want 1")
   }
 
-  test("mapPartitions decode harness: deterministic stub features") {
-    val ds = Seq(
-      Multimodal.Asset(1L, "abc".getBytes("UTF-8")),
-      Multimodal.Asset(2L, Array.emptyByteArray)).toDS()
-    val out = Multimodal.decodePartitions(ds).collect()
-      .map(f => f.asset_id -> f).toMap
-    assert(out(1L).n_bytes == 3 && out(1L).mean_byte == 98.0)
-    assert(out(1L).feature.length == 8 && out(1L).feature(0) == 97f / 255f)
-    assert(out(2L).n_bytes == 0 && out(2L).mean_byte == 0.0)
+  test("PNG codec round trip: real ImageIO encode/decode recovers the raster") {
+    val docs = Seq((1L, "abc", "en", "web"), (2L, "", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    // Two renditions per doc: asset 2·id (original), 2·id+1 (brightness+8).
+    val pngs = Multimodal.pngAssetTable(docs).collect()
+      .map(a => a.asset_id -> a.png).toMap
+    assert(pngs.keySet == Set(2L, 3L, 4L, 5L))
+    // The payload is a genuine PNG file: 8-byte magic, IHDR chunk.
+    val magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    assert(pngs(2L).take(8).sameElements(magic), "missing PNG signature")
+    assert(new String(pngs(2L).slice(12, 16), "US-ASCII") == "IHDR")
+    val out = Multimodal
+      .decodePngPartitions(Multimodal.pngAssetTable(docs)).collect()
+      .map(i => i.asset_id -> i).toMap
+    assert(out(2L).width == Multimodal.PngWidth &&
+      out(2L).height == Multimodal.PngHeight)
+    // Decoded pixels must equal the generation formula bit-for-bit
+    // (8-bit gray PNG is lossless): pixel j = "abc"(j*3/60) = 'a','b','c'
+    // in 20-pixel runs.
+    val want = Array.tabulate(60)(j => Multimodal.pixelLevel("abc", j))
+    assert(out(2L).pixels.sameElements(want))
+    assert(out(2L).pixels(0) == 'a'.toInt && out(2L).pixels(59) == 'c'.toInt)
+    // The re-encode rendition decodes to base + 8 everywhere — so its
+    // mean-relative aHash bits are identical (brightness invariance).
+    assert(out(3L).pixels.sameElements(want.map(_ + 8)))
+    assert(out(4L).pixels.forall(_ == 0), "empty doc decodes to black")
+    assert(out(5L).pixels.forall(_ == 8))
   }
 
   test("jaccard pairs: exact value on a known overlap") {
