@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
   *  6. length 9 → `"+33 x xx xx xx xx"` — overrides all   (insert.py:52-54)
   *  7. re-append `"x{extension}"`                          (insert.py:57-58)
   *  8. validity: the reference calls libphonenumber's `is_possible_number`
-  *     (insert.py:60-67); for the only two regions this code can emit that
-  *     reduces to an NSN length check (US: 10, FR: 9). With the country
-  *     digits that is exactly 11 digits before the extension marker in both
-  *     cases. Impossible or empty → NULL.
+  *     (insert.py:60-67), which for a parsed international number is an
+  *     NSN length check against per-region metadata. [[isPossibleNumber]]
+  *     reimplements that generally: a literal possible-NSN-lengths table
+  *     per calling code (from libphonenumber's published metadata —
+  *     public data), with the ITU E.164 length envelope (4 ≤ NSN and
+  *     CC+NSN ≤ 15 digits) as the fallback for unlisted codes. For the
+  *     two regions [[normalize]] can emit this reduces to NSN 10 (+1) /
+  *     NSN 9 (+33) — identical to the previous hardcoded rule, so
+  *     normalize hashes are unchanged. Impossible or empty → NULL.
   *
   * Known divergences (documented, covered by unit tests):
   *  - null input → NULL (the reference stringifies NaN to "nan", which then
@@ -33,6 +38,43 @@ import org.apache.spark.sql.functions._
   * Scale: pure expression → codegen'd, partition-local, zero shuffle.
   */
 object Phone {
+
+  /** Possible NSN (national significant number) lengths per calling
+    * code — the general-description possible-lengths sets from
+    * libphonenumber's published PhoneNumberMetadata (public data),
+    * covering the majority-traffic calling codes. Variable-length plans
+    * (DE, IT, CN…) carry their full published ranges. */
+  private val NsnLengths: Seq[(String, Seq[Int])] = Seq(
+    "1"  -> Seq(10),           // NANP (US/CA/…): fixed 10
+    "7"  -> Seq(10),           // RU/KZ
+    "20" -> Seq(8, 9, 10),     // EG
+    "33" -> Seq(9),            // FR
+    "34" -> Seq(9),            // ES
+    "39" -> (6 to 11),         // IT: variable-length plan
+    "44" -> Seq(7, 9, 10),     // UK
+    "49" -> (6 to 11),         // DE: variable-length plan
+    "55" -> Seq(10, 11),       // BR
+    "61" -> Seq(5, 8, 9, 10),  // AU
+    "81" -> Seq(8, 9, 10),     // JP
+    "82" -> (8 to 11),         // KR
+    "86" -> (5 to 12),         // CN
+    "91" -> Seq(7, 8, 9, 10))  // IN
+
+  /** libphonenumber-style `is_possible_number` over an international
+    * string `"+CC nsn…[xext]"`: NSN digit count must be in the calling
+    * code's possible-lengths set; unlisted codes fall back to the ITU
+    * E.164 envelope (NSN ≥ 4 and CC+NSN ≤ 15 digits). Pure `Column`
+    * expression — codegen'd, no UDF. Non-international strings (no
+    * `"+CC "` prefix) are not possible numbers. */
+  def isPossibleNumber(intl: Column): Column = {
+    val beforeExt = get(split(intl, "x"), lit(0))
+    val cc = regexp_extract(beforeExt, "^\\+([0-9]{1,3}) ", 1)
+    val nsn = length(regexp_replace(
+      regexp_replace(beforeExt, "^\\+[0-9]{1,3} ", ""), "[^0-9]", ""))
+    NsnLengths.foldLeft(when(cc === "", lit(false))) {
+      case (w, (code, lens)) => w.when(cc === code, nsn.isin(lens: _*))
+    }.otherwise(nsn >= 4 && nsn + length(cc) <= 15)
+  }
 
   /** International normalization; returns NULL for invalid numbers. */
   def normalize(phoneRaw: Column): Column = {
@@ -69,12 +111,9 @@ object Phone {
 
     val withExt = when(hasExt, concat(intl, lit("x"), ext)).otherwise(intl)
 
-    // is_possible_number reduced to NSN-length (see scaladoc step 8):
-    // "+1" + 10 NSN digits == "+33" + 9 NSN digits == 11 digits total
-    // before the extension marker.
-    val nsnDigits =
-      length(regexp_replace(get(split(withExt, "x"), lit(0)), "[^0-9]", ""))
-    when((withExt.startsWith("+1 ") || withExt.startsWith("+33 ")) &&
-      nsnDigits === 11, withExt)
+    // General is_possible_number (scaladoc step 8). For the formats this
+    // chain emits it reduces to the previous hardcoded rule — "+1" with
+    // NSN 10 or "+33" with NSN 9 — byte-identical outputs.
+    when(isPossibleNumber(withExt), withExt)
   }
 }

@@ -208,6 +208,64 @@ object GraphQ {
            |${(1 to 5).map(round).mkString(",\n")}
            |SELECT src AS node, COUNT(*) AS core_deg FROM e5
            |GROUP BY src ORDER BY core_deg DESC, node LIMIT 20""".stripMargin
-      })
+      }),
+
+    // Bounded-depth reachability (k-hop BFS, k = 4) from a deterministic
+    // seed over the co-purchase graph — the first query a property-graph
+    // user asks ("what can I reach in ≤k steps?"), and the primitive
+    // under recommendation walks and blast-radius analyses. Spark: the
+    // recursion UNROLLED as a static 4-round dataflow — per round the
+    // (small) frontier is BROADCAST against the shared edge scan (edges
+    // are never reshuffled, the same discipline as PageRank's rank
+    // broadcast), new nodes are anti-joined against the visited set, and
+    // both sets are localCheckpointed narrow tables. At web scale the
+    // frontier/visited broadcast ceiling swaps for a co-partitioned
+    // shuffle join on node id — the dataflow is otherwise unchanged.
+    // Output: per-hop census (count + min/max/checksum of node ids) —
+    // bounded rows at any graph size. Oracle: a genuine WITH RECURSIVE
+    // BFS with a hop guard over the identical edge set.
+    "graph_khop_reachability" -> QuerySpec(
+      (s, d) => {
+        val edges = coPurchaseEdges(s, d)
+        // One scalar action for the seed (smallest node id): cheap,
+        // deterministic, and keeps the unrolled plan static.
+        val seed = edges.agg(min(col("src"))).head().getLong(0)
+        var visited = s.range(1)
+          .select(lit(seed).as("node"), lit(0L).as("hops"))
+          .localCheckpoint(true)
+        var frontier = visited.select("node")
+        for (i <- 1 to 4) {
+          val next = edges
+            .join(broadcast(frontier), edges("src") === frontier("node"))
+            .select(col("dst").as("node")).distinct()
+            .join(broadcast(visited.select("node")), Seq("node"),
+              "left_anti")
+            .localCheckpoint(true)
+          visited = visited
+            .unionByName(next.withColumn("hops", lit(i.toLong)))
+            .localCheckpoint(true)
+          frontier = next
+        }
+        visited.groupBy("hops")
+          .agg(count(lit(1)).as("n_nodes"),
+            min("node").as("min_node"), max("node").as("max_node"),
+            sum("node").as("sum_node"))
+          .orderBy("hops")
+      },
+      """WITH RECURSIVE li AS MATERIALIZED (SELECT l_orderkey AS ok,
+        |       l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |reach(node, hops) AS (
+        |  SELECT MIN(src), CAST(0 AS BIGINT) FROM e
+        |  UNION
+        |  SELECT e.dst, r.hops + 1 FROM reach r
+        |  JOIN e ON r.node = e.src WHERE r.hops < 4
+        |),
+        |mh AS (SELECT node, MIN(hops) AS hops FROM reach GROUP BY node)
+        |SELECT hops, COUNT(*) AS n_nodes,
+        |       MIN(node) AS min_node, MAX(node) AS max_node,
+        |       CAST(SUM(node) AS BIGINT) AS sum_node
+        |FROM mh GROUP BY hops ORDER BY hops""".stripMargin)
   )
 }

@@ -239,4 +239,54 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(!joinSubtree.contains("Exchange"),
       s"bucketed join inputs should not shuffle:\n$p")
   }
+
+  test("AQE splits skewed join partitions (OptimizeSkewedJoin fires)") {
+    // The 100 TB skew story leans on AQE's runtime skew-join split for
+    // the shapes salting doesn't cover (PERF.md); this pins that the
+    // engine's config actually produces it. Synthetic skew: ~99% of the
+    // left rows share one join key, so one shuffle partition dwarfs the
+    // rest; with the skew thresholds scaled down to test-fixture sizes,
+    // AQE must re-plan the sort-merge join with skew=true and read the
+    // hot partition as multiple splits.
+    val restore = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // coalesce would merge the tiny non-skewed partitions into the
+      // stats; force the skew rule so the assertion is deterministic
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 50000).select(
+        when(col("id") % 100 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+        concat(lit("x" * 64), col("id")).as("payload"))
+      val right = spark.range(0, 2000).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      val j = left.join(right, "k")
+      // AQE's final plan only exists after executing THIS QueryExecution
+      // (count() would wrap a new one and leave j's plan unfinalized)
+      assert(j.collect().nonEmpty)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to mark the join:\n$p")
+      assert(p.contains("AQEShuffleRead") && p.contains("skewed"),
+        s"expected a skewed AQE shuffle read of the hot partition:\n$p")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

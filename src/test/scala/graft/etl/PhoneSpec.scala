@@ -79,4 +79,35 @@ class PhoneSpec extends SparkSpec {
       assert(s.split("x")(0).count(_.isDigit) == 11, s)
     }
   }
+
+  test("is_possible_number validates NSN lengths beyond +1/+33") {
+    val cases = Seq(
+      // UK: possible NSN lengths {7, 9, 10}
+      "+44 20 7946 0958" -> true,   // 10 (London)
+      "+44 7946 09581"   -> true,   // 9
+      "+44 1234567"      -> true,   // 7
+      "+44 12345678"     -> false,  // 8 is not a UK length
+      // DE: variable-length plan 6..11
+      "+49 30 123456"    -> true,   // 8
+      "+49 151 23456789" -> true,   // 11
+      "+49 12345"        -> false,  // 5 < minimum
+      // known fixed-length plans
+      "+33 1 23 45 67 89" -> true,
+      "+33 1 23 45 67"    -> false,
+      "+1 555-013-4567"   -> true,
+      "+1 555-0134"       -> false,
+      // unlisted calling code: ITU E.164 envelope (NSN>=4, CC+NSN<=15)
+      "+358 9 123456"     -> true,
+      "+358 123"          -> false,
+      // not an international string at all
+      "5550134567"        -> false,
+      "" -> false)
+    import spark.implicits._
+    val df = cases.map(_._1).toDF("s")
+    val got = df.select(Phone.isPossibleNumber(col("s"))).collect()
+      .map(_.getBoolean(0))
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"input=$in got=$g want=$want")
+    }
+  }
 }
