@@ -138,6 +138,46 @@ object Multimodal {
       }
   }
 
+  /** REAL image resize: decode each PNG, box-filter 2×2 blocks into a
+    * half-size raster (each output pixel is the floored mean of its
+    * 2×2 input block — the classic area-average downsample), and
+    * RE-ENCODE the result as a genuine PNG. Decode → resample → encode
+    * is the full thumbnailing chain a media pipeline runs, here with
+    * the actual codec on both ends. Requires even dimensions. */
+  def resizeHalf(assets: Dataset[PngAsset]): Dataset[PngAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      ImageIO.setUseCache(false)
+      batch.map { a =>
+        val img = ImageIO.read(new ByteArrayInputStream(a.png))
+        require(img != null, s"asset ${a.asset_id}: not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        require(w % 2 == 0 && h % 2 == 0,
+          s"asset ${a.asset_id}: resizeHalf needs even dims, got ${w}x$h")
+        val in = img.getRaster
+        val out = new java.awt.image.BufferedImage(
+          w / 2, h / 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val outRaster = out.getRaster
+        var r = 0
+        while (r < h / 2) {
+          var c = 0
+          while (c < w / 2) {
+            val s = in.getSample(2 * c, 2 * r, 0) +
+              in.getSample(2 * c + 1, 2 * r, 0) +
+              in.getSample(2 * c, 2 * r + 1, 0) +
+              in.getSample(2 * c + 1, 2 * r + 1, 0)
+            outRaster.setSample(c, r, 0, s / 4)
+            c += 1
+          }
+          r += 1
+        }
+        val bytes = new ByteArrayOutputStream(128)
+        ImageIO.write(out, "png", bytes)
+        PngAsset(a.asset_id, bytes.toByteArray)
+      }
+    }
+  }
+
   /** Decode REAL PNG byte streams back into pixel rasters — the
     * partition-batched decode harness with an actual codec in it.
     * 8-bit grayscale PNG is lossless, so decoded samples are bit-exact

@@ -251,6 +251,45 @@ object MultimodalQ {
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin),
 
+    // REAL image RESIZE through the codec, end to end: decode each
+    // 10×6 PNG, area-average 2×2 blocks into a 5×3 raster, re-encode as
+    // a genuine PNG, decode THAT, and emit the pixels. The oracle
+    // recomputes the expected half-size raster relationally (floored
+    // 2×2 block means over the generation-formula raster), so the hash
+    // match proves the whole decode → resample → encode → decode chain
+    // is lossless and exact. Note the brightness rendition commutes
+    // with the box filter exactly — mean(px+8 over 4) = mean(px)+8 —
+    // so both renditions verify against one formula. Scale shape:
+    // per-row mapPartitions work, no shuffle until the final sort.
+    "multimodal_resize_halve" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val resized = Multimodal.resizeHalf(
+          pngAssets(s, d).as[Multimodal.PngAsset])
+        Multimodal.decodePngPartitions(resized).toDF()
+          .select(col("asset_id"), col("width"), col("height"),
+            array_join(transform(col("pixels"), _.cast("string")), ",")
+              .as("px_csv"),
+            aggregate(transform(col("pixels"), _.cast("long")),
+              lit(0L), _ + _).as("sum_px"))
+          .orderBy("asset_id")
+      },
+      s"""WITH $duckPxCtes,
+        |rs AS (SELECT asset_id, list_transform(range(0, 15), j ->
+        |         CAST((CAST(px[CAST((j // 5) * 20 + (j % 5) * 2 + 1 AS INT)] AS BIGINT)
+        |             + px[CAST((j // 5) * 20 + (j % 5) * 2 + 2 AS INT)]
+        |             + px[CAST((j // 5) * 20 + (j % 5) * 2 + 11 AS INT)]
+        |             + px[CAST((j // 5) * 20 + (j % 5) * 2 + 12 AS INT)])
+        |           // 4 AS INTEGER)) AS rp
+        |       FROM px)
+        |SELECT asset_id, CAST(5 AS INTEGER) AS width,
+        |       CAST(3 AS INTEGER) AS height,
+        |       array_to_string(rp, ',') AS px_csv,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(rp, x -> CAST(x AS BIGINT))),
+        |         (a, b) -> a + b) AS BIGINT) AS sum_px
+        |FROM rs ORDER BY asset_id""".stripMargin),
+
     // Typed-metadata access on the media table: filter by a metadata map
     // key and aggregate payload volume per (lang, source) — the
     // modality-routing step of a multimodal ingestion pipeline (map
