@@ -60,20 +60,51 @@ object Phone {
     "86" -> (5 to 12),         // CN
     "91" -> Seq(7, 8, 9, 10))  // IN
 
+  /** Digit count via the `translate` char-map (no regex — regex engines
+    * in the validity hot path measured a 6× query slowdown). */
+  private def digitCount(c: Column): Column =
+    length(c) - length(translate(c, "0123456789", ""))
+
+  /** The lengths table as ONE map-literal column of bitmasks (bit L set
+    * ⇔ NSN length L possible). A single `element_at` lookup keeps the
+    * validity expression tree small: the Column DSL has no let-binding,
+    * so a 15-branch when-chain would re-inline the entire upstream
+    * expression per branch (measured: an 8.8 MiB serialized task binary
+    * and a 6× phone_normalize slowdown from codegen alone). */
+  private val NsnLengthMask: Column =
+    map(NsnLengths.flatMap { case (c, lens) =>
+      Seq(lit(c), lit(lens.map(l => 1L << l).sum))
+    }: _*)
+
   /** libphonenumber-style `is_possible_number` over an international
     * string `"+CC nsn…[xext]"`: NSN digit count must be in the calling
     * code's possible-lengths set; unlisted codes fall back to the ITU
     * E.164 envelope (NSN ≥ 4 and CC+NSN ≤ 15 digits). Pure `Column`
-    * expression — codegen'd, no UDF. Non-international strings (no
-    * `"+CC "` prefix) are not possible numbers. */
+    * expression — codegen'd, no UDF, regex-free (substring_index,
+    * char-map translate, one map lookup, one bit test). Non-international
+    * strings (no `"+CC "` prefix) are not possible numbers. */
   def isPossibleNumber(intl: Column): Column = {
-    val beforeExt = get(split(intl, "x"), lit(0))
-    val cc = regexp_extract(beforeExt, "^\\+([0-9]{1,3}) ", 1)
-    val nsn = length(regexp_replace(
-      regexp_replace(beforeExt, "^\\+[0-9]{1,3} ", ""), "[^0-9]", ""))
-    NsnLengths.foldLeft(when(cc === "", lit(false))) {
-      case (w, (code, lens)) => w.when(cc === code, nsn.isin(lens: _*))
-    }.otherwise(nsn >= 4 && nsn + length(cc) <= 15)
+    val beforeExt = substring_index(intl, "x", 1)
+    // calling code = the first space-delimited token minus its '+':
+    // 1-3 digits, and something must follow the token
+    val firstTok = substring_index(beforeExt, " ", 1)
+    val cc = substring(firstTok, 2, 3)
+    val ccOk = firstTok.startsWith("+") &&
+      length(firstTok).between(2, 4) &&
+      digitCount(cc) === length(cc) &&
+      length(beforeExt) > length(firstTok)
+    // NSN digits = all digits after the calling-code token (the cc
+    // digits are the only digits inside it)
+    val nsn = digitCount(beforeExt) - length(cc)
+    val mask = element_at(NsnLengthMask, cc)
+    // bit test without variable-shift builtins: floor(mask / 2^nsn) is
+    // exact in double for mask < 2^16, nsn ≥ 0
+    val lenOk = when(mask.isNotNull,
+      floor(mask.cast("double") /
+        pow(lit(2.0), greatest(nsn, lit(0)).cast("double")))
+        .cast("long") % 2 === 1 && nsn >= 0)
+      .otherwise(nsn >= 4 && nsn + length(cc) <= 15)
+    ccOk && lenOk
   }
 
   /** International normalization; returns NULL for invalid numbers. */
