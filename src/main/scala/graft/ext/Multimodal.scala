@@ -178,6 +178,93 @@ object Multimodal {
     }
   }
 
+  // ---- real WAV codec path (javax.sound.sampled, JDK-offline-safe) ----
+
+  /** 240 PCM samples per clip: 30 ms at 8 kHz — four 60-sample analysis
+    * frames. */
+  val WavSamples = 240
+  val WavFrame = 60
+
+  final case class WavAsset(asset_id: Long, wav: Array[Byte])
+  final case class DecodedAudio(asset_id: Long, n_samples: Int,
+                                samples: Array[Int])
+
+  /** Deterministic 16-bit PCM sample t for a document: the box-filtered
+    * character mean over slice [⌊t·n/240⌋, ⌊(t+1)·n/240⌋), centered at
+    * 96 and scaled by 256 — a text-derived "waveform" whose every value
+    * both engines can recompute exactly (range ±2^15 safe: ASCII means
+    * are 32..122 → samples in [-16384, 6656]). */
+  def sampleLevel(text: String, t: Int): Int = {
+    val n = text.length
+    if (n == 0) 0
+    else {
+      val start = t * n / WavSamples
+      val len = math.max((t + 1) * n / WavSamples - start, 1)
+      var sum = 0
+      var i = start
+      while (i < start + len) { sum += text.charAt(i).toInt & 0xff; i += 1 }
+      (sum / len - 96) * 256
+    }
+  }
+
+  /** Encode each document's synthetic waveform as a REAL RIFF/WAVE file
+    * via `javax.sound.sampled.AudioSystem` — 8 kHz, 16-bit signed
+    * little-endian mono, genuine header + PCM chunk (any audio tool
+    * would play it). The second real-codec modality next to
+    * [[pngAssetTable]]. */
+  def wavAssetTable(docs: DataFrame): Dataset[WavAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false) // signed, little-endian
+        batch.map { case (id, text) =>
+          val pcm = new Array[Byte](WavSamples * 2)
+          var t = 0
+          while (t < WavSamples) {
+            val s = sampleLevel(text, t)
+            pcm(2 * t) = (s & 0xff).toByte
+            pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+            t += 1
+          }
+          val stream = new javax.sound.sampled.AudioInputStream(
+            new ByteArrayInputStream(pcm), fmt, WavSamples.toLong)
+          val out = new ByteArrayOutputStream(600)
+          javax.sound.sampled.AudioSystem.write(stream,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          WavAsset(id, out.toByteArray)
+        }
+      }
+  }
+
+  /** Decode REAL WAV byte streams back into PCM samples — the audio
+    * twin of [[decodePngPartitions]]: `AudioSystem` parses the actual
+    * RIFF header and hands back the sample stream; 16-bit PCM is
+    * lossless, so decoded samples are bit-exact against
+    * [[sampleLevel]]. */
+  def decodeWavPartitions(assets: Dataset[WavAsset]): Dataset[DecodedAudio] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(a.wav))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"asset ${a.asset_id}: expected 16-bit LE PCM, got $fmt")
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        val samples = new Array[Int](n)
+        var t = 0
+        while (t < n) {
+          samples(t) = ((bytes(2 * t + 1).toInt << 8) |
+            (bytes(2 * t).toInt & 0xff))
+          t += 1
+        }
+        DecodedAudio(a.asset_id, n, samples)
+      }
+    }
+  }
+
   /** Decode REAL PNG byte streams back into pixel rasters — the
     * partition-batched decode harness with an actual codec in it.
     * 8-bit grayscale PNG is lossless, so decoded samples are bit-exact

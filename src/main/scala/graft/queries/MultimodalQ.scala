@@ -290,6 +290,66 @@ object MultimodalQ {
         |         (a, b) -> a + b) AS BIGINT) AS sum_px
         |FROM rs ORDER BY asset_id""".stripMargin),
 
+    // REAL audio codec, end to end — the second modality: each document's
+    // deterministic 240-sample 16-bit PCM waveform is encoded as a
+    // genuine RIFF/WAVE file (javax.sound.sampled — real header, real
+    // PCM chunk), decoded back through AudioSystem's parser, and the
+    // classic first-pass audio features are computed from the decoded
+    // samples: per-frame absolute energy (4 × 60-sample frames) and the
+    // zero-crossing count (strict sign-product test — integer-exact).
+    // The oracle recomputes the expected samples from the generation
+    // formula and aggregates them relationally; the hash match proves
+    // the WAV round trip is lossless. Scale shape: per-row mapPartitions
+    // codec work + per-row array folds, no shuffle until the final sort.
+    "multimodal_audio_features" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val decoded = Multimodal.decodeWavPartitions(
+          Multimodal.wavAssetTable(Tables.documents(s, d))).toDF()
+        val sAbs = (k: Int) => aggregate(
+          slice(col("samples"), k * Multimodal.WavFrame + 1,
+            Multimodal.WavFrame),
+          lit(0L), (a, x) => a + abs(x).cast("long"))
+        val zcr = aggregate(
+          zip_with(col("samples"), slice(col("samples"), 2, 239),
+            (a, b) => when(a * b < 0, lit(1L)).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x)
+        decoded.select(col("asset_id"), col("n_samples"),
+            sAbs(0).as("e0"), sAbs(1).as("e1"),
+            sAbs(2).as("e2"), sAbs(3).as("e3"),
+            zcr.as("zcr"))
+          .orderBy("asset_id")
+      },
+      {
+        def absSum(k: Int) =
+          s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(s[${k * 60 + 1} : ${k * 60 + 60}],
+             |           x -> CAST(abs(x) AS BIGINT))),
+             |         (a, b) -> a + b) AS BIGINT) AS e$k""".stripMargin
+        s"""WITH t AS (SELECT doc_id, list_transform(
+           |         list_filter(string_split(text, ''), c -> c <> ''),
+           |         c -> CAST(ascii(c) AS BIGINT)) AS codes,
+           |       length(text) AS n FROM documents),
+           |w AS (SELECT doc_id AS asset_id, list_transform(range(0, 240), t ->
+           |         CASE WHEN n = 0 THEN 0 ELSE (CAST(
+           |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |             codes[CAST(t*n//240 AS INT) + 1 :
+           |                   CAST(t*n//240 AS INT) +
+           |                   CAST(GREATEST((t+1)*n//240 - t*n//240, 1) AS INT)]),
+           |             (a, b) -> a + b)
+           |           // GREATEST((t+1)*n//240 - t*n//240, 1) AS INTEGER)
+           |           - 96) * 256 END) AS s
+           |       FROM t)
+           |SELECT asset_id, CAST(240 AS INTEGER) AS n_samples,
+           |       ${(0 to 3).map(absSum).mkString(",\n|       ")},
+           |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |         list_transform(range(2, 241), i ->
+           |           CASE WHEN s[CAST(i AS INT)] * s[CAST(i - 1 AS INT)] < 0
+           |                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+           |         (a, b) -> a + b) AS BIGINT) AS zcr
+           |FROM w ORDER BY asset_id""".stripMargin
+      }),
+
     // Typed-metadata access on the media table: filter by a metadata map
     // key and aggregate payload volume per (lang, source) — the
     // modality-routing step of a multimodal ingestion pipeline (map
