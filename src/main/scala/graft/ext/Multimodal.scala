@@ -178,6 +178,58 @@ object Multimodal {
     }
   }
 
+  /** 4 frames per clip; frame f's 60 pixels box-filter the half-document
+    * window starting at ⌊f·n/8⌋ — a sliding window, so consecutive
+    * frames overlap 75% and their pixel deltas are small except where
+    * content shifts (the shot-boundary signal). */
+  val ClipFrames = 4
+
+  /** Gray level of pixel j in frame f: mean character code over
+    * [⌊f·n/8⌋ + ⌊j·n/120⌋, ⌊f·n/8⌋ + ⌊(j+1)·n/120⌋) (all floors taken
+    * separately, mirrored verbatim in the DuckDB oracle). */
+  def framePixelLevel(text: String, f: Int, j: Int): Int = {
+    val n = text.length
+    if (n == 0) 0
+    else {
+      val base = f * n / 8
+      val start = base + j * n / 120
+      val len = math.max(base + (j + 1) * n / 120 - start, 1)
+      var sum = 0
+      var i = start
+      while (i < start + len) { sum += text.charAt(i).toInt & 0xff; i += 1 }
+      sum / len
+    }
+  }
+
+  /** A "video" fixture: each document becomes a 4-frame clip of REAL
+    * PNGs (one genuine encode per frame; asset_id = 4·doc_id + frame).
+    * The frames slide a half-document window, the shape a frame grabber
+    * hands a shot-boundary detector. */
+  def pngFrameTable(docs: DataFrame): Dataset[PngAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { batch =>
+        ImageIO.setUseCache(false)
+        batch.flatMap { case (id, text) =>
+          (0 until ClipFrames).iterator.map { f =>
+            val img = new java.awt.image.BufferedImage(
+              PngWidth, PngHeight,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var j = 0
+            while (j < PngPixels) {
+              raster.setSample(j % PngWidth, j / PngWidth, 0,
+                framePixelLevel(text, f, j))
+              j += 1
+            }
+            val out = new ByteArrayOutputStream(256)
+            ImageIO.write(img, "png", out)
+            PngAsset(4 * id + f, out.toByteArray)
+          }
+        }
+      }
+  }
+
   // ---- real WAV codec path (javax.sound.sampled, JDK-offline-safe) ----
 
   /** 240 PCM samples per clip: 30 ms at 8 kHz — four 60-sample analysis

@@ -290,6 +290,71 @@ object MultimodalQ {
         |         (a, b) -> a + b) AS BIGINT) AS sum_px
         |FROM rs ORDER BY asset_id""".stripMargin),
 
+    // Temporal frame deltas over a sequence of REAL decoded PNG frames —
+    // the shot-boundary primitive of a video ingestion pipeline: each
+    // document becomes a 4-frame clip (one genuine PNG per frame,
+    // sliding a half-document window), every frame is decoded through
+    // the actual codec, and the per-transition delta Σ|px_f − px_{f−1}|
+    // is computed from the decoded rasters. Distribution shape is the
+    // real one: frames co-locate by clip id in ONE keyed shuffle
+    // (collect_list of 4 × 60-int structs — bounded per key), deltas are
+    // array folds. The oracle recomputes all four expected rasters from
+    // the generation formula and replays the same integer deltas.
+    "multimodal_frame_deltas" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val decoded = Multimodal.decodePngPartitions(
+          Multimodal.pngFrameTable(Tables.documents(s, d))
+            .as[Multimodal.PngAsset]).toDF()
+        val byClip = decoded
+          .select((col("asset_id") / 4).cast("long").as("asset_id"),
+            (col("asset_id") % 4).cast("int").as("frame"), col("pixels"))
+          .groupBy("asset_id")
+          .agg(sort_array(collect_list(struct(col("frame"), col("pixels"))))
+            .as("fr"))
+        val delta = (f: Int) => aggregate(
+          zip_with(
+            element_at(col("fr"), f).getField("pixels"),
+            element_at(col("fr"), f + 1).getField("pixels"),
+            (a, b) => abs(a - b).cast("long")),
+          lit(0L), _ + _)
+        byClip.select(col("asset_id"),
+            delta(1).as("d1"), delta(2).as("d2"), delta(3).as("d3"),
+            (delta(1) + delta(2) + delta(3)).as("total_delta"))
+          .orderBy("asset_id")
+      },
+      {
+        val fpx = """CASE WHEN n = 0 THEN 0 ELSE CAST(
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    codes[CAST(f*n//8 + j*n//120 AS INT) + 1 :
+          |          CAST(f*n//8 + j*n//120 AS INT) +
+          |          CAST(GREATEST((f*n//8 + (j+1)*n//120)
+          |                        - (f*n//8 + j*n//120), 1) AS INT)]),
+          |    (a, b) -> a + b)
+          |  // GREATEST((f*n//8 + (j+1)*n//120)
+          |               - (f*n//8 + j*n//120), 1) AS BIGINT) END""".stripMargin
+        def dsum(f: Int) =
+          s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(range(1, 61), j ->
+             |           abs(fr[${f + 1}][CAST(j AS INT)]
+             |               - fr[$f][CAST(j AS INT)]))),
+             |         (a, b) -> a + b) AS BIGINT)""".stripMargin
+        s"""WITH t AS (SELECT doc_id, list_transform(
+           |         list_filter(string_split(text, ''), c -> c <> ''),
+           |         c -> CAST(ascii(c) AS BIGINT)) AS codes,
+           |       length(text) AS n FROM documents),
+           |fr AS (SELECT doc_id AS asset_id,
+           |         list_transform(range(0, 4), f ->
+           |           list_transform(range(0, 60), j -> $fpx)) AS fr
+           |       FROM t)
+           |SELECT asset_id,
+           |       ${dsum(1)} AS d1,
+           |       ${dsum(2)} AS d2,
+           |       ${dsum(3)} AS d3,
+           |       ${dsum(1)} + ${dsum(2)} + ${dsum(3)} AS total_delta
+           |FROM fr ORDER BY asset_id""".stripMargin
+      }),
+
     // REAL audio codec, end to end — the second modality: each document's
     // deterministic 240-sample 16-bit PCM waveform is encoded as a
     // genuine RIFF/WAVE file (javax.sound.sampled — real header, real
