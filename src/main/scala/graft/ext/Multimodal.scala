@@ -297,8 +297,31 @@ object Multimodal {
   def decodeWavPartitions(assets: Dataset[WavAsset]): Dataset[DecodedAudio] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
+      // Per-partition codec init: resolve the WAVE AudioFileReader SPI
+      // provider ONCE (AudioSystem.getAudioInputStream re-scans the
+      // provider registry per call — the per-clip cost the batched
+      // harness exists to amortize). Same genuine javax.sound parser.
+      import scala.jdk.CollectionConverters._
+      val probe = {
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false)
+        val stream = new javax.sound.sampled.AudioInputStream(
+          new ByteArrayInputStream(new Array[Byte](2)), fmt, 1L)
+        val out = new ByteArrayOutputStream(64)
+        javax.sound.sampled.AudioSystem.write(stream,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        out.toByteArray
+      }
+      val reader = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .asScala.find { r =>
+          try { r.getAudioInputStream(new ByteArrayInputStream(probe))
+            .close(); true }
+          catch { case _: Exception => false }
+        }.getOrElse(throw new IllegalStateException(
+          "no WAVE-capable AudioFileReader on this JVM"))
       batch.map { a =>
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val in = reader.getAudioInputStream(
           new ByteArrayInputStream(a.wav))
         val fmt = in.getFormat
         require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
