@@ -94,6 +94,17 @@ object GraphQ {
        |    FROM e JOIN r${i - 1} r ON e.src = r.node
        |    GROUP BY e.dst) m ON nodes.node = m.dst)""".stripMargin
 
+  /** One BFS expansion round, PRE-checkpoint (exposed for the physical
+    * plan test): the frontier and visited sets BROADCAST against the
+    * edge scan — edges are never shuffled through these joins. */
+  private[graft] def khopExpand(edges: org.apache.spark.sql.DataFrame,
+                                frontier: org.apache.spark.sql.DataFrame,
+                                visited: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    edges.join(broadcast(frontier), edges("src") === frontier("node"))
+      .select(col("dst").as("node")).distinct()
+      .join(broadcast(visited.select("node")), Seq("node"), "left_anti")
+
   val registry: Map[String, QuerySpec] = Map(
 
     // PageRank over the part co-purchase graph, 5 rounds, d = 0.85,
@@ -211,7 +222,9 @@ object GraphQ {
       }),
 
     // Bounded-depth reachability (k-hop BFS, k = 4) from a deterministic
-    // seed over the co-purchase graph — the first query a property-graph
+    // seed over the co-purchase graph (one expansion round factored as
+    // khopExpand below, plan-asserted in PhysicalPlanSpec) — the first
+    // query a property-graph
     // user asks ("what can I reach in ≤k steps?"), and the primitive
     // under recommendation walks and blast-radius analyses. Spark: the
     // recursion UNROLLED as a static 4-round dataflow — per round the
@@ -235,11 +248,7 @@ object GraphQ {
           .localCheckpoint(true)
         var frontier = visited.select("node")
         for (i <- 1 to 4) {
-          val next = edges
-            .join(broadcast(frontier), edges("src") === frontier("node"))
-            .select(col("dst").as("node")).distinct()
-            .join(broadcast(visited.select("node")), Seq("node"),
-              "left_anti")
+          val next = khopExpand(edges, frontier, visited)
             .localCheckpoint(true)
           visited = visited
             .unionByName(next.withColumn("hops", lit(i.toLong)))
