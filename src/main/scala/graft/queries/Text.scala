@@ -761,6 +761,64 @@ object Text {
         |         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS achieved_rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
 
+    // Temperature-scaled source mixture weighting — the mT5/DoReMi-family
+    // step that DERIVES the sampling weights from corpus statistics
+    // (dataset_mixture_weights above applies DECLARED rates; this
+    // computes them): w_s ∝ share_s^(1/2), i.e. temperature α = 0.5,
+    // which up-weights small sources without letting any source
+    // dominate. α = 0.5 is deliberate: sqrt is correctly rounded in
+    // IEEE-754 on BOTH engines (a general pow() carries no such
+    // guarantee), and the normalizing denominator is made order-free by
+    // summing floor(sqrt(share)·2^40) INTEGERS — the established
+    // decimal-scaling trick — so the final weights are single IEEE
+    // divisions of exact integers. Scale shape: one keyed agg to ~20
+    // source rows, then two 1-row broadcasts; nothing global touches
+    // the corpus twice.
+    "corpus_mixture_temperature" -> QuerySpec(
+      (s, d) => {
+        val Scale = 1099511627776.0 // 2^40
+        val per = Tables.documents(s, d)
+          .select(col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        val tot = per.agg(sum("n_docs").as("td"), sum("n_tokens").as("tt"))
+        val w = per.crossJoin(broadcast(tot))
+          .withColumn("share",
+            col("n_tokens").cast("double") / col("tt").cast("double"))
+          .withColumn("scaled",
+            floor(sqrt(col("share")) * lit(Scale)).cast("long"))
+        val den = w.agg(sum("scaled").as("den"), max("td").as("td2"))
+        w.crossJoin(broadcast(den))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("share").as("token_share"),
+            (col("scaled").cast("double") / col("den").cast("double"))
+              .as("mixture_weight"),
+            floor(col("scaled").cast("double") / col("den").cast("double")
+              * col("td2").cast("double")).cast("long").as("target_docs"))
+          .orderBy("source")
+      },
+      s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+         |         CAST(SUM(len($duckToks)) AS BIGINT) AS n_tokens
+         |       FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+         |               CAST(SUM(n_tokens) AS BIGINT) AS tt FROM per),
+         |w AS (SELECT source, n_docs, n_tokens,
+         |        CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS share,
+         |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
+         |          / CAST(tt AS DOUBLE)) * 1099511627776.0) AS BIGINT)
+         |          AS scaled,
+         |        td
+         |      FROM per, tot),
+         |den AS (SELECT CAST(SUM(scaled) AS BIGINT) AS den FROM w)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+         |       share AS token_share,
+         |       CAST(scaled AS DOUBLE) / CAST(den AS DOUBLE)
+         |         AS mixture_weight,
+         |       CAST(floor(CAST(scaled AS DOUBLE) / CAST(den AS DOUBLE)
+         |         * CAST(td AS DOUBLE)) AS BIGINT) AS target_docs
+         |FROM w, den ORDER BY source""".stripMargin),
+
     // Bigram-LM plausibility filter: score each document by the mean
     // corpus conditional probability p(b|a) of its bigrams and flag the
     // implausible tail — the shape of a perplexity-based quality filter
