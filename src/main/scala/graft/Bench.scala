@@ -68,9 +68,12 @@ object Bench {
     // it unset; a partial sweep does NOT overwrite BENCH_DETAIL.json so a
     // dev loop can't shrink the committed full-coverage medians.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     def sweep(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq
-        .filter { case (name, _) => only.forall(p => name.startsWith(p)) }
+        .filter { case (name, _) =>
+          only.forall(_.exists(name.startsWith))
+        }
         .map { case (name, fn) =>
           timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         }

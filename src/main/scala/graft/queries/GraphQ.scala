@@ -275,6 +275,84 @@ object GraphQ {
         |SELECT hops, COUNT(*) AS n_nodes,
         |       MIN(node) AS min_node, MAX(node) AS max_node,
         |       CAST(SUM(node) AS BIGINT) AS sum_node
-        |FROM mh GROUP BY hops ORDER BY hops""".stripMargin)
+        |FROM mh GROUP BY hops ORDER BY hops""".stripMargin),
+
+    // Community detection by synchronous label propagation (LPA): init
+    // label(v) = v, then 3 rounds of "adopt the most frequent neighbor
+    // label, ties to the smallest label" — the frequency-based
+    // counterpart to dedup_cluster_canonical's min-label connected
+    // components (which ignores edge multiplicity; LPA is what a
+    // community/affinity pipeline actually runs). All counts are
+    // integers and the tie-break is total, so the bounded-round result
+    // is deterministic on both engines even where LPA legitimately
+    // oscillates (bipartite neighborhoods) — and the output CARRIES a
+    // `converged` flag (round-3 labels == round-2 labels) so truncation
+    // is visible in the result, not silent (the graph_kcore lesson).
+    // Scale shape per round: the |nodes|-row label vector BROADCASTs
+    // against the localCheckpointed edge scan (edges never reshuffle —
+    // same discipline as PageRank's rank broadcast, plan-asserted via
+    // lpaRound), the (dst, label) count is a map-side-combined keyed
+    // agg, and the argmax window partitions by dst over that node's
+    // distinct neighbor labels — never global. At web-scale node counts
+    // the broadcast swaps for a co-partitioned shuffle join, the
+    // dataflow otherwise unchanged.
+    "graph_label_propagation" -> QuerySpec(
+      (s, d) => {
+        val edges = coPurchaseEdges(s, d)
+        var labels = edges.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+          .localCheckpoint(true)
+        var prev = labels
+        for (_ <- 1 to 3) {
+          prev = labels
+          labels = lpaRound(edges, labels).localCheckpoint(true)
+        }
+        val nChanged = labels
+          .join(prev.withColumnRenamed("label", "prev_label"), "node")
+          .filter(col("label") =!= col("prev_label")).count()
+        labels.groupBy("label")
+          .agg(count(lit(1)).as("n_members"))
+          .withColumn("converged", lit(nChanged == 0L))
+          .orderBy("label")
+      },
+      {
+        def round(i: Int): String =
+          s"""l$i AS MATERIALIZED (
+             |  SELECT node, label FROM (
+             |    SELECT dst AS node, label, COUNT(*) AS cnt
+             |    FROM e0 JOIN l${i - 1} l ON e0.src = l.node
+             |    GROUP BY 1, 2) t
+             |  QUALIFY row_number() OVER (PARTITION BY node
+             |    ORDER BY cnt DESC, label) = 1)""".stripMargin
+        s"""WITH li AS MATERIALIZED (SELECT l_orderkey AS ok,
+           |       l_partkey AS pk FROM lineitem),
+           |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
+           |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+           |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
+           |       FROM e0),
+           |${(1 to 3).map(round).mkString(",\n")},
+           |chg AS (SELECT COUNT(*) AS n FROM l3 a JOIN l2 b
+           |        USING (node) WHERE a.label <> b.label)
+           |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+           |       (SELECT n FROM chg) = 0 AS converged
+           |FROM l3 GROUP BY label ORDER BY label""".stripMargin
+      })
   )
+
+  /** One LPA round, PRE-checkpoint (exposed for the physical plan test):
+    * the label vector BROADCASTs against the edge scan; the only
+    * Exchanges are the two map-side-combined keyed aggs. The argmax is
+    * a WINDOW-FREE max over struct(cnt, -label) — lexicographic struct
+    * ordering encodes "highest count, ties to smallest label" as a
+    * total order, so no per-partition sort ever runs (the same
+    * sort-avoidance as the IVF assignment's array_min fold). */
+  private[graft] def lpaRound(edges: org.apache.spark.sql.DataFrame,
+                              labels: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    edges.join(broadcast(labels), edges("src") === labels("node"))
+      .groupBy(col("dst"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("dst"))
+      .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+      .select(col("dst").as("node"), (-col("m.nl")).as("label"))
 }

@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.io.Tables
+import graft.ext.TextOps
+
+/** Model training ON the engine: distributed-aggregation learners whose
+  * every corpus-sized step is a keyed/global agg with map-side combine —
+  * the shape Spark MLlib itself uses (gradient = treeAggregate, model
+  * vector = driver-held broadcast). Completes the on-engine trainer set
+  * next to Text's BPE merge trainer and Similarity's Lloyd k-means.
+  *
+  * Cross-engine determinism follows the repo-wide discipline (see
+  * QuerySpec): every accumulation over rows is a floor()ed 2^40-scaled
+  * integer sum in DECIMAL(38,0) — order-free, exact — and every scalar
+  * derived from those sums (weights, norms, scores) is a chain of IEEE
+  * double ops written in the same operation order on both engines. The
+  * logistic sigmoid is replaced by the softsign-based surrogate
+  * 0.5·(1 + z/(1+|z|)) because exp() carries no cross-engine
+  * bit-exactness guarantee (same rationale as text_lm_plausibility's
+  * mean-probability and text_bm25_topk's rational idf).
+  *
+  * Reference anchor: the reference's analysis surface stops at profiling
+  * (data_analysis.py:5-94); these queries extend it with the supervised
+  * steps a training-data pipeline runs on the same tables (quality
+  * classifier, language router) — SURVEY.md X-family extensions.
+  */
+object LearnQ {
+
+  private val Scale = 1099511627776L // 2^40: exact scale/unscale
+  private val duckToks = "string_split(trim(text), ' ')"
+
+  /** Exact order-free sum: floor(v·2^40) accumulated in DECIMAL(38,0). */
+  private def dsum(v: Column): Column =
+    sum(floor(v * lit(Scale.toDouble)).cast("decimal(38,0)"))
+
+  private val LogregRounds = 5
+  private val LogregLr = 1.0
+
+  /** One DuckDB GD round: g$i (gradient sums) + w$i (weight update) from
+    * w${i-1}. Kept in lockstep with the Spark loop — same softsign
+    * surrogate, same floor/decimal/unscale sequence, same left-assoc z.
+    * Every CTE MATERIALIZED: the w-chain is referenced twice per round
+    * (g$i and w$i), so default inlining would re-expand the whole chain
+    * ~2^rounds times (the graph_kcore pathology). */
+  private def duckLogregRound(i: Int): String = {
+    val f = "0.5 * (1.0 + z / (1.0 + abs(z)))"
+    s"""g$i AS MATERIALIZED (SELECT
+       |    SUM(CAST(floor(($f - y) * x1 * 1099511627776.0) AS DECIMAL(38,0))) AS s1,
+       |    SUM(CAST(floor(($f - y) * x2 * 1099511627776.0) AS DECIMAL(38,0))) AS s2,
+       |    SUM(CAST(floor(($f - y) * x3 * 1099511627776.0) AS DECIMAL(38,0))) AS s3,
+       |    SUM(CAST(floor(($f - y) * 1.0 * 1099511627776.0) AS DECIMAL(38,0))) AS sb
+       |  FROM (SELECT y, x1, x2, x3,
+       |          w1 * x1 + w2 * x2 + w3 * x3 + b AS z
+       |        FROM ft, w${i - 1}) t),
+       |w$i AS MATERIALIZED (SELECT
+       |    w1 - 1.0 * ((CAST(s1 AS DOUBLE) / 1099511627776.0) / nd) AS w1,
+       |    w2 - 1.0 * ((CAST(s2 AS DOUBLE) / 1099511627776.0) / nd) AS w2,
+       |    w3 - 1.0 * ((CAST(s3 AS DOUBLE) / 1099511627776.0) / nd) AS w3,
+       |    b  - 1.0 * ((CAST(sb AS DOUBLE) / 1099511627776.0) / nd) AS b
+       |  FROM w${i - 1}, g$i, n)""".stripMargin
+  }
+
+  val registry: Map[String, QuerySpec] = Map(
+
+    // Logistic-regression language router trained BY GRADIENT DESCENT on
+    // the engine: 5 fixed full-batch rounds over three per-document text
+    // features (token count, type-token ratio, mean token length),
+    // binary target lang = 'en'. Each round is ONE whole-corpus scan +
+    // global tree-aggregate producing 4 gradient sums; the 4-double
+    // weight vector lives on the driver and re-enters the next round's
+    // plan as literals — exactly MLlib's distributed-GD shape (the
+    // gradient is the ONLY thing crossing the cluster boundary, O(dim)
+    // per round, never O(rows)). The feature table is computed once and
+    // localCheckpointed so the 5 rounds re-scan a narrow materialized
+    // projection, not the raw corpus. Output: trained weights + the
+    // confusion census at the z >= 0 decision threshold (equivalent to
+    // sigmoid >= 0.5 — thresholding the LINEAR score needs no sigmoid
+    // at predict time). On this synthetic corpus the features carry
+    // little class signal — the census honestly reports near-base-rate
+    // accuracy; the contract under test is the trainer dataflow.
+    "learn_logreg_gd" -> QuerySpec(
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val nt = size(toks).cast("double")
+        val ft = Tables.documents(s, d)
+          .select(
+            when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
+            (size(toks).cast("double") / lit(100.0)).as("x1"),
+            (size(array_distinct(toks)).cast("double") / nt).as("x2"),
+            (aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+              .cast("double") / nt / lit(10.0)).as("x3"))
+          .localCheckpoint(true)
+        val n = ft.count().toDouble
+        require(n > 0, "learn_logreg_gd: empty corpus")
+        var w = Array(0.0, 0.0, 0.0, 0.0) // w1, w2, w3, bias
+        def zOf(w: Array[Double]): Column =
+          lit(w(0)) * col("x1") + lit(w(1)) * col("x2") +
+            lit(w(2)) * col("x3") + lit(w(3))
+        for (_ <- 1 to LogregRounds) {
+          val z = zOf(w)
+          val f = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+          val r = f - col("y")
+          val row = ft.agg(dsum(r * col("x1")), dsum(r * col("x2")),
+            dsum(r * col("x3")), dsum(r * lit(1.0))).head()
+          val g = (0 to 3).map(i =>
+            (row.getDecimal(i).doubleValue() / Scale.toDouble) / n)
+          w = Array.tabulate(4)(i => w(i) - LogregLr * g(i))
+        }
+        val pred = (zOf(w) >= lit(0.0)).cast("int")
+        val yi = col("y").cast("int")
+        def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+        ft.agg(
+            count(lit(1)).as("n_docs"),
+            cnt(pred === 1 && yi === 1).as("tp"),
+            cnt(pred === 1 && yi === 0).as("fp"),
+            cnt(pred === 0 && yi === 1).as("fn"),
+            cnt(pred === 0 && yi === 0).as("tn"))
+          .select(
+            lit(w(0)).as("w_tokens"), lit(w(1)).as("w_ttr"),
+            lit(w(2)).as("w_toklen"), lit(w(3)).as("bias"),
+            col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
+            ((col("tp") + col("tn")).cast("double") / lit(n)).as("accuracy"))
+      },
+      s"""WITH ft AS MATERIALIZED (
+         |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |         CAST(len(toks) AS DOUBLE) / 100.0 AS x1,
+         |         CAST(len(list_distinct(toks)) AS DOUBLE)
+         |           / CAST(len(toks) AS DOUBLE) AS x2,
+         |         CAST(list_sum(list_transform(toks, t -> length(t)))
+         |             AS DOUBLE)
+         |           / CAST(len(toks) AS DOUBLE) / 10.0 AS x3
+         |  FROM (SELECT $duckToks AS toks, lang FROM documents)),
+         |n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM ft),
+         |w0 AS MATERIALIZED (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+         |       0.0 AS b),
+         |${(1 to LogregRounds).map(duckLogregRound).mkString(",\n")},
+         |conf AS (SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(CASE WHEN z >= 0.0 AND y = 1.0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN z >= 0.0 AND y = 0.0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN z < 0.0 AND y = 1.0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN z < 0.0 AND y = 0.0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tn
+         |  FROM (SELECT y, w1 * x1 + w2 * x2 + w3 * x3 + b AS z
+         |        FROM ft, w$LogregRounds) t)
+         |SELECT w1 AS w_tokens, w2 AS w_ttr, w3 AS w_toklen, b AS bias,
+         |       n_docs, tp, fp, fn, tn,
+         |       CAST(tp + tn AS DOUBLE) / nd AS accuracy
+         |FROM w$LogregRounds, conf, n""".stripMargin),
+
+    // Nearest-centroid (Rocchio) language classifier: TRAIN per-class
+    // token-frequency centroids on the 80% split (doc_id % 5 <> 0),
+    // classify the 20% holdout by maximum cosine against the centroids,
+    // emit the per-document verdict census. Scale shape: the class
+    // profile is ONE keyed agg down to (K·vocab) rows; holdout term
+    // frequencies are a keyed agg; scoring is ONE shuffle join keyed by
+    // token (the canonical score-every-doc-against-the-model pass) into
+    // a per-(doc, class) keyed agg; the argmax window partitions by
+    // doc_id over <= K rows — never global. Centroid norms divide out of
+    // nothing doc-side (per-doc norm is argmax-invariant), so only the
+    // class-side norm is computed: sqrt of an exact scaled sum. Holdout
+    // docs with zero vocabulary overlap keep a row via the LEFT JOIN +
+    // 'none' sentinel — the census can't silently shrink (the
+    // text_gopher_repetition lesson).
+    "learn_rocchio_langid" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        val cls = tok.filter(col("doc_id") % 5 =!= 0)
+          .groupBy(col("lang").as("c"), col("tok"))
+          .agg(count(lit(1)).as("ntc"))
+        val tot = cls.groupBy("c").agg(sum("ntc").as("nc"))
+        val prof = cls.join(broadcast(tot), "c")
+          .select(col("c"), col("tok"),
+            (col("ntc").cast("double") / col("nc").cast("double")).as("w"))
+          .localCheckpoint(true)
+        val norm = prof.groupBy("c")
+          .agg((dsum(col("w") * col("w")).cast("double") /
+            lit(Scale.toDouble)).as("nsq"))
+          .select(col("c"), sqrt(col("nsq")).as("normc"))
+        val tf = tok.filter(col("doc_id") % 5 === 0)
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dot = tf.join(prof, "tok")
+          .groupBy(col("doc_id"), col("c"))
+          .agg((dsum(col("tf").cast("double") * col("w")).cast("double") /
+            lit(Scale.toDouble)).as("dot"))
+        val wn = Window.partitionBy("doc_id")
+          .orderBy(desc("score"), asc("c"))
+        val pred = dot.join(broadcast(norm), "c")
+          .select(col("doc_id"), col("c"), (col("dot") / col("normc")).as("score"))
+          .withColumn("rn", row_number().over(wn))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("c").as("pl"))
+        docs.filter(col("doc_id") % 5 === 0).select("doc_id", "lang")
+          .join(pred, Seq("doc_id"), "left")
+          .withColumn("p", coalesce(col("pl"), lit("none")))
+          .select(col("doc_id"), col("lang"), col("p").as("pred_lang"),
+            (col("p") === col("lang")).as("correct"))
+          .orderBy("doc_id")
+      },
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, lang, unnest($duckToks) AS tok FROM documents),
+         |cls AS (SELECT lang AS c, tok, COUNT(*) AS ntc FROM tok
+         |        WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+         |tot AS (SELECT c, CAST(SUM(ntc) AS BIGINT) AS nc FROM cls
+         |        GROUP BY c),
+         |prof AS MATERIALIZED (SELECT c, tok,
+         |         CAST(ntc AS DOUBLE) / CAST(nc AS DOUBLE) AS w
+         |       FROM cls JOIN tot USING (c)),
+         |nrm AS (SELECT c, sqrt(CAST(SUM(CAST(floor(w * w *
+         |           1099511627776.0) AS DECIMAL(38,0))) AS DOUBLE)
+         |           / 1099511627776.0) AS normc
+         |        FROM prof GROUP BY c),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+         |       WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         |dt AS (SELECT doc_id, c,
+         |         CAST(SUM(CAST(floor(CAST(tf AS DOUBLE) * w *
+         |           1099511627776.0) AS DECIMAL(38,0))) AS DOUBLE)
+         |           / 1099511627776.0 AS dot
+         |       FROM tf JOIN prof USING (tok) GROUP BY 1, 2),
+         |pr AS (SELECT doc_id, c AS pl FROM (
+         |         SELECT doc_id, c, dot / normc AS score
+         |         FROM dt JOIN nrm USING (c)) t
+         |       QUALIFY row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY score DESC, c) = 1),
+         |td AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0)
+         |SELECT td.doc_id, td.lang,
+         |       COALESCE(pr.pl, 'none') AS pred_lang,
+         |       COALESCE(pr.pl, 'none') = td.lang AS correct
+         |FROM td LEFT JOIN pr USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -18,7 +18,8 @@ object Registry {
       Scale.registry,
       Warehouse.registry,
       Integration.registry,
-      GraphQ.registry
+      GraphQ.registry,
+      LearnQ.registry
     )
     val merged = parts.flatten
     require(merged.size == parts.map(_.size).sum,

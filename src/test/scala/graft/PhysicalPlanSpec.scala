@@ -260,6 +260,26 @@ class PhysicalPlanSpec extends SparkSpec {
       s"k-hop joins must broadcast, not hash-shuffle:\n$p")
   }
 
+  test("LPA round broadcasts labels, window-free argmax, edges unshuffled") {
+    // graph_label_propagation's round: the label vector broadcasts
+    // against the edge scan, the per-node argmax is a max-over-struct
+    // keyed agg (total order: count desc, label asc) — NO WindowExec,
+    // no sort, and the edge scan feeds the join without an Exchange.
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "label")
+    val p = plan(graft.queries.GraphQ.lpaRound(edges, labels))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), s"LPA argmax must not use a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"label join must broadcast:\n$p")
+    // The only hash Exchanges allowed are the two keyed aggs' shuffles
+    // on dst — the edge scan must never shuffle through the label join.
+    assert(!p.contains("hashpartitioning(src"),
+      s"edge scan must reach the join unshuffled:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("AQE splits skewed join partitions (OptimizeSkewedJoin fires)") {
     // The 100 TB skew story leans on AQE's runtime skew-join split for
     // the shapes salting doesn't cover (PERF.md); this pins that the
