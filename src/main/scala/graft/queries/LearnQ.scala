@@ -63,7 +63,135 @@ object LearnQ {
        |  FROM w${i - 1}, g$i, n)""".stripMargin
   }
 
+  private val PcaD = 64
+  private val PcaRounds = 5
+
+  /** One DuckDB power-iteration round: y$t = C·v$(t-1) (scaled matvec),
+    * nm$t = ||y$t||, v$t = y$t / nm$t. Every inner sum (matvec row, norm)
+    * is a floor()ed 2^40-scaled DECIMAL sum so the 64-term accumulations
+    * are order-free on both engines; the driver-side Scala loop sums the
+    * identical Longs. */
+  private def duckPcaRound(t: Int): String =
+    s"""y$t AS MATERIALIZED (SELECT c.i,
+       |    CAST(SUM(CAST(floor(c.c * v.v * 1099511627776.0)
+       |      AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0 AS y
+       |  FROM cov c JOIN v${t - 1} v ON c.j = v.i GROUP BY c.i),
+       |nm$t AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(floor(y * y *
+       |    1099511627776.0) AS DECIMAL(38,0))) AS DOUBLE)
+       |    / 1099511627776.0) AS nrm FROM y$t),
+       |v$t AS MATERIALIZED (SELECT i, y / (SELECT nrm FROM nm$t) AS v
+       |  FROM y$t)""".stripMargin
+
   val registry: Map[String, QuerySpec] = Map(
+
+    // PCA top component TRAINED ON THE ENGINE: the Gramian/covariance
+    // pass is ONE corpus scan exploding each 64-d embedding into its
+    // d² centered-product terms, map-side-combined down to exactly d²
+    // keyed sums — the same dataflow MLlib's RowMatrix PCA runs
+    // (computeGramianMatrix → driver-side eigensolve). The d×d matrix
+    // (4096 doubles, corpus-size-independent) is the ONLY thing
+    // collected; 5 power-iteration rounds then run driver-side on exact
+    // 2^40-scaled Long sums, bit-replayed by the oracle as chained
+    // matvec CTEs. C = E[xᵢxⱼ] − μᵢμⱼ keeps the big pass single-visit
+    // (no centering subtraction inside the scan). Deterministic init
+    // v₀ = 1/√64 = 0.125 (exact in binary); the fixed positive init
+    // also pins the eigenvector sign. Output: per-dim loadings of the
+    // top component + its eigenvalue and explained-variance share
+    // (λ / trace C). At 100 TB the scan cost dominates and the d²
+    // shuffle stays 4096 rows — the driver matvec is O(d²), constant.
+    "learn_pca_power_iteration" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select(col("embedding"))
+          .localCheckpoint(true)
+        val nd = emb.count().toDouble
+        require(nd > 0, "learn_pca_power_iteration: empty embeddings")
+        def unscale(c: Column): Column =
+          c.cast("double") / lit(Scale.toDouble)
+        val firsts = emb
+          .select(posexplode(col("embedding")).as(Seq("i0", "vf")))
+          .select((col("i0") + 1).as("i"), col("vf").cast("double").as("v"))
+        val mu = firsts.groupBy("i")
+          .agg((unscale(dsum(col("v"))) / lit(nd)).as("mu"))
+        val seq0 = sequence(lit(0), lit(PcaD - 1))
+        def el(i: Column) = element_at(col("embedding"), i + 1).cast("double")
+        val prods = emb.select(explode(flatten(transform(seq0, i =>
+            transform(seq0, j => struct((i + 1).as("i"), (j + 1).as("j"),
+              (el(i) * el(j)).as("p")))))).as("e"))
+          .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+        val s2 = prods.groupBy("i", "j").agg(dsum(col("p")).as("sp"))
+        val mi = mu.select(col("i"), col("mu").as("mu_i"))
+        val mj = mu.select(col("i").as("j"), col("mu").as("mu_j"))
+        val cov = s2.join(broadcast(mi), "i").join(broadcast(mj), "j")
+          .select(col("i"), col("j"),
+            (unscale(col("sp")) / lit(nd) - col("mu_i") * col("mu_j"))
+              .as("c"))
+          .localCheckpoint(true)
+        val tr = cov.filter(col("i") === col("j"))
+          .agg(unscale(dsum(col("c")))).head().getDouble(0)
+        val Cm = Array.ofDim[Double](PcaD + 1, PcaD + 1)
+        cov.collect().foreach(r =>
+          Cm(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        def matvec(v: Array[Double]): Array[Double] =
+          Array.tabulate(PcaD)(i0 =>
+            (1 to PcaD).map(j =>
+              math.floor(Cm(i0 + 1)(j) * v(j - 1) * Scale.toDouble).toLong)
+              .sum.toDouble / Scale.toDouble)
+        var v = Array.fill(PcaD)(0.125)
+        for (_ <- 1 to PcaRounds) {
+          val y = matvec(v)
+          val n2 = (0 until PcaD).map(i =>
+            math.floor(y(i) * y(i) * Scale.toDouble).toLong)
+            .sum.toDouble / Scale.toDouble
+          val nrm = math.sqrt(n2)
+          v = y.map(_ / nrm)
+        }
+        val y6 = matvec(v)
+        val lam = (0 until PcaD).map(i =>
+          math.floor(v(i) * y6(i) * Scale.toDouble).toLong)
+          .sum.toDouble / Scale.toDouble
+        val share = lam / tr
+        v.zipWithIndex
+          .map { case (l, i0) => ((i0 + 1).toLong, l, lam, share) }
+          .toSeq.toDF("dim", "loading", "eigenvalue", "var_share")
+          .orderBy("dim")
+      },
+      s"""WITH emb AS MATERIALIZED (SELECT embedding FROM embeddings),
+         |n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd
+         |  FROM emb),
+         |idx AS MATERIALIZED (SELECT unnest(range(1, ${PcaD + 1})) AS i),
+         |mu AS MATERIALIZED (SELECT i,
+         |    (CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) *
+         |      1099511627776.0) AS DECIMAL(38,0))) AS DOUBLE)
+         |      / 1099511627776.0) / (SELECT nd FROM n) AS mu
+         |  FROM emb, idx GROUP BY i),
+         |s2 AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+         |    SUM(CAST(floor(CAST(embedding[a.i] AS DOUBLE) *
+         |      CAST(embedding[b.i] AS DOUBLE) * 1099511627776.0)
+         |      AS DECIMAL(38,0))) AS sp
+         |  FROM emb, idx a, idx b GROUP BY 1, 2),
+         |cov AS MATERIALIZED (SELECT s2.i, s2.j,
+         |    (CAST(sp AS DOUBLE) / 1099511627776.0) / (SELECT nd FROM n)
+         |      - mi.mu * mj.mu AS c
+         |  FROM s2 JOIN mu mi ON s2.i = mi.i JOIN mu mj ON s2.j = mj.i),
+         |tr AS MATERIALIZED (SELECT CAST(SUM(CAST(floor(c *
+         |    1099511627776.0) AS DECIMAL(38,0))) AS DOUBLE)
+         |    / 1099511627776.0 AS tr FROM cov WHERE i = j),
+         |v0 AS MATERIALIZED (SELECT i, CAST(0.125 AS DOUBLE) AS v
+         |  FROM idx),
+         |${(1 to PcaRounds).map(duckPcaRound).mkString(",\n")},
+         |y6 AS MATERIALIZED (SELECT c.i,
+         |    CAST(SUM(CAST(floor(c.c * v.v * 1099511627776.0)
+         |      AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0 AS y
+         |  FROM cov c JOIN v$PcaRounds v ON c.j = v.i GROUP BY c.i),
+         |lam AS MATERIALIZED (SELECT CAST(SUM(CAST(floor(v.v * y6.y *
+         |    1099511627776.0) AS DECIMAL(38,0))) AS DOUBLE)
+         |    / 1099511627776.0 AS lam
+         |  FROM v$PcaRounds v JOIN y6 ON v.i = y6.i)
+         |SELECT CAST(v.i AS BIGINT) AS dim, v.v AS loading,
+         |       (SELECT lam FROM lam) AS eigenvalue,
+         |       (SELECT lam FROM lam) / (SELECT tr FROM tr) AS var_share
+         |FROM v$PcaRounds v ORDER BY dim""".stripMargin),
 
     // Logistic-regression language router trained BY GRADIENT DESCENT on
     // the engine: 5 fixed full-batch rounds over three per-document text

@@ -42,6 +42,27 @@ class LearnQSpec extends SparkSpec {
     }
   }
 
+  test("pca top component is unit-norm and dominates every single dim") {
+    val rows = graft.queries.LearnQ.registry("learn_pca_power_iteration")
+      .fn(spark, sf).collect()
+    assert(rows.length == 64)
+    val loadings = rows.map(_.getDouble(1))
+    val norm = math.sqrt(loadings.map(l => l * l).sum)
+    assert(math.abs(norm - 1.0) < 1e-6, s"||v|| = $norm")
+    val lam = rows.head.getDouble(2)
+    val share = rows.head.getDouble(3)
+    assert(share > 0.0 && share <= 1.0, s"var_share = $share")
+    // Rayleigh bound: the top eigenvalue is >= every diagonal variance
+    // C_ii = var(dim i); check against the engine-computed variances.
+    import org.apache.spark.sql.functions._
+    val dimVar = graft.io.Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("i"), col("v").cast("double").as("v"))
+      .groupBy("i").agg(var_pop(col("v")).as("vv"))
+      .agg(max("vv")).head().getDouble(0)
+    assert(lam >= dimVar - 1e-9, s"lambda $lam < max dim variance $dimVar")
+  }
+
   test("rocchio covers every holdout doc and flags correctness honestly") {
     val docs = graft.io.Tables.documents(spark, sf)
     val nHold = docs.filter("doc_id % 5 = 0").count()
