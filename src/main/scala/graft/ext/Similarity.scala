@@ -91,6 +91,28 @@ object Similarity {
         size(v).cast("string"))))
   }
 
+  /** Johnson-Lindenstrauss random projection to `outDim` dims: the
+    * Achlioptas ±1 database-friendly variant (each output coordinate is
+    * a ±1-signed sum over the input scaled by 1/√outDim), with the
+    * signs drawn from the SAME md5-literal mechanism as the LSH planes
+    * (table 9 — salted independently of every bucketing table) so the
+    * matrix embeds as constants in both engines. outDim must make
+    * 1/√outDim exact in binary (16 → 0.25) to keep the scaling a single
+    * exact IEEE multiply. The projection keeps pairwise distances to
+    * within (1±ε) w.h.p. — the cheap-filter half of a two-stage exact
+    * re-rank, and the classic preconditioner before IVF/PQ codebooks. */
+  def jlProject(v: Column, outDim: Int, dim: Int = 64): Column = {
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    require(inv * inv * outDim == 1.0,
+      s"jlProject: 1/sqrt($outDim) must be exact in binary")
+    val ws = planeWeights(outDim, dim, table = 9)
+    array((0 until outDim).map { p =>
+      val wlit = array(ws(p).map(lit(_)): _*)
+      aggregate(zip_with(v, wlit, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc: Column, x: Column) => acc + x) * lit(inv)
+    }: _*)
+  }
+
   /** ANN top-k: exact ranking restricted to the query vector's bucket. */
   def lshBucketTopK(embeddings: DataFrame, queryVecId: Long, k: Int,
                     planes: Int): DataFrame = {

@@ -335,4 +335,22 @@ class ExtSpec extends SparkSpec {
       .groupBy("bg").count().agg(max("count")).as[Long].head()
     assert(rel == 3L)
   }
+
+  test("JL distortion concentrates around ratio 1 and rejects inexact dims") {
+    // The JL lemma's contract: the L2² ratio after projection clusters
+    // near 1.0 — the histogram's heaviest bucket must sit around ratio
+    // 1 (buckets are floor(r*10), so ~7..12), with mass on both sides.
+    val rows = graft.queries.SimilarityQ.registry("similarity_jl_distortion")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val byCount = rows.map(r => r.getLong(0) -> r.getLong(1))
+    val modal = byCount.maxBy(_._2)._1
+    assert(modal >= 7L && modal <= 12L, s"modal distortion bucket $modal")
+    assert(byCount.exists(_._1 < 10L) && byCount.exists(_._1 >= 10L),
+      "distortion mass should straddle ratio 1")
+    // 1/sqrt(outDim) must be exact in binary or the scale multiply drifts.
+    intercept[IllegalArgumentException] {
+      graft.ext.Similarity.jlProject(col("embedding"), 15)
+    }
+  }
 }
