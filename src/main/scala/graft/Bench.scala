@@ -57,6 +57,9 @@ object Bench {
     val sharedWav = timed("multimodal_wav_shared_encode") {
       graft.queries.MultimodalQ.buildSharedWavStage(spark, sfDir)
     }
+    val sharedLogreg = timed("learn_logreg_shared_train") {
+      graft.queries.LearnQ.buildSharedLogregStage(spark, sfDir)
+    }
 
     // noop sink forces FULL evaluation of every column (a bare .count()
     // would let Catalyst prune projection work and under-measure
@@ -97,7 +100,7 @@ object Bench {
     val names = sweeps.head.map(_._1)
     val maps = sweeps.map(_.toMap)
     val results = Seq(sharedStage, sharedTrain, sharedEdges, sharedBpe,
-      sharedPng, sharedWav) ++
+      sharedPng, sharedWav, sharedLogreg) ++
       names.map(n => n -> median(maps.map(_(n))))
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

@@ -761,6 +761,44 @@ object Text {
         |         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS achieved_rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
 
+    // Deterministic training-shard assignment: route every document to
+    // one of 16 loader shards by a stable content-independent hash of
+    // its id (TextOps.hash64 — the md5-literal idiom feature_hash_trick
+    // established on both engines), and emit the per-shard doc/token
+    // census with token share — the balance audit a distributed data
+    // loader runs before an epoch (skewed shards = stragglers). Scale
+    // shape: one map-side-combined keyed agg to 16 rows + a 1-row
+    // broadcast for the share; re-sharding to any N is the same plan.
+    // Hash-based assignment keeps placement stable under corpus
+    // appends — only new docs move, unlike range/round-robin splits.
+    "corpus_shard_assignment" -> QuerySpec(
+      (s, d) => {
+        val per = Tables.documents(s, d)
+          .select(
+            pmod(TextOps.hash64(col("doc_id").cast("string")), lit(16L))
+              .as("shard"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        val tot = per.agg(sum("n_tokens").as("tt"))
+        per.crossJoin(broadcast(tot))
+          .select(col("shard"), col("n_docs"), col("n_tokens"),
+            (col("n_tokens").cast("double") / col("tt").cast("double"))
+              .as("token_share"))
+          .orderBy("shard")
+      },
+      s"""WITH per AS (
+         |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |           ::UBIGINT AS BIGINT) % 16 AS shard,
+         |         COUNT(*) AS n_docs,
+         |         CAST(SUM(len($duckToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM per)
+         |SELECT shard, n_docs, n_tokens,
+         |       CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE)
+         |         AS token_share
+         |FROM per, t ORDER BY shard""".stripMargin),
+
     // Temperature-scaled source mixture weighting — the mT5/DoReMi-family
     // step that DERIVES the sampling weights from corpus statistics
     // (dataset_mixture_weights above applies DECLARED rates; this

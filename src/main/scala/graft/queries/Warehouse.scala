@@ -600,6 +600,62 @@ object Warehouse {
         |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
         |GROUP BY 1 ORDER BY status""".stripMargin),
 
+    // Distribution-drift detector: total-variation distance between the
+    // l_quantity histograms of two ingestion snapshots (even vs odd
+    // order keys standing in for week-N vs week-N+1) — the drift gate a
+    // feature store runs before refreshing a training set. TV distance
+    // ½·Σ|p_a − p_b| is used INSTEAD of the textbook PSI/KL because
+    // those need ln(), which carries no cross-engine bit-exactness
+    // guarantee (the text_lm_plausibility rationale); TV is rational,
+    // bounded [0,1], and the alarm-threshold convention (0.1/0.25)
+    // translates directly. Scale shape: ONE map-side-combined keyed agg
+    // over the scan to ≤ 50 bucket rows (both split counts in the same
+    // pass — the data is visited once), then arithmetic on the tiny
+    // bucket table; the Σ over buckets is a 2^40-scaled decimal sum.
+    "profile_distribution_drift" -> QuerySpec(
+      (s, d) => {
+        def unscale(c: org.apache.spark.sql.Column) =
+          c.cast("double") / lit(1099511627776.0)
+        def dsum40(c: org.apache.spark.sql.Column) =
+          sum(floor(c * lit(1099511627776.0)).cast("decimal(38,0)"))
+        val counts = Tables.lineitem(s, d)
+          .select((col("l_orderkey") % 2 === 0).as("g"),
+            floor(col("l_quantity")).cast("long").as("q"))
+          .groupBy("q")
+          .agg(sum(when(col("g"), 1L).otherwise(0L)).as("na"),
+            sum(when(!col("g"), 1L).otherwise(0L)).as("nb"))
+        val tot = counts.agg(sum("na").as("ta"), sum("nb").as("tb"))
+        counts.crossJoin(broadcast(tot))
+          .select(abs(col("na").cast("double") / col("ta").cast("double") -
+            col("nb").cast("double") / col("tb").cast("double")).as("gap"))
+          .agg(count(lit(1)).as("n_buckets"),
+            (unscale(dsum40(col("gap"))) * lit(0.5)).as("tv_distance"),
+            max(col("gap")).as("max_bucket_gap"))
+          .select(col("n_buckets"), col("tv_distance"),
+            col("max_bucket_gap"),
+            (col("tv_distance") >= 0.1).as("drift_alarm"))
+      },
+      """WITH b AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+        |         CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS na,
+        |         CAST(SUM(CASE WHEN l_orderkey % 2 <> 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS nb
+        |       FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+        |             CAST(SUM(nb) AS BIGINT) AS tb FROM b),
+        |g AS (SELECT abs(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) -
+        |             CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)) AS gap
+        |      FROM b, t),
+        |s AS (SELECT COUNT(*) AS n_buckets,
+        |        CAST(SUM(CAST(floor(gap * 1099511627776.0)
+        |          AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0 * 0.5
+        |          AS tv_distance,
+        |        MAX(gap) AS max_bucket_gap
+        |      FROM g)
+        |SELECT n_buckets, tv_distance, max_bucket_gap,
+        |       tv_distance >= 0.1 AS drift_alarm
+        |FROM s""".stripMargin),
+
     // Higher-moment + regression profile: per-returnflag skewness and
     // kurtosis of quantity, and the OLS fit (slope/intercept/corr) of
     // extendedprice on quantity — the distribution-shape and
