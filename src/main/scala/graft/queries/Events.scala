@@ -74,6 +74,41 @@ object Events {
     require(n >= 3, s"$name drained in $n data batches, want >= 3")
   }
 
+  /** Ordered funnel view -> click -> purchase, each step the FIRST
+    * qualifying event strictly after the previous step's timestamp and
+    * within `wUs` µs of it. `ev` carries (user_id, event_type, tus: µs
+    * long). Exposed for the semantics spec (step ordering, window
+    * inclusivity, empty-step null rates). */
+  private[graft] def funnelConversion(ev: org.apache.spark.sql.DataFrame,
+                                      wUs: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tus").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("tus") > col("t1") && col("tus") <= col("t1") + lit(wUs))
+      .groupBy("user_id").agg(min("tus").as("t2"), min("t1").as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("tus") > col("t2") && col("tus") <= col("t2") + lit(wUs))
+      .groupBy("user_id").agg(min("tus").as("t3"), min("t1").as("t1"))
+    val a1 = s1.agg(count(lit(1)).as("n_view"))
+    val a2 = s2.agg(count(lit(1)).as("n_click"))
+    val a3 = s3.agg(count(lit(1)).as("n_purchase"),
+      sum(col("t3") - col("t1")).as("sum_us"))
+    a1.crossJoin(a2).crossJoin(a3)
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        (col("n_click").cast("double") / col("n_view").cast("double"))
+          .as("view_to_click_rate"),
+        when(col("n_click") > 0,
+          col("n_purchase").cast("double") /
+            col("n_click").cast("double")).as("click_to_purchase_rate"),
+        when(col("n_purchase") > 0,
+          col("sum_us").cast("double") / lit(1000000.0) /
+            col("n_purchase").cast("double"))
+          .as("avg_sec_view_to_purchase"))
+  }
+
   val registry: Map[String, QuerySpec] = Map(
 
     // Tumbling 1-hour windows via the real window() operator (struct
@@ -321,6 +356,58 @@ object Events {
         |       COUNT(*) AS n_users
         |FROM act JOIN coh USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, "offset"""".stripMargin),
+
+    // Ordered funnel conversion (view -> click -> purchase, each step
+    // within 24h of the previous step's completion): the canonical
+    // product-analytics sequence query. Each step is "first qualifying
+    // event strictly after the previous step's timestamp, inside the
+    // window" — computed as a chain of keyed min-aggregates joined on
+    // user_id (the step dependency makes this inherently multi-pass; a
+    // single windowed scan cannot express "first click AFTER the first
+    // view"). Scale shape: every join and agg keys on user_id, so all
+    // three passes shuffle on the SAME key — co-partitioned after the
+    // first Exchange (bucketing the events table by user_id makes every
+    // step Exchange-free), and each step's per-user table only shrinks.
+    // Time-to-convert is summed in exact integer microseconds; the
+    // averages/rates are single double divisions written in the same
+    // order on both engines. All window math is integer µs arithmetic
+    // on the raw ns timestamp (ts div 1000 — exact, ns remainders are
+    // zero in this data; see the pack comment) — no calendar semantics
+    // to diverge on.
+    "events_funnel_conversion" -> QuerySpec(
+      (s, d) => funnelConversion(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("tus")),
+        86400000000L),
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+        |            FROM events),
+        |s1 AS (SELECT user_id, MIN(tus) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.tus) AS t2, MIN(s1.t1) AS t1
+        |       FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.tus > s1.t1
+        |         AND e.tus <= s1.t1 + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.tus) AS t3, MIN(s2.t1) AS t1
+        |       FROM ev e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.tus > s2.t2
+        |         AND e.tus <= s2.t2 + 86400000000 GROUP BY 1),
+        |a1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_view FROM s1),
+        |a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_click FROM s2),
+        |a3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchase,
+        |              CAST(SUM(t3 - t1) AS BIGINT) AS sum_us
+        |       FROM s3)
+        |SELECT n_view, n_click, n_purchase,
+        |       CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE)
+        |         AS view_to_click_rate,
+        |       CASE WHEN n_click > 0 THEN
+        |         CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE)
+        |         END AS click_to_purchase_rate,
+        |       CASE WHEN n_purchase > 0 THEN
+        |         CAST(sum_us AS DOUBLE) / 1000000.0
+        |           / CAST(n_purchase AS DOUBLE)
+        |         END AS avg_sec_view_to_purchase
+        |FROM a1, a2, a3""".stripMargin),
 
     // Interval-overlap join, binned: which pairs of users have overlapping
     // 30-minute sessions, and how many session pairs overlap. The

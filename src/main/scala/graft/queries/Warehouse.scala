@@ -24,6 +24,38 @@ object Warehouse {
   private def duckHash(e: String) =
     s"CAST(('0x' || substr(md5($e), 1, 15))::UBIGINT AS BIGINT)"
 
+  /** Two-sample Kolmogorov-Smirnov over `obs` (g: Boolean split flag,
+    * v: value): D_max between the two ECDFs + the alpha=0.05 verdict.
+    * One keyed agg collapses to the distinct-value table; the ECDFs are
+    * cumulative window sums over that reduced table. Exposed for the
+    * known-distribution spec. */
+  private[graft] def ksTest(obs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val counts = obs
+      .groupBy("v")
+      .agg(sum(when(col("g"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("g"), 1L).otherwise(0L)).as("nb"))
+    val tot = counts.agg(sum("na").as("ta"), sum("nb").as("tb"),
+      count(lit(1)).as("n_values"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .select(sum("na").over(w).as("ca"), sum("nb").over(w).as("cb"))
+      .crossJoin(broadcast(tot))
+      .select(col("ta"), col("tb"), col("n_values"),
+        abs(col("ca").cast("double") / col("ta").cast("double") -
+          col("cb").cast("double") / col("tb").cast("double"))
+          .as("gap"))
+      .groupBy("ta", "tb", "n_values")
+      .agg(max("gap").as("ks_stat"))
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        col("n_values"), col("ks_stat"),
+        (lit(1.36) * sqrt(lit(1.0) / col("ta").cast("double") +
+          lit(1.0) / col("tb").cast("double"))).as("ks_critical_05"))
+      .withColumn("reject_same_dist",
+        col("ks_stat") > col("ks_critical_05"))
+  }
+
   val registry: Map[String, QuerySpec] = Map(
 
     // SCD2 dimension history: each customer's order-status timeline is
@@ -655,6 +687,52 @@ object Warehouse {
         |SELECT n_buckets, tv_distance, max_bucket_gap,
         |       tv_distance >= 0.1 AS drift_alarm
         |FROM s""".stripMargin),
+
+    // Two-sample Kolmogorov-Smirnov test between the same two ingestion
+    // snapshots (even vs odd order keys) on l_extendedprice — the
+    // CUMULATIVE counterpart of profile_distribution_drift's bucketed TV
+    // distance: KS catches location/shape shifts that per-bucket gaps
+    // dilute, and is the standard continuous-feature drift test. Plan:
+    // ONE map-side-combined keyed agg collapses the corpus to the
+    // distinct-value table with both splits' counts (the data is visited
+    // once), then the two ECDFs are cumulative window sums over that
+    // REDUCED table. The ordered window is a single-partition sort over
+    // |distinct values| rows — bounded by the value domain, not the
+    // corpus (a decimal price domain is ~10^7 rows at any corpus size);
+    // for a genuinely unbounded domain you bucket first, which is
+    // exactly the TV query above. D_max is an order-free max of exact
+    // per-row rational divisions; the alpha=0.05 critical value
+    // 1.36·sqrt(1/ta + 1/tb) uses IEEE-correctly-rounded sqrt — exact
+    // cross-engine (the no-ln() rule only bars transcendentals).
+    "profile_ks_test" -> QuerySpec(
+      (s, d) => ksTest(Tables.lineitem(s, d)
+        .select((col("l_orderkey") % 2 === 0).as("g"),
+          col("l_extendedprice").as("v"))),
+      """WITH c AS (SELECT l_extendedprice AS v,
+        |         CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS na,
+        |         CAST(SUM(CASE WHEN l_orderkey % 2 <> 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS nb
+        |       FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+        |             CAST(SUM(nb) AS BIGINT) AS tb,
+        |             CAST(COUNT(*) AS BIGINT) AS n_values FROM c),
+        |cum AS (SELECT SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS ca,
+        |        SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS cb
+        |        FROM c),
+        |ks AS (SELECT MAX(abs(
+        |         CAST(ca AS DOUBLE) / (SELECT CAST(ta AS DOUBLE) FROM t) -
+        |         CAST(cb AS DOUBLE) / (SELECT CAST(tb AS DOUBLE) FROM t)))
+        |         AS ks_stat
+        |       FROM cum)
+        |SELECT ta AS n_a, tb AS n_b, n_values, ks_stat,
+        |       1.36 * sqrt(1.0 / CAST(ta AS DOUBLE)
+        |         + 1.0 / CAST(tb AS DOUBLE)) AS ks_critical_05,
+        |       ks_stat > 1.36 * sqrt(1.0 / CAST(ta AS DOUBLE)
+        |         + 1.0 / CAST(tb AS DOUBLE)) AS reject_same_dist
+        |FROM ks, t""".stripMargin),
 
     // Higher-moment + regression profile: per-returnflag skewness and
     // kurtosis of quantity, and the OLS fit (slope/intercept/corr) of

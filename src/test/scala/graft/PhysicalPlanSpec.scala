@@ -280,6 +280,33 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("triangle fold broadcasts adjacency, never materializes wedges") {
+    // graph_triangle_count's closing stage: per-edge sorted-adjacency
+    // intersection. Both adjacency joins must be BROADCAST hash joins —
+    // a SortMergeJoin/ShuffledHashJoin here means the edge (or worse,
+    // wedge) set is being shuffled, the 12.9s->2.2s regression this
+    // algorithm replaced.
+    import spark.implicits._
+    val o = (for { a <- 0L to 3L; b <- a + 1 to 3L } yield (a, b))
+      .toDF("src", "dst")
+    val p = plan(graft.queries.GraphQ.triangleCount(o))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"adjacency joins must broadcast:\n$p")
+    assert(p.contains("sorted_intersect_size"),
+      s"closing count must be the codegen'd merge, not a join:\n$p")
+    // the only hash Exchanges are the two pre-AQE copies of the
+    // adjacency keyed agg (one per broadcast side; exchange reuse dedups
+    // them at runtime) — the edge scan and the per-edge intersect output
+    // never shuffle, which is the point: wedges don't exist as rows.
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(hashExchanges <= 2,
+      s"unexpected Exchange beyond the adjacency agg ($hashExchanges):\n$p")
+    assert(!p.contains("hashpartitioning(dst"),
+      s"join output must feed the partial sum unshuffled:\n$p")
+  }
+
   test("AQE splits skewed join partitions (OptimizeSkewedJoin fires)") {
     // The 100 TB skew story leans on AQE's runtime skew-join split for
     // the shapes salting doesn't cover (PERF.md); this pins that the
