@@ -216,6 +216,68 @@ object DedupQ {
          |WHERE v.jaccard >= 0.5
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // MinHash estimator honesty audit: for every verified candidate pair,
+    // compare the k=8 signature-match ESTIMATE (matches/8 — what LSH
+    // banding acts on) against the EXACT shingle Jaccard the shared stage
+    // verified, bucketed by match count — the reliability diagram of the
+    // sketch (same audit family as learn_logreg_calibration: is the
+    // estimator honest where it claims mass?). E[matches/k] = J exactly,
+    // so mean_jaccard should track est_jaccard within the k=8 noise
+    // floor. Scale shape: signatures are a per-row scan fold (ONE
+    // codegen'd pass, no shuffle); the pair table is narrow; the two
+    // signature joins key on doc id; the audit aggregates to ≤ 9 bucket
+    // rows with 2^40-scaled decimal sums (order-free exact).
+    "dedup_minhash_estimator_error" -> QuerySpec(
+      (s, d) => {
+        val sh = array_distinct(Dedup.shingles3(TextOps.tokens(col("text"))))
+        val sig = Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.expressions.MinHashSignature.minhash_signature(
+              sort_array(Dedup.minhashBaseHashes(sh)), K).as("sig"))
+        def dsum40(c: org.apache.spark.sql.Column) =
+          sum(floor(c * lit(1099511627776.0)).cast("decimal(38,0)"))
+        def unscale(c: org.apache.spark.sql.Column) =
+          c.cast("double") / lit(1099511627776.0)
+        lshVerifiedPairs(s, d)
+          .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sa")),
+            "id_a")
+          .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sb")),
+            "id_b")
+          .select(col("jaccard"),
+            aggregate(zip_with(col("sa"), col("sb"),
+                (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0L), (acc, v) => acc + v.cast("long")).as("matches"))
+          .groupBy("matches")
+          .agg(count(lit(1)).as("n_pairs"),
+            dsum40(col("jaccard")).as("sj"),
+            dsum40(abs(col("matches").cast("double") / lit(8.0) -
+              col("jaccard"))).as("se"))
+          .select(col("matches"), col("n_pairs"),
+            (col("matches").cast("double") / lit(8.0)).as("est_jaccard"),
+            (unscale(col("sj")) / col("n_pairs").cast("double"))
+              .as("mean_jaccard"),
+            (unscale(col("se")) / col("n_pairs").cast("double"))
+              .as("mean_abs_err"))
+          .orderBy("matches")
+      },
+      s"""WITH $duckVerifiedCtes,
+         |pm AS (SELECT v.jaccard,
+         |         CAST(${(0 until K).map(i =>
+             s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")}
+         |           AS BIGINT) AS matches
+         |       FROM verified v JOIN sig a ON v.id_a = a.doc_id
+         |                       JOIN sig b ON v.id_b = b.doc_id)
+         |SELECT matches, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(matches AS DOUBLE) / 8.0 AS est_jaccard,
+         |       (CAST(SUM(CAST(floor(jaccard * 1099511627776.0)
+         |          AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0)
+         |         / CAST(COUNT(*) AS DOUBLE) AS mean_jaccard,
+         |       (CAST(SUM(CAST(floor(abs(CAST(matches AS DOUBLE) / 8.0
+         |            - jaccard) * 1099511627776.0)
+         |          AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0)
+         |         / CAST(COUNT(*) AS DOUBLE) AS mean_abs_err
+         |FROM pm GROUP BY matches ORDER BY matches""".stripMargin),
+
     // MinHash signatures (k=8) — per-row, no shuffle; the narrow table an
     // LSH pipeline persists at scale.
     "dedup_minhash_signatures" -> QuerySpec(

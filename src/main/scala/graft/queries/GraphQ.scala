@@ -404,7 +404,94 @@ object GraphQ {
         |SELECT n_nodes, n_edges, n_triangles, n_wedges,
         |       3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
         |         AS global_clustering
-        |FROM st, ne, tri""".stripMargin)
+        |FROM st, ne, tri""".stripMargin),
+
+    // Link prediction by neighbor Jaccard for a seed set (the 20
+    // smallest part ids): rank each seed's NON-adjacent 2-hop neighbors
+    // by |N(s) ∩ N(w)| / |N(s) ∪ N(w)| and keep the top 5 — "which
+    // parts should co-purchase but don't yet", the substitute/affinity
+    // recommendation a catalog team asks of exactly these named parts.
+    // Scoping candidates to a seed set is what makes the operator
+    // scale-honest on a degree-CONCENTRATED graph (probed: deg ≈ 120
+    // everywhere, max 222 — hot-node suppression would discard most of
+    // the graph, and unscoped all-pairs wedge enumeration is 148M rows
+    // at sf0.1): per-seed candidates are bounded by deg², and the full
+    // per-seed sweep is the same plan run off a seed table of any size.
+    // Scale shape: candidates come from ONE broadcast hop (seed list ⋈
+    // edges ⋈ edges, both joins broadcast the small side), existing
+    // edges are removed by a broadcast anti-join of the candidate table,
+    // scoring reuses the sorted-adjacency broadcast + codegen'd
+    // intersect from the triangle fold (wedge sets never materialize),
+    // and the top-5 window partitions BY SEED — never global. Jaccard is
+    // one rational double division; ties break on candidate id so the
+    // cut is total-ordered on both engines.
+    "graph_link_prediction" -> QuerySpec(
+      (s, d) => {
+        val e = coPurchaseEdges(s, d) // symmetric, distinct
+        val adj = e.groupBy(col("src").as("node"))
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs"),
+            count(lit(1)).as("deg"))
+          .localCheckpoint(true)
+        val seeds = adj.select(col("node").as("seed"))
+          .orderBy("seed").limit(20)
+        val cand = e.as("e1")
+          .join(broadcast(seeds), col("e1.src") === col("seed"))
+          .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+          .filter(col("e2.dst") =!= col("seed"))
+          .select(col("seed"), col("e2.dst").as("candidate"))
+          .distinct()
+          .join(e.as("ex"),
+            col("seed") === col("ex.src") &&
+              col("candidate") === col("ex.dst"),
+            "left_anti")
+        val scored = cand
+          .join(broadcast(adj).as("aa"), col("seed") === col("aa.node"))
+          .join(broadcast(adj).as("ab"), col("candidate") === col("ab.node"))
+          .select(col("seed"), col("candidate"),
+            graft.expressions.SortedIntersectSize
+              .sorted_intersect_size(col("aa.nbrs"), col("ab.nbrs"))
+              .cast("long").as("common"),
+            (col("aa.deg") + col("ab.deg")).as("degsum"))
+          .select(col("seed"), col("candidate"), col("common"),
+            (col("common").cast("double") /
+              (col("degsum") - col("common")).cast("double")).as("jaccard"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("seed").orderBy(desc("jaccard"), asc("candidate"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .orderBy("seed", "rank")
+      },
+      """WITH li AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey AS pk
+        |       FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |adj AS MATERIALIZED (SELECT src AS node,
+        |         list_sort(list(dst)) AS nbrs,
+        |         CAST(COUNT(*) AS BIGINT) AS deg
+        |       FROM e GROUP BY 1),
+        |seeds AS (SELECT node AS seed FROM adj ORDER BY node LIMIT 20),
+        |cand AS (SELECT DISTINCT s.seed, e2.dst AS candidate
+        |         FROM seeds s JOIN e e1 ON e1.src = s.seed
+        |                      JOIN e e2 ON e2.src = e1.dst
+        |         WHERE e2.dst <> s.seed
+        |           AND NOT EXISTS (SELECT 1 FROM e
+        |                 WHERE e.src = s.seed AND e.dst = e2.dst)),
+        |sc AS (SELECT c.seed, c.candidate,
+        |         CAST(len(list_intersect(aa.nbrs, ab.nbrs)) AS BIGINT)
+        |           AS common,
+        |         aa.deg + ab.deg AS degsum
+        |       FROM cand c JOIN adj aa ON c.seed = aa.node
+        |                   JOIN adj ab ON c.candidate = ab.node)
+        |SELECT seed, candidate, common,
+        |       CAST(common AS DOUBLE) / CAST(degsum - common AS DOUBLE)
+        |         AS jaccard,
+        |       CAST(row_number() OVER (PARTITION BY seed
+        |         ORDER BY CAST(common AS DOUBLE)
+        |           / CAST(degsum - common AS DOUBLE) DESC, candidate)
+        |         AS INT) AS rank
+        |FROM sc
+        |QUALIFY rank <= 5
+        |ORDER BY seed, rank""".stripMargin)
   )
 
   /** Degree-orient a symmetric edge list: keep (src, dst) iff src is the
