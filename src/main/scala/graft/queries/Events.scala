@@ -409,6 +409,94 @@ object Events {
         |         END AS avg_sec_view_to_purchase
         |FROM a1, a2, a3""".stripMargin),
 
+    // The SAME ordered funnel as a streaming state machine: per-user
+    // mapGroupsWithState folds each of >= 3 real micro-batches' events
+    // (ts-sorted within the batch; slices arrive in event-time order)
+    // onto the (t1, t2, t3) step state — in-order arrival makes "first
+    // qualifying event seen" equal the batch form's "min qualifying
+    // timestamp", so the drained state must match events_funnel_conversion
+    // BIT-EXACTLY; the oracle IS the batch funnel SQL. Update-mode
+    // emissions are reconciled by argmax(folded) per user (folded is
+    // monotone — no reliance on sink row order), then the same summary
+    // arithmetic runs over the final states. This is the product-analytics
+    // counterpart of events_stream_running_totals: multi-step DEPENDENT
+    // state, not a commutative fold.
+    "events_stream_funnel" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.Trigger
+        val stream = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "slice-*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(slicedEventsDir(s, d))
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("tus"))
+          .as[graft.streaming.Streams.FunnelEvent]
+        val progress = graft.streaming.Streams
+          .funnelProgress(stream, 86400000000L)
+        val sinkName = "q_events_stream_funnel"
+        graft.streaming.Streams.drained(s) { ckpt =>
+          val q = progress.toDF().writeStream
+            .outputMode("update")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          requireMultiBatch(q, "events_stream_funnel")
+        }
+        val fin = s.table(sinkName)
+          .groupBy("user_id")
+          .agg(max(struct(col("folded"), col("t1"), col("t2"), col("t3")))
+            .as("m"))
+          .select(col("m.t1").as("t1"), col("m.t2").as("t2"),
+            col("m.t3").as("t3"))
+        fin.agg(
+            sum(when(col("t1") >= 0, 1L).otherwise(0L)).as("n_view"),
+            sum(when(col("t2") >= 0, 1L).otherwise(0L)).as("n_click"),
+            sum(when(col("t3") >= 0, 1L).otherwise(0L)).as("n_purchase"),
+            sum(when(col("t3") >= 0, col("t3") - col("t1"))).as("sum_us"))
+          .select(col("n_view"), col("n_click"), col("n_purchase"),
+            (col("n_click").cast("double") / col("n_view").cast("double"))
+              .as("view_to_click_rate"),
+            when(col("n_click") > 0,
+              col("n_purchase").cast("double") /
+                col("n_click").cast("double")).as("click_to_purchase_rate"),
+            when(col("n_purchase") > 0,
+              col("sum_us").cast("double") / lit(1000000.0) /
+                col("n_purchase").cast("double"))
+              .as("avg_sec_view_to_purchase"))
+      },
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+        |            FROM events),
+        |s1 AS (SELECT user_id, MIN(tus) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.tus) AS t2, MIN(s1.t1) AS t1
+        |       FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.tus > s1.t1
+        |         AND e.tus <= s1.t1 + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.tus) AS t3, MIN(s2.t1) AS t1
+        |       FROM ev e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.tus > s2.t2
+        |         AND e.tus <= s2.t2 + 86400000000 GROUP BY 1),
+        |a1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_view FROM s1),
+        |a2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_click FROM s2),
+        |a3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchase,
+        |              CAST(SUM(t3 - t1) AS BIGINT) AS sum_us
+        |       FROM s3)
+        |SELECT n_view, n_click, n_purchase,
+        |       CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE)
+        |         AS view_to_click_rate,
+        |       CASE WHEN n_click > 0 THEN
+        |         CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE)
+        |         END AS click_to_purchase_rate,
+        |       CASE WHEN n_purchase > 0 THEN
+        |         CAST(sum_us AS DOUBLE) / 1000000.0
+        |           / CAST(n_purchase AS DOUBLE)
+        |         END AS avg_sec_view_to_purchase
+        |FROM a1, a2, a3""".stripMargin),
+
     // Interval-overlap join, binned: which pairs of users have overlapping
     // 30-minute sessions, and how many session pairs overlap. The
     // scale-safe plan bins every session onto the hour grid it covers

@@ -90,6 +90,54 @@ object Streams {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String, tus: Long)
+  /** Funnel step timestamps in µs; -1 = step not reached. `folded` counts
+    * events folded so far — monotone per user, so the LAST update-mode
+    * emission is the argmax(folded) row (deterministic reconciliation
+    * without relying on sink row order). */
+  final case class FunnelProgress(user_id: Long, t1: Long, t2: Long,
+                                  t3: Long, folded: Long)
+
+  /** Streaming ordered-funnel state machine (view -> click -> purchase,
+    * each step strictly after the previous and within `windowUs`): per
+    * user, fold each micro-batch's events in ts order onto the step
+    * state. When batches arrive in event-time order (the sliced replay
+    * guarantees it), "first qualifying event seen" equals the batch
+    * semantics' "min qualifying timestamp", so the final state matches
+    * the batch funnel exactly. State is three longs per user — bounded;
+    * a production deployment adds a TTL timeout to retire inactive
+    * users, which this drain-and-reconcile harness doesn't need. */
+  def funnelProgress(events: Dataset[FunnelEvent],
+                     windowUs: Long): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[FunnelProgress]) =>
+          var s = state.getOption
+            .getOrElse(FunnelProgress(uid, -1L, -1L, -1L, 0L))
+          // ts-order within the batch; the tie-break only pins iteration
+          // order — same-µs steps fail the strict > either way, exactly
+          // like the batch form's strict inequality.
+          val sorted = rows.toSeq.sortBy(e => (e.tus, e.event_type))
+          sorted.foreach { e =>
+            if (e.event_type == "view" && s.t1 < 0)
+              s = s.copy(t1 = e.tus)
+            else if (e.event_type == "click" && s.t1 >= 0 && s.t2 < 0 &&
+                e.tus > s.t1 && e.tus <= s.t1 + windowUs)
+              s = s.copy(t2 = e.tus)
+            else if (e.event_type == "purchase" && s.t2 >= 0 && s.t3 < 0 &&
+                e.tus > s.t2 && e.tus <= s.t2 + windowUs)
+              s = s.copy(t3 = e.tus)
+          }
+          s = s.copy(folded = s.folded + sorted.size)
+          state.update(s)
+          s
+      }
+  }
+
   final case class SessionEvent(user_id: Long, ts_utc: java.sql.Timestamp,
                                 value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)

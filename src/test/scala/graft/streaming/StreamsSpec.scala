@@ -300,4 +300,37 @@ class StreamsSpec extends SparkSpec {
       assert(spark.conf.get(nKey) == "true")
     }
   }
+
+  test("funnel state machine carries step dependencies across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val W = 1000L // 1ms window in µs
+    val mem = MemoryStream[Streams.FunnelEvent]
+    val q = Streams.funnelProgress(mem.toDS(), W)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_out").start()
+    // batch 1: user 1 views; user 2 clicks (no view yet -> ignored)
+    mem.addData(Streams.FunnelEvent(1L, "view", 100L),
+      Streams.FunnelEvent(2L, "click", 100L))
+    q.processAllAvailable()
+    // batch 2: user 1 clicks inside the window measured from the
+    // batch-1 view (cross-batch dependency); user 2 views
+    mem.addData(Streams.FunnelEvent(1L, "click", 600L),
+      Streams.FunnelEvent(2L, "view", 600L))
+    q.processAllAvailable()
+    // batch 3: user 1 purchases in-window; user 2 clicks too late
+    // (window measured from its batch-2 view)
+    mem.addData(Streams.FunnelEvent(1L, "purchase", 900L),
+      Streams.FunnelEvent(2L, "click", 600L + W + 1L))
+    q.processAllAvailable(); q.stop()
+    val fin = spark.table("funnel_out")
+      .groupBy("user_id")
+      .agg(max(struct(col("folded"), col("t1"), col("t2"), col("t3"))).as("m"))
+      .select(col("user_id"), col("m.t1"), col("m.t2"), col("m.t3"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fin(1L) == ((100L, 600L, 900L)), s"user 1: ${fin(1L)}")
+    assert(fin(2L) == ((600L, -1L, -1L)), s"user 2: ${fin(2L)}")
+  }
 }
