@@ -17,6 +17,70 @@ object Analytic {
 
   val registry: Map[String, QuerySpec] = Map(
 
+    // Market-basket association rules over order contents: for every part
+    // pair co-occurring in >= 2 orders, support / confidence(a->b) /
+    // lift, top 20 by lift — the classic affinity-mining op behind
+    // "frequently bought together" (and the COUNTED cousin of GraphQ's
+    // distinct co-purchase edges). Scale shape: the basket table
+    // (distinct order x part) self-joins on the ORDER key — the shuffle
+    // is keyed by order, pair cardinality is bounded per order by
+    // (items/order)², never all-parts² — then ONE map-side-combined
+    // keyed agg counts each unordered pair; per-part order counts
+    // BROADCAST (|parts| rows) for the rational support/confidence/lift
+    // arithmetic; the cut is a TakeOrdered top-20, never a global sort.
+    // Lift = n_both·n_orders / (n_a·n_b): integer products, ONE double
+    // division on each engine, ties broken on the pair ids.
+    "basket_association_rules" -> QuerySpec(
+      (s, d) => {
+        val po = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = po.agg(countDistinct("ok").as("n_orders"))
+        val pc = po.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+        val pairs = po.as("a")
+          .join(po.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("n_both"))
+          .filter(col("n_both") >= 2)
+        pairs
+          .join(broadcast(pc.select(col("pk").as("pa"), col("n").as("na"))),
+            "pa")
+          .join(broadcast(pc.select(col("pk").as("pb"), col("n").as("nb"))),
+            "pb")
+          .crossJoin(broadcast(nOrders))
+          .select(col("pa"), col("pb"), col("n_both"),
+            (col("n_both").cast("double") / col("n_orders").cast("double"))
+              .as("support"),
+            (col("n_both").cast("double") / col("na").cast("double"))
+              .as("confidence"),
+            ((col("n_both") * col("n_orders")).cast("double") /
+              (col("na") * col("nb")).cast("double")).as("lift"))
+          .orderBy(desc("lift"), asc("pa"), asc("pb"))
+          .limit(20)
+      },
+      """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders
+        |      FROM po),
+        |pc AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM po
+        |       GROUP BY 1),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb,
+        |            CAST(COUNT(*) AS BIGINT) AS n_both
+        |          FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+        |          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.pa, p.pb, p.n_both,
+        |       CAST(p.n_both AS DOUBLE) / CAST(n.n_orders AS DOUBLE)
+        |         AS support,
+        |       CAST(p.n_both AS DOUBLE) / CAST(ca.n AS DOUBLE)
+        |         AS confidence,
+        |       CAST(p.n_both * n.n_orders AS DOUBLE)
+        |         / CAST(ca.n * cb.n AS DOUBLE) AS lift
+        |FROM pairs p JOIN pc ca ON p.pa = ca.pk
+        |             JOIN pc cb ON p.pb = cb.pk
+        |             CROSS JOIN n
+        |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin),
+
     // Window ranking: top-2 orders per customer. row_number under a total
     // order → deterministic; single shuffle on the partition key.
     "window_topn_per_customer" -> QuerySpec(

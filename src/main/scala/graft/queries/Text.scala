@@ -761,6 +761,61 @@ object Text {
         |         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS achieved_rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
 
+    // Deterministic PPS (probability-proportional-to-size) sampling:
+    // include each document iff hashfrac(doc_id) < n_target·nt/TT —
+    // token-length-weighted Bernoulli selection whose expected sample
+    // token mass hits the budget, the standard length-weighted
+    // subsampling step a corpus-curation pipeline runs instead of
+    // uniform row sampling (which over-represents short docs in token
+    // terms). Documents with nt > TT/n_target have rate ≥ 1 and are
+    // always included — the cap falls out of hashfrac < 1. Scale shape:
+    // embarrassingly parallel — ONE per-row hash + compare against a
+    // 1-row broadcast total, then a keyed census agg; no window, no
+    // sort, stable under appends (hash-based, like the shard router
+    // below). The inclusion test is double arithmetic written in the
+    // same op order on both engines (hash and counts are exact ints).
+    "corpus_pps_token_sample" -> QuerySpec(
+      (s, d) => {
+        val nTarget = 500.0
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt"),
+            TextOps.hash64(col("doc_id").cast("string")).as("h"))
+        val tot = docs.agg(sum("nt").as("tt"))
+        docs.crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("source"), col("nt"),
+            (col("h").cast("double") / lit(1152921504606846976.0) <
+              lit(nTarget) * col("nt").cast("double") /
+                col("tt").cast("double")).as("sel"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+            sum(when(col("sel"), col("nt")).otherwise(0L))
+              .as("n_tokens_selected"),
+            sum(when(col("sel"), col("doc_id")).otherwise(0L))
+              .as("id_checksum"))
+          .orderBy("source")
+      },
+      s"""WITH docs AS (
+         |  SELECT doc_id, source,
+         |         CAST(len($duckToks) AS BIGINT) AS nt,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |           ::UBIGINT AS BIGINT) AS h
+         |  FROM documents),
+         |t AS (SELECT CAST(SUM(nt) AS BIGINT) AS tt FROM docs),
+         |sel AS (SELECT doc_id, source, nt,
+         |          CAST(h AS DOUBLE) / 1152921504606846976.0 <
+         |            500.0 * CAST(nt AS DOUBLE) / CAST(tt AS DOUBLE) AS sel
+         |        FROM docs, t)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_selected,
+         |       CAST(SUM(CASE WHEN sel THEN nt ELSE 0 END) AS BIGINT)
+         |         AS n_tokens_selected,
+         |       CAST(SUM(CASE WHEN sel THEN doc_id ELSE 0 END) AS BIGINT)
+         |         AS id_checksum
+         |FROM sel GROUP BY source ORDER BY source""".stripMargin),
+
     // Deterministic training-shard assignment: route every document to
     // one of 16 loader shards by a stable content-independent hash of
     // its id (TextOps.hash64 — the md5-literal idiom feature_hash_trick
