@@ -365,7 +365,7 @@ object GraphQ {
     // division, identical on both engines. The oracle deliberately keeps
     // the INDEPENDENT wedge-join + EXISTS formulation — two different
     // algorithms agreeing on the census.
-    "graph_triangle_count" -> QuerySpec(
+    "graph_triangle_census" -> QuerySpec(
       (s, d) => {
         val e = coPurchaseEdges(s, d) // symmetric, distinct
         val deg = e.groupBy(col("src").as("node"))

@@ -21,9 +21,15 @@ object Registry {
       GraphQ.registry,
       LearnQ.registry
     )
-    val merged = parts.flatten
-    require(merged.size == parts.map(_.size).sum,
-      "duplicate query name across registries")
-    merged.toMap
+    val pairs = parts.flatten
+    val merged = pairs.toMap
+    // toMap silently keeps the LAST duplicate — compare the DEDUPED size
+    // (the old `pairs.size` comparison was vacuously true and let a
+    // duplicate name shadow a query unnoticed).
+    require(merged.size == pairs.size,
+      s"duplicate query name across registries: ${pairs.map(_._1)
+        .groupBy(identity).collect { case (n, o) if o.size > 1 => n }
+        .mkString(", ")}")
+    merged
   }
 }

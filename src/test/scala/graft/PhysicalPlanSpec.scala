@@ -281,7 +281,7 @@ class PhysicalPlanSpec extends SparkSpec {
   }
 
   test("triangle fold broadcasts adjacency, never materializes wedges") {
-    // graph_triangle_count's closing stage: per-edge sorted-adjacency
+    // graph_triangle_census's closing stage: per-edge sorted-adjacency
     // intersection. Both adjacency joins must be BROADCAST hash joins —
     // a SortMergeJoin/ShuffledHashJoin here means the edge (or worse,
     // wedge) set is being shuffled, the 12.9s->2.2s regression this

@@ -59,7 +59,7 @@ class GraphQSpec extends SparkSpec {
   }
 
   test("declared triangle census matches hand-checkable invariants at sf0.001") {
-    val r = graft.queries.GraphQ.registry("graph_triangle_count")
+    val r = graft.queries.GraphQ.registry("graph_triangle_census")
       .fn(spark, sf).head()
     val (nodes, edges, tri, wedges, cc) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
