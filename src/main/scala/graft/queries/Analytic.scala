@@ -1291,7 +1291,56 @@ object Analytic {
         |  FROM customer)
         |SELECT lower(v) AS seg, COUNT(*) AS n,
         |       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_casings
-        |FROM v GROUP BY lower(v) ORDER BY seg""".stripMargin)
+        |FROM v GROUP BY lower(v) ORDER BY seg""".stripMargin),
+
+    // 2-D Pareto frontier (skyline): parts where no other part is both
+    // cheaper-or-equal AND larger-or-equal with at least one strict —
+    // the classic "best tradeoff" query (cheapest price vs largest
+    // size). The textbook formulation is an O(n²) NOT EXISTS self-join;
+    // the engine instead uses the sort-scan identity: after ordering by
+    // price, a price level is on the frontier iff its max size beats
+    // the running MAX(size) of all STRICTLY cheaper levels. Plan shape
+    // for 100 TB: ONE map-side-combinable agg collapses the corpus to
+    // the distinct-price table (domain-bounded — cents prices, not
+    // rows), the sequential running max runs over that REDUCED table
+    // (the same bounded-domain argument as profile_ks_test's ECDF),
+    // the surviving frontier levels are a handful of rows BROADCAST
+    // back, and the final filter is a broadcast join + predicate on the
+    // scan — no self-join, no corpus-wide single-partition sort
+    // anywhere. Prices are lifted to exact cents so ordering and
+    // equality are integer ops. The ORACLE is the independent naive
+    // NOT EXISTS formulation, so the two engines cross-check the
+    // identity itself, not a shared rewrite.
+    "pareto_frontier_parts" -> QuerySpec(
+      (s, d) => {
+        val c = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_name"), col("p_size"),
+            col("p_retailprice"),
+            floor(col("p_retailprice") * 100 + lit(0.5)).cast("long")
+              .as("pc"))
+        val wCheaper = Window.orderBy("pc")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = c.groupBy("pc")
+          .agg(max("p_size").as("lvl_max"))
+          .withColumn("max_cheaper", max("lvl_max").over(wCheaper))
+          .filter(col("max_cheaper").isNull ||
+            col("max_cheaper") < col("lvl_max"))
+          .select(col("pc"), col("lvl_max"))
+        c.join(broadcast(frontier), Seq("pc"))
+          .filter(col("p_size") === col("lvl_max"))
+          .select(col("p_partkey"), col("p_name"), col("p_size"),
+            col("p_retailprice"))
+          .orderBy("p_retailprice", "p_partkey")
+      },
+      """SELECT p_partkey, p_name, p_size, p_retailprice
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE (q.p_retailprice < p.p_retailprice
+        |           AND q.p_size >= p.p_size)
+        |     OR (q.p_retailprice <= p.p_retailprice
+        |           AND q.p_size > p.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin)
   )
 
   /** One SQL text for both engines (see recursive_cte_hierarchy): only the

@@ -815,6 +815,157 @@ object Warehouse {
         |         AS corr_qty_price,
         |       slope,
         |       (sy - slope * s1) / nd / 100.0 AS intercept
-        |FROM m ORDER BY l_returnflag""".stripMargin)
+        |FROM m ORDER BY l_returnflag""".stripMargin),
+
+    // Benford first-digit audit: the classic fraud/synthetic-data
+    // screen — compare the leading-digit distribution of a monetary
+    // column against Benford's log10(1+1/d) expectation and emit the
+    // chi-square verdict (df=8, alpha=0.05 critical value 15.5073).
+    // The expected proportions are embedded as shared LITERALS (both
+    // engines parse the same 15-digit decimal string to the same
+    // double) so no transcendental log10() ever evaluates — the no-ln()
+    // determinism rule holds. Leading digit is integer→string→first
+    // char (identical semantics cross-engine; no log10 bucketing).
+    // chi2 terms are bit-identical doubles (same ops on exact counts +
+    // the shared literal); their TOTAL is summed via the exact
+    // floor(term·2²⁰) decimal lift (profile_distribution_drift's
+    // trick) so accumulation order cannot produce a last-ulp split.
+    // Plan: one map-side-combinable agg over the scan → 9 groups, then
+    // a 9-row broadcast join against the literal digit table; the
+    // verdict is O(1) work after the single corpus pass. On TPC-H
+    // prices (uniform 901..105k) the audit correctly REJECTS Benford —
+    // the interesting verdict for synthetic data.
+    "profile_benford_digits" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val expected = Seq(
+          1 -> 0.301029995663981, 2 -> 0.176091259055681,
+          3 -> 0.124938736608300, 4 -> 0.096910013008056,
+          5 -> 0.079181246047625, 6 -> 0.066946789630613,
+          7 -> 0.057991946977687, 8 -> 0.051152522447381,
+          9 -> 0.045757490560675).toDF("digit", "p_exp")
+        val obs = Tables.lineitem(s, d)
+          .select(substring(floor(col("l_extendedprice")).cast("long")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val j = expected.join(broadcast(obs), Seq("digit"), "left")
+          .na.fill(0L, Seq("n_obs"))
+        val tot = j.agg(sum("n_obs").as("n_total"))
+        val nd = col("n_obs").cast("double")
+        val td = col("n_total").cast("double")
+        val diff = nd - td * col("p_exp")
+        val e = j.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n_obs"), col("p_exp"),
+            (nd / td).as("p_obs"),
+            (diff * diff / (td * col("p_exp"))).as("chi2_term"))
+        val chi2 = e.agg((sum(floor(col("chi2_term") * lit(1048576.0))
+            .cast("decimal(38,0)")).cast("double") / lit(1048576.0))
+          .as("chi2_total"))
+        e.crossJoin(broadcast(chi2))
+          .withColumn("reject_benford", col("chi2_total") > lit(15.5073))
+          .orderBy("digit")
+      },
+      """WITH digits AS (
+        |  SELECT * FROM (VALUES
+        |    (1, CAST(0.301029995663981 AS DOUBLE)),
+        |    (2, CAST(0.176091259055681 AS DOUBLE)),
+        |    (3, CAST(0.124938736608300 AS DOUBLE)),
+        |    (4, CAST(0.096910013008056 AS DOUBLE)),
+        |    (5, CAST(0.079181246047625 AS DOUBLE)),
+        |    (6, CAST(0.066946789630613 AS DOUBLE)),
+        |    (7, CAST(0.057991946977687 AS DOUBLE)),
+        |    (8, CAST(0.051152522447381 AS DOUBLE)),
+        |    (9, CAST(0.045757490560675 AS DOUBLE))) AS t(digit, p_exp)),
+        |o AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+        |          AS VARCHAR), 1, 1) AS INT) AS digit,
+        |        CAST(COUNT(*) AS BIGINT) AS n_obs
+        |      FROM lineitem GROUP BY 1),
+        |j AS (SELECT d.digit, d.p_exp,
+        |        CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
+        |      FROM digits d LEFT JOIN o USING (digit)),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM j),
+        |e AS (SELECT digit, n_obs, p_exp,
+        |        CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_obs,
+        |        (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p_exp)
+        |          * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p_exp)
+        |          / (CAST(n_total AS DOUBLE) * p_exp) AS chi2_term
+        |      FROM j, t),
+        |c AS (SELECT CAST(SUM(CAST(floor(chi2_term * 1048576.0)
+        |          AS DECIMAL(38,0))) AS DOUBLE) / 1048576.0 AS chi2_total
+        |      FROM e)
+        |SELECT digit, n_obs, p_exp, p_obs, chi2_term, chi2_total,
+        |       chi2_total > 15.5073 AS reject_benford
+        |FROM e, c ORDER BY digit""".stripMargin),
+
+    // Mean-shift changepoint scan over the daily-revenue series: for
+    // every split point t, the scan statistic sqrt(nL·nR/n)·|μL − μR|
+    // (the CUSUM-family two-sample location test) — the batch
+    // counterpart of a streaming drift alarm, answering WHEN the
+    // distribution moved, where profile_ks_test only answers WHETHER.
+    // Determinism: daily revenues are exact cent sums in
+    // DECIMAL(38,0); the cumulative prefix sums are exact decimals
+    // (association-order-free, unlike a double running sum), and only
+    // the final closed-form statistic runs in double with the same
+    // operation order on both engines; sqrt is IEEE-correctly-rounded
+    // (the no-ln() rule bars only transcendentals). Plan shape: ONE
+    // map-side-combinable keyed agg collapses the corpus to the
+    // per-day table (domain-bounded — dates, not rows; ~2.4k levels
+    // here), and the ordered window runs over that reduced series —
+    // the identical scale argument as profile_ks_test's ECDF. Top-3
+    // splits returned with exact tiebreak (stat DESC, date).
+    "profile_mean_shift_scan" -> QuerySpec(
+      (s, d) => {
+        val day = Tables.orders(s, d)
+          .select(to_date(col("o_orderdate")).as("dt"),
+            floor(col("o_totalprice") * 100 + lit(0.5))
+              .cast("decimal(38,0)").as("cents"))
+          .groupBy("dt").agg(sum("cents").as("rev"))
+        val tot = day.agg(count(lit(1)).as("n"), sum("rev").as("tot"))
+        val wCum = Window.orderBy("dt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val c = day
+          .select(col("dt"), sum("rev").over(wCum).as("cum"),
+            row_number().over(Window.orderBy("dt")).cast("long").as("k"))
+          .crossJoin(broadcast(tot))
+          .filter(col("k") < col("n"))
+        val kd = col("k").cast("double")
+        val nrd = (col("n") - col("k")).cast("double")
+        val ndAll = col("n").cast("double")
+        val meanL = col("cum").cast("double") / kd / lit(100.0)
+        val meanR = (col("tot") - col("cum")).cast("double") / nrd /
+          lit(100.0)
+        c.select(col("dt").as("split_date"), col("k").as("n_left"),
+            (col("n") - col("k")).as("n_right"),
+            meanL.as("mean_left"), meanR.as("mean_right"),
+            (sqrt(kd * nrd / ndAll) * abs(meanL - meanR))
+              .as("shift_stat"))
+          .orderBy(col("shift_stat").desc, col("split_date"))
+          .limit(3)
+      },
+      """WITH day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS dt,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(rev) AS DECIMAL(38,0)) AS tot FROM day),
+        |c AS (SELECT dt,
+        |        CAST(SUM(rev) OVER (ORDER BY dt ROWS BETWEEN UNBOUNDED
+        |          PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cum,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY dt) AS BIGINT) AS k
+        |      FROM day),
+        |s AS (SELECT dt AS split_date, k AS n_left, n - k AS n_right,
+        |        CAST(cum AS DOUBLE) / CAST(k AS DOUBLE) / 100.0
+        |          AS mean_left,
+        |        CAST(tot - cum AS DOUBLE) / CAST(n - k AS DOUBLE) / 100.0
+        |          AS mean_right,
+        |        sqrt(CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)
+        |            / CAST(n AS DOUBLE))
+        |          * abs(CAST(cum AS DOUBLE) / CAST(k AS DOUBLE) / 100.0
+        |            - CAST(tot - cum AS DOUBLE) / CAST(n - k AS DOUBLE)
+        |              / 100.0) AS shift_stat
+        |      FROM c, t WHERE k < n)
+        |SELECT * FROM s ORDER BY shift_stat DESC, split_date
+        |LIMIT 3""".stripMargin)
   )
 }
