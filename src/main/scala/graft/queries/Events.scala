@@ -1265,6 +1265,67 @@ object Events {
         |       CAST(SUM(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END)
         |            AS BIGINT) AS n_anomalies
         |FROM dev JOIN mad USING (event_type)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // Late-arrival (watermark) audit: for each event, compare its event
+    // time against the max event time ALREADY SEEN in arrival order for
+    // the same user — exactly the signal a streaming watermark uses to
+    // decide drops. The fixture arrives perfectly ordered, so disorder
+    // is synthesized deterministically (the text_pii_redaction pattern:
+    // every 7th event's time is shifted back by event_id%240 minutes on
+    // BOTH engines) so the auditor provably fires. All time math runs
+    // in exact integer MICROSECONDS (unix_micros / date_diff) — the
+    // fixture has sub-second components, so second-truncation parity is
+    // never relied on. Plan shape: the running max is a window
+    // PARTITIONED BY user (arrival order = event_id within user) —
+    // fully partition-parallel, no global sort — then one
+    // map-side-combinable agg; this is the batch estimator a streaming
+    // job would use to TUNE withWatermark's delay before deploying.
+    "events_late_arrival_audit" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val shifted = Tables.eventsWithTs(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            (unix_micros(col("ts_utc")) -
+              when(col("event_id") % 7 === 0,
+                (col("event_id") % 240) * lit(60000000L))
+                .otherwise(lit(0L))).as("ets_us"))
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        shifted
+          .withColumn("prior_max", max("ets_us").over(w))
+          .withColumn("late_us", col("prior_max") - col("ets_us"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("late_us") > lit(600000000L), 1L).otherwise(0L))
+              .as("n_late"),
+            max("late_us").as("max_late_us"))
+          .select(col("event_type"), col("n_events"), col("n_late"),
+            (col("n_late").cast("double") / col("n_events").cast("double"))
+              .as("late_rate"),
+            col("max_late_us"))
+          .orderBy("event_type")
+      },
+      """WITH p AS (
+        |  SELECT event_id, user_id, event_type,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+        |      - CASE WHEN event_id % 7 = 0
+        |             THEN (event_id % 240) * 60000000 ELSE 0 END AS ets_us
+        |  FROM events),
+        |w AS (SELECT event_type, ets_us,
+        |        MAX(ets_us) OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS prior_max
+        |      FROM p),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |        CAST(SUM(CASE WHEN prior_max - ets_us > 600000000
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |        MAX(prior_max - ets_us) AS max_late_us
+        |      FROM w GROUP BY event_type)
+        |SELECT event_type, n_events, n_late,
+        |       CAST(n_late AS DOUBLE) / CAST(n_events AS DOUBLE)
+        |         AS late_rate,
+        |       max_late_us
+        |FROM a ORDER BY event_type""".stripMargin)
   )
 }

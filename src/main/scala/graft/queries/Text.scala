@@ -1255,6 +1255,98 @@ object Text {
          |       CAST(CAST(SUM(n_syms) AS BIGINT) AS DOUBLE) /
          |         CAST(COUNT(*) AS DOUBLE) AS fertility
          |FROM tok JOIN v USING (w)
-         |GROUP BY source ORDER BY source""".stripMargin)
+         |GROUP BY source ORDER BY source""".stripMargin),
+
+    // Chi-square keyness: the distinctive vocabulary of each language
+    // slice vs the rest of the corpus — the corpus-linguistics keyword
+    // statistic (Dunning's log-likelihood without the transcendental:
+    // the 2×2 chi-square uses only rational arithmetic, so the no-ln()
+    // determinism rule holds). For term t and slice g the contingency
+    // cells are a = count(t in g), b = count(t elsewhere), c/d the
+    // complements; chi2 = n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)), computed in
+    // double from exact BIGINT counts with identical op order on both
+    // engines. Only POSITIVELY keyed terms rank (over-represented in
+    // the slice): the test a/(a+c) > (a+b)/n is evaluated as the exact
+    // integer cross-product a·n > (a+b)(a+c) in DECIMAL(38,0) — no
+    // double threshold to flip on an ulp. Plan shape: token-level agg
+    // (map-side combinable) → two tiny keyed totals joined back (the
+    // term-totals join is the only real shuffle; lang totals and the
+    // grand total broadcast) → per-slice top-5 via ranked window
+    // PARTITIONED by lang. Rare terms (corpus count < 5) are excluded
+    // before ranking so the statistic never divides by near-zero
+    // margins.
+    "text_chi2_keyness" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tc = Tables.documents(s, d)
+          .select(col("lang"), explode(TextOps.tokens(col("text")))
+            .as("term"))
+          .groupBy("lang", "term").agg(count(lit(1)).as("a"))
+        val tt = tc.groupBy("term").agg(sum("a").as("t_term"))
+        val lt = tc.groupBy("lang").agg(sum("a").as("t_lang"))
+        val g = tc.agg(sum("a").as("n"))
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast("decimal(38,0)")
+        val joined = tc.join(tt, "term").join(broadcast(lt), "lang")
+          .crossJoin(broadcast(g))
+          .filter(col("t_term") >= 5)
+          .filter(dec(col("a")) * dec(col("n")) >
+            dec(col("t_term")) * dec(col("t_lang")))
+        val ad = col("a").cast("double") *
+          (col("n") - col("t_term") - col("t_lang") + col("a"))
+            .cast("double")
+        val bc = (col("t_term") - col("a")).cast("double") *
+          (col("t_lang") - col("a")).cast("double")
+        val denom = col("t_term").cast("double") *
+          (col("n") - col("t_term")).cast("double") *
+          col("t_lang").cast("double") *
+          (col("n") - col("t_lang")).cast("double")
+        val scored = joined.select(col("lang"), col("term"),
+          col("a").as("n_in_lang"),
+          (col("t_term") - col("a")).as("n_elsewhere"),
+          (col("n").cast("double") * (ad - bc) * (ad - bc) / denom)
+            .as("chi2"))
+        val w = Window.partitionBy("lang")
+          .orderBy(desc("chi2"), asc("term"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5).drop("rn")
+          .orderBy("lang", "term")
+      },
+      s"""WITH tok AS (SELECT lang, unnest($duckToks) AS term
+         |             FROM documents),
+         |tc AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS a
+         |       FROM tok GROUP BY 1, 2),
+         |tt AS (SELECT term, CAST(SUM(a) AS BIGINT) AS t_term
+         |       FROM tc GROUP BY 1),
+         |lt AS (SELECT lang, CAST(SUM(a) AS BIGINT) AS t_lang
+         |       FROM tc GROUP BY 1),
+         |g AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM tc),
+         |j AS (SELECT tc.lang, tc.term, a, t_term, t_lang, n
+         |      FROM tc JOIN tt USING (term) JOIN lt USING (lang)
+         |      CROSS JOIN g
+         |      WHERE t_term >= 5
+         |        AND CAST(a AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+         |          > CAST(t_term AS DECIMAL(38,0))
+         |            * CAST(t_lang AS DECIMAL(38,0))),
+         |x AS (SELECT lang, term, a AS n_in_lang,
+         |        t_term - a AS n_elsewhere,
+         |        CAST(n AS DOUBLE) *
+         |          (CAST(a AS DOUBLE)
+         |             * CAST(n - t_term - t_lang + a AS DOUBLE)
+         |           - CAST(t_term - a AS DOUBLE)
+         |             * CAST(t_lang - a AS DOUBLE))
+         |          * (CAST(a AS DOUBLE)
+         |             * CAST(n - t_term - t_lang + a AS DOUBLE)
+         |           - CAST(t_term - a AS DOUBLE)
+         |             * CAST(t_lang - a AS DOUBLE))
+         |          / (CAST(t_term AS DOUBLE)
+         |             * CAST(n - t_term AS DOUBLE)
+         |             * CAST(t_lang AS DOUBLE)
+         |             * CAST(n - t_lang AS DOUBLE)) AS chi2
+         |      FROM j)
+         |SELECT lang, term, n_in_lang, n_elsewhere, chi2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY chi2 DESC, term) AS rn FROM x)
+         |WHERE rn <= 5 ORDER BY lang, term""".stripMargin)
   )
 }

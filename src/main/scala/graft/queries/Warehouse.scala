@@ -966,6 +966,75 @@ object Warehouse {
         |              / 100.0) AS shift_stat
         |      FROM c, t WHERE k < n)
         |SELECT * FROM s ORDER BY shift_stat DESC, split_date
-        |LIMIT 3""".stripMargin)
+        |LIMIT 3""".stripMargin),
+
+    // Incremental JOIN-view maintenance: the delta algebra
+    // Δ(A ⋈ B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, the join counterpart of
+    // incremental_agg_maintenance. The fixture splits orders/customer
+    // into base + delta by key parity (deterministic, disjoint), then
+    // maintains the order-customer join view incrementally and checks
+    // it against the full recompute per priority class — count AND
+    // exact cent-sum equality, the invariant a warehouse merge job
+    // asserts before swapping a view snapshot in. Plan shape: four
+    // equi-joins; the delta sides are small by construction (the
+    // production case), so at scale each delta join broadcasts while
+    // the base⋈base term reuses the co-partitioned shuffle — never a
+    // second full-corpus shuffle to refresh the view. Base⋈base is
+    // computed once here because the check needs the full recompute
+    // anyway; a deployed maintainer would hold it materialized.
+    "incremental_join_maintenance" -> QuerySpec(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val oBase = o.filter(col("o_orderkey") % 4 =!= 0)
+        val oDelta = o.filter(col("o_orderkey") % 4 === 0)
+        val cBase = c.filter(col("c_custkey") % 5 =!= 0)
+        val cDelta = c.filter(col("c_custkey") % 5 === 0)
+        def view(os: org.apache.spark.sql.DataFrame,
+            cs: org.apache.spark.sql.DataFrame) =
+          os.join(cs, col("o_custkey") === col("c_custkey"))
+            .select(col("o_orderpriority"),
+              floor(col("o_totalprice") * 100 + lit(0.5))
+                .cast("decimal(38,0)").as("cents"))
+        def tally(v: org.apache.spark.sql.DataFrame, nCol: String,
+            revCol: String) =
+          v.groupBy("o_orderpriority")
+            .agg(count(lit(1)).as(nCol), sum("cents").as(revCol))
+        val full = tally(view(o, c), "n_full", "rev_full_cents")
+        val inc = tally(
+          view(oBase, cBase).unionAll(view(oDelta, cBase))
+            .unionAll(view(oBase, cDelta))
+            .unionAll(view(oDelta, cDelta)),
+          "n_inc", "rev_inc_cents")
+        full.join(inc, Seq("o_orderpriority"), "full")
+          .select(col("o_orderpriority"), col("n_full"), col("n_inc"),
+            col("rev_full_cents"), col("rev_inc_cents"),
+            (col("n_full") <=> col("n_inc") &&
+              col("rev_full_cents") <=> col("rev_inc_cents"))
+              .as("view_consistent"))
+          .orderBy("o_orderpriority")
+      },
+      """WITH v AS (SELECT o_orderpriority,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(38,0))
+        |          AS cents,
+        |        o_orderkey % 4 = 0 AS od, c_custkey % 5 = 0 AS cd
+        |      FROM orders JOIN customer ON o_custkey = c_custkey),
+        |f AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_full,
+        |        CAST(SUM(cents) AS DECIMAL(38,0)) AS rev_full_cents
+        |      FROM v GROUP BY 1),
+        |i AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_inc,
+        |        CAST(SUM(cents) AS DECIMAL(38,0)) AS rev_inc_cents
+        |      FROM (SELECT * FROM v WHERE NOT od AND NOT cd
+        |            UNION ALL SELECT * FROM v WHERE od AND NOT cd
+        |            UNION ALL SELECT * FROM v WHERE NOT od AND cd
+        |            UNION ALL SELECT * FROM v WHERE od AND cd) u
+        |      GROUP BY 1)
+        |SELECT o_orderpriority, n_full, n_inc,
+        |       rev_full_cents, rev_inc_cents,
+        |       (n_full IS NOT DISTINCT FROM n_inc) AND
+        |       (rev_full_cents IS NOT DISTINCT FROM rev_inc_cents)
+        |         AS view_consistent
+        |FROM f FULL JOIN i USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin)
   )
 }
