@@ -1326,6 +1326,91 @@ object Events {
         |       CAST(n_late AS DOUBLE) / CAST(n_events AS DOUBLE)
         |         AS late_rate,
         |       max_late_us
-        |FROM a ORDER BY event_type""".stripMargin)
+        |FROM a ORDER BY event_type""".stripMargin),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: P(next type | current type) — the behavioral model
+    // behind next-event prediction and anomalous-session scoring, and
+    // the aggregate view of events_path_trigrams' raw paths. lead() is
+    // a window PARTITIONED by user (no global sort), the matrix agg is
+    // map-side combinable, and the 5×5 from-type totals broadcast back
+    // for the row normalization — every probability is an exact-count
+    // division, deterministic cross-engine.
+    "events_markov_transitions" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"), col("event_type").as("from_type"),
+            lead(col("event_type"), 1).over(w).as("to_type"))
+          .filter(col("to_type").isNotNull)
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n_transitions"))
+        val totals = pairs.groupBy("from_type")
+          .agg(sum("n_transitions").as("n_from"))
+        pairs.join(broadcast(totals), "from_type")
+          .select(col("from_type"), col("to_type"),
+            col("n_transitions"),
+            (col("n_transitions").cast("double") /
+              col("n_from").cast("double")).as("p_transition"))
+          .orderBy("from_type", "to_type")
+      },
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY event_id) AS to_type
+        |  FROM events),
+        |p AS (SELECT from_type, to_type,
+        |        CAST(COUNT(*) AS BIGINT) AS n_transitions
+        |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT)
+        |        AS n_from FROM p GROUP BY 1)
+        |SELECT from_type, to_type, n_transitions,
+        |       CAST(n_transitions AS DOUBLE) / CAST(n_from AS DOUBLE)
+        |         AS p_transition
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin),
+
+    // Inter-arrival-time histogram per event type: minute-bucketed gaps
+    // between consecutive events of the SAME USER in event-time order —
+    // the distribution a pipeline inspects to choose its session-gap
+    // and watermark-delay thresholds (the 30-min gap in
+    // events_sessions and the 10-min delay in events_late_arrival_audit
+    // both come from exactly this curve). Gap math is exact integer
+    // microseconds; the order key is (ts, event_id) so sub-second ties
+    // cannot make lag() nondeterministic; buckets cap at 120 min so the
+    // histogram stays domain-bounded. Plan: lag() windows partitioned
+    // by user — fully parallel — then one map-side-combinable agg.
+    "events_interarrival_histogram" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy("ts_utc", "event_id")
+        Tables.eventsWithTs(s, d)
+          .select(col("user_id"), col("event_type"),
+            col("event_id"), col("ts_utc"))
+          .withColumn("gap_us", unix_micros(col("ts_utc")) -
+            lag(unix_micros(col("ts_utc")), 1).over(w))
+          .filter(col("gap_us").isNotNull)
+          .select(col("event_type"),
+            least(expr("gap_us div 60000000"), lit(120L))
+              .as("gap_minutes"))
+          .groupBy("event_type", "gap_minutes")
+          .agg(count(lit(1)).as("n_gaps"))
+          .orderBy("event_type", "gap_minutes")
+      },
+      """WITH g AS (
+        |  SELECT event_type,
+        |    date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+        |      - lag(date_diff('microsecond',
+        |          TIMESTAMP '1970-01-01 00:00:00', ts))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS gap_us
+        |  FROM events)
+        |SELECT event_type,
+        |       least(gap_us // 60000000, 120) AS gap_minutes,
+        |       CAST(COUNT(*) AS BIGINT) AS n_gaps
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, gap_minutes""".stripMargin)
   )
 }

@@ -1035,6 +1035,85 @@ object Warehouse {
         |       (rev_full_cents IS NOT DISTINCT FROM rev_inc_cents)
         |         AS view_consistent
         |FROM f FULL JOIN i USING (o_orderpriority)
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // ABC (Pareto-share) classification: rank customers by lifetime
+    // revenue and class them by cumulative revenue share — A up to 80%,
+    // B to 95%, C the tail (the inventory-analysis classic, and the
+    // "which sources fill 80% of my training tokens" question in
+    // corpus terms). The naive plan is ONE GLOBAL cumulative window —
+    // a single-partition sort over every customer, the shape that dies
+    // at scale. The engine instead runs a DISTRIBUTED TWO-LEVEL PREFIX
+    // SUM: coarse revenue BANDS (exact integer div of cents — the band
+    // count is bounded by the value domain, not the customer count)
+    // get per-band totals, the band-offset running sum is a window
+    // over that tiny band table, and the fine cumulative runs
+    // PARTITIONED BY BAND in parallel; band offset + within-band
+    // prefix = the exact global prefix, because equal revenues can
+    // never straddle a band boundary. All prefix arithmetic is exact
+    // DECIMAL(38,0) cents and the class thresholds are exact integer
+    // cross-products (cum·10 ≤ total·8), so no double ever decides a
+    // boundary. The ORACLE is the independent naive global-window
+    // formulation — the two engines cross-check the banded identity
+    // itself. Verified equal to the naive plan in-probe at sf0.01.
+    "customer_abc_classes" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            floor(col("o_totalprice") * 100 + lit(0.5))
+              .cast("decimal(38,0)").as("cents"))
+          .groupBy("o_custkey").agg(sum("cents").as("r"))
+        val tot = rev.agg(sum("r").as("t"))
+        val b = rev.withColumn("band",
+          expr("CAST(r AS BIGINT) div 10000000"))
+        val bandTot = b.groupBy("band")
+          .agg(sum("r").as("bsum"))
+        val wBand = Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bandOff = bandTot.withColumn("boff",
+          coalesce(sum("bsum").over(wBand), lit(0).cast("decimal(38,0)")))
+          .select(col("band"), col("boff"))
+        val wIn = Window.partitionBy("band")
+          .orderBy(col("r").desc, col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = b.join(broadcast(bandOff), "band")
+          .withColumn("cum", col("boff") + sum("r").over(wIn))
+          .crossJoin(broadcast(tot))
+        val cls = cum.withColumn("abc_class",
+          when(col("cum") * 10 <= col("t") * 8, "A")
+            .when(col("cum") * 20 <= col("t") * 19, "B")
+            .otherwise("C"))
+        cls.groupBy("abc_class")
+          .agg(count(lit(1)).as("n_customers"),
+            sum("r").cast("decimal(38,0)").as("rev_cents"),
+            max(col("t")).as("t"))
+          .select(col("abc_class"), col("n_customers"),
+            col("rev_cents"),
+            (col("rev_cents").cast("double") / col("t").cast("double"))
+              .as("rev_share"))
+          .orderBy("abc_class")
+      },
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS r
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(r) AS DECIMAL(38,0)) AS t FROM rev),
+        |w AS (SELECT o_custkey, r,
+        |        CAST(SUM(r) OVER (ORDER BY r DESC, o_custkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS DECIMAL(38,0)) AS cum
+        |      FROM rev),
+        |cls AS (SELECT o_custkey, r,
+        |          CASE WHEN cum * 10 <= (SELECT t FROM tot) * 8 THEN 'A'
+        |               WHEN cum * 20 <= (SELECT t FROM tot) * 19 THEN 'B'
+        |               ELSE 'C' END AS abc_class
+        |        FROM w)
+        |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       CAST(SUM(r) AS DECIMAL(38,0)) AS rev_cents,
+        |       CAST(CAST(SUM(r) AS DECIMAL(38,0)) AS DOUBLE)
+        |         / CAST((SELECT t FROM tot) AS DOUBLE) AS rev_share
+        |FROM cls GROUP BY 1 ORDER BY abc_class""".stripMargin)
   )
 }
