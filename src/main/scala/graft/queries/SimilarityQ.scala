@@ -741,6 +741,126 @@ object SimilarityQ {
         |         AS q_str,
         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
         |            (a, b) -> a + b) AS BIGINT) AS q_sum
-        |FROM q ORDER BY vec_id""".stripMargin)
+        |FROM q ORDER BY vec_id""".stripMargin),
+
+    // ANN retrieval-quality audit: recall@10, MRR and nDCG@10 of the
+    // sign-LSH index (8 shared-literal hyperplanes — the
+    // similarity_lsh_topk path) against the brute-force cosine ground
+    // truth, per query point — the evaluation a platform runs BEFORE
+    // trusting an index, answering "how much recall does the 256×
+    // bucket pruning cost on THIS corpus". Determinism: the log2
+    // position discounts are embedded as shared 15-digit LITERALS (the
+    // Benford pattern — no transcendental evaluates on either engine);
+    // per-query DCG sums the discount subset through the exact
+    // floor(term·2⁴⁰) decimal lift so accumulation order cannot split
+    // an ulp; MRR/recall are single exact-integer divisions. Plan
+    // shape: the 20 query vectors broadcast against the corpus for
+    // ground truth (a per-query TakeOrdered, never an all-pairs
+    // shuffle); the LSH arm joins on bucket equality (the pruned scan,
+    // ~n/256 candidates per query); both rank with windows PARTITIONED
+    // by query id — fully parallel in the query dimension, which is
+    // how a production recall sweep (1000s of held-out queries) runs.
+    "similarity_lsh_recall_audit" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val disc = array(Seq(1.000000000000000, 0.630929753571458,
+          0.500000000000000, 0.430676558073393, 0.386852807234542,
+          0.356207187108022, 0.333333333333333, 0.315464876785729,
+          0.301029995663981, 0.289064826317888).map(lit): _*)
+        val emb = Tables.embeddings(s, d).select(col("vec_id"),
+          col("embedding"),
+          Similarity.hyperplaneBucket(col("embedding"), 8).as("bucket"))
+        val q = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            col("bucket").as("qbucket"))
+        val wq = (c: String) => Window.partitionBy("q_id")
+          .orderBy(desc(c), asc("vec_id"))
+        val gt = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            Similarity.cosine(col("embedding"), col("qv")).as("gcos"))
+          .withColumn("grn", row_number().over(wq("gcos")))
+          .filter(col("grn") <= 10)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("is_gt"))
+        val lsh = emb.join(broadcast(q),
+            col("bucket") === col("qbucket") &&
+              col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+          .withColumn("pos", row_number().over(wq("cos")))
+          .filter(col("pos") <= 10)
+        val perQ = lsh.join(gt, Seq("q_id", "vec_id"), "left")
+          .withColumn("rel", coalesce(col("is_gt"), lit(0L)))
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_ranked"),
+            sum("rel").as("n_hits10"),
+            sum(when(col("rel") === 1,
+                floor(element_at(disc, col("pos").cast("int")) *
+                  lit(1099511627776.0)))
+              .otherwise(lit(0L)).cast("decimal(38,0)")).as("dcg_q"),
+            min(when(col("rel") === 1, col("pos"))).as("minrank"))
+        // A query whose LSH bucket holds no other vector must still be
+        // audited — as recall 0, not as a silently missing row.
+        q.select(col("q_id")).join(perQ, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_ranked"), lit(0L)).as("n_ranked"),
+            coalesce(col("n_hits10"), lit(0L)).as("n_hits10"),
+            (coalesce(col("n_hits10"), lit(0L)).cast("double") /
+              lit(10.0)).as("recall10"),
+            coalesce(lit(1.0) / col("minrank").cast("double"), lit(0.0))
+              .as("mrr"),
+            coalesce((col("dcg_q").cast("double") /
+                lit(1099511627776.0)) / lit(4.543559338088346),
+              lit(0.0)).as("ndcg10"))
+          .orderBy("q_id")
+      },
+      {
+        val discList = Seq("1.000000000000000", "0.630929753571458",
+          "0.500000000000000", "0.430676558073393", "0.386852807234542",
+          "0.356207187108022", "0.333333333333333", "0.315464876785729",
+          "0.301029995663981", "0.289064826317888")
+          .map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+        s"""WITH b AS (SELECT vec_id, embedding,
+           |             ${duckBucket("embedding", 8)} AS bucket
+           |           FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv,
+           |             bucket AS qbucket
+           |      FROM b WHERE vec_id < 20),
+           |gt AS (SELECT q_id, vec_id, CAST(1 AS BIGINT) AS is_gt FROM (
+           |         SELECT q.q_id, b.vec_id,
+           |                row_number() OVER (PARTITION BY q.q_id
+           |                  ORDER BY ${duckCos("b.embedding", "qv")} DESC,
+           |                           b.vec_id) AS grn
+           |         FROM b CROSS JOIN q WHERE b.vec_id <> q.q_id)
+           |       WHERE grn <= 10),
+           |lsh AS (SELECT q_id, vec_id, pos FROM (
+           |          SELECT q.q_id, b.vec_id,
+           |                 row_number() OVER (PARTITION BY q.q_id
+           |                   ORDER BY ${duckCos("b.embedding", "qv")} DESC,
+           |                            b.vec_id) AS pos
+           |          FROM b JOIN q ON b.bucket = q.qbucket
+           |                       AND b.vec_id <> q.q_id)
+           |        WHERE pos <= 10),
+           |j AS (SELECT l.q_id, l.pos,
+           |        COALESCE(g.is_gt, 0) AS rel
+           |      FROM lsh l LEFT JOIN gt g USING (q_id, vec_id)),
+           |a AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+           |        CAST(SUM(rel) AS BIGINT) AS n_hits10,
+           |        MIN(CASE WHEN rel = 1 THEN pos END) AS minrank,
+           |        CAST(SUM(CAST(CASE WHEN rel = 1
+           |            THEN floor(($discList)[pos] * 1099511627776.0)
+           |            ELSE 0 END AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           |          AS dcg_q
+           |      FROM j GROUP BY q_id)
+           |SELECT q.q_id,
+           |       COALESCE(a.n_ranked, 0) AS n_ranked,
+           |       COALESCE(a.n_hits10, 0) AS n_hits10,
+           |       CAST(COALESCE(a.n_hits10, 0) AS DOUBLE) / 10.0
+           |         AS recall10,
+           |       COALESCE(1.0 / CAST(a.minrank AS DOUBLE), 0.0) AS mrr,
+           |       COALESCE((CAST(a.dcg_q AS DOUBLE) / 1099511627776.0)
+           |         / 4.543559338088346, 0.0) AS ndcg10
+           |FROM q LEFT JOIN a USING (q_id) ORDER BY q.q_id""".stripMargin
+      })
   )
 }
