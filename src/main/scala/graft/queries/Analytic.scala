@@ -824,6 +824,73 @@ object Analytic {
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin),
 
+    // TPC-H Q6 (forecast-revenue change) through the SQL frontend: the
+    // canonical scan-dominated query — one tight filter over the fact
+    // table, one unconditional agg, zero joins. The plan to demand at
+    // scale: filters pushed to the parquet scan, ReadSchema pruned to 4
+    // columns, a single partial+final agg, no exchange wider than one
+    // row. Revenue accumulates in exact DECIMAL(25,6) (the discrete
+    // cent/percent domain is exact at scale 6) cast back to double.
+    "sql_frontend_q6" -> QuerySpec(
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+                 COUNT(*) AS n_lines
+          FROM v_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND l_discount BETWEEN 0.05 AND 0.07
+            AND l_quantity < 24""")
+      },
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin),
+
+    // TPC-H Q10 (returned-item reporting) through the SQL frontend,
+    // adapted to this schema's columns: customers ranked by revenue
+    // lost to returns in one quarter — a 4-table join (fact +
+    // customer + nation dims), grouped on the customer grain, top-20.
+    // The scale plan: the o_orderdate quarter filter prunes orders
+    // BEFORE the lineitem join, nation broadcasts, and the top-20 is a
+    // TakeOrdered, never a global sort.
+    "sql_frontend_q10" -> QuerySpec(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        s.sql("""
+          SELECT c_custkey, c_name,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+                 c_acctbal, n_name
+          FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+                          JOIN v_lineitem ON l_orderkey = o_orderkey
+                          JOIN v_nation ON c_nationkey = n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+            AND o_orderdate < TIMESTAMP '1996-01-01'
+            AND l_returnflag = 'R'
+          GROUP BY c_custkey, c_name, c_acctbal, n_name
+          ORDER BY revenue DESC, c_custkey
+          LIMIT 20""")
+      },
+      """SELECT c_custkey, c_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |       c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin),
+
     // Spark 4 LISTAGG ... WITHIN GROUP (SPARK-42746) — ordered string
     // aggregation, the SQL:2016 way to materialize a per-key event
     // timeline as one row (here: each customer's order-priority path,
