@@ -48,6 +48,9 @@ object Bench {
     val sharedEdges = timed("graph_edges_shared_stage") {
       graft.queries.GraphQ.buildSharedEdgeStage(spark, sfDir)
     }
+    val sharedLpa = timed("graph_lpa_shared_labels") {
+      graft.queries.GraphQ.buildSharedLpaStage(spark, sfDir)
+    }
     val sharedBpe = timed("text_bpe_shared_train") {
       graft.queries.Text.buildSharedBpeStage(spark, sfDir)
     }
@@ -99,8 +102,8 @@ object Bench {
     val sweeps = (1 to runsN).map(_ => sweep())
     val names = sweeps.head.map(_._1)
     val maps = sweeps.map(_.toMap)
-    val results = Seq(sharedStage, sharedTrain, sharedEdges, sharedBpe,
-      sharedPng, sharedWav, sharedLogreg) ++
+    val results = Seq(sharedStage, sharedTrain, sharedEdges, sharedLpa,
+      sharedBpe, sharedPng, sharedWav, sharedLogreg) ++
       names.map(n => n -> median(maps.map(_(n))))
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

@@ -298,45 +298,91 @@ object GraphQ {
     // dataflow otherwise unchanged.
     "graph_label_propagation" -> QuerySpec(
       (s, d) => {
-        val edges = coPurchaseEdges(s, d)
-        var labels = edges.select(col("src").as("node")).distinct()
-          .select(col("node"), col("node").as("label"))
-          .localCheckpoint(true)
-        var prev = labels
-        for (_ <- 1 to 3) {
-          prev = labels
-          labels = lpaRound(edges, labels).localCheckpoint(true)
-        }
-        val nChanged = labels
-          .join(prev.withColumnRenamed("label", "prev_label"), "node")
-          .filter(col("label") =!= col("prev_label")).count()
+        val (labels, nChanged) = lpaLabels(s, d)
         labels.groupBy("label")
           .agg(count(lit(1)).as("n_members"))
           .withColumn("converged", lit(nChanged == 0L))
           .orderBy("label")
       },
-      {
-        def round(i: Int): String =
-          s"""l$i AS MATERIALIZED (
-             |  SELECT node, label FROM (
-             |    SELECT dst AS node, label, COUNT(*) AS cnt
-             |    FROM e0 JOIN l${i - 1} l ON e0.src = l.node
-             |    GROUP BY 1, 2) t
-             |  QUALIFY row_number() OVER (PARTITION BY node
-             |    ORDER BY cnt DESC, label) = 1)""".stripMargin
-        s"""WITH li AS MATERIALIZED (SELECT l_orderkey AS ok,
-           |       l_partkey AS pk FROM lineitem),
-           |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
-           |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
-           |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
-           |       FROM e0),
-           |${(1 to 3).map(round).mkString(",\n")},
-           |chg AS (SELECT COUNT(*) AS n FROM l3 a JOIN l2 b
-           |        USING (node) WHERE a.label <> b.label)
-           |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
-           |       (SELECT n FROM chg) = 0 AS converged
-           |FROM l3 GROUP BY label ORDER BY label""".stripMargin
-      }),
+      s"""WITH ${duckLpaCtes(3)},
+         |chg AS (SELECT COUNT(*) AS n FROM l3 a JOIN l2 b
+         |        USING (node) WHERE a.label <> b.label)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       (SELECT n FROM chg) = 0 AS converged
+         |FROM l3 GROUP BY label ORDER BY label""".stripMargin),
+
+    // Modularity of the LPA communities: Q = Σ_c [m_c/m − (d_c/2m)²] —
+    // the standard "are these communities better than chance" score
+    // (Newman-Girvan), the number a pipeline checks BEFORE trusting a
+    // partition for downstream sharding or curriculum grouping. Over
+    // the symmetric edge list everything is integer: 2m = |rows|,
+    // 2m_c = same-label rows, d_c = Σ deg — so each community's term is
+    // a closed-form double over exact counts, and the corpus-wide Q
+    // accumulates through the floor(term·2⁴⁰) decimal lift (order-free;
+    // floor of a negative term is equally deterministic). Plan shape:
+    // the label vector joins the edge scan twice (src/dst) — both
+    // broadcasts, edges never reshuffled, same discipline as the LPA
+    // rounds themselves — then two keyed aggs on the label grain.
+    "graph_lpa_modularity" -> QuerySpec(
+      (s, d) => {
+        val edges = coPurchaseEdges(s, d)
+        val (labels, _) = lpaLabels(s, d)
+        val twoM = edges.count()
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val comm = deg.join(broadcast(labels), "node")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_members"), sum("deg").as("deg_sum"))
+        val intra = edges
+          .join(broadcast(labels.withColumnRenamed("node", "src")
+            .withColumnRenamed("label", "sl")), "src")
+          .join(broadcast(labels.withColumnRenamed("node", "dst")
+            .withColumnRenamed("label", "dl")), "dst")
+          .filter(col("sl") === col("dl"))
+          .groupBy(col("sl").as("label"))
+          .agg(count(lit(1)).as("intra2"))
+        val md = lit(twoM.toDouble)
+        val term = coalesce(col("intra2"), lit(0L)).cast("double") / md -
+          (col("deg_sum").cast("double") / md) *
+            (col("deg_sum").cast("double") / md)
+        val perC = comm.join(intra, Seq("label"), "left")
+          .select(col("label"), col("n_members"),
+            (coalesce(col("intra2"), lit(0L)) / lit(2)).cast("long")
+              .as("intra_edges"),
+            col("deg_sum"), term.as("q_term"))
+        val q = perC.agg((sum(floor(col("q_term") * lit(1099511627776.0))
+            .cast("decimal(38,0)")).cast("double") / lit(1099511627776.0))
+          .as("modularity"))
+        perC.crossJoin(broadcast(q)).orderBy("label")
+      },
+      s"""WITH ${duckLpaCtes(3)},
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM e0 GROUP BY 1),
+         |m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS two_m FROM e0),
+         |comm AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |           CAST(SUM(deg) AS BIGINT) AS deg_sum
+         |         FROM deg JOIN l3 USING (node) GROUP BY 1),
+         |intra AS (SELECT ls.label, CAST(COUNT(*) AS BIGINT) AS intra2
+         |          FROM e0 JOIN l3 ls ON e0.src = ls.node
+         |                  JOIN l3 ld ON e0.dst = ld.node
+         |          WHERE ls.label = ld.label GROUP BY 1),
+         |perc AS (SELECT label, n_members,
+         |           COALESCE(intra2, 0) // 2 AS intra_edges, deg_sum,
+         |           CAST(COALESCE(intra2, 0) AS DOUBLE)
+         |             / CAST((SELECT two_m FROM m2) AS DOUBLE)
+         |           - (CAST(deg_sum AS DOUBLE)
+         |              / CAST((SELECT two_m FROM m2) AS DOUBLE))
+         |             * (CAST(deg_sum AS DOUBLE)
+         |                / CAST((SELECT two_m FROM m2) AS DOUBLE))
+         |             AS q_term
+         |         FROM comm LEFT JOIN intra USING (label)),
+         |q AS (SELECT CAST(SUM(CAST(floor(q_term * 1099511627776.0)
+         |          AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0
+         |          AS modularity
+         |      FROM perc)
+         |SELECT label, n_members, intra_edges, deg_sum, q_term,
+         |       modularity
+         |FROM perc, q ORDER BY label""".stripMargin),
 
     // Triangle census + global clustering coefficient over the shared
     // co-purchase graph — the standard graph-density/community-structure
@@ -546,4 +592,64 @@ object GraphQ {
       .groupBy(col("dst"))
       .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
       .select(col("dst").as("node"), (-col("m.nl")).as("label"))
+
+  /** One LPA label build per (session, sf-dir) — the label vector is
+    * consumed by BOTH graph_label_propagation and the modularity audit,
+    * so like the edge list it is built once and shared (the bench
+    * charges it to its own `graph_lpa_shared_labels` entry). */
+  private val lpaCache = new graft.util.SessionScopedCache[
+    (org.apache.spark.sql.DataFrame, Long)]()
+
+  /** Run `rounds` synchronous LPA rounds over the shared co-purchase
+    * graph; returns (final labels, #nodes whose label changed in the
+    * last round) — shared by graph_label_propagation and the modularity
+    * audit so the community definition cannot drift between them. */
+  private[graft] def lpaLabels(s: org.apache.spark.sql.SparkSession,
+                               d: String)
+      : (org.apache.spark.sql.DataFrame, Long) =
+    lpaCache.getOrBuild(s, d) {
+      val edges = coPurchaseEdges(s, d)
+      var labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint(true)
+      var prev = labels
+      for (_ <- 1 to 3) {
+        prev = labels
+        labels = lpaRound(edges, labels).localCheckpoint(true)
+      }
+      val nChanged = labels
+        .join(prev.withColumnRenamed("label", "prev_label"), "node")
+        .filter(col("label") =!= col("prev_label")).count()
+      (labels, nChanged)
+    }
+
+  /** Benchmark hook: run the shared LPA rounds NOW so the label build
+    * lands in its own timing entry instead of whichever of the two
+    * community consumers runs first. */
+  def buildSharedLpaStage(s: org.apache.spark.sql.SparkSession,
+                          d: String): Unit = {
+    lpaLabels(s, d); ()
+  }
+
+  /** DuckDB CTE chain mirroring [[lpaLabels]]: li/e0 edge build, l0
+    * identity labels, l1..l`rounds` propagation rounds (MATERIALIZED —
+    * the CTE-inlining blowup guard). Ends with `l$rounds(node, label)`
+    * available, plus e0 for consumers that need the edge list. */
+  private def duckLpaCtes(rounds: Int): String = {
+    def round(i: Int): String =
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT dst AS node, label, COUNT(*) AS cnt
+         |    FROM e0 JOIN l${i - 1} l ON e0.src = l.node
+         |    GROUP BY 1, 2) t
+         |  QUALIFY row_number() OVER (PARTITION BY node
+         |    ORDER BY cnt DESC, label) = 1)""".stripMargin
+    s"""li AS MATERIALIZED (SELECT l_orderkey AS ok,
+       |       l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
+       |       FROM e0),
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
 }
