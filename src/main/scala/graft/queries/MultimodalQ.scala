@@ -514,6 +514,66 @@ object MultimodalQ {
            |         (a, b) -> a + b) AS DOUBLE) / 60.0 AS mean_px,
            |       $feats
            |FROM px ORDER BY asset_id""".stripMargin
-      })
+      }),
+
+    // Patch-grid statistics — the ViT patch-embedding prep: each decoded
+    // 10×6 raster splits into a 2×2 grid of 5×3 patches and every patch
+    // emits (sum, mean, min, max) — the per-patch normalization
+    // statistics an image tokenizer computes before projecting patches
+    // into embedding space. The pixels come through the REAL ImageIO
+    // PNG decode of the cached byte streams (the oracle recomputes the
+    // deterministic raster arithmetically — the hash match re-proves
+    // the lossless round trip at patch granularity). Index math is
+    // division-free on both engines (nested row/col ranges, no
+    // floor-of-double anywhere); the patch explode is a narrow 4×
+    // row-multiplier on the decoded table — no shuffle until the final
+    // sort. At production resolution the same shape holds: patches per
+    // image is a constant grid, so the stage stays a per-row map.
+    "multimodal_patch_grid" -> QuerySpec(
+      (s, d) => {
+        val patches = array(
+          struct(lit(0).as("pr"), lit(0).as("pc")),
+          struct(lit(0).as("pr"), lit(1).as("pc")),
+          struct(lit(1).as("pr"), lit(0).as("pc")),
+          struct(lit(1).as("pr"), lit(1).as("pc")))
+        val vals = flatten(transform(sequence(lit(0), lit(2)), r =>
+          transform(sequence(lit(0), lit(4)), c =>
+            element_at(col("pixels"),
+              (col("p.pr") * 3 + r) * 10 + col("p.pc") * 5 + c + 1))))
+        decodedPngs(s, d)
+          .select(col("asset_id"), col("pixels"),
+            explode(patches).as("p"))
+          .select(col("asset_id"),
+            (col("p.pr") * 2 + col("p.pc")).as("patch_id"),
+            vals.as("vals"))
+          .select(col("asset_id"), col("patch_id"),
+            aggregate(transform(col("vals"), _.cast("long")), lit(0L),
+              _ + _).as("patch_sum"),
+            array_min(col("vals")).as("patch_min"),
+            array_max(col("vals")).as("patch_max"))
+          .withColumn("patch_mean",
+            col("patch_sum").cast("double") / lit(15.0))
+          .select(col("asset_id"), col("patch_id"), col("patch_sum"),
+            col("patch_mean"), col("patch_min"), col("patch_max"))
+          .orderBy("asset_id", "patch_id")
+      },
+      s"""WITH $duckPxCtes,
+         |g AS (SELECT asset_id, pr * 2 + pc AS patch_id,
+         |        flatten(list_transform(range(0, 3), r ->
+         |          list_transform(range(0, 5), c ->
+         |            px[(pr * 3 + r) * 10 + pc * 5 + c + 1]))) AS vals
+         |      FROM px CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1))
+         |        t(pr, pc)),
+         |a AS (SELECT asset_id, patch_id,
+         |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(vals, x -> CAST(x AS BIGINT))),
+         |          (x, y) -> x + y) AS BIGINT) AS patch_sum,
+         |        list_aggregate(vals, 'min') AS patch_min,
+         |        list_aggregate(vals, 'max') AS patch_max
+         |      FROM g)
+         |SELECT asset_id, patch_id, patch_sum,
+         |       CAST(patch_sum AS DOUBLE) / 15.0 AS patch_mean,
+         |       patch_min, patch_max
+         |FROM a ORDER BY asset_id, patch_id""".stripMargin)
   )
 }

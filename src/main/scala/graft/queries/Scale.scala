@@ -355,6 +355,85 @@ object Scale {
         |       CAST(SUM(all_set) AS BIGINT) AS n_bloom_pass,
         |       CAST(SUM(is_m) AS BIGINT) AS n_member,
         |       CAST(SUM(all_set * (1 - is_m)) AS BIGINT) AS n_false_pos
-        |FROM flagged""".stripMargin)
+        |FROM flagged""".stripMargin),
+
+    // KMV/theta sketch set-INTERSECTION estimate: the mergeable-sketch
+    // answer to "how many customers appear in BOTH datasets" when the
+    // sets live on different clusters and only k-sized summaries can
+    // travel — the cross-silo overlap primitive HLL cannot provide
+    // (HLL unions; theta sketches intersect). Each side keeps its k=256
+    // MINIMUM 60-bit key hashes (a TakeOrdered — never a full sort;
+    // the sketch is the only thing that crosses the wire), θ = the
+    // smaller k-th minimum, and |A∩B| ≈ |{shared samples < θ}| / θ.
+    // Like the HLL and t-digest rows this is a BOUND-VERDICT query: the
+    // estimate is compared against the exact semi-join count computed
+    // alongside, and the row asserts rel_err ≤ 0.15 (probed ≤ 6.5%
+    // across sf0.001-0.1; k=256 gives ~1/√k ≈ 6% typical error). All
+    // arithmetic is exact integers until the two final divisions,
+    // written in the same order on both engines.
+    "sketch_kmv_intersection" -> QuerySpec(
+      (s, d) => {
+        val k = 256
+        val two60 = 1152921504606846976.0 // 2^60
+        def sketch(keys: org.apache.spark.sql.DataFrame) =
+          keys.distinct()
+            .select(graft.ext.TextOps.hash64(col("k").cast("string"))
+              .as("h"))
+            .orderBy("h").limit(k)
+        val ka = sketch(Tables.orders(s, d)
+          .select(col("o_custkey").as("k")))
+        val kb = sketch(Tables.customer(s, d)
+          .select(col("c_custkey").as("k")))
+        val theta = ka.agg(max("h").as("ta")).crossJoin(
+            kb.agg(max("h").as("tb")))
+          .select(least(col("ta"), col("tb")).as("theta"))
+        val inter = ka.join(kb, "h")
+          .crossJoin(broadcast(theta))
+          .filter(col("h") < col("theta"))
+          .agg(count(lit(1)).as("c"))
+        val exact = Tables.orders(s, d).select(col("o_custkey").as("k"))
+          .distinct()
+          .join(Tables.customer(s, d).select(col("c_custkey").as("k")),
+            "k")
+          .agg(count(lit(1)).as("exact_intersection"))
+        val est = col("c").cast("double") /
+          (col("theta").cast("double") / lit(two60))
+        inter.crossJoin(broadcast(theta)).crossJoin(broadcast(exact))
+          .select(lit(k.toLong).as("k"),
+            col("c").as("n_shared_samples"),
+            est.as("est_intersection"),
+            col("exact_intersection"),
+            (abs(est - col("exact_intersection").cast("double")) /
+              col("exact_intersection").cast("double")).as("rel_err"))
+          .withColumn("within_bound", col("rel_err") <= lit(0.15))
+      },
+      """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |b AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        |ka AS (SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))
+        |           ::UBIGINT AS BIGINT) AS h
+        |       FROM a ORDER BY h LIMIT 256),
+        |kb AS (SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))
+        |           ::UBIGINT AS BIGINT) AS h
+        |       FROM b ORDER BY h LIMIT 256),
+        |th AS (SELECT LEAST((SELECT MAX(h) FROM ka),
+        |                    (SELECT MAX(h) FROM kb)) AS theta),
+        |i AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM ka JOIN kb USING (h)
+        |      WHERE h < (SELECT theta FROM th)),
+        |x AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+        |      FROM a JOIN b USING (k)),
+        |e AS (SELECT CAST(256 AS BIGINT) AS k, c AS n_shared_samples,
+        |        CAST(c AS DOUBLE) /
+        |          (CAST((SELECT theta FROM th) AS DOUBLE)
+        |            / 1152921504606846976.0) AS est_intersection,
+        |        exact_intersection
+        |      FROM i, x)
+        |SELECT k, n_shared_samples, est_intersection, exact_intersection,
+        |       abs(est_intersection - CAST(exact_intersection AS DOUBLE))
+        |         / CAST(exact_intersection AS DOUBLE) AS rel_err,
+        |       abs(est_intersection - CAST(exact_intersection AS DOUBLE))
+        |         / CAST(exact_intersection AS DOUBLE) <= 0.15
+        |         AS within_bound
+        |FROM e""".stripMargin)
   )
 }
