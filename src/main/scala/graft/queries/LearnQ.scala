@@ -442,6 +442,77 @@ object LearnQ {
          |       COALESCE(pr.pl, 'none') AS pred_lang,
          |       COALESCE(pr.pl, 'none') = td.lang AS correct
          |FROM td LEFT JOIN pr USING (doc_id)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin),
+
+    // kNN classification over the embedding space: the same 1-in-5
+    // held-out split as learn_rocchio_langid, but predicting by
+    // majority vote of the 5 nearest TRAIN embeddings (cosine) instead
+    // of nearest centroid — the lazy-learner baseline every embedding
+    // pipeline evaluates against, reported as the full confusion
+    // matrix. Determinism: neighbor rank ties break on vec_id, vote
+    // ties on the lexicographically smallest language; cosine folds are
+    // the established bit-parity kernel. Plan shape: the test vectors
+    // BROADCAST against the train scan (never an all-pairs shuffle; at
+    // production scale this arm swaps for the IVF/LSH candidate join —
+    // similarity_lsh_recall_audit measures exactly what that swap
+    // costs), then two keyed aggs on the (query, label) grain, both
+    // map-side combinable.
+    "learn_knn_langid" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lab = Tables.embeddings(s, d)
+          .join(Tables.documents(s, d)
+            .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+        val test = lab.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            col("lang").as("true_lang"))
+        val train = lab.filter(col("vec_id") % 5 =!= 0)
+        val knn = train.crossJoin(broadcast(test))
+          .select(col("q_id"), col("true_lang"), col("vec_id"),
+            col("lang"),
+            graft.ext.Similarity.cosine(col("embedding"), col("qv"))
+              .as("cos"))
+          .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+            .orderBy(desc("cos"), asc("vec_id"))))
+          .filter(col("rn") <= 5)
+        val votes = knn.groupBy("q_id", "true_lang", "lang")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(Window.partitionBy("q_id")
+            .orderBy(desc("votes"), asc("lang"))))
+          .filter(col("vr") === 1)
+          .select(col("q_id"), col("true_lang"),
+            col("lang").as("pred_lang"))
+        votes.groupBy("true_lang", "pred_lang")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("true_lang", "pred_lang")
+      },
+      {
+        val dot = (a: String, b: String) =>
+          s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+             |  (x, y) -> x + y)""".stripMargin
+        val cos = s"(${dot("t.embedding", "q.qv")}) / " +
+          s"(sqrt(${dot("t.embedding", "t.embedding")}) * " +
+          s"sqrt(${dot("q.qv", "q.qv")}))"
+        s"""WITH lab AS (SELECT vec_id, embedding, lang
+           |             FROM embeddings e JOIN documents dd
+           |               ON e.vec_id = dd.doc_id),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv, lang AS true_lang
+           |      FROM lab WHERE vec_id % 5 = 0),
+           |t2 AS (SELECT * FROM lab WHERE vec_id % 5 <> 0),
+           |knn AS (SELECT q_id, true_lang, lang FROM (
+           |          SELECT q.q_id, q.true_lang, t.vec_id, t.lang,
+           |                 row_number() OVER (PARTITION BY q.q_id
+           |                   ORDER BY $cos DESC, t.vec_id) AS rn
+           |          FROM t2 t CROSS JOIN q) WHERE rn <= 5),
+           |votes AS (SELECT q_id, true_lang, lang,
+           |            COUNT(*) AS votes FROM knn GROUP BY 1, 2, 3),
+           |pred AS (SELECT q_id, true_lang, lang AS pred_lang FROM (
+           |           SELECT *, row_number() OVER (PARTITION BY q_id
+           |             ORDER BY votes DESC, lang) AS vr FROM votes)
+           |         WHERE vr = 1)
+           |SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM pred GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
+      })
   )
 }

@@ -756,22 +756,28 @@ object Warehouse {
           floor(c * 100 + lit(0.5)).cast("long")
         def dsum(c: org.apache.spark.sql.Column) =
           sum(c.cast("decimal(38,0)"))
+        // Power sums past 2⁵³ (Σx⁴ ≈ 3.75·10²⁰ at sf0.1) accumulate as
+        // exact hi/lo pairs — see profile_correlation_matrix for the
+        // cross-engine DECIMAL→DOUBLE rounding hazard this avoids.
+        def hiLo(c: org.apache.spark.sql.Column, n: String) = Seq(
+          dsum(floor(c / lit(1048576L)).cast("long")).as(s"h_$n"),
+          dsum(c % lit(1048576L)).as(s"l_$n"))
+        val x = col("x"); val y = col("y")
         val g = Tables.lineitem(s, d)
           .select(col("l_returnflag"), cents(col("l_quantity")).as("x"),
             cents(col("l_extendedprice")).as("y"))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
-            dsum(col("x")).as("d1"),
-            dsum(col("x") * col("x")).as("d2"),
-            dsum(col("x") * col("x") * col("x")).as("d3"),
-            dsum(col("x") * col("x") * col("x") * col("x")).as("d4"),
-            dsum(col("y")).as("dy"),
-            dsum(col("y") * col("y")).as("dy2"),
-            dsum(col("x") * col("y")).as("dxy"))
+            Seq(dsum(x).as("d1"), dsum(y).as("dy")) ++
+              hiLo(x * x, "d2") ++ hiLo(x * x * x, "d3") ++
+              hiLo(x * x * x * x, "d4") ++ hiLo(y * y, "dy2") ++
+              hiLo(x * y, "dxy"): _*)
         val nd = col("n").cast("double")
-        val Seq(s1, s2, s3, s4, sy, sy2, sxy) =
-          Seq("d1", "d2", "d3", "d4", "dy", "dy2", "dxy")
-            .map(c => col(c).cast("double"))
+        def rec(n: String) = col(s"h_$n").cast("double") *
+          lit(1048576.0) + col(s"l_$n").cast("double")
+        val Seq(s1, sy) = Seq("d1", "dy").map(c => col(c).cast("double"))
+        val Seq(s2, s3, s4, sy2, sxy) =
+          Seq("d2", "d3", "d4", "dy2", "dxy").map(rec)
         val m = s1 / nd
         val m2 = s2 / nd - m * m
         val m3 = s3 / nd - lit(3.0) * m * (s2 / nd) + lit(2.0) * m * m * m
@@ -794,12 +800,27 @@ object Warehouse {
         |       FROM lineitem),
         |a AS (SELECT l_returnflag, COUNT(*) AS n,
         |        CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s1,
-        |        CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS DOUBLE) AS s2,
-        |        CAST(SUM(CAST(x*x*x AS DECIMAL(38,0))) AS DOUBLE) AS s3,
-        |        CAST(SUM(CAST(x*x*x*x AS DECIMAL(38,0))) AS DOUBLE) AS s4,
+        |        CAST(SUM(CAST((x*x) // 1048576 AS DECIMAL(38,0)))
+        |          AS DOUBLE) * 1048576.0 +
+        |        CAST(SUM(CAST((x*x) % 1048576 AS DECIMAL(38,0)))
+        |          AS DOUBLE) AS s2,
+        |        CAST(SUM(CAST((x*x*x) // 1048576 AS DECIMAL(38,0)))
+        |          AS DOUBLE) * 1048576.0 +
+        |        CAST(SUM(CAST((x*x*x) % 1048576 AS DECIMAL(38,0)))
+        |          AS DOUBLE) AS s3,
+        |        CAST(SUM(CAST((x*x*x*x) // 1048576 AS DECIMAL(38,0)))
+        |          AS DOUBLE) * 1048576.0 +
+        |        CAST(SUM(CAST((x*x*x*x) % 1048576 AS DECIMAL(38,0)))
+        |          AS DOUBLE) AS s4,
         |        CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-        |        CAST(SUM(CAST(y*y AS DECIMAL(38,0))) AS DOUBLE) AS sy2,
-        |        CAST(SUM(CAST(x*y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+        |        CAST(SUM(CAST((y*y) // 1048576 AS DECIMAL(38,0)))
+        |          AS DOUBLE) * 1048576.0 +
+        |        CAST(SUM(CAST((y*y) % 1048576 AS DECIMAL(38,0)))
+        |          AS DOUBLE) AS sy2,
+        |        CAST(SUM(CAST((x*y) // 1048576 AS DECIMAL(38,0)))
+        |          AS DOUBLE) * 1048576.0 +
+        |        CAST(SUM(CAST((x*y) % 1048576 AS DECIMAL(38,0)))
+        |          AS DOUBLE) AS sxy,
         |        CAST(COUNT(*) AS DOUBLE) AS nd
         |      FROM b GROUP BY l_returnflag),
         |m AS (SELECT *, s1 / nd AS mu, s2 / nd - (s1 / nd) * (s1 / nd) AS m2,
@@ -1114,6 +1135,134 @@ object Warehouse {
         |       CAST(SUM(r) AS DECIMAL(38,0)) AS rev_cents,
         |       CAST(CAST(SUM(r) AS DECIMAL(38,0)) AS DOUBLE)
         |         / CAST((SELECT t FROM tot) AS DOUBLE) AS rev_share
-        |FROM cls GROUP BY 1 ORDER BY abc_class""".stripMargin)
+        |FROM cls GROUP BY 1 ORDER BY abc_class""".stripMargin),
+
+    // Full pairwise Pearson correlation matrix over lineitem's four
+    // numeric measures in ONE aggregation pass — the feature-redundancy
+    // screen a feature store runs before training (drop one of any
+    // near-collinear pair). Power-sum determinism as in
+    // profile_moments_regression, with one additional guard this query
+    // DISCOVERED: a DECIMAL→DOUBLE cast of a sum past 2⁵³ is NOT
+    // reliably correctly-rounded on both engines (DuckDB's int128 path
+    // truncates — Σep² ≈ 2.2·10¹⁹ at sf0.1 split the hash by one ulp),
+    // so every product sum is accumulated as an exact HI/LO pair
+    // (term div 2²⁰ and term mod 2²⁰, each summed in DECIMAL(38,0) and
+    // each far below 2⁵³ at cast time) and reconstructed as
+    // hi·2²⁰ + lo in double — two IEEE ops in fixed order, identical on
+    // both engines at any magnitude the fixture reaches. Only the
+    // closed-form corr of those bit-equal sums runs in double. Plan: a
+    // single map-side-combined global agg over the scan — one pass,
+    // the cheapest possible profile shape at any corpus size.
+    "profile_correlation_matrix" -> QuerySpec(
+      (s, d) => {
+        def cents(c: org.apache.spark.sql.Column) =
+          floor(c * 100 + lit(0.5)).cast("long")
+        def dsum(c: org.apache.spark.sql.Column) =
+          sum(c.cast("decimal(38,0)"))
+        val cols = Seq("q" -> col("l_quantity"),
+          "ep" -> col("l_extendedprice"),
+          "dc" -> col("l_discount"), "tx" -> col("l_tax"))
+        val lifted = Tables.lineitem(s, d)
+          .select(cols.map { case (n, c) => cents(c).as(n) }: _*)
+        val pairs = Seq("q" -> "q", "ep" -> "ep", "dc" -> "dc",
+          "tx" -> "tx", "q" -> "ep", "q" -> "dc", "q" -> "tx",
+          "ep" -> "dc", "ep" -> "tx", "dc" -> "tx")
+        val aggs =
+          cols.map { case (n, _) => dsum(col(n)).as(s"s_$n") } ++
+          pairs.flatMap { case (a, b) =>
+            val prod = col(a) * col(b)
+            Seq(dsum(expr(s"($a * $b) div 1048576")).as(s"h_${a}_$b"),
+              dsum(prod % lit(1048576L)).as(s"l_${a}_$b"))
+          }
+        val g = lifted.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        val nd = col("n_rows").cast("double")
+        def sd(n: String) = col(n).cast("double")
+        def sp(a: String, b: String) =
+          sd(s"h_${a}_$b") * lit(1048576.0) + sd(s"l_${a}_$b")
+        def corr2(a: String, b: String) =
+          (nd * sp(a, b) - sd(s"s_$a") * sd(s"s_$b")) /
+            sqrt((nd * sp(a, a) - sd(s"s_$a") * sd(s"s_$a")) *
+              (nd * sp(b, b) - sd(s"s_$b") * sd(s"s_$b")))
+        g.select(col("n_rows"),
+          corr2("q", "ep").as("corr_qty_price"),
+          corr2("q", "dc").as("corr_qty_discount"),
+          corr2("q", "tx").as("corr_qty_tax"),
+          corr2("ep", "dc").as("corr_price_discount"),
+          corr2("ep", "tx").as("corr_price_tax"),
+          corr2("dc", "tx").as("corr_discount_tax"))
+      },
+      """WITH b AS (SELECT
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+        |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tx
+        |  FROM lineitem),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS s_q,
+        |    CAST(SUM(CAST(ep AS DECIMAL(38,0))) AS DOUBLE) AS s_ep,
+        |    CAST(SUM(CAST(dc AS DECIMAL(38,0))) AS DOUBLE) AS s_dc,
+        |    CAST(SUM(CAST(tx AS DECIMAL(38,0))) AS DOUBLE) AS s_tx,
+        |    CAST(SUM(CAST((q*q) // 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      * 1048576.0 +
+        |    CAST(SUM(CAST((q*q) % 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      AS s_q_q,
+        |    CAST(SUM(CAST((ep*ep) // 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      * 1048576.0 +
+        |    CAST(SUM(CAST((ep*ep) % 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      AS s_ep_ep,
+        |    CAST(SUM(CAST((dc*dc) // 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      * 1048576.0 +
+        |    CAST(SUM(CAST((dc*dc) % 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      AS s_dc_dc,
+        |    CAST(SUM(CAST((tx*tx) // 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      * 1048576.0 +
+        |    CAST(SUM(CAST((tx*tx) % 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      AS s_tx_tx,
+        |    CAST(SUM(CAST((q*ep) // 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      * 1048576.0 +
+        |    CAST(SUM(CAST((q*ep) % 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      AS s_q_ep,
+        |    CAST(SUM(CAST((q*dc) // 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      * 1048576.0 +
+        |    CAST(SUM(CAST((q*dc) % 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      AS s_q_dc,
+        |    CAST(SUM(CAST((q*tx) // 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      * 1048576.0 +
+        |    CAST(SUM(CAST((q*tx) % 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      AS s_q_tx,
+        |    CAST(SUM(CAST((ep*dc) // 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      * 1048576.0 +
+        |    CAST(SUM(CAST((ep*dc) % 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      AS s_ep_dc,
+        |    CAST(SUM(CAST((ep*tx) // 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      * 1048576.0 +
+        |    CAST(SUM(CAST((ep*tx) % 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      AS s_ep_tx,
+        |    CAST(SUM(CAST((dc*tx) // 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      * 1048576.0 +
+        |    CAST(SUM(CAST((dc*tx) % 1048576 AS DECIMAL(38,0))) AS DOUBLE)
+        |      AS s_dc_tx
+        |  FROM b)
+        |SELECT n_rows,
+        |  (nd * s_q_ep - s_q * s_ep) /
+        |    sqrt((nd * s_q_q - s_q * s_q) * (nd * s_ep_ep - s_ep * s_ep))
+        |    AS corr_qty_price,
+        |  (nd * s_q_dc - s_q * s_dc) /
+        |    sqrt((nd * s_q_q - s_q * s_q) * (nd * s_dc_dc - s_dc * s_dc))
+        |    AS corr_qty_discount,
+        |  (nd * s_q_tx - s_q * s_tx) /
+        |    sqrt((nd * s_q_q - s_q * s_q) * (nd * s_tx_tx - s_tx * s_tx))
+        |    AS corr_qty_tax,
+        |  (nd * s_ep_dc - s_ep * s_dc) /
+        |    sqrt((nd * s_ep_ep - s_ep * s_ep) *
+        |         (nd * s_dc_dc - s_dc * s_dc)) AS corr_price_discount,
+        |  (nd * s_ep_tx - s_ep * s_tx) /
+        |    sqrt((nd * s_ep_ep - s_ep * s_ep) *
+        |         (nd * s_tx_tx - s_tx * s_tx)) AS corr_price_tax,
+        |  (nd * s_dc_tx - s_dc * s_tx) /
+        |    sqrt((nd * s_dc_dc - s_dc * s_dc) *
+        |         (nd * s_tx_tx - s_tx * s_tx)) AS corr_discount_tax
+        |FROM a""".stripMargin)
   )
 }
