@@ -1,8 +1,10 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, lit, max, min, timestamp_micros, to_utc_timestamp, unix_micros}
 import org.apache.spark.sql.types._
+
+import graft.util.SessionScopedCache
 
 /** Table access for the harness parquet tables (see /root/repo/TESTDATA.md).
   *
@@ -27,12 +29,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** The events parquet stores `ts` as INT64 TIMESTAMP(NANOS), which the
-    * Spark 4 parquet reader rejects outright. Reading with an explicit
-    * schema that maps the column to LongType (nanoseconds since epoch)
-    * sidesteps the conversion; [[eventsWithTs]] derives a proper µs
-    * timestamp column for event-time operators. */
-  private val eventsSchema = StructType(Seq(
+  /** The harness has shipped `events.ts` under more than one physical
+    * parquet encoding over time: INT64 TIMESTAMP(NANOS) — which the Spark 4
+    * parquet reader rejects outright, so it must be read through an explicit
+    * LongType schema — and plain µs TIMESTAMP, which reads natively. The
+    * loader detects the encoding from the footer-inferred schema (cached per
+    * session+path; a footer read, no data scan) instead of assuming one
+    * forever, and normalizes `ts` to epoch-NANOSECOND LongType either way so
+    * every downstream consumer keeps a single exact-integer contract. */
+  private val eventsNsSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),
@@ -40,9 +45,77 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def events(s: SparkSession, d: String): DataFrame =
-    graft.ops.Scale.fanOut(
-      s.read.schema(eventsSchema).parquet(s"$d/events.parquet"))
+  private val tsEncoding = new SessionScopedCache[Option[DataType]]
+  private val tsRange = new SessionScopedCache[(Long, Long)]
+
+  private def detectTsType(s: SparkSession, path: String): Option[DataType] =
+    tsEncoding.getOrBuild(s, path)(
+      scala.util.Try(s.read.parquet(path).schema("ts").dataType).toOption)
+
+  /** Rewrite `ts` to epoch-ns LongType given its detected on-disk type.
+    * NTZ wall time IS the UTC instant in this data, so it is pinned with
+    * to_utc_timestamp rather than a bare cast that would shift under a
+    * non-UTC session timezone. */
+  private def normalizeTs(df: DataFrame, kind: Option[DataType]): DataFrame =
+    kind match {
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(to_utc_timestamp(col("ts"), "UTC")) * lit(1000L))
+      case _ => df // already a raw epoch-ns long column
+    }
+
+  private def eventsNormalized(s: SparkSession, path: String): DataFrame = {
+    val kind = detectTsType(s, path)
+    val raw = kind match {
+      case Some(_) => s.read.parquet(path)
+      case None => // INT64 TIMESTAMP(NANOS): schema inference throws; map
+        // the physical long through an explicit schema (pre-2026-08 data)
+        s.read.schema(eventsNsSchema).parquet(path)
+    }
+    normalizeTs(raw, kind)
+  }
+
+  /** Streaming twin of [[events]]: a file-source readStream over the raw
+    * events parquet whose explicit schema matches the detected physical
+    * `ts` encoding, normalized to the same epoch-ns LongType contract.
+    * (A file source cannot infer schemas, and handing it the BATCH
+    * loader's post-normalization schema would silently misread a
+    * timestamp-encoded file as raw longs.) */
+  def eventsStreamSource(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val kind = detectTsType(s, path)
+    val physical = kind match {
+      case Some(t @ (TimestampType | TimestampNTZType)) => t
+      case _ => LongType
+    }
+    val readSchema = StructType(eventsNsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = physical) else f))
+    normalizeTs(
+      s.readStream.schema(readSchema)
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(d),
+      kind)
+  }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val df = eventsNormalized(s, path)
+    // Guard against silent encoding drift: a mis-decoded ts lands decades
+    // off (the ns-as-µs bug put every event in Jan 1970) and every
+    // duration-dependent query then "succeeds" with garbage. One min/max
+    // scan per (session, path), then a cheap cached assertion per call —
+    // so drift yields one loud error line, not hundreds of hash mismatches.
+    val (lo, hi) = tsRange.getOrBuild(s, path) {
+      val r = df.agg(min("ts"), max("ts")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(lo >= 946684800000000000L && hi < 4102444800000000000L,
+      s"events.ts outside years [2000, 2100) as epoch-ns (min=$lo max=$hi) " +
+        s"in $path — parquet timestamp encoding drift?")
+    graft.ops.Scale.fanOut(df)
+  }
 
   /** events + `ts_utc` timestamp (µs, truncated from ns with exact integer
     * division — `ts / 1000` in double would lose precision at 1.7e18). */

@@ -252,10 +252,7 @@ object Events {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val batchShape = Tables.eventsWithTs(s, d)
-        val stream = s.readStream
-          .schema(Tables.events(s, d).schema)
-          .option("pathGlobFilter", "events.parquet") // file source needs a dir
-          .parquet(d)
+        val stream = Tables.eventsStreamSource(s, d)
           .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
           // exact decimal state: the streaming sum must be accumulation-
           // order-free for the oracle hash to match
@@ -295,10 +292,7 @@ object Events {
     "events_stream_append_windows" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
-        val stream = s.readStream
-          .schema(Tables.events(s, d).schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
+        val stream = Tables.eventsStreamSource(s, d)
           .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
           .withColumn("value", col("value").cast("decimal(25,6)"))
         val agg = graft.streaming.Streams.tumblingHourly(stream)
