@@ -33,36 +33,55 @@ object Bench {
       }
     }
 
+    // Per-query MEDIAN over SPARK_GRAFT_BENCH_RUNS full sweeps — DEFAULT 3.
+    // Single runs at local[32] show >2x swings on unchanged queries from
+    // GC/scheduler/box contention (round 6: a contended single run printed
+    // 384s where the 3-run median was 174.5s), so the official snapshot
+    // must be the robust number, not the lucky/unlucky one.
+    val runsN = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // Median over SUCCESSFUL runs only; if every run failed, keep the
+    // -1.0 sentinel so the entry reads as broken, not fast.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.filter(_ >= 0).sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
     // The dedup/graph consumers share ONE LSH verified-pair build,
     // amortized exactly as a production pipeline persists that artifact
     // once. Build it here under its OWN timing entry so their per-query
     // numbers measure their own plans — not whichever consumer happened
     // to run first absorbing the whole stage. Same for the trained IVF
     // codebook, the co-purchase edge list, and the BPE merge table.
-    val sharedStage = timed("dedup_lsh_shared_stage") {
-      graft.queries.DedupQ.buildSharedPairStage(spark, sfDir)
+    // Shared stages get the SAME median protection as the query sweeps:
+    // sample the build runsN times (evicting the session cache so runs
+    // 2..N rebuild for real) and keep the median — round 7's driver run
+    // charged harness-start contention to exactly these once-timed
+    // entries (k-means train 46.2 s driver vs 3.3 s idle). The final
+    // rebuild's artifact stays cached for the consumer sweeps below.
+    def timedStage(name: String)(build: Boolean => Unit): (String, Double) = {
+      val ts = (1 to runsN).map(i => timed(name)(build(i > 1))._2)
+      name -> median(ts)
     }
-    val sharedTrain = timed("similarity_kmeans_shared_train") {
-      graft.queries.SimilarityQ.buildSharedTrainStage(spark, sfDir)
-    }
-    val sharedEdges = timed("graph_edges_shared_stage") {
-      graft.queries.GraphQ.buildSharedEdgeStage(spark, sfDir)
-    }
-    val sharedLpa = timed("graph_lpa_shared_labels") {
-      graft.queries.GraphQ.buildSharedLpaStage(spark, sfDir)
-    }
-    val sharedBpe = timed("text_bpe_shared_train") {
-      graft.queries.Text.buildSharedBpeStage(spark, sfDir)
-    }
-    val sharedPng = timed("multimodal_png_shared_encode") {
-      graft.queries.MultimodalQ.buildSharedPngStage(spark, sfDir)
-    }
-    val sharedWav = timed("multimodal_wav_shared_encode") {
-      graft.queries.MultimodalQ.buildSharedWavStage(spark, sfDir)
-    }
-    val sharedLogreg = timed("learn_logreg_shared_train") {
-      graft.queries.LearnQ.buildSharedLogregStage(spark, sfDir)
-    }
+    val sharedResults = Seq(
+      timedStage("dedup_lsh_shared_stage")(f =>
+        graft.queries.DedupQ.buildSharedPairStage(spark, sfDir, f)),
+      timedStage("similarity_kmeans_shared_train")(f =>
+        graft.queries.SimilarityQ.buildSharedTrainStage(spark, sfDir, f)),
+      timedStage("graph_edges_shared_stage")(f =>
+        graft.queries.GraphQ.buildSharedEdgeStage(spark, sfDir, f)),
+      timedStage("graph_lpa_shared_labels")(f =>
+        graft.queries.GraphQ.buildSharedLpaStage(spark, sfDir, f)),
+      timedStage("text_bpe_shared_train")(f =>
+        graft.queries.Text.buildSharedBpeStage(spark, sfDir, f)),
+      timedStage("multimodal_png_shared_encode")(f =>
+        graft.queries.MultimodalQ.buildSharedPngStage(spark, sfDir, f)),
+      timedStage("multimodal_wav_shared_encode")(f =>
+        graft.queries.MultimodalQ.buildSharedWavStage(spark, sfDir, f)),
+      timedStage("learn_logreg_shared_train")(f =>
+        graft.queries.LearnQ.buildSharedLogregStage(spark, sfDir, f)))
 
     // noop sink forces FULL evaluation of every column (a bare .count()
     // would let Catalyst prune projection work and under-measure
@@ -84,26 +103,10 @@ object Bench {
           timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         }
 
-    // Per-query MEDIAN over SPARK_GRAFT_BENCH_RUNS full sweeps — DEFAULT 3.
-    // Single runs at local[32] show >2x swings on unchanged queries from
-    // GC/scheduler/box contention (round 6: a contended single run printed
-    // 384s where the 3-run median was 174.5s), so the official snapshot
-    // must be the robust number, not the lucky/unlucky one.
-    val runsN = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    // Median over SUCCESSFUL runs only; if every run failed, keep the
-    // -1.0 sentinel so the entry reads as broken, not fast.
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.filter(_ >= 0).sorted
-      if (s.isEmpty) -1.0
-      else if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
     val sweeps = (1 to runsN).map(_ => sweep())
     val names = sweeps.head.map(_._1)
     val maps = sweeps.map(_.toMap)
-    val results = Seq(sharedStage, sharedTrain, sharedEdges, sharedLpa,
-      sharedBpe, sharedPng, sharedWav, sharedLogreg) ++
+    val results = sharedResults ++
       names.map(n => n -> median(maps.map(_(n))))
     def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

@@ -58,7 +58,9 @@ object DedupQ {
     * it lands in its own timing entry — otherwise whichever of the four
     * consumers runs first absorbs the whole build and per-query numbers
     * become order-dependent. */
-  def buildSharedPairStage(s: SparkSession, d: String): Unit = {
+  def buildSharedPairStage(s: SparkSession, d: String,
+                           fresh: Boolean = false): Unit = {
+    if (fresh) pairCache.evict(s, d)
     lshVerifiedPairs(s, d); ()
   }
 

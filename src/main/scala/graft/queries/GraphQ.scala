@@ -56,7 +56,8 @@ object GraphQ {
   /** Benchmark hook: build the shared edge list NOW so it lands in its
     * own timing entry instead of whichever graph consumer runs first. */
   def buildSharedEdgeStage(s: org.apache.spark.sql.SparkSession,
-                           d: String): Unit = {
+                           d: String, fresh: Boolean = false): Unit = {
+    if (fresh) edgeCache.evict(s, d)
     coPurchaseEdges(s, d); ()
   }
 
@@ -627,7 +628,8 @@ object GraphQ {
     * lands in its own timing entry instead of whichever of the two
     * community consumers runs first. */
   def buildSharedLpaStage(s: org.apache.spark.sql.SparkSession,
-                          d: String): Unit = {
+                          d: String, fresh: Boolean = false): Unit = {
+    if (fresh) lpaCache.evict(s, d)
     lpaLabels(s, d); ()
   }
 

@@ -48,6 +48,18 @@ object LearnQ {
   private def softsign(z: Column): Column =
     lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
 
+  /** One GD round's gradient numerators: FOUR exact decimal sums over the
+    * feature table in a SINGLE scan (residual inlined per column — no
+    * self-join, no window, no second pass). Exposed for PhysicalPlanSpec,
+    * which pins the one-Exchange partial+final aggregate shape. */
+  private[graft] def gradientAgg(
+      ft: org.apache.spark.sql.DataFrame, w: Array[Double])
+      : org.apache.spark.sql.DataFrame = {
+    val r = softsign(zOf(w)) - col("y")
+    ft.agg(dsum(r * col("x1")), dsum(r * col("x2")),
+      dsum(r * col("x3")), dsum(r * lit(1.0)))
+  }
+
   /** One logreg train per (session, sf-dir): the checkpointed feature
     * table, the 5-round-trained weight vector, and n — shared by the
     * trainer query and the calibration audit (same pattern as DedupQ's
@@ -73,9 +85,7 @@ object LearnQ {
       require(n > 0, "trainedLogreg: empty corpus")
       var w = Array(0.0, 0.0, 0.0, 0.0) // w1, w2, w3, bias
       for (_ <- 1 to LogregRounds) {
-        val r = softsign(zOf(w)) - col("y")
-        val row = ft.agg(dsum(r * col("x1")), dsum(r * col("x2")),
-          dsum(r * col("x3")), dsum(r * lit(1.0))).head()
+        val row = gradientAgg(ft, w).head()
         val g = (0 to 3).map(i =>
           (row.getDecimal(i).doubleValue() / Scale.toDouble) / n)
         w = Array.tabulate(4)(i => w(i) - LogregLr * g(i))
@@ -86,7 +96,8 @@ object LearnQ {
   /** Benchmark hook: train NOW so the cost lands in its own timing entry
     * instead of whichever logreg consumer runs first. */
   def buildSharedLogregStage(s: org.apache.spark.sql.SparkSession,
-                             d: String): Unit = {
+                             d: String, fresh: Boolean = false): Unit = {
+    if (fresh) logregCache.evict(s, d)
     trainedLogreg(s, d); ()
   }
 

@@ -31,7 +31,8 @@ object MultimodalQ {
   /** Benchmark hook: encode the PNG corpus NOW so the cost lands in its
     * own timing entry instead of whichever decode query runs first. */
   def buildSharedPngStage(s: org.apache.spark.sql.SparkSession,
-                          d: String): Unit = {
+                          d: String, fresh: Boolean = false): Unit = {
+    if (fresh) pngCache.evict(s, d)
     pngAssets(s, d); ()
   }
 
@@ -52,7 +53,8 @@ object MultimodalQ {
 
   /** Benchmark hook: encode the WAV corpus NOW (own timing entry). */
   def buildSharedWavStage(s: org.apache.spark.sql.SparkSession,
-                          d: String): Unit = {
+                          d: String, fresh: Boolean = false): Unit = {
+    if (fresh) wavCache.evict(s, d)
     wavAssets(s, d); ()
   }
 

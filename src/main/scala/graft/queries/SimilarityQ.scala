@@ -28,7 +28,8 @@ object SimilarityQ {
   /** Benchmark hook: train the shared codebook NOW so it lands in its own
     * timing entry instead of whichever IVF consumer runs first. */
   def buildSharedTrainStage(s: org.apache.spark.sql.SparkSession,
-                            d: String): Unit = {
+                            d: String, fresh: Boolean = false): Unit = {
+    if (fresh) centsCache.evict(s, d)
     trainedCents8x2(s, d); ()
   }
 

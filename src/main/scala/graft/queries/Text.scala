@@ -140,7 +140,8 @@ object Text {
   /** Benchmark hook: train the shared BPE stage NOW so it lands in its
     * own timing entry instead of whichever BPE consumer runs first. */
   def buildSharedBpeStage(s: org.apache.spark.sql.SparkSession,
-                          d: String): Unit = {
+                          d: String, fresh: Boolean = false): Unit = {
+    if (fresh) bpeCache.evict(s, d)
     trainedBpe(s, d); ()
   }
 

@@ -32,4 +32,20 @@ final class SessionScopedCache[V] {
         })
       build
     })
+
+  /** Drop the (session, dir) entry so the next getOrBuild rebuilds —
+    * the bench uses this to sample a shared stage's build time more than
+    * once (median) instead of trusting one possibly-contended run.
+    * Cached DataFrames (alone or inside tuples) get a best-effort
+    * unpersist; localCheckpoint blocks of a dropped artifact are
+    * reclaimed by the ContextCleaner once unreferenced. */
+  def evict(s: SparkSession, dir: String): Unit =
+    Option(cache.remove((s, dir))).foreach(release)
+
+  private def release(v: Any): Unit = v match {
+    case df: org.apache.spark.sql.Dataset[_] =>
+      scala.util.Try(df.unpersist(blocking = false))
+    case p: Product => p.productIterator.foreach(release)
+    case _ => ()
+  }
 }
