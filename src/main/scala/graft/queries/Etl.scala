@@ -239,9 +239,19 @@ object Etl {
             .otherwise(
               concat(substring(col("d"),1,3), lit("-"), substring(col("d"),4,3), lit("-"), substring(col("d"),7,4), lit("x"), substring(col("d"),1,2)))
             .as("phone"))
-          .select(col("c_custkey"), col("phone"),
-            Phone.normalize(col("phone")).as("phone_intl"))
+          // Sort FIRST on the cheap key, then project: a global orderBy's
+          // range exchange samples its child, so any expensive projection
+          // below it is evaluated twice. Candidate bound to its own
+          // column, validity gated over the attribute: keeps the
+          // formatted-candidate tree evaluated once instead of re-inlined
+          // per validity sub-check (see Phone.normalize scaladoc).
+          // Together: 1.18 s → ~0.35 s at sf0.1.
           .orderBy("c_custkey")
+          .select(col("c_custkey"), col("phone"),
+            Phone.candidate(col("phone")).as("cand"))
+          .select(col("c_custkey"), col("phone"),
+            when(Phone.isPossibleNumber(col("cand")), col("cand"))
+              .as("phone_intl"))
       },
       phoneOracle),
 
