@@ -307,6 +307,27 @@ class PhysicalPlanSpec extends SparkSpec {
       s"join output must feed the partial sum unshuffled:\n$p")
   }
 
+  test("logreg gradient round is ONE scan: partial+final agg, one exchange") {
+    // learn_logreg_gd trains by driver-held weights + one gradient agg per
+    // round. The round must stay a single pass over the feature table —
+    // four decimal sums computed together (partial HashAggregate map-side,
+    // one SinglePartition Exchange carrying 4 accumulators, final
+    // HashAggregate). A plan with >1 Exchange, a Window, or a join means
+    // a round re-scans or reshuffles the corpus — the shape that turns
+    // 5 rounds × 100 TB into 5 full extra shuffles.
+    import spark.implicits._
+    val ft = Seq((1.0, 0.1, 0.2, 0.3), (0.0, 0.4, 0.5, 0.6))
+      .toDF("y", "x1", "x2", "x3")
+    val p = plan(graft.queries.LearnQ.gradientAgg(ft, Array(0.1, 0.2, 0.3, 0.0)))
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs == 2, s"expected exactly partial+final HashAggregate:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1 && p.contains("Exchange SinglePartition"),
+      s"gradient must move only 4 partial accumulators:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"a gradient round must not re-shuffle or self-join the corpus:\n$p")
+  }
+
   test("AQE splits skewed join partitions (OptimizeSkewedJoin fires)") {
     // The 100 TB skew story leans on AQE's runtime skew-join split for
     // the shapes salting doesn't cover (PERF.md); this pins that the
