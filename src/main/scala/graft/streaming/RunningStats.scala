@@ -4,8 +4,9 @@ import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   TimeMode, TimerValues, ValueState}
 
-/** Input/state/output rows for [[RunningStatsProcessor]]. `tsNs` is the raw
-  * nanosecond event time (see graft.io.Tables.eventsSchema). */
+/** Input/state/output rows for [[RunningStatsProcessor]]. `tsNs` is the
+  * epoch-nanosecond event time (the normalized `ts` contract of
+  * graft.io.Tables.events). */
 final case class EventIn(user_id: Long, event_id: Long, tsNs: Long,
                          value: Double)
 final case class RunState(n: Long, mx: Double)
