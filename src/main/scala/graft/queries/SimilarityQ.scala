@@ -862,6 +862,137 @@ object SimilarityQ {
            |       COALESCE((CAST(a.dcg_q AS DOUBLE) / 1099511627776.0)
            |         / 4.543559338088346, 0.0) AS ndcg10
            |FROM q LEFT JOIN a USING (q_id) ORDER BY q.q_id""".stripMargin
-      })
+      }),
+
+    // Matryoshka (MRL-style) truncation audit: how faithfully do PREFIX
+    // slices of the embedding (dims 8/16/32 of 64) preserve full-dim
+    // cosine? The retrieval-cost lever behind nested-representation
+    // embeddings — serve the short prefix, rerank with the tail — is only
+    // safe if this fidelity census stays tight, so it belongs next to the
+    // JL distortion audit (same engine-boundary discipline: per-pair
+    // doubles in pinned fold order, error MEAN as a 2^40-scaled integer
+    // sum so accumulation is order-free and exact). Pair sample reuses
+    // the JL offset-join shape: equi-join on vec_id + {1,7,49} — shuffle
+    // on ids, never all-pairs; per-prefix stats are a keyed agg with
+    // map-side combine over 3 groups. At 100 TB: one corpus scan, one
+    // id-keyed shuffle of narrow (64-float, 64-float) pairs, 3-row output.
+    "embedding_matryoshka_audit" -> QuerySpec(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val a = e.select(col("vec_id"), col("embedding").as("xa"),
+            explode(array(lit(1L), lit(7L), lit(49L))).as("off"))
+          .select((col("vec_id") + col("off")).as("nid"), col("xa"))
+        val b = e.select(col("vec_id").as("nid"), col("embedding").as("xb"))
+        val m = col("m")
+        val pcos = Similarity.cosine(
+          slice(col("xa"), lit(1), m), slice(col("xb"), lit(1), m))
+        val fcos = Similarity.cosine(col("xa"), col("xb"))
+        val sc = 1099511627776L // 2^40: exact error-sum scale
+        a.join(b, "nid")
+          .select(col("xa"), col("xb"),
+            explode(array(lit(8L), lit(16L), lit(32L))).as("m"))
+          .select(m.as("trunc_dim"),
+            abs(pcos - fcos).as("err"),
+            ((pcos >= 0) === (fcos >= 0)).as("agree"))
+          .groupBy("trunc_dim")
+          .agg(count(lit(1)).as("n_pairs"),
+            ((sum(floor(col("err") * lit(sc.toDouble))
+                .cast("decimal(38,0)")).cast("double") / lit(sc.toDouble))
+              / count(lit(1)).cast("double")).as("mae"),
+            max(col("err")).as("max_abs_err"),
+            count(when(col("agree"), lit(1))).as("n_sign_agree"))
+          .orderBy("trunc_dim")
+      },
+      {
+        def pdot(x: String, y: String, n: String) =
+          s"""list_reduce(list_prepend(0.0, list_transform(range(1, $n + 1),
+             |  i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+             |  (x, y) -> x + y)""".stripMargin
+        def pcosSql(n: String) =
+          s"(${pdot("xa", "xb", n)}) / (sqrt(${pdot("xa", "xa", n)}) * " +
+            s"sqrt(${pdot("xb", "xb", n)}))"
+        s"""WITH pr AS MATERIALIZED (
+           |  SELECT a.xa, b.embedding AS xb
+           |  FROM (SELECT vec_id + unnest([1, 7, 49]) AS nid,
+           |          embedding AS xa FROM embeddings) a
+           |  JOIN embeddings b ON a.nid = b.vec_id),
+           |x AS (
+           |  SELECT CAST(m.m AS BIGINT) AS trunc_dim,
+           |         abs((${pcosSql("m.m")}) - (${pcosSql("64")})) AS err,
+           |         ((${pcosSql("m.m")}) >= 0) = ((${pcosSql("64")}) >= 0)
+           |           AS agree
+           |  FROM pr CROSS JOIN (SELECT unnest([8, 16, 32]) AS m) m)
+           |SELECT trunc_dim, COUNT(*) AS n_pairs,
+           |       (CAST(SUM(CAST(floor(err * 1099511627776.0)
+           |          AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0)
+           |         / CAST(COUNT(*) AS DOUBLE) AS mae,
+           |       MAX(err) AS max_abs_err,
+           |       COUNT(CASE WHEN agree THEN 1 END) AS n_sign_agree
+           |FROM x GROUP BY trunc_dim ORDER BY trunc_dim""".stripMargin
+      }),
+
+    // Hard-negative mining for contrastive training: per anchor, the
+    // highest-cosine SAME-label neighbor (hardest positive) and
+    // highest-cosine OTHER-label neighbor (hardest negative) inside the
+    // anchor's LSH bucket, plus the pos−neg margin the loss would see.
+    // Candidates come from the hyperplane bucket (the knn-join blocking
+    // shape — never all-pairs); the per-anchor argmax is an explicit
+    // row_number over (cos DESC, vec_id) so tie-breaks are total-ordered
+    // on both engines, then the ≤2 rows per anchor pivot to one. At
+    // 100 TB: anchors are a broadcast seed set, the corpus scans once,
+    // and the only shuffle is the bucket-keyed candidate join.
+    "similarity_hard_negative_mining" -> QuerySpec(
+      (s, d) => {
+        val base = Tables.embeddings(s, d).select(col("vec_id"),
+          col("label"), col("embedding"),
+          Similarity.hyperplaneBucket(col("embedding"), 4).as("bucket"))
+        val q = base.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("qv"), col("bucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id", "same_label")
+          .orderBy(desc("cos"), asc("vec_id"))
+        base.join(q, Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"),
+            when(col("label") === col("q_label"), lit(1L)).otherwise(lit(0L))
+              .as("same_label"),
+            col("vec_id"),
+            Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("q_id")
+          .agg(
+            max(when(col("same_label") === 1, col("vec_id"))).as("pos_id"),
+            max(when(col("same_label") === 1, col("cos"))).as("pos_cos"),
+            max(when(col("same_label") === 0, col("vec_id"))).as("neg_id"),
+            max(when(col("same_label") === 0, col("cos"))).as("neg_cos"))
+          .select(col("q_id"), col("pos_id"), col("pos_cos"),
+            col("neg_id"), col("neg_cos"),
+            (col("pos_cos") - col("neg_cos")).as("margin"))
+          .orderBy("q_id")
+      },
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT vec_id, label, embedding,
+         |         ${duckBucket("embedding", 4)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv,
+         |        bucket FROM b WHERE vec_id < 20),
+         |cand AS (
+         |  SELECT q.q_id,
+         |         CASE WHEN b.label = q.q_label THEN 1 ELSE 0 END
+         |           AS same_label,
+         |         b.vec_id, ${duckCos("b.embedding", "q.qv")} AS cos
+         |  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id, same_label
+         |        ORDER BY cos DESC, vec_id) AS rn FROM cand),
+         |t AS (SELECT q_id,
+         |        MAX(CASE WHEN same_label = 1 THEN vec_id END) AS pos_id,
+         |        MAX(CASE WHEN same_label = 1 THEN cos END) AS pos_cos,
+         |        MAX(CASE WHEN same_label = 0 THEN vec_id END) AS neg_id,
+         |        MAX(CASE WHEN same_label = 0 THEN cos END) AS neg_cos
+         |      FROM r WHERE rn = 1 GROUP BY q_id)
+         |SELECT q_id, pos_id, pos_cos, neg_id, neg_cos,
+         |       pos_cos - neg_cos AS margin
+         |FROM t ORDER BY q_id""".stripMargin)
   )
 }
