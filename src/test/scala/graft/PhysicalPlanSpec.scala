@@ -99,7 +99,8 @@ class PhysicalPlanSpec extends SparkSpec {
         "events_interval_overlap", "similarity_knn_join",
         "dedup_containment_pairs", "dedup_substring_spans",
         "multimodal_chunk_dedup", "text_lm_plausibility",
-        "dedup_source_overlap_matrix")
+        "dedup_source_overlap_matrix", "similarity_hard_negative_mining",
+        "embedding_matryoshka_audit")
       .foreach { name =>
         val p = plan(SparkEntry.registry(name).fn(spark, sf))
         assert(!p.contains("CartesianProduct"),
