@@ -61,6 +61,10 @@ object Bench {
     // charged harness-start contention to exactly these once-timed
     // entries (k-means train 46.2 s driver vs 3.3 s idle). The final
     // rebuild's artifact stays cached for the consumer sweeps below.
+    // If every sample of a stage fails, the -1.0 sentinel + errors entry
+    // flag it; consumers then rebuild the stage inside their own timing
+    // (the cache-miss path) — their numbers read high rather than the
+    // failure reading fast, which is the right failure direction.
     def timedStage(name: String)(build: Boolean => Unit): (String, Double) = {
       val ts = (1 to runsN).map(i => timed(name)(build(i > 1))._2)
       name -> median(ts)

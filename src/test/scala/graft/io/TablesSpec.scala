@@ -38,7 +38,19 @@ class TablesSpec extends SparkSpec {
       spark.sparkContext.parallelize(rows, 1), schema)
       .write.mode("overwrite")
       .option("parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .parquet(s"$dir/events.parquet")
+      .parquet(s"$dir/.stage")
+    publishSingleFile(dir)
+  }
+
+  /** The harness ships events.parquet as a plain FILE (the stream source's
+    * pathGlobFilter relies on that); Spark writes a directory, so promote
+    * the single part file to `$dir/events.parquet`. */
+  private def publishSingleFile(dir: String): Unit = {
+    val part = new java.io.File(s"$dir/.stage").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def writeLongNsEvents(dir: String, epochNanos: Seq[Long]): Unit = {
@@ -46,7 +58,8 @@ class TablesSpec extends SparkSpec {
     epochNanos.zipWithIndex.map { case (ns, i) =>
       (i.toLong, ns, i.toLong % 3, "view", 1.5, "{}")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stage")
+    publishSingleFile(dir)
   }
 
   // 2024-01-15 12:34:56.789012 UTC in epoch µs
@@ -79,7 +92,8 @@ class TablesSpec extends SparkSpec {
         i.toLong, "view", 1.5, "{}")
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ntzSchema)
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      .write.mode("overwrite").parquet(s"$dir/.stage")
+    publishSingleFile(dir)
     val got = Tables.events(spark, dir)
     assert(got.schema("ts").dataType === LongType)
     assert(got.select("ts").collect().map(_.getLong(0)).sorted ===
@@ -93,6 +107,25 @@ class TablesSpec extends SparkSpec {
     val got = Tables.events(spark, dir)
     assert(got.schema("ts").dataType === LongType)
     assert(got.select("ts").collect().map(_.getLong(0)).sorted === ns.toArray)
+  }
+
+  test("eventsStreamSource normalizes µs timestamp files like the batch loader") {
+    // The streaming twin must detect the physical encoding itself: a file
+    // source cannot infer schemas, and handing it the batch loader's
+    // post-normalization LongType schema against a timestamp-encoded file
+    // would silently read the raw µs longs as if they were ns.
+    val dir = freshDir()
+    writeTimestampEvents(dir, Seq(baseUs, baseUs + 5))
+    val q = Tables.eventsStreamSource(spark, dir)
+      .writeStream.format("memory").queryName("tables_spec_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_tables_spec_ckpt").toFile.getPath)
+      .start()
+    q.awaitTermination()
+    val ts = spark.table("tables_spec_stream")
+      .select("ts").collect().map(_.getLong(0)).sorted
+    assert(ts === Array(baseUs * 1000, (baseUs + 5) * 1000))
   }
 
   test("timestamps outside years [2000, 2100) fail loudly, not silently") {
