@@ -993,6 +993,103 @@ object SimilarityQ {
          |      FROM r WHERE rn = 1 GROUP BY q_id)
          |SELECT q_id, pos_id, pos_cos, neg_id, neg_cos,
          |       pos_cos - neg_cos AS margin
-         |FROM t ORDER BY q_id""".stripMargin)
+         |FROM t ORDER BY q_id""".stripMargin),
+
+    // IVF recall-vs-nprobe CURVE over the shared trained quantizer: for
+    // nprobe ∈ {1,2,4,8}, mean top-10 recall of probe-restricted search
+    // against the brute-force ground truth for 20 held-out queries — the
+    // one table an ANN deployment actually tunes (recall bought per
+    // fraction of corpus scanned). Extends the single-point nprobe=2
+    // query and the LSH recall audit to the full dial. Recall is an
+    // exact integer division (Σ hits / 200), so no float accumulation
+    // crosses the engine boundary. Plan shape: assignment is the
+    // zero-shuffle broadcast-centroid fold; probe sets are a 300-row
+    // broadcast; candidates join on the cell key (never all-pairs); both
+    // rankings window PARTITIONED by (nprobe, query) — parallel in the
+    // query dimension, exactly how a production recall sweep over
+    // thousands of held-out queries runs at 100 TB.
+    "similarity_ivf_recall_curve" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cents = trainedCents8x2(s, d)
+        val emb = Tables.embeddings(s, d)
+        val assigned = Similarity.ivfAssign(emb, cents)
+        val q = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val wgt = Window.partitionBy("q_id")
+          .orderBy(desc("gcos"), asc("vec_id"))
+        val gt = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            Similarity.cosine(col("embedding"), col("qv")).as("gcos"))
+          .withColumn("grn", row_number().over(wgt))
+          .filter(col("grn") <= 10)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("is_gt"))
+        val cellRank = q.crossJoin(broadcast(cents))
+          .select(col("q_id"), col("qv"), col("cent_id").as("cell"),
+            Similarity.l2sq(col("qv"), col("cvec")).as("dc"))
+          .withColumn("crn", row_number().over(
+            Window.partitionBy("q_id").orderBy(asc("dc"), asc("cell"))))
+        val probes = cellRank
+          .select(col("q_id"), col("qv"), col("cell"), col("crn"),
+            explode(array(lit(1L), lit(2L), lit(4L), lit(8L))).as("np"))
+          .filter(col("crn") <= col("np"))
+          .select(col("np"), col("q_id"), col("qv"), col("cell"))
+        val wnp = Window.partitionBy("np", "q_id")
+          .orderBy(desc("cos"), asc("vec_id"))
+        assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("np"), col("q_id"), col("vec_id"),
+            Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+          .withColumn("rn", row_number().over(wnp))
+          .filter(col("rn") <= 10)
+          .join(gt, Seq("q_id", "vec_id"), "left")
+          .groupBy("np")
+          .agg(count(lit(1)).as("n_ranked"),
+            sum(coalesce(col("is_gt"), lit(0L))).as("n_hits"))
+          .select(col("np").as("nprobe"), col("n_ranked"), col("n_hits"),
+            (col("n_hits").cast("double") / lit(200.0)).as("recall10"))
+          .orderBy("nprobe")
+      },
+      s"""WITH ${duckKmeansCtes(8, 2)},
+         |q AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM ev
+         |  WHERE vec_id < 20),
+         |gt AS MATERIALIZED (SELECT q_id, vec_id, 1 AS is_gt FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY ${duckCos("e.v", "q.qv")} DESC, e.vec_id)
+         |             AS grn
+         |    FROM ev e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+         |  WHERE grn <= 10),
+         |cellrank AS MATERIALIZED (
+         |  SELECT q.q_id, c.cent_id AS cell,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |           ORDER BY ${duckL2("q.qv", "c.cvec")}, c.cent_id) AS crn
+         |  FROM q CROSS JOIN c2 c),
+         |probes AS MATERIALIZED (
+         |  SELECT np.np, r.q_id, r.cell FROM cellrank r
+         |  CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS np) np
+         |  WHERE r.crn <= np.np),
+         |assigned AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+         |    SELECT ev.vec_id, ev.v, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY ev.vec_id
+         |             ORDER BY ${duckL2("ev.v", "c.cvec")}, c.cent_id) AS rn
+         |    FROM ev CROSS JOIN c2 c) WHERE rn = 1),
+         |top AS (SELECT np, q_id, vec_id FROM (
+         |    SELECT p.np, p.q_id, a.vec_id,
+         |           row_number() OVER (PARTITION BY p.np, p.q_id
+         |             ORDER BY ${duckCos("a.v", "q.qv")} DESC, a.vec_id)
+         |             AS rn
+         |    FROM assigned a JOIN probes p USING (cell)
+         |    JOIN q ON q.q_id = p.q_id
+         |    WHERE a.vec_id <> p.q_id)
+         |  WHERE rn <= 10)
+         |SELECT CAST(t.np AS BIGINT) AS nprobe,
+         |       COUNT(*) AS n_ranked,
+         |       CAST(SUM(COALESCE(g.is_gt, 0)) AS BIGINT) AS n_hits,
+         |       CAST(SUM(COALESCE(g.is_gt, 0)) AS DOUBLE) / 200.0
+         |         AS recall10
+         |FROM top t LEFT JOIN gt g USING (q_id, vec_id)
+         |GROUP BY t.np ORDER BY nprobe""".stripMargin)
   )
 }
