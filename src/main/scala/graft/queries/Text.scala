@@ -1348,6 +1348,68 @@ object Text {
          |SELECT lang, term, n_in_lang, n_elsewhere, chi2 FROM (
          |  SELECT *, row_number() OVER (PARTITION BY lang
          |    ORDER BY chi2 DESC, term) AS rn FROM x)
-         |WHERE rn <= 5 ORDER BY lang, term""".stripMargin)
+         |WHERE rn <= 5 ORDER BY lang, term""".stripMargin),
+
+    // Interpolated Kneser-Ney bigram model — the smoothing every serious
+    // n-gram LM ships (and the conceptual ancestor of backoff in modern
+    // tokenizer/LM diagnostics): discounted bigram evidence plus the
+    // CONTINUATION probability, which scores a successor by how many
+    // distinct contexts it follows (type count), not how often it occurs
+    // — the "San Francisco" correction where raw frequency overrates
+    // "Francisco". D = 0.75 (= 3/4, exact in binary); observed bigrams
+    // have c12 ≥ 1 > D so the max(c−D, 0) clamp is vacuous here and the
+    // formula stays a fixed-order double chain both engines evaluate
+    // identically. Top-30 by P_KN with full (a, b) tie-break. Scale: the
+    // corpus touches one bigram-count agg (map-side combined); every
+    // later stat (context totals, fan-out, fan-in, type count) derives
+    // from the much smaller bigram-TYPE table via keyed aggs; the scalar
+    // type count broadcasts.
+    "text_kneser_ney_bigram" -> QuerySpec(
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val pairs = when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => struct(get(toks, i).as("a"), get(toks, i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+        val bg = Tables.documents(s, d)
+          .filter(col("doc_id") % 5 === 0)
+          .select(explode(pairs).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("c12"))
+        val ctx = bg.groupBy("a")
+          .agg(sum("c12").as("c1"), count(lit(1)).as("n1fwd"))
+        val cont = bg.groupBy("b").agg(count(lit(1)).as("n1back"))
+        val nt = bg.agg(count(lit(1)).as("ntypes"))
+        bg.join(ctx, "a").join(cont, "b").crossJoin(broadcast(nt))
+          .select(col("a"), col("b"), col("c12"), col("c1"),
+            (((col("c12").cast("double") - lit(0.75)) /
+                col("c1").cast("double")) +
+              ((lit(0.75) * col("n1fwd").cast("double") /
+                  col("c1").cast("double")) *
+                (col("n1back").cast("double") /
+                  col("ntypes").cast("double")))).as("pkn"))
+          .orderBy(desc("pkn"), asc("a"), asc("b"))
+          .limit(30)
+      },
+      s"""WITH t AS (SELECT $duckToks AS toks
+         |           FROM documents WHERE doc_id % 5 = 0),
+         |bg0 AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |           i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+         |  FROM t),
+         |c AS MATERIALIZED (
+         |  SELECT p.a AS a, p.b AS b, COUNT(*) AS c12 FROM bg0 GROUP BY 1, 2),
+         |ctx AS (SELECT a, CAST(SUM(c12) AS BIGINT) AS c1,
+         |          COUNT(*) AS n1fwd FROM c GROUP BY a),
+         |cont AS (SELECT b, COUNT(*) AS n1back FROM c GROUP BY b),
+         |nt AS (SELECT COUNT(*) AS ntypes FROM c)
+         |SELECT c.a, c.b, CAST(c.c12 AS BIGINT) AS c12, ctx.c1,
+         |       ((CAST(c.c12 AS DOUBLE) - 0.75) / CAST(ctx.c1 AS DOUBLE))
+         |       + ((0.75 * CAST(ctx.n1fwd AS DOUBLE)
+         |            / CAST(ctx.c1 AS DOUBLE))
+         |          * (CAST(cont.n1back AS DOUBLE)
+         |             / CAST(nt.ntypes AS DOUBLE))) AS pkn
+         |FROM c JOIN ctx USING (a) JOIN cont USING (b) CROSS JOIN nt
+         |ORDER BY pkn DESC, a, b LIMIT 30""".stripMargin)
   )
 }
