@@ -553,6 +553,46 @@ object DedupQ {
          |FROM capped x JOIN capped y
          |  ON x.fp = y.fp AND x.gram = y.gram AND x.doc_id < y.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    // Dedup aggressiveness CURVE over the shared verified-pair stage: for
+    // Jaccard thresholds 0.3/0.5/0.7/0.9, how many pairs qualify, how
+    // many docs the keep-smaller-id rule would drop, and the surviving
+    // corpus fraction — the dial a curation pipeline turns before
+    // committing to a cutoff (the threshold sweep next to the ANN
+    // recall-vs-nprobe curve; dedup_cluster_canonical resolves ONE
+    // threshold transitively, this censuses the whole dial). Exact
+    // integer counts and one rational division; the corpus-size scalar
+    // broadcasts; the sweep re-reads only the tiny persisted pair table,
+    // never the corpus.
+    "dedup_threshold_curve" -> QuerySpec(
+      (s, d) => {
+        val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        lshVerifiedPairs(s, d)
+          .select(col("id_b"), col("jaccard"),
+            explode(array(lit(0.3), lit(0.5), lit(0.7), lit(0.9)))
+              .as("threshold"))
+          .filter(col("jaccard") >= col("threshold"))
+          .groupBy("threshold")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("id_b")).as("n_docs_dropped"))
+          .crossJoin(broadcast(nd))
+          .select(col("threshold"), col("n_pairs"), col("n_docs_dropped"),
+            ((col("n_docs") - col("n_docs_dropped")).cast("double") /
+              col("n_docs").cast("double")).as("keep_frac"))
+          .orderBy("threshold")
+      },
+      s"""WITH $duckVerifiedCtes,
+         |th AS (SELECT unnest(CAST([0.3, 0.5, 0.7, 0.9] AS DOUBLE[]))
+         |         AS threshold),
+         |f AS (SELECT th.threshold, v.id_b FROM verified v CROSS JOIN th
+         |      WHERE v.jaccard >= th.threshold),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT f.threshold, COUNT(*) AS n_pairs,
+         |       COUNT(DISTINCT f.id_b) AS n_docs_dropped,
+         |       CAST(nd.n_docs - COUNT(DISTINCT f.id_b) AS DOUBLE)
+         |         / CAST(nd.n_docs AS DOUBLE) AS keep_frac
+         |FROM f CROSS JOIN nd GROUP BY f.threshold, nd.n_docs
+         |ORDER BY f.threshold""".stripMargin)
   )
 }
