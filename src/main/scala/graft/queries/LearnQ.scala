@@ -371,6 +371,94 @@ object LearnQ {
          |       frac_pos - mean_pred AS gap
          |FROM cal ORDER BY bucket""".stripMargin),
 
+    // Model-in-the-loop corpus filtering CURVE: run the TRAINED quality
+    // classifier over the corpus and census what keeping the top ~25/50/
+    // 75% BY SCORE costs — the realized micro-unit score cutoff, kept
+    // docs, keep fraction, precision and recall on the English label —
+    // the gating table a pipeline reads before wiring a classifier in
+    // front of training-data ingestion (the curve family next to
+    // dedup_threshold_curve and similarity_ivf_recall_curve). Rank-based
+    // cutoffs, not absolute probabilities: the score distribution drifts
+    // with corpus scale (measured f ∈ [0.37,0.40] at sf0.001 vs
+    // [0.407,0.420] at sf0.1), so fixed thresholds go degenerate.
+    // Scale contract: scores quantize to integer MICRO-units
+    // (floor(f·10⁶), exact in double), so the distinct-score table the
+    // cumulative census windows over is ≤ 10⁶ rows BY CONSTRUCTION —
+    // the bounded-window discipline of profile_ks_test, not a
+    // corpus-sized sort; everything else is keyed aggs with map-side
+    // combine, the quartile ranks are exact integer arithmetic
+    // (ceil(q·n/4) as (n·q+3) div 4), and every curve cell is an exact
+    // integer count + one rational division.
+    "learn_logreg_filter_curve" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val (ft, w, _) = trainedLogreg(s, d)
+        val f = softsign(zOf(w))
+        val sc = ft.select(col("y"),
+          floor(f * lit(1000000.0)).cast("long").as("qf"))
+        val dist = sc.groupBy("qf").agg(count(lit(1)).as("c"),
+          sum(col("y").cast("long")).as("cp"))
+        val wd = Window.orderBy(desc("qf"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = dist.select(col("qf"),
+          sum(col("c")).over(wd).as("n_kept"),
+          sum(col("cp")).over(wd).as("n_pos_kept"))
+        val nt = sc.agg(count(lit(1)).as("n_docs"),
+          sum(col("y").cast("long")).as("n_pos"))
+        val qual = cum.crossJoin(broadcast(nt))
+          .select(col("qf"), col("n_kept"), col("n_pos_kept"),
+            col("n_docs"), col("n_pos"),
+            explode(array(lit(1L), lit(2L), lit(3L))).as("quartile"))
+          .filter(col("n_kept") >= expr("(n_docs * quartile + 3) div 4"))
+        val sel = qual.groupBy("quartile").agg(min(col("n_kept")).as("n_kept"))
+        qual.join(sel, Seq("quartile", "n_kept"))
+          .select(col("quartile"),
+            (col("qf").cast("double") / lit(1000000.0)).as("threshold"),
+            col("n_kept"), col("n_pos_kept"),
+            (col("n_kept").cast("double") / col("n_docs").cast("double"))
+              .as("keep_frac"),
+            (col("n_pos_kept").cast("double") / col("n_kept").cast("double"))
+              .as("precision_en"),
+            (col("n_pos_kept").cast("double") / col("n_pos").cast("double"))
+              .as("recall_en"))
+          .orderBy("quartile")
+      },
+      s"""WITH $duckLogregCtes,
+         |sc AS MATERIALIZED (
+         |  SELECT y, CAST(floor((0.5 * (1.0 + z / (1.0 + abs(z))))
+         |    * 1000000.0) AS BIGINT) AS qf
+         |  FROM (SELECT y, w1 * x1 + w2 * x2 + w3 * x3 + b AS z
+         |        FROM ft, w$LogregRounds) t),
+         |dist AS (SELECT qf, COUNT(*) AS c,
+         |           CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS cp
+         |         FROM sc GROUP BY qf),
+         |cum AS MATERIALIZED (
+         |  SELECT qf, CAST(SUM(c) OVER wd AS BIGINT) AS n_kept,
+         |         CAST(SUM(cp) OVER wd AS BIGINT) AS n_pos_kept
+         |  FROM dist WINDOW wd AS (ORDER BY qf DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |nt AS (SELECT COUNT(*) AS n_docs,
+         |         CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos FROM sc),
+         |qual AS MATERIALIZED (
+         |  SELECT q.quartile, c.qf, c.n_kept, c.n_pos_kept,
+         |         nt.n_docs, nt.n_pos
+         |  FROM cum c CROSS JOIN nt
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS quartile) q
+         |  WHERE c.n_kept >= (nt.n_docs * q.quartile + 3) // 4),
+         |sel AS (SELECT quartile, MIN(n_kept) AS n_kept FROM qual
+         |        GROUP BY quartile)
+         |SELECT CAST(q.quartile AS BIGINT) AS quartile,
+         |       CAST(q.qf AS DOUBLE) / 1000000.0 AS threshold,
+         |       q.n_kept, q.n_pos_kept,
+         |       CAST(q.n_kept AS DOUBLE) / CAST(q.n_docs AS DOUBLE)
+         |         AS keep_frac,
+         |       CAST(q.n_pos_kept AS DOUBLE) / CAST(q.n_kept AS DOUBLE)
+         |         AS precision_en,
+         |       CAST(q.n_pos_kept AS DOUBLE) / CAST(q.n_pos AS DOUBLE)
+         |         AS recall_en
+         |FROM qual q JOIN sel USING (quartile, n_kept)
+         |ORDER BY quartile""".stripMargin),
+
     // Nearest-centroid (Rocchio) language classifier: TRAIN per-class
     // token-frequency centroids on the 80% split (doc_id % 5 <> 0),
     // classify the 20% holdout by maximum cosine against the centroids,
