@@ -1410,6 +1410,50 @@ object Text {
          |          * (CAST(cont.n1back AS DOUBLE)
          |             / CAST(nt.ntypes AS DOUBLE))) AS pkn
          |FROM c JOIN ctx USING (a) JOIN cont USING (b) CROSS JOIN nt
-         |ORDER BY pkn DESC, a, b LIMIT 30""".stripMargin)
+         |ORDER BY pkn DESC, a, b LIMIT 30""".stripMargin),
+
+    // Context-length packing-waste CURVE: for max-seq-len L ∈ {128, 256,
+    // 512}, the chunk count, padded-token waste, and waste fraction when
+    // each document is split into ceil(tokens/L) chunks and the last
+    // chunk pads to L — the table that decides a loader's context length
+    // before training (complements corpus_pack_batches, which packs at
+    // ONE length; this censuses the dial). Pure integer arithmetic end
+    // to end: one token-count scan, a 3-value explode, one keyed agg
+    // with map-side combine, and exact rational divisions at the end.
+    "corpus_pack_waste_curve" -> QuerySpec(
+      (s, d) => {
+        val nTok = size(TextOps.tokens(col("text"))).cast("long")
+        Tables.documents(s, d)
+          .select(nTok.as("n_tok"),
+            explode(array(lit(128L), lit(256L), lit(512L))).as("seq_len"))
+          .select(col("seq_len"), col("n_tok"),
+            expr("(n_tok + seq_len - 1) div seq_len").as("n_chunks"))
+          .groupBy("seq_len")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tokens"),
+            sum(col("n_chunks")).as("total_chunks"),
+            sum(col("n_chunks") * col("seq_len") - col("n_tok"))
+              .as("padded_tokens"))
+          .select(col("seq_len"), col("n_docs"), col("total_tokens"),
+            col("total_chunks"), col("padded_tokens"),
+            (col("padded_tokens").cast("double") /
+              (col("total_chunks") * col("seq_len")).cast("double"))
+              .as("waste_frac"))
+          .orderBy("seq_len")
+      },
+      s"""WITH t AS (SELECT len($duckToks) AS n_tok FROM documents),
+         |x AS (SELECT ls.seq_len, CAST(t.n_tok AS BIGINT) AS n_tok,
+         |        (CAST(t.n_tok AS BIGINT) + ls.seq_len - 1) // ls.seq_len
+         |          AS n_chunks
+         |      FROM t CROSS JOIN (SELECT unnest(CAST([128, 256, 512]
+         |        AS BIGINT[])) AS seq_len) ls)
+         |SELECT seq_len, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+         |       CAST(SUM(n_chunks * seq_len - n_tok) AS BIGINT)
+         |         AS padded_tokens,
+         |       CAST(SUM(n_chunks * seq_len - n_tok) AS DOUBLE)
+         |         / CAST(SUM(n_chunks) * seq_len AS DOUBLE) AS waste_frac
+         |FROM x GROUP BY seq_len ORDER BY seq_len""".stripMargin)
   )
 }
