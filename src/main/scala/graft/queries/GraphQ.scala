@@ -385,6 +385,61 @@ object GraphQ {
          |       modularity
          |FROM perc, q ORDER BY label""".stripMargin),
 
+    // Per-community CONDUCTANCE over the same shared LPA labels — the
+    // cut-based community-quality metric next to modularity: φ(C) =
+    // cut(C) / min(vol(C), 2m − vol(C)), where on the symmetric edge
+    // list the ordered cross count with source label C equals the
+    // undirected cut. All counts are exact integers and the division is
+    // one rational double op, so nothing order-dependent crosses the
+    // engine boundary. Plan shape identical to the modularity audit:
+    // labels broadcast onto the edge scan twice, two keyed aggs on the
+    // label grain, edges never reshuffled.
+    "graph_community_conductance" -> QuerySpec(
+      (s, d) => {
+        val edges = coPurchaseEdges(s, d)
+        val (labels, _) = lpaLabels(s, d)
+        val twoM = edges.count()
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val comm = deg.join(broadcast(labels), "node")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_members"), sum("deg").as("vol"))
+        val cut = edges
+          .join(broadcast(labels.withColumnRenamed("node", "src")
+            .withColumnRenamed("label", "sl")), "src")
+          .join(broadcast(labels.withColumnRenamed("node", "dst")
+            .withColumnRenamed("label", "dl")), "dst")
+          .filter(col("sl") =!= col("dl"))
+          .groupBy(col("sl").as("label"))
+          .agg(count(lit(1)).as("cut_edges"))
+        comm.join(cut, Seq("label"), "left")
+          .select(col("label"), col("n_members"), col("vol"),
+            coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+            (coalesce(col("cut_edges"), lit(0L)).cast("double") /
+              least(col("vol"), lit(twoM) - col("vol")).cast("double"))
+              .as("conductance"))
+          .orderBy("label")
+      },
+      s"""WITH ${duckLpaCtes(3)},
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM e0 GROUP BY 1),
+         |m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS two_m FROM e0),
+         |comm AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |           CAST(SUM(deg) AS BIGINT) AS vol
+         |         FROM deg JOIN l3 USING (node) GROUP BY 1),
+         |cut AS (SELECT ls.label, CAST(COUNT(*) AS BIGINT) AS cut_edges
+         |        FROM e0 JOIN l3 ls ON e0.src = ls.node
+         |                JOIN l3 ld ON e0.dst = ld.node
+         |        WHERE ls.label <> ld.label GROUP BY 1)
+         |SELECT c.label, c.n_members, c.vol,
+         |       COALESCE(t.cut_edges, 0) AS cut_edges,
+         |       CAST(COALESCE(t.cut_edges, 0) AS DOUBLE)
+         |         / CAST(least(c.vol,
+         |             (SELECT two_m FROM m2) - c.vol) AS DOUBLE)
+         |         AS conductance
+         |FROM comm c LEFT JOIN cut t USING (label)
+         |ORDER BY c.label""".stripMargin),
+
     // Triangle census + global clustering coefficient over the shared
     // co-purchase graph — the standard graph-density/community-structure
     // profile (and the building block of motif counting). Algorithm:
