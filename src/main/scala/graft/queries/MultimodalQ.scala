@@ -66,6 +66,56 @@ object MultimodalQ {
       pngAssets(s, d).as[Multimodal.PngAsset]).toDF()
   }
 
+  /** Near-duplicate aHash pairs (id_a, id_b, dist ≤ 3) over the decoded
+    * PNG corpus — shared by the pair listing and the hamming curve. The
+    * 60 bit expressions are UNROLLED top-level element_at references,
+    * not a transform() lambda over the array: multiple top-level
+    * references block CollapseProject from inlining the pixel array, so
+    * it materializes once per row (the lambda-CSE trap Dedup.shingles3
+    * documents). simhashBandPairs then localCheckpoints the narrow
+    * (id, ahash) table before its self-join — essential: without it the
+    * decode would re-run per matched pair (the measured 95 s → ~1 s
+    * round-6 cliff). Band scheme 4×15 bits is pigeonhole-complete for
+    * hamming distance ≤ 3. */
+  private def ahashPairs(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    val staged = decodedPngs(s, d)
+      .withColumn("px", transform(col("pixels"), _.cast("long")))
+      .withColumn("total", aggregate(col("px"), lit(0L), _ + _))
+    val bitCols = (0 until 60).map { j =>
+      when(element_at(col("px"), j + 1) * lit(60L) > col("total"),
+        lit(1L)).otherwise(lit(0L))
+    }
+    val hashed = staged
+      .withColumn("bits", array(bitCols: _*))
+      .select(col("asset_id"),
+        aggregate(col("bits"), lit(0L),
+          (a, b) => a * lit(2L) + b).as("ahash"))
+    graft.ext.Dedup.simhashBandPairs(hashed, "asset_id", "ahash",
+      bands = 4, bitsPerBand = 15, maxDist = 3)
+  }
+
+  /** [[ahashPairs]] as DuckDB CTEs (tiny-scale all-pairs oracle), ending
+    * in `ap(id_a, id_b, dist)`. */
+  private def duckAhashPairCtes: String =
+    s"""$duckPxCtes,
+       |m AS (SELECT asset_id, px,
+       |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(px, x -> CAST(x AS BIGINT))),
+       |               (a, b) -> a + b) AS total
+       |      FROM px),
+       |bt AS (SELECT asset_id, list_transform(px, p -> CASE WHEN
+       |         CAST(p AS BIGINT) * 60 > total
+       |         THEN 1 ELSE 0 END) AS bits FROM m),
+       |h AS (SELECT asset_id, list_reduce(
+       |        list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(bits, b -> CAST(b AS BIGINT))),
+       |        (a, b) -> a * 2 + b) AS ahash FROM bt),
+       |ap AS (SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+       |         bit_count(xor(a.ahash, b.ahash)) AS dist
+       |       FROM h a JOIN h b ON a.asset_id < b.asset_id
+       |       WHERE bit_count(xor(a.ahash, b.ahash)) <= 3)""".stripMargin
+
   /** DuckDB CTEs (no WITH prefix) reproducing the deterministic rasters
     * of BOTH renditions: pixel j of the base raster is the mean
     * character code over document slice [⌊j·n/60⌋, ⌊(j+1)·n/60⌋) — the
@@ -230,49 +280,35 @@ object MultimodalQ {
     // join over the EXPECTED rasters (the codec round trip is what
     // makes the engine's hashes land on the oracle's).
     "multimodal_ahash_pairs" -> QuerySpec(
-      (s, d) => {
-        // The 60 bit expressions are UNROLLED top-level element_at
-        // references, not a transform() lambda over the array: multiple
-        // top-level references block CollapseProject from inlining the
-        // pixel array, so it materializes once per row (the lambda-CSE
-        // trap Dedup.shingles3 documents). simhashBandPairs then
-        // localCheckpoints the narrow (id, ahash) table before its
-        // self-join — essential: without it the decode would re-run per
-        // matched pair (the measured 95 s → ~1 s round-6 cliff).
-        val staged = decodedPngs(s, d)
-          .withColumn("px", transform(col("pixels"), _.cast("long")))
-          .withColumn("total", aggregate(col("px"), lit(0L), _ + _))
-        val bitCols = (0 until 60).map { j =>
-          when(element_at(col("px"), j + 1) * lit(60L) > col("total"),
-            lit(1L)).otherwise(lit(0L))
-        }
-        val hashed = staged
-          .withColumn("bits", array(bitCols: _*))
-          .select(col("asset_id"),
-            aggregate(col("bits"), lit(0L),
-              (a, b) => a * lit(2L) + b).as("ahash"))
-        graft.ext.Dedup.simhashBandPairs(hashed, "asset_id", "ahash",
-            bands = 4, bitsPerBand = 15, maxDist = 3)
-          .orderBy("id_a", "id_b")
-      },
-      s"""WITH $duckPxCtes,
-        |m AS (SELECT asset_id, px,
-        |             list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |               list_transform(px, x -> CAST(x AS BIGINT))),
-        |               (a, b) -> a + b) AS total
-        |      FROM px),
-        |bt AS (SELECT asset_id, list_transform(px, p -> CASE WHEN
-        |         CAST(p AS BIGINT) * 60 > total
-        |         THEN 1 ELSE 0 END) AS bits FROM m),
-        |h AS (SELECT asset_id, list_reduce(
-        |        list_prepend(CAST(0 AS BIGINT),
-        |          list_transform(bits, b -> CAST(b AS BIGINT))),
-        |        (a, b) -> a * 2 + b) AS ahash FROM bt)
-        |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
-        |       bit_count(xor(a.ahash, b.ahash)) AS dist
-        |FROM h a JOIN h b ON a.asset_id < b.asset_id
-        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+      (s, d) => ahashPairs(s, d).orderBy("id_a", "id_b"),
+      s"""WITH $duckAhashPairCtes
+        |SELECT id_a, id_b, dist FROM ap
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // aHash hamming-distance dedup CURVE — the image twin of
+    // dedup_threshold_curve: for each hamming cutoff 0..3 (the band
+    // scheme's pigeonhole-complete range), how many near-duplicate image
+    // pairs qualify and how many assets the keep-smaller-id rule would
+    // drop. The dial a multimodal curation pipeline turns between
+    // "bit-identical renditions only" (0) and "visually close
+    // variants" (3). Exact integer counts throughout; the sweep fans a
+    // 4-value explode over the ALREADY-banded pair table, never
+    // re-scanning or re-decoding the corpus.
+    "multimodal_ahash_curve" -> QuerySpec(
+      (s, d) => ahashPairs(s, d)
+        .select(col("id_b"), col("dist"),
+          explode(array(lit(0L), lit(1L), lit(2L), lit(3L))).as("dist_max"))
+        .filter(col("dist") <= col("dist_max"))
+        .groupBy("dist_max")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_b")).as("n_assets_dropped"))
+        .orderBy("dist_max"),
+      s"""WITH $duckAhashPairCtes,
+        |th AS (SELECT unnest(CAST([0, 1, 2, 3] AS BIGINT[])) AS dist_max)
+        |SELECT th.dist_max, COUNT(*) AS n_pairs,
+        |       COUNT(DISTINCT ap.id_b) AS n_assets_dropped
+        |FROM ap CROSS JOIN th WHERE ap.dist <= th.dist_max
+        |GROUP BY th.dist_max ORDER BY dist_max""".stripMargin),
 
     // REAL image RESIZE through the codec, end to end: decode each
     // 10×6 PNG, area-average 2×2 blocks into a 5×3 raster, re-encode as
