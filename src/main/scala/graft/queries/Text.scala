@@ -1454,6 +1454,82 @@ object Text {
          |         AS padded_tokens,
          |       CAST(SUM(n_chunks * seq_len - n_tok) AS DOUBLE)
          |         / CAST(SUM(n_chunks) * seq_len AS DOUBLE) AS waste_frac
-         |FROM x GROUP BY seq_len ORDER BY seq_len""".stripMargin)
+         |FROM x GROUP BY seq_len ORDER BY seq_len""".stripMargin),
+
+    // Per-source distribution drift vs the whole corpus — total-variation
+    // distance and chi-square over unigram token distributions, the
+    // screen a mixture curator runs to find sources whose token profile
+    // diverges from the blend (a skewed source gets down-weighted or
+    // re-audited before training). No ln(): KL needs libm parity, so the
+    // divergences used are TV = ½Σ|p_s−p_c| and χ² = Σ(p_s−p_c)²/p_c,
+    // both closed under the repo's determinism rules — each per-token
+    // term is a fixed sequence of IEEE ops on exact integer counts,
+    // summed through the floor(term·2⁴⁰) decimal lift. Tokens the source
+    // never emits contribute their missing mass in CLOSED FORM
+    // ((N−cov_s)/N for both TV and χ², since (0−p_c)²/p_c = p_c), so the
+    // join only materializes (source, token) pairs that EXIST — never
+    // the vocab × sources cross product. Scale shape: two keyed aggs
+    // (map-side combined), one shuffle join on token, a 20-row broadcast
+    // of per-source totals, and a scalar corpus total; nothing all-pairs.
+    "corpus_source_divergence" -> QuerySpec(
+      (s, d) => {
+        val S = 1099511627776.0 // 2^40
+        val st = Tables.documents(s, d)
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+        val srcTot = st.groupBy("source").agg(sum("c_st").as("n_s"))
+        val corpus = st.groupBy("tok").agg(sum("c_st").as("c_t"))
+        val bigN = corpus.agg(sum("c_t")).head().getLong(0)
+        val ps = col("c_st").cast("double") / col("n_s").cast("double")
+        val pc = col("c_t").cast("double") / lit(bigN.toDouble)
+        st.join(corpus, Seq("tok"))
+          .join(broadcast(srcTot), Seq("source"))
+          .select(col("source"), col("n_s"), col("c_t"),
+            floor(abs(ps - pc) * lit(S)).cast("decimal(38,0)").as("tv_t"),
+            floor((ps - pc) * (ps - pc) / pc * lit(S))
+              .cast("decimal(38,0)").as("chi_t"))
+          .groupBy("source")
+          .agg(first("n_s").as("n_tokens"),
+            count(lit(1)).as("n_vocab"),
+            sum("c_t").as("cov"),
+            sum("tv_t").as("tv_sum"), sum("chi_t").as("chi_sum"))
+          .select(col("source"), col("n_tokens"), col("n_vocab"),
+            (((col("tv_sum").cast("double") / lit(S)) +
+              (lit(bigN) - col("cov")).cast("double") / lit(bigN.toDouble)) *
+              lit(0.5)).as("tv"),
+            ((col("chi_sum").cast("double") / lit(S)) +
+              (lit(bigN) - col("cov")).cast("double") / lit(bigN.toDouble))
+              .as("chi2"))
+          .orderBy("source")
+      },
+      s"""WITH t AS (SELECT source, unnest($duckToks) AS tok FROM documents),
+         |st AS MATERIALIZED (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+         |       FROM t GROUP BY 1, 2),
+         |srct AS MATERIALIZED (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+         |         FROM st GROUP BY 1),
+         |corp AS MATERIALIZED (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t
+         |         FROM st GROUP BY 1),
+         |nn AS MATERIALIZED (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM corp),
+         |terms AS (
+         |  SELECT st.source, srct.n_s, corp.c_t,
+         |         CAST(FLOOR(abs(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+         |             - CAST(c_t AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE))
+         |           * 1099511627776.0) AS DECIMAL(38,0)) AS tv_t,
+         |         CAST(FLOOR(
+         |             (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+         |               - CAST(c_t AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE))
+         |             * (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+         |               - CAST(c_t AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE))
+         |             / (CAST(c_t AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE))
+         |           * 1099511627776.0) AS DECIMAL(38,0)) AS chi_t
+         |  FROM st JOIN corp USING (tok) JOIN srct USING (source))
+         |SELECT source, MIN(n_s) AS n_tokens, COUNT(*) AS n_vocab,
+         |       ((CAST(SUM(tv_t) AS DOUBLE) / 1099511627776.0)
+         |         + CAST((SELECT n FROM nn) - SUM(c_t) AS DOUBLE)
+         |           / CAST((SELECT n FROM nn) AS DOUBLE)) * 0.5 AS tv,
+         |       (CAST(SUM(chi_t) AS DOUBLE) / 1099511627776.0)
+         |         + CAST((SELECT n FROM nn) - SUM(c_t) AS DOUBLE)
+         |           / CAST((SELECT n FROM nn) AS DOUBLE) AS chi2
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin)
   )
 }
