@@ -1530,6 +1530,59 @@ object Text {
          |       (CAST(SUM(chi_t) AS DOUBLE) / 1099511627776.0)
          |         + CAST((SELECT n FROM nn) - SUM(c_t) AS DOUBLE)
          |           / CAST((SELECT n FROM nn) AS DOUBLE) AS chi2
-         |FROM terms GROUP BY source ORDER BY source""".stripMargin)
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin),
+
+    // Zipf rank-frequency census in power-of-two rank OCTAVES — the
+    // corpus-health fingerprint (a natural corpus shows near-constant
+    // per-octave mass at exponent ≈ 1; synthetic/templated text shows a
+    // cliff). Log-log slope needs ln() on both engines, which carries no
+    // bit-exactness guarantee — so the octave assignment is an integer
+    // CASE chain over rank ranges [2^j, 2^{j+1}) and the "slope" signal
+    // is the exact ratio of consecutive octave masses (one IEEE division
+    // of exact BIGINTs). Scale shape: the term count is one keyed agg
+    // with map-side combine; the top-1024 cut is a TakeOrdered (never a
+    // global sort of the vocabulary); only the ≤1024 survivors enter the
+    // single-partition rank window and the ≤11-row octave frame — both
+    // bounded by the literal cut, not the corpus.
+    "text_zipf_octaves" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tc = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+          .orderBy(desc("freq"), asc("tok")).limit(1024)
+        val ranked = tc.withColumn("rank",
+          row_number().over(Window.orderBy(desc("freq"), asc("tok"))))
+        val octave = (1 to 10).foldLeft(when(col("rank") < 2, 0)) {
+          (acc, j) => acc.when(col("rank") < (1L << (j + 1)), j)
+        }
+        val byOct = ranked.select(octave.as("octave"), col("freq"))
+          .groupBy("octave")
+          .agg(count(lit(1)).as("n_terms"), sum("freq").as("octave_mass"),
+            max("freq").as("max_freq"), min("freq").as("min_freq"))
+        byOct.select(col("octave"), col("n_terms"), col("octave_mass"),
+            col("max_freq"), col("min_freq"),
+            (col("octave_mass").cast("double") /
+              lag("octave_mass", 1).over(Window.orderBy("octave"))
+                .cast("double")).as("mass_ratio"))
+          .orderBy("octave")
+      },
+      s"""WITH tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($duckToks) AS tok FROM documents)
+         |  GROUP BY 1 ORDER BY freq DESC, tok LIMIT 1024),
+         |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok)
+         |        AS rank FROM tc),
+         |o AS (SELECT CASE ${(0 to 10).map(j =>
+                  s"WHEN rank < ${1L << (j + 1)} THEN $j").mkString(" ")}
+         |        END AS octave, freq FROM r),
+         |g AS (SELECT octave, COUNT(*) AS n_terms,
+         |        CAST(SUM(freq) AS BIGINT) AS octave_mass,
+         |        MAX(freq) AS max_freq, MIN(freq) AS min_freq
+         |      FROM o GROUP BY 1)
+         |SELECT octave, n_terms, octave_mass, max_freq, min_freq,
+         |       CAST(octave_mass AS DOUBLE) /
+         |         CAST(lag(octave_mass) OVER (ORDER BY octave) AS DOUBLE)
+         |         AS mass_ratio
+         |FROM g ORDER BY octave""".stripMargin)
   )
 }
