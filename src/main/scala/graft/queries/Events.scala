@@ -1405,6 +1405,102 @@ object Events {
         |       least(gap_us // 60000000, 120) AS gap_minutes,
         |       CAST(COUNT(*) AS BIGINT) AS n_gaps
         |FROM g WHERE gap_us IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY event_type, gap_minutes""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY event_type, gap_minutes""".stripMargin),
+
+    // Last-touch marketing attribution: each purchase's value is credited
+    // to the user's most recent PRECEDING non-purchase event within 24 h
+    // (or 'direct' if none qualifies) — the canonical attribution model a
+    // revenue-analytics pipeline runs over the event log. The "last
+    // preceding qualifying event" is ONE pass per user: an IGNORE NULLS
+    // last_value window over (ts, event_id) order with a 1-PRECEDING
+    // frame — no self-join of purchases against history. The timestamp
+    // and type come from two windows with the SAME frame, so both read
+    // the same source row. Revenue sums are the exact DECIMAL(25,6)
+    // pattern. Scale: one hash Exchange on user_id, per-partition sorted
+    // frames, then a ≤6-row keyed agg.
+    "events_attribution_last_touch" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val nonP = col("event_type") =!= "purchase"
+        val ev = Tables.eventsWithTs(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), expr("ts div 1000").as("tus"))
+        ev.withColumn("prev_tus",
+            last(when(nonP, col("tus")), ignoreNulls = true).over(w))
+          .withColumn("prev_type",
+            last(when(nonP, col("event_type")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("value"),
+            when(col("prev_tus").isNotNull &&
+                col("prev_tus") >= col("tus") - lit(86400000000L),
+              col("prev_type")).otherwise("direct").as("attributed_type"))
+          .groupBy("attributed_type")
+          .agg(count(lit(1)).as("n_purchases"), dsum("value").as("revenue"))
+          .orderBy("attributed_type")
+      },
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tus
+        |  FROM events),
+        |wv AS (
+        |  SELECT event_type, value, tus,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                         THEN tus END IGNORE NULLS) OVER w AS prev_tus,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                         THEN event_type END IGNORE NULLS) OVER w
+        |           AS prev_type
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN prev_tus IS NOT NULL
+        |                 AND prev_tus >= tus - 86400000000
+        |            THEN prev_type ELSE 'direct' END AS attributed_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM wv WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY attributed_type""".stripMargin),
+
+    // Half-life-decayed engagement score per user — the recency-weighted
+    // ranking a retention/loyalty pipeline maintains (recent activity
+    // counts full, older activity halves every 7 days). exp()/pow()
+    // carry no cross-engine bit guarantee, so the weight is an EXACT
+    // power of two: h = age_days ÷ 7 integer halvings, weight = 1/2^h
+    // (2^h via integer shift, h capped at 62 — both the shift and the
+    // reciprocal are exactly representable doubles), and the weighted
+    // sum goes through the floor(term·2³⁰) decimal lift. The reference
+    // time is the corpus max(ts) — one scalar action. Scale: a narrow
+    // projection, one keyed agg with map-side combine, and a
+    // TakeOrdered(20) — never a global sort.
+    "events_decay_engagement" -> QuerySpec(
+      (s, d) => {
+        val S = 1073741824.0 // 2^30
+        val ev = Tables.events(s, d)
+        val refUs = ev.agg(max(expr("ts div 1000"))).head().getLong(0)
+        ev.select(col("user_id"), col("value"),
+            least(expr(s"(($refUs - (ts div 1000)) div 86400000000) div 7"),
+              lit(62L)).as("h"))
+          .select(col("user_id"),
+            (col("value") * (lit(1.0) /
+              expr("cast(shiftleft(1L, cast(h as int)) as double)")))
+              .as("term"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            (sum(floor(col("term") * lit(S)).cast("decimal(38,0)"))
+              .cast("double") / lit(S)).as("score"))
+          .orderBy(desc("score"), asc("user_id")).limit(20)
+      },
+      """WITH r AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+        |t AS (
+        |  SELECT user_id,
+        |         value * (1.0 / CAST(CAST(1 AS BIGINT) << CAST(LEAST(
+        |             (((SELECT ref_us FROM r) - epoch_us(ts))
+        |               // 86400000000) // 7, 62) AS INT) AS DOUBLE)) AS term
+        |  FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(FLOOR(term * 1073741824.0) AS DECIMAL(38,0)))
+        |         AS DOUBLE) / 1073741824.0 AS score
+        |FROM t GROUP BY user_id
+        |ORDER BY score DESC, user_id LIMIT 20""".stripMargin)
   )
 }
