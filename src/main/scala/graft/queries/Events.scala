@@ -1501,6 +1501,109 @@ object Events {
         |       CAST(SUM(CAST(FLOOR(term * 1073741824.0) AS DECIMAL(38,0)))
         |         AS DOUBLE) / 1073741824.0 AS score
         |FROM t GROUP BY user_id
-        |ORDER BY score DESC, user_id LIMIT 20""".stripMargin)
+        |ORDER BY score DESC, user_id LIMIT 20""".stripMargin),
+
+    // Simple-exponential-smoothing (α = ½) forecast over the daily
+    // revenue series — the one-line baseline every ops-forecasting
+    // pipeline keeps next to its real model. The recurrence s_t =
+    // ½x_t + ½s_{t-1} unrolls to s_t = 2^{-t}·(2x₁ + Σ_{i≥2} x_i·2^{i-1}),
+    // so it is ONE cumulative sum over the day series, not a sequential
+    // loop: term_i = x_i·2^{max(i-1,1)} (a power-of-two multiply —
+    // EXACT in IEEE double), lifted through floor(term·2⁶) into DECIMAL
+    // for an order-free running sum, then two exact power-of-two
+    // divisions recover s_t. Shifts clamp at 62 (this corpus spans 30
+    // days; the clamp documents the bound rather than overflowing a
+    // 64-bit shift on a longer series). Scale: the corpus-sized work is
+    // one keyed day agg with map-side combine; the window runs over the
+    // DAY table — bounded by the calendar, not the data.
+    "events_ses_forecast" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, d)
+          .groupBy(expr("ts div 86400000000000").as("day_idx"))
+          .agg(count(lit(1)).as("n_events"), dsum("value").as("revenue"))
+        val w = Window.orderBy("day_idx")
+        val ranked = daily
+          .withColumn("i", row_number().over(w))
+          .withColumn("term", col("revenue") *
+            expr("cast(shiftleft(1L, cast(least(greatest(i - 1, 1), 62) as int)) as double)"))
+        ranked
+          .withColumn("cum", sum(floor(col("term") * lit(64.0))
+            .cast("decimal(38,0)")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("day_idx"), col("n_events"), col("revenue"),
+            ((col("cum").cast("double") / lit(64.0)) /
+              expr("cast(shiftleft(1L, cast(least(i, 62) as int)) as double)"))
+              .as("ses"))
+          .orderBy("day_idx")
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT day_idx, n_events, revenue,
+        |         row_number() OVER (ORDER BY day_idx) AS i
+        |  FROM daily),
+        |t AS (
+        |  SELECT day_idx, n_events, revenue, i,
+        |         revenue * CAST(CAST(1 AS BIGINT) <<
+        |           CAST(LEAST(GREATEST(i - 1, 1), 62) AS INT) AS DOUBLE)
+        |           AS term
+        |  FROM r)
+        |SELECT day_idx, n_events, revenue,
+        |       (CAST(SUM(CAST(FLOOR(term * 64.0) AS DECIMAL(38,0)))
+        |          OVER (ORDER BY day_idx
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS DOUBLE) / 64.0)
+        |         / CAST(CAST(1 AS BIGINT) << CAST(LEAST(i, 62) AS INT)
+        |                AS DOUBLE) AS ses
+        |FROM t ORDER BY day_idx""".stripMargin),
+
+    // Lag-k autocorrelation (k = 1..7) of the daily event-count series —
+    // the seasonality screen (a weekly cycle shows as a peak at k = 7).
+    // Fully RATIONAL cross-engine: with T days and total S, the centered
+    // products scale by T² to exact integers ((T·n_t − S)(T·n_{t+k} − S)),
+    // so numerator and denominator are exact BIGINT sums and r_k is one
+    // IEEE division. Scale: the corpus-sized stage is one keyed day agg;
+    // everything after runs on the day table (calendar-bounded) — a
+    // 7-way explode and an equi-join on day_idx + k, never a window over
+    // raw events.
+    "events_daily_autocorr" -> QuerySpec(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("ts div 86400000000000").as("day_idx"))
+          .agg(count(lit(1)).as("n"))
+        val st = daily.agg(count(lit(1)).as("t_days"), sum("n").as("s_tot"))
+        val cd = daily.crossJoin(broadcast(st))
+          .select(col("day_idx"), col("t_days"),
+            (col("t_days") * col("n") - col("s_tot")).as("c"))
+        val denom = cd.agg(sum(col("c") * col("c")).as("den")).head().getLong(0)
+        val ks = cd.select(col("day_idx"), col("c"),
+          explode(array((1 to 7).map(lit): _*)).as("k"))
+        ks.join(cd.select(col("day_idx").as("rhs_day"), col("c").as("c2")),
+            col("rhs_day") === col("day_idx") + col("k"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_pairs"),
+            (sum(col("c") * col("c2")).cast("double") /
+              lit(denom.toDouble)).as("autocorr"))
+          .orderBy("k")
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_days,
+        |              CAST(SUM(n) AS BIGINT) AS s_tot FROM daily),
+        |cd AS (SELECT day_idx, t_days * n - s_tot AS c FROM daily, st),
+        |den AS (SELECT CAST(SUM(c * c) AS BIGINT) AS den FROM cd)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(a.c * b.c) AS DOUBLE)
+        |         / CAST((SELECT den FROM den) AS DOUBLE) AS autocorr
+        |FROM cd a
+        |JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k) ks ON true
+        |JOIN cd b ON b.day_idx = a.day_idx + k
+        |GROUP BY k ORDER BY k""".stripMargin)
   )
 }
