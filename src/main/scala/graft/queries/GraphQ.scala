@@ -593,7 +593,77 @@ object GraphQ {
         |         AS INT) AS rank
         |FROM sc
         |QUALIFY rank <= 5
-        |ORDER BY seed, rank""".stripMargin)
+        |ORDER BY seed, rank""".stripMargin),
+
+    // Connected components via 6 synchronous min-label rounds (HashToMin
+    // — the union-find of the dataflow world) over the co-purchase
+    // BACKBONE: only edges whose part pair co-occurs in ≥ 3 DISTINCT
+    // orders survive (the raw co-purchase graph is one dense blob — min
+    // degree 42 at sf0.01 — so its CC is vacuously a single component;
+    // the support filter keeps exactly the statistically meaningful
+    // affinity edges a basket pipeline keeps, and leaves real component
+    // structure to find). Every node starts labeled with its own id and
+    // each round adopts the minimum label among itself and its
+    // in-neighbors; the FIXED round count is the determinism contract,
+    // mirrored CTE-for-round in the oracle, so both engines emit
+    // identical labels even mid-convergence on a pathological chain.
+    // Pure integer min/count arithmetic — nothing floats. Scale: support
+    // counting is one keyed agg over the self-join (the basket-rules
+    // shape); each round broadcasts the label vector against the edge
+    // scan (edges never reshuffle), aggregates map-side, and cuts
+    // lineage via localCheckpoint — the LPA discipline.
+    "graph_connected_components" -> QuerySpec(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+          .agg(countDistinct(col("a.ok")).as("support"))
+          .filter(col("support") >= 3)
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        var labels = edges.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 6) {
+          val minIn = edges
+            .join(broadcast(labels), edges("src") === labels("node"))
+            .groupBy(col("dst")).agg(min("label").as("minl"))
+          labels = labels.join(minIn, labels("node") === minIn("dst"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("minl"), col("label")))
+                .as("label"))
+            .localCheckpoint(true)
+        }
+        labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+          .orderBy(desc("n_nodes"), asc("label")).limit(10)
+      },
+      {
+        def round(i: Int): String =
+          s"""c$i AS MATERIALIZED (
+             |  SELECT n.node,
+             |         LEAST(n.label, COALESCE(m.minl, n.label)) AS label
+             |  FROM c${i - 1} n LEFT JOIN (
+             |    SELECT e.dst, MIN(l.label) AS minl
+             |    FROM e JOIN c${i - 1} l ON e.src = l.node
+             |    GROUP BY 1) m ON n.node = m.dst)""".stripMargin
+        s"""WITH li AS MATERIALIZED (SELECT l_orderkey AS ok,
+           |       l_partkey AS pk FROM lineitem),
+           |e AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT a.pk AS src, b.pk AS dst,
+           |           COUNT(DISTINCT a.ok) AS support
+           |    FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+           |    GROUP BY 1, 2)
+           |  WHERE support >= 3),
+           |c0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
+           |       FROM e),
+           |${(1 to 6).map(round).mkString(",\n")}
+           |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+           |FROM c6 GROUP BY 1
+           |ORDER BY n_nodes DESC, label LIMIT 10""".stripMargin
+      })
   )
 
   /** Degree-orient a symmetric edge list: keep (src, dst) iff src is the
@@ -701,12 +771,18 @@ object GraphQ {
          |    GROUP BY 1, 2) t
          |  QUALIFY row_number() OVER (PARTITION BY node
          |    ORDER BY cnt DESC, label) = 1)""".stripMargin
-    s"""li AS MATERIALIZED (SELECT l_orderkey AS ok,
-       |       l_partkey AS pk FROM lineitem),
-       |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
-       |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+    s"""$duckEdgeCtes,
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
        |       FROM e0),
        |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
   }
+
+  /** DuckDB CTE prefix building the shared co-purchase edge list
+    * (`e0(src, dst)`), shared by every oracle that consumes
+    * [[coPurchaseEdges]]. */
+  private def duckEdgeCtes: String =
+    s"""li AS MATERIALIZED (SELECT l_orderkey AS ok,
+       |       l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk)""".stripMargin
 }
