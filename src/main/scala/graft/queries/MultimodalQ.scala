@@ -612,6 +612,88 @@ object MultimodalQ {
          |SELECT asset_id, patch_id, patch_sum,
          |       CAST(patch_sum AS DOUBLE) / 15.0 AS patch_mean,
          |       patch_min, patch_max
-         |FROM a ORDER BY asset_id, patch_id""".stripMargin)
+         |FROM a ORDER BY asset_id, patch_id""".stripMargin),
+
+    // DCT perceptual hash (pHash) over the decoded rasters — the
+    // frequency-domain image fingerprint one step past aHash: box-average
+    // the 60-pixel raster into 16 bins, project onto the first 8 NON-DC
+    // DCT-II basis vectors, hash bit k = [coefficient_k > 0]. Because
+    // every retained basis vector is DC-free, the hash is EXACTLY
+    // brightness-invariant — the +8-offset second rendition of each doc
+    // must collide at Hamming 0, which this query verifies per doc
+    // (aHash needed a threshold to absorb the same offset; pHash
+    // absorbs it structurally). The transcendental cos() basis is
+    // evaluated ONCE at plan build and embedded as shared literals in
+    // both plans (the planeWeights discipline — no libm call at row
+    // scope on either engine); bin means are exact-integer sums divided
+    // once, and each projection is the sequential fold both engines
+    // share. Scale: decode batches via the shared PNG stage, then one
+    // narrow per-row projection; the rendition pivot is a keyed agg on
+    // doc_id — no self-join, no shuffle wider than the 2-row groups.
+    "multimodal_phash_dct" -> QuerySpec(
+      (s, d) => {
+        val C: Seq[Seq[Double]] = (1 to 8).map(k =>
+          (0 until 16).map(j => math.cos(math.Pi * (2 * j + 1) * k / 32.0)))
+        val staged = decodedPngs(s, d)
+          .withColumn("px", transform(col("pixels"), _.cast("long")))
+        val binCols = (0 until 16).map { b =>
+          val lo = b * 60 / 16; val hi = (b + 1) * 60 / 16
+          ((lo + 1 to hi).map(i => element_at(col("px"), i))
+            .reduce(_ + _).cast("double") / lit((hi - lo).toDouble))
+            .as(s"m$b")
+        }
+        val binned = staged.select(col("asset_id") +: binCols: _*)
+        val coeffs = (0 until 8).map { ki =>
+          aggregate(
+            array((0 until 16).map(j =>
+              col(s"m$j") * lit(C(ki)(j))): _*),
+            lit(0.0), (acc, x) => acc + x)
+        }
+        val phash = coeffs.zipWithIndex.map { case (c, ki) =>
+          when(c > lit(0.0), lit(1L << ki)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        binned.select(col("asset_id"), phash.as("ph"))
+          .select(expr("asset_id div 2").as("doc_id"),
+            (col("asset_id") % 2).as("r"), col("ph"))
+          .groupBy("doc_id")
+          .agg(max(when(col("r") === 0, col("ph"))).as("phash_base"),
+            max(when(col("r") === 1, col("ph"))).as("phash_bright"))
+          .select(col("doc_id"), col("phash_base"), col("phash_bright"),
+            bit_count(col("phash_base").bitwiseXOR(col("phash_bright")))
+              .cast("long").as("dist"))
+          .orderBy("doc_id")
+      },
+      {
+        val C: Seq[Seq[Double]] = (1 to 8).map(k =>
+          (0 until 16).map(j => math.cos(math.Pi * (2 * j + 1) * k / 32.0)))
+        val binDefs = (0 until 16).map { b =>
+          val lo = b * 60 / 16; val hi = (b + 1) * 60 / 16
+          s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |  px[${lo + 1}:$hi]), (a, b) -> a + b) AS DOUBLE)
+             |  / ${(hi - lo).toDouble} AS m$b""".stripMargin
+        }.mkString(",\n")
+        val coeffDefs = (0 until 8).map { ki =>
+          val terms = (0 until 16).map(j =>
+            s"m$j * ${C(ki)(j)}").mkString("[", ", ", "]")
+          s"""CASE WHEN list_reduce(list_prepend(0.0, $terms),
+             |  (a, b) -> a + b) > 0.0
+             |  THEN CAST(${1L << ki} AS BIGINT) ELSE CAST(0 AS BIGINT)
+             |  END""".stripMargin
+        }.mkString(" + ")
+        s"""WITH $duckPxCtes,
+           |m AS (SELECT asset_id,
+           |$binDefs
+           |FROM px),
+           |h AS (SELECT asset_id, $coeffDefs AS ph FROM m),
+           |p AS (SELECT asset_id // 2 AS doc_id, asset_id % 2 AS r, ph
+           |      FROM h)
+           |SELECT doc_id,
+           |       MAX(CASE WHEN r = 0 THEN ph END) AS phash_base,
+           |       MAX(CASE WHEN r = 1 THEN ph END) AS phash_bright,
+           |       CAST(bit_count(xor(MAX(CASE WHEN r = 0 THEN ph END),
+           |                          MAX(CASE WHEN r = 1 THEN ph END)))
+           |         AS BIGINT) AS dist
+           |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      })
   )
 }
