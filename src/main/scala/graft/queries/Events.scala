@@ -1604,6 +1604,71 @@ object Events {
         |FROM cd a
         |JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k) ks ON true
         |JOIN cd b ON b.day_idx = a.day_idx + k
-        |GROUP BY k ORDER BY k""".stripMargin)
+        |GROUP BY k ORDER BY k""".stripMargin),
+
+    // The SAME last-touch attribution as a streaming state machine:
+    // flatMapGroupsWithState keeps ONE (timestamp, type) pair per user —
+    // the most recent non-purchase — and each purchase emits exactly one
+    // attribution row in the micro-batch it arrives in. In-order slice
+    // replay + per-batch (tus, event_id) sort make the fold equal the
+    // batch form's 1-PRECEDING window frame, so the drained emissions
+    // aggregate to events_attribution_last_touch BIT-EXACTLY; the oracle
+    // IS the batch attribution SQL. Emissions are reconciled by a
+    // dropDuplicates on event_id (each purchase is emitted once; the
+    // dedup guards a replayed batch) before the same revenue summary
+    // arithmetic. This is the revenue-analytics counterpart of
+    // events_stream_funnel: per-key SCALAR state driving per-EVENT
+    // emissions, not a running aggregate.
+    "events_stream_attribution" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.Trigger
+        val stream = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "slice-*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(slicedEventsDir(s, d))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), expr("ts div 1000").as("tus"))
+          .as[graft.streaming.Streams.AttrEvent]
+        val attributed = graft.streaming.Streams
+          .lastTouchAttribution(stream, 86400000000L)
+        val sinkName = "q_events_stream_attribution"
+        graft.streaming.Streams.drained(s) { ckpt =>
+          val q = attributed.toDF().writeStream
+            .outputMode("update")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          requireMultiBatch(q, "events_stream_attribution")
+        }
+        s.table(sinkName)
+          .dropDuplicates("event_id")
+          .groupBy("attributed_type")
+          .agg(count(lit(1)).as("n_purchases"), dsum("value").as("revenue"))
+          .orderBy("attributed_type")
+      },
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tus
+        |  FROM events),
+        |wv AS (
+        |  SELECT event_type, value, tus,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                         THEN tus END IGNORE NULLS) OVER w AS prev_tus,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                         THEN event_type END IGNORE NULLS) OVER w
+        |           AS prev_type
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN prev_tus IS NOT NULL
+        |                 AND prev_tus >= tus - 86400000000
+        |            THEN prev_type ELSE 'direct' END AS attributed_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM wv WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY attributed_type""".stripMargin)
   )
 }

@@ -192,6 +192,47 @@ object Streams {
       }
   }
 
+  final case class AttrEvent(user_id: Long, event_id: Long,
+                             event_type: String, value: Double, tus: Long)
+  final case class AttrState(last_np_tus: Long, last_np_type: String)
+  final case class Attribution(user_id: Long, event_id: Long, value: Double,
+                               attributed_type: String)
+
+  /** Streaming last-touch attribution: per user, the state is ONE
+    * (timestamp, type) pair — the most recent non-purchase event seen so
+    * far — and each purchase emits exactly one attribution row against
+    * that state (or 'direct' when none qualifies within `windowUs`).
+    * With in-event-time-order batches (the sliced replay guarantees it)
+    * and a (tus, event_id) sort within each batch, "last non-purchase
+    * strictly before the purchase" matches the batch form's
+    * 1-PRECEDING window frame exactly, so the drained emissions
+    * aggregate to the batch attribution BIT-EXACTLY. State is two
+    * fields per user — bounded; a production deployment adds a TTL
+    * timeout to retire inactive users. */
+  def lastTouchAttribution(events: Dataset[AttrEvent], windowUs: Long)
+      : Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, Attribution](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[AttrEvent], state: GroupState[AttrState]) =>
+          var s = state.getOption.getOrElse(AttrState(-1L, ""))
+          val out = Seq.newBuilder[Attribution]
+          rows.toSeq.sortBy(e => (e.tus, e.event_id)).foreach { e =>
+            if (e.event_type == "purchase") {
+              val t =
+                if (s.last_np_tus >= 0 && s.last_np_tus >= e.tus - windowUs)
+                  s.last_np_type
+                else "direct"
+              out += Attribution(uid, e.event_id, e.value, t)
+            } else s = AttrState(e.tus, e.event_type)
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Runs a drain-the-source streaming query (AvailableNow → terminate)
     * with state-sized session tuning, passing a fresh checkpoint dir to
     * `body` and restoring the session conf afterwards.
