@@ -1263,6 +1263,73 @@ object Warehouse {
         |  (nd * s_dc_tx - s_dc * s_tx) /
         |    sqrt((nd * s_dc_dc - s_dc * s_dc) *
         |         (nd * s_tx_tx - s_tx * s_tx)) AS corr_discount_tax
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin),
+
+    // Tukey IQR-fence outlier census per order-priority segment — the
+    // robust-statistics screen a data-quality gate runs before trusting a
+    // numeric column (fences from quartiles resist the very outliers a
+    // mean±kσ rule would absorb). Quartiles are DISCRETE (rank
+    // ceil(p·n) with a deterministic (value, key) tiebreak — actual data
+    // values, exactly reproducible in any engine; the
+    // percentile_disc_exact pattern); the fence arithmetic q1 − 1.5·iqr /
+    // q3 + 1.5·iqr is the same three IEEE ops on both sides, and the
+    // outlier predicate is a pure comparison. Scale: one window shuffle
+    // on the segment key for ranks, then a broadcast of the 5-row
+    // quartile table back onto the scan — the fact table is read twice
+    // but never self-joined.
+    "profile_outlier_iqr" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        val ranked = Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_totalprice"),
+            col("o_orderkey"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+        val qs = ranked
+          .filter(col("rn") === expr("(cnt + 3) div 4") ||
+            col("rn") === expr("(3 * cnt + 3) div 4"))
+          .groupBy("o_orderpriority")
+          .agg(min("o_totalprice").as("q1"), max("o_totalprice").as("q3"))
+          .select(col("o_orderpriority"), col("q1"), col("q3"),
+            (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+            (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_totalprice"))
+          .join(broadcast(qs), Seq("o_orderpriority"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            min("q1").as("q1"), min("q3").as("q3"),
+            sum(when(col("o_totalprice") < col("lo"), 1L).otherwise(0L))
+              .as("n_low"),
+            sum(when(col("o_totalprice") > col("hi"), 1L).otherwise(0L))
+              .as("n_high"))
+          .orderBy("o_orderpriority")
+      },
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice, o_orderkey) AS rn,
+        |         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |  FROM orders),
+        |q AS (
+        |  SELECT o_orderpriority,
+        |         MIN(o_totalprice) AS q1, MAX(o_totalprice) AS q3,
+        |         MIN(o_totalprice) - 1.5 * (MAX(o_totalprice)
+        |           - MIN(o_totalprice)) AS lo,
+        |         MAX(o_totalprice) + 1.5 * (MAX(o_totalprice)
+        |           - MIN(o_totalprice)) AS hi
+        |  FROM r
+        |  WHERE rn = (cnt + 3) // 4 OR rn = (3 * cnt + 3) // 4
+        |  GROUP BY 1)
+        |SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(q.q1) AS q1, MIN(q.q3) AS q3,
+        |       CAST(SUM(CASE WHEN o.o_totalprice < q.lo THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_low,
+        |       CAST(SUM(CASE WHEN o.o_totalprice > q.hi THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_high
+        |FROM orders o JOIN q USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
   )
 }
