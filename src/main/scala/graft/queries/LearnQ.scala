@@ -612,6 +612,87 @@ object LearnQ {
            |         WHERE vr = 1)
            |SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
            |FROM pred GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
-      })
+      }),
+
+    // CART split search as a decision-stump quality CURVE — the inner
+    // loop of tree/GBDT training run the distributed way: bin the
+    // feature ONCE (20 fixed-width price bins — the histogram trick
+    // every scalable GBDT uses), aggregate (count, positives) per bin in
+    // one map-side-combined pass, and evaluate every candidate split
+    // from the ≤20-row cumulative table. Gini impurity is RATIONAL in
+    // the integer counts — each side's term p·(n−p)/n is one IEEE
+    // division and the weighted sum is one addition, written in the same
+    // order on both engines (no log-loss, which would need libm parity).
+    // is_best marks the argmin row via a min-over-all window on the tiny
+    // curve. Scale: the corpus-sized stage is ONE keyed agg; split
+    // evaluation never touches raw rows — the shape that lets a 100 TB
+    // split search run per tree node at interactive cost.
+    "learn_gini_stump" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bins = Tables.orders(s, d)
+          .select(
+            least(floor(col("o_totalprice") / lit(25000.0)), lit(19.0))
+              .cast("int").as("bin"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum("y").as("p"))
+        val tot = bins.agg(sum("n").as("n_tot"), sum("p").as("p_tot"))
+        val wc = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bins
+          .select(col("bin"), sum("n").over(wc).as("n_left"),
+            sum("p").over(wc).as("pos_left"))
+          .crossJoin(broadcast(tot))
+          .select(col("bin").as("split_bin"), col("n_left"), col("pos_left"),
+            (col("n_tot") - col("n_left")).as("n_right"),
+            (col("p_tot") - col("pos_left")).as("pos_right"))
+          .filter(col("n_left") > 0 && col("n_right") > 0)
+          .select(col("split_bin"), col("n_left"), col("pos_left"),
+            col("n_right"), col("pos_right"),
+            ((col("pos_left") * (col("n_left") - col("pos_left")))
+              .cast("double") / col("n_left").cast("double") +
+              (col("pos_right") * (col("n_right") - col("pos_right")))
+                .cast("double") / col("n_right").cast("double"))
+              .as("impurity"))
+        cum.withColumn("is_best",
+            col("impurity") === min("impurity").over(
+              Window.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+          .orderBy("split_bin")
+      },
+      """WITH b AS (
+        |  SELECT CAST(LEAST(FLOOR(o_totalprice / 25000.0), 19.0) AS INT)
+        |           AS bin,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(y) AS BIGINT) AS p
+        |      FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+        |               CAST(SUM(p) AS BIGINT) AS p_tot FROM g),
+        |c AS (
+        |  SELECT bin AS split_bin,
+        |         CAST(SUM(n) OVER w AS BIGINT) AS n_left,
+        |         CAST(SUM(p) OVER w AS BIGINT) AS pos_left
+        |  FROM g
+        |  WINDOW w AS (ORDER BY bin
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |e AS (
+        |  SELECT split_bin, n_left, pos_left,
+        |         n_tot - n_left AS n_right,
+        |         p_tot - pos_left AS pos_right
+        |  FROM c, tot
+        |  WHERE n_left > 0 AND n_tot - n_left > 0),
+        |s AS (
+        |  SELECT split_bin, n_left, pos_left, n_right, pos_right,
+        |         CAST(pos_left * (n_left - pos_left) AS DOUBLE)
+        |           / CAST(n_left AS DOUBLE)
+        |         + CAST(pos_right * (n_right - pos_right) AS DOUBLE)
+        |           / CAST(n_right AS DOUBLE) AS impurity
+        |  FROM e)
+        |SELECT split_bin, n_left, pos_left, n_right, pos_right, impurity,
+        |       impurity = MIN(impurity) OVER () AS is_best
+        |FROM s ORDER BY split_bin""".stripMargin)
   )
 }

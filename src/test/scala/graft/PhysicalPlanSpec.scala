@@ -378,4 +378,38 @@ class PhysicalPlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("round-8 additions keep their declared scale shapes") {
+    // binary-hamming ANN: the candidate cut and the rerank both plan as
+    // TakeOrdered heaps over the narrow codes scan — no corpus shuffle on
+    // vec_id, no window ranking.
+    val bh = plan(
+      SparkEntry.registry("similarity_binary_hamming_topk").fn(spark, sf))
+    assert(bh.contains("TakeOrderedAndProject"), bh)
+    assert(!bh.contains("hashpartitioning(vec_id"),
+      s"hamming scan must not shuffle the corpus:\n$bh")
+    assert(!bh.contains("Window"), bh)
+    // source divergence: the 20-row per-source totals broadcast; the
+    // token join is equi-keyed, never all-pairs.
+    val sd = plan(
+      SparkEntry.registry("corpus_source_divergence").fn(spark, sf))
+    assert(sd.contains("BroadcastHashJoin"), sd)
+    assert(!sd.contains("CartesianProduct") &&
+      !sd.contains("BroadcastNestedLoopJoin"), sd)
+    // IQR census: the 5-row quartile/fence table broadcasts back onto
+    // the fact scan (the fact table is never self-joined).
+    val oi = plan(SparkEntry.registry("profile_outlier_iqr").fn(spark, sf))
+    assert(oi.contains("BroadcastHashJoin"), oi)
+    assert(!oi.contains("CartesianProduct"), oi)
+    // last-touch attribution: ONE user_id window pass over the event
+    // scan — no purchase-vs-history self-join.
+    val at = plan(
+      SparkEntry.registry("events_attribution_last_touch").fn(spark, sf))
+    assert(at.contains("hashpartitioning(user_id"), at)
+    assert(!at.contains("CartesianProduct") && !at.contains("Join"), at)
+    // zipf octaves: the vocabulary cut is a TakeOrdered heap, not a
+    // global sort of the term table.
+    val zf = plan(SparkEntry.registry("text_zipf_octaves").fn(spark, sf))
+    assert(zf.contains("TakeOrderedAndProject"), zf)
+  }
 }
