@@ -694,6 +694,93 @@ object MultimodalQ {
            |                          MAX(CASE WHEN r = 1 THEN ph END)))
            |         AS BIGINT) AS dist
            |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // Chromaprint-style audio fingerprint over the decoded PCM — the
+    // audio twin of the DCT pHash: per 60-sample frame, band energy in 4
+    // DFT bins (|Σ s_t·e^{-2πibt/60}|², the spectral footprint), then
+    // fingerprint bit (f, b) = [E_{f,b} > E_{f-1,b}] — the
+    // energy-DELTA coding real audio fingerprinters use because it
+    // survives gain changes. The sin/cos basis is evaluated once at plan
+    // build and embedded as shared literals (the planeWeights
+    // discipline); each projection is the engines' shared sequential
+    // fold over exact-integer samples, and re²+im² / the comparisons are
+    // identical IEEE ops. The re/im folds bind in their OWN projection
+    // before the energy products reference them (the let-binding lesson
+    // — Column DSL re-inlines multiply-referenced trees otherwise).
+    // Scale: decode batches via the shared WAV stage, then one narrow
+    // per-row pipeline — no shuffle at any corpus size.
+    "multimodal_audio_fingerprint" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val cosB = (1 to 4).map(b =>
+          Array.tabulate(60)(t => math.cos(2 * math.Pi * b * t / 60.0)))
+        val sinB = (1 to 4).map(b =>
+          Array.tabulate(60)(t => math.sin(2 * math.Pi * b * t / 60.0)))
+        val decoded = Multimodal.decodeWavPartitions(
+          wavAssets(s, d).as[Multimodal.WavAsset]).toDF()
+        def fold(f: Int, basis: Array[Double]) = aggregate(
+          array((0 until 60).map(t =>
+            element_at(col("samples"), f * 60 + t + 1).cast("double") *
+              lit(basis(t))): _*),
+          lit(0.0), (a, x) => a + x)
+        val parts = for { f <- 0 until 4; b <- 0 until 4 } yield Seq(
+          fold(f, cosB(b)).as(s"re_${f}_$b"),
+          fold(f, sinB(b)).as(s"im_${f}_$b"))
+        val bound = decoded.select(col("asset_id") +: parts.flatten: _*)
+        val energies = bound.select(col("asset_id") +:
+          (for { f <- 0 until 4; b <- 0 until 4 } yield
+            (col(s"re_${f}_$b") * col(s"re_${f}_$b") +
+              col(s"im_${f}_$b") * col(s"im_${f}_$b")).as(s"e_${f}_$b")): _*)
+        val fp = (for { f <- 1 until 4; b <- 0 until 4 } yield
+          when(col(s"e_${f}_$b") > col(s"e_${f - 1}_$b"),
+            lit(1L << ((f - 1) * 4 + b))).otherwise(lit(0L)))
+          .reduce(_ + _)
+        energies.select(col("asset_id"), fp.as("fp"))
+          .orderBy("asset_id")
+      },
+      {
+        val cosB = (1 to 4).map(b =>
+          Array.tabulate(60)(t => math.cos(2 * math.Pi * b * t / 60.0)))
+        val sinB = (1 to 4).map(b =>
+          Array.tabulate(60)(t => math.sin(2 * math.Pi * b * t / 60.0)))
+        def litList(a: Array[Double]) = a.mkString("[", ", ", "]")
+        def foldSql(basis: Array[Double]) =
+          s"""list_reduce(list_prepend(0.0, list_transform(range(1, 61),
+             |  t -> CAST(s[CAST(f * 60 + t AS INT)] AS DOUBLE)
+             |       * (${litList(basis)})[t])), (a, b) -> a + b)""".stripMargin
+        val enDefs = (0 until 4).map { b =>
+          s"""${foldSql(cosB(b))} AS re_$b,
+             |${foldSql(sinB(b))} AS im_$b""".stripMargin
+        }.mkString(",\n")
+        val pivot = (for { f <- 0 until 4; b <- 0 until 4 } yield
+          s"MAX(CASE WHEN f = $f THEN re_$b * re_$b + im_$b * im_$b END) " +
+            s"AS e_${f}_$b").mkString(",\n")
+        val fp = (for { f <- 1 until 4; b <- 0 until 4 } yield
+          s"CASE WHEN e_${f}_$b > e_${f - 1}_$b THEN CAST(${1L << ((f - 1) * 4 + b)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+          .mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, list_transform(
+           |         list_filter(string_split(text, ''), c -> c <> ''),
+           |         c -> CAST(ascii(c) AS BIGINT)) AS codes,
+           |       length(text) AS n FROM documents),
+           |w AS (SELECT doc_id AS asset_id, list_transform(range(0, 240), t ->
+           |         CASE WHEN n = 0 THEN 0 ELSE (CAST(
+           |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |             codes[CAST(t*n//240 AS INT) + 1 :
+           |                   CAST(t*n//240 AS INT) +
+           |                   CAST(GREATEST((t+1)*n//240 - t*n//240, 1) AS INT)]),
+           |             (a, b) -> a + b)
+           |           // GREATEST((t+1)*n//240 - t*n//240, 1) AS INTEGER)
+           |           - 96) * 256 END) AS s
+           |       FROM t),
+           |en AS (SELECT asset_id, f,
+           |$enDefs
+           |FROM w CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS f)),
+           |pv AS (SELECT asset_id,
+           |$pivot
+           |FROM en GROUP BY 1)
+           |SELECT asset_id, $fp AS fp
+           |FROM pv ORDER BY asset_id""".stripMargin
       })
   )
 }
