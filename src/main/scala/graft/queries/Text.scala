@@ -1583,6 +1583,85 @@ object Text {
          |       CAST(octave_mass AS DOUBLE) /
          |         CAST(lag(octave_mass) OVER (ORDER BY octave) AS DOUBLE)
          |         AS mass_ratio
-         |FROM g ORDER BY octave""".stripMargin)
+         |FROM g ORDER BY octave""".stripMargin),
+
+    // Quality-ranked token-budget allocation — the planning step before
+    // corpus_mixture_temperature: given a training budget of 60% of the
+    // corpus' tokens, greedily fill from the highest-mean-quality source
+    // down, splitting the boundary source pro-rata. Mean source quality
+    // goes through the floor(q·2⁴⁰) decimal lift (order-free exact sum
+    // of per-doc deterministic doubles); the greedy fill is a running
+    // sum over the SOURCE table — bounded by source cardinality (20
+    // here; thousands at worst in a real catalog), not the corpus — and
+    // every taken/budget quantity is exact integer arithmetic. Scale:
+    // one keyed agg over the scan, then windows over the tiny source
+    // table only.
+    "corpus_token_budget" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val S = 1099511627776.0 // 2^40
+        val per = Tables.documents(s, d)
+          .select(col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+            TextOps.qualityScore(col("text")).as("q"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+            sum(floor(col("q") * lit(S)).cast("decimal(38,0)")).as("qsum"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            ((col("qsum").cast("double") / lit(S)) /
+              col("n_docs").cast("double")).as("mean_q"))
+        val wRank = Window.orderBy(desc("mean_q"), asc("source"))
+        val ranked = per
+          .withColumn("total", sum("n_tokens").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .withColumn("rank", row_number().over(wRank))
+          .withColumn("cum", sum("n_tokens").over(
+            wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        ranked
+          .withColumn("budget", expr("(3 * total) div 5"))
+          .withColumn("taken", least(col("n_tokens"),
+            greatest(col("budget") - (col("cum") - col("n_tokens")),
+              lit(0L))))
+          .select(col("source"), col("rank"), col("n_docs"),
+            col("n_tokens"), col("mean_q"), col("budget"), col("taken"),
+            (col("taken").cast("double") / col("n_tokens").cast("double"))
+              .as("take_frac"))
+          .orderBy("rank")
+      },
+      s"""WITH t AS (SELECT source, text, $duckToks AS toks FROM documents),
+         |c AS (SELECT source,
+         |        CAST(len(toks) AS BIGINT) AS n_tok,
+         |        LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.4
+         |        + (CAST(len(list_filter(toks,
+         |             x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+         |           / len(toks)) * 0.3
+         |        + (1.0 - CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+         |             AS DOUBLE) / length(text)) * 0.2
+         |        + (1.0 - CAST(len(regexp_extract_all(text, '[A-Z]'))
+         |             AS DOUBLE) / length(text)) * 0.1 AS q
+         |      FROM t),
+         |p AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |        (CAST(SUM(CAST(FLOOR(q * 1099511627776.0)
+         |            AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0)
+         |          / CAST(COUNT(*) AS DOUBLE) AS mean_q
+         |      FROM c GROUP BY 1),
+         |r AS (SELECT source, n_docs, n_tokens, mean_q,
+         |        CAST(SUM(n_tokens) OVER () AS BIGINT) AS total,
+         |        CAST(row_number() OVER (ORDER BY mean_q DESC, source)
+         |          AS INT) AS rank,
+         |        CAST(SUM(n_tokens) OVER (ORDER BY mean_q DESC, source
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS cum
+         |      FROM p)
+         |SELECT source, rank, n_docs, n_tokens, mean_q,
+         |       (3 * total) // 5 AS budget,
+         |       LEAST(n_tokens, GREATEST((3 * total) // 5
+         |         - (cum - n_tokens), 0)) AS taken,
+         |       CAST(LEAST(n_tokens, GREATEST((3 * total) // 5
+         |           - (cum - n_tokens), 0)) AS DOUBLE)
+         |         / CAST(n_tokens AS DOUBLE) AS take_frac
+         |FROM r ORDER BY rank""".stripMargin)
   )
 }
