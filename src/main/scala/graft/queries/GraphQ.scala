@@ -663,7 +663,59 @@ object GraphQ {
            |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
            |FROM c6 GROUP BY 1
            |ORDER BY n_nodes DESC, label LIMIT 10""".stripMargin
-      })
+      }),
+
+    // Degree assortativity (Newman 2002): do high-degree parts co-purchase
+    // with high-degree parts? Pearson correlation of (deg(src), deg(dst))
+    // over the symmetric directed edge list. Because the edge list stores
+    // both orientations, the j- and k-marginals coincide, so Newman's r
+    // collapses to the fully RATIONAL form
+    //   r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²)
+    // — no sqrt, no mean: every Σ is an exact BIGINT aggregate (degrees
+    // are integers) and the single division is one double op with
+    // integer-exact operands on both engines (products computed in
+    // double: M·Σj² overflows BIGINT once M ~ 1e7 · deg² ~ 1e4; the
+    // doubles are exact to 2^53 and both engines round identically
+    // beyond it). Scale shape: the degree table (|nodes| rows) BROADCASTs
+    // twice against the edge scan — the edge list never reshuffles — and
+    // the final agg is one map-side-combined global fold.
+    "graph_degree_assortativity" -> QuerySpec(
+      (s, d) => {
+        val e = coPurchaseEdges(s, d) // symmetric, distinct
+        val deg = e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val jk = e
+          .join(broadcast(deg).as("dj"), e("src") === col("dj.node"))
+          .join(broadcast(deg).as("dk"), e("dst") === col("dk.node"))
+          .select(col("dj.deg").as("j"), col("dk.deg").as("k"))
+        jk.agg(count(lit(1)).as("m"), sum(col("j")).as("sj"),
+            sum(col("j") * col("k")).as("sjk"),
+            sum(col("j") * col("j")).as("sj2"))
+          .select(col("m"), col("sj"), col("sjk"), col("sj2"),
+            ((col("m").cast("double") * col("sjk").cast("double") -
+              col("sj").cast("double") * col("sj").cast("double")) /
+             (col("m").cast("double") * col("sj2").cast("double") -
+              col("sj").cast("double") * col("sj").cast("double")))
+              .as("assortativity"))
+      },
+      s"""WITH $duckEdgeCtes,
+         |deg AS MATERIALIZED (SELECT src AS node,
+         |         CAST(COUNT(*) AS BIGINT) AS deg
+         |       FROM e0 GROUP BY 1),
+         |jk AS (SELECT dj.deg AS j, dk.deg AS k
+         |       FROM e0 JOIN deg dj ON e0.src = dj.node
+         |               JOIN deg dk ON e0.dst = dk.node),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |        CAST(SUM(j) AS BIGINT) AS sj,
+         |        CAST(SUM(j * k) AS BIGINT) AS sjk,
+         |        CAST(SUM(j * j) AS BIGINT) AS sj2
+         |      FROM jk)
+         |SELECT m, sj, sjk, sj2,
+         |       (CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE) -
+         |        CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)) /
+         |       (CAST(m AS DOUBLE) * CAST(sj2 AS DOUBLE) -
+         |        CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)) AS assortativity
+         |FROM s""".stripMargin)
   )
 
   /** Degree-orient a symmetric edge list: keep (src, dst) iff src is the

@@ -39,6 +39,10 @@ object LearnQ {
   private val LogregRounds = 5
   private val LogregLr = 1.0
 
+  private val SvmRounds = 5
+  private val SvmEta = 0.5
+  private val SvmLambda = 0.01
+
   /** z = w·x (left-assoc, lockstep with the oracle's CTE expression). */
   private def zOf(w: Array[Double]): Column =
     lit(w(0)) * col("x1") + lit(w(1)) * col("x2") +
@@ -101,10 +105,9 @@ object LearnQ {
     trainedLogreg(s, d); ()
   }
 
-  /** The oracle-side WITH prefix replaying the full 5-round GD train —
-    * shared by the trainer query and the calibration audit (same
-    * consumer pattern as Text.duckBpeCtes). */
-  private def duckLogregCtes: String =
+  /** Oracle-side feature-table + count CTEs — the shared front of every
+    * learner oracle that trains on the cached feature table. */
+  private def duckFtCtes: String =
     s"""ft AS MATERIALIZED (
        |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
        |         CAST(len(toks) AS DOUBLE) / 100.0 AS x1,
@@ -114,7 +117,14 @@ object LearnQ {
        |             AS DOUBLE)
        |           / CAST(len(toks) AS DOUBLE) / 10.0 AS x3
        |  FROM (SELECT $duckToks AS toks, lang FROM documents)),
-       |n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM ft),
+       |n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM ft)"""
+      .stripMargin
+
+  /** The oracle-side WITH prefix replaying the full 5-round GD train —
+    * shared by the trainer query and the calibration audit (same
+    * consumer pattern as Text.duckBpeCtes). */
+  private def duckLogregCtes: String =
+    s"""$duckFtCtes,
        |w0 AS MATERIALIZED (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
        |       0.0 AS b),
        |${(1 to LogregRounds).map(duckLogregRound).mkString(",\n")}""".stripMargin
@@ -693,6 +703,97 @@ object LearnQ {
         |  FROM e)
         |SELECT split_bin, n_left, pos_left, n_right, pos_right, impurity,
         |       impurity = MIN(impurity) OVER () AS is_best
-        |FROM s ORDER BY split_bin""".stripMargin)
+        |FROM s ORDER BY split_bin""".stripMargin),
+
+    // Linear SVM trained ON the engine: 5 rounds of BATCH subgradient
+    // descent on L2-regularized hinge loss (Pegasos-style, full-batch
+    // variant) over the SAME shared feature table as logreg — the
+    // max-margin counterpart next to the probabilistic trainer. Hinge is
+    // the determinism-friendly loss: the subgradient is an INDICATOR
+    // (yᵢ·z < 1) times yᵢ·xᵢ — pure comparisons and rational arithmetic,
+    // no exp()/ln() surrogate needed at all. Each round is ONE
+    // map-side-combined scan producing four exact 2^40-scaled decimal
+    // sums (same single-scan shape PhysicalPlanSpec pins for logreg);
+    // the weight update w ← w·(1−ηλ) + η·g runs driver-side on the
+    // exact sums and the oracle replays it CTE-by-CTE in lockstep.
+    // Output: final weights + margin census (violations, exact-decimal
+    // hinge loss, training accuracy). At 100 TB: rounds × one scan,
+    // nothing else — the model state crossing the wire is 4 doubles.
+    "learn_svm_subgradient" -> QuerySpec(
+      (s, d) => {
+        val (ft, _, n) = trainedLogreg(s, d)
+        def ys = lit(2.0) * col("y") - lit(1.0)
+        var w = Array(0.0, 0.0, 0.0, 0.0) // w1, w2, w3, bias
+        for (_ <- 1 to SvmRounds) {
+          val m = when(ys * zOf(w) < lit(1.0), ys).otherwise(lit(0.0))
+          val row = ft.agg(dsum(m * col("x1")), dsum(m * col("x2")),
+            dsum(m * col("x3")), dsum(m)).head()
+          val g = (0 to 3).map(i =>
+            (row.getDecimal(i).doubleValue() / Scale.toDouble) / n)
+          w = Array(
+            w(0) * (1.0 - SvmEta * SvmLambda) + SvmEta * g(0),
+            w(1) * (1.0 - SvmEta * SvmLambda) + SvmEta * g(1),
+            w(2) * (1.0 - SvmEta * SvmLambda) + SvmEta * g(2),
+            w(3) + SvmEta * g(3)) // bias unregularized
+        }
+        val z = zOf(w)
+        def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+        ft.agg(
+            cnt(ys * z < lit(1.0)).as("n_violations"),
+            (dsum(greatest(lit(0.0), lit(1.0) - ys * z)).cast("double") /
+              lit(Scale.toDouble)).as("hinge_loss"),
+            cnt((z >= lit(0.0)) === (ys > lit(0.0))).as("n_correct"))
+          .select(
+            lit(w(0)).as("w_tokens"), lit(w(1)).as("w_ttr"),
+            lit(w(2)).as("w_toklen"), lit(w(3)).as("bias"),
+            col("n_violations"), col("hinge_loss"), col("n_correct"),
+            (col("n_correct").cast("double") / lit(n)).as("accuracy"))
+      },
+      s"""WITH $duckFtCtes,
+         |v0 AS MATERIALIZED (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+         |       0.0 AS b),
+         |${(1 to SvmRounds).map(duckSvmRound).mkString(",\n")},
+         |fin AS (SELECT
+         |    CAST(SUM(CASE WHEN ys * z < 1.0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_violations,
+         |    CAST(SUM(CAST(floor(greatest(0.0, 1.0 - ys * z)
+         |        * 1099511627776.0) AS DECIMAL(38,0))) AS DOUBLE)
+         |      / 1099511627776.0 AS hinge_loss,
+         |    CAST(SUM(CASE WHEN (z >= 0.0) = (ys > 0.0) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM (SELECT 2.0 * y - 1.0 AS ys,
+         |          w1 * x1 + w2 * x2 + w3 * x3 + b AS z
+         |        FROM ft, v$SvmRounds) t)
+         |SELECT w1 AS w_tokens, w2 AS w_ttr, w3 AS w_toklen, b AS bias,
+         |       n_violations, hinge_loss, n_correct,
+         |       CAST(n_correct AS DOUBLE) / nd AS accuracy
+         |FROM v$SvmRounds, fin, n""".stripMargin)
   )
+
+  /** One DuckDB SVM round: sg$i (subgradient sums) + v$i (weight update)
+    * from v${i-1}. Lockstep with the Spark loop above — same indicator,
+    * same floor/decimal/unscale sequence, same left-assoc z, bias
+    * unregularized. MATERIALIZED for the same chain-re-expansion reason
+    * as the logreg rounds. */
+  private def duckSvmRound(i: Int): String = {
+    s"""sg$i AS MATERIALIZED (SELECT
+       |    SUM(CAST(floor(m * x1 * 1099511627776.0) AS DECIMAL(38,0))) AS s1,
+       |    SUM(CAST(floor(m * x2 * 1099511627776.0) AS DECIMAL(38,0))) AS s2,
+       |    SUM(CAST(floor(m * x3 * 1099511627776.0) AS DECIMAL(38,0))) AS s3,
+       |    SUM(CAST(floor(m * 1099511627776.0) AS DECIMAL(38,0))) AS sb
+       |  FROM (SELECT x1, x2, x3,
+       |          CASE WHEN ys * z < 1.0 THEN ys ELSE 0.0 END AS m
+       |        FROM (SELECT x1, x2, x3, 2.0 * y - 1.0 AS ys,
+       |                w1 * x1 + w2 * x2 + w3 * x3 + b AS z
+       |              FROM ft, v${i - 1}) t0) t),
+       |v$i AS MATERIALIZED (SELECT
+       |    w1 * (1.0 - $SvmEta * $SvmLambda)
+       |      + $SvmEta * ((CAST(s1 AS DOUBLE) / 1099511627776.0) / nd) AS w1,
+       |    w2 * (1.0 - $SvmEta * $SvmLambda)
+       |      + $SvmEta * ((CAST(s2 AS DOUBLE) / 1099511627776.0) / nd) AS w2,
+       |    w3 * (1.0 - $SvmEta * $SvmLambda)
+       |      + $SvmEta * ((CAST(s3 AS DOUBLE) / 1099511627776.0) / nd) AS w3,
+       |    b + $SvmEta * ((CAST(sb AS DOUBLE) / 1099511627776.0) / nd) AS b
+       |  FROM v${i - 1}, sg$i, n)""".stripMargin
+  }
 }
