@@ -851,6 +851,41 @@ object Analytic {
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin),
 
+    // TPC-H Q12 (shipping-mode priority audit) through the SQL frontend,
+    // adapted to this schema: the harness lineitem has no
+    // l_shipmode/commitdate, so the grouping dimension is l_returnflag
+    // and the late-shipment predicate is a one-year l_shipdate slice —
+    // preserving Q12's shape: fact⋈dim equi-join, CASE-bucketed priority
+    // counts, tiny grouped output. Scale plan: the shipdate filter
+    // prunes lineitem at the scan (pushed to parquet), the join shuffles
+    // once on orderkey, and the CASE counts are map-side-combined.
+    "sql_frontend_q12" -> QuerySpec(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT l_returnflag,
+                 SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 ELSE 0 END) AS high_line_count,
+                 SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 ELSE 0 END) AS low_line_count
+          FROM v_orders JOIN v_lineitem ON o_orderkey = l_orderkey
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY l_returnflag
+          ORDER BY l_returnflag""")
+      },
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
     // TPC-H Q10 (returned-item reporting) through the SQL frontend,
     // adapted to this schema's columns: customers ranked by revenue
     // lost to returns in one quarter — a 4-table join (fact +

@@ -1669,6 +1669,166 @@ object Events {
         |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
         |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS revenue
         |FROM wv WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY attributed_type""".stripMargin)
+        |GROUP BY 1 ORDER BY attributed_type""".stripMargin),
+
+    // CHAINED streaming aggregations (Spark 3.4+/4 multiple stateful
+    // operators): a 15-minute tumbling window count/sum re-aggregated
+    // INSIDE the same streaming query into hourly rollups by windowing
+    // over the inner window column — the two-tier pre-aggregation every
+    // metrics pipeline wants (fine-grain recent, coarse-grain released),
+    // previously impossible without a second query over an intermediate
+    // sink. Append mode end-to-end: the inner operator releases a
+    // 15-min window once the watermark (max event time − 10 min) passes
+    // its end; the outer operator aggregates those released rows and
+    // releases an hour once the watermark passes the HOUR end — by which
+    // point all four inner windows have necessarily arrived, so every
+    // released hour is complete and the batch oracle reproduces the
+    // released set exactly (same boundary as events_stream_append_
+    // windows). Sums stay exact DECIMAL at both tiers. Scale shape: the
+    // outer operator's input is the inner's output — 4 rows per
+    // (hour, type) — so tier 2 is ~free; state is bounded by watermark.
+    "events_stream_chained_agg" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val stream = Tables.eventsStreamSource(s, d)
+          .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+          .withColumn("value", col("value").cast("decimal(25,6)"))
+        val inner = stream.withWatermark("ts_utc", "10 minutes")
+          .groupBy(window(col("ts_utc"), "15 minutes").as("w15"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("total"))
+        val outer = inner
+          .groupBy(window(col("w15"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_windows"), sum(col("n")).as("n"),
+            sum(col("total")).as("total"))
+          .select(col("window.start").as("wstart"), col("event_type"),
+            col("n_windows"), col("n"), col("total"))
+        val sinkName = "q_events_stream_chained_agg"
+        graft.streaming.Streams.drained(s, noDataBatches = true) { ckpt =>
+          val q = outer.writeStream
+            .outputMode("append")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.table(sinkName)
+          .select(date_format(col("wstart"), fmt).as("wstart"),
+            col("event_type"), col("n_windows"), col("n"),
+            col("total").cast("double").as("total"))
+          .orderBy("wstart", "event_type")
+      },
+      """WITH wm AS (SELECT MAX(epoch_ms(ts)) - 600000 AS w FROM events),
+        |i AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+        |             time_bucket(INTERVAL '15 minutes', ts) AS w15,
+        |             event_type, value
+        |      FROM events),
+        |g AS (SELECT h, w15, event_type, COUNT(*) AS n,
+        |             SUM(CAST(value AS DECIMAL(25,6))) AS total
+        |      FROM i GROUP BY 1, 2, 3)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |       CAST(SUM(n) AS BIGINT) AS n,
+        |       CAST(SUM(total) AS DOUBLE) AS total
+        |FROM g, wm
+        |GROUP BY h, event_type, wm.w
+        |HAVING epoch_ms(h) + 3600000 <= wm.w
+        |ORDER BY wstart, event_type""".stripMargin),
+
+    // Kaplan-Meier time-to-conversion: the survival curve of "hours from
+    // a user's first signup to their first subsequent purchase", with
+    // users who never purchase right-CENSORED at the observation horizon
+    // (global max event time) — the product-limit estimator behind every
+    // conversion-latency dashboard, done honestly (dropping censored
+    // users would bias the curve optimistic). All KM inputs are exact
+    // integers: durations are epoch-ns `div` one hour, at-risk counts
+    // come from one cumulative window over the per-duration census, and
+    // each factor (n−d)/n is a single double division. The survivor
+    // S(t) = Π factors is the one genuinely ORDER-SENSITIVE float chain,
+    // so both engines compute it as the identical LEFT FOLD over the
+    // duration-sorted factor array (aggregate(slice) here, list_reduce/
+    // list_slice in DuckDB) — never an unordered product aggregate.
+    // Scale shape: two keyed per-user aggs + one broadcast horizon; the
+    // curve table itself is bounded by the study span in hours (≤ 720
+    // here), NOT by user count — the collect_list, the unpartitioned
+    // window, and the O(k²) prefix folds all run on that bounded table.
+    "events_survival_km" -> QuerySpec(
+      (s, d) => {
+        val H = 3600000000000L // 1 hour in ns
+        val ev = Tables.events(s, d)
+        val t0 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("t0"))
+        val tp = ev.filter(col("event_type") === "purchase")
+          .join(t0, "user_id").filter(col("ts") >= col("t0"))
+          .groupBy("user_id").agg(min("ts").as("tp"))
+        val mx = ev.agg(max("ts").as("tmax"))
+        val su = t0.join(tp, Seq("user_id"), "left")
+          .crossJoin(broadcast(mx))
+          .select(
+            when(col("tp").isNotNull, expr(s"(tp - t0) div $H"))
+              .otherwise(expr(s"(tmax - t0) div $H")).as("dur_h"),
+            col("tp").isNotNull.as("event"))
+        val g = su.groupBy("dur_h")
+          .agg(count(lit(1)).as("n_here"),
+            sum(when(col("event"), 1L).otherwise(0L)).as("d"))
+        val wcum = org.apache.spark.sql.expressions.Window
+          .orderBy("dur_h").rowsBetween(Long.MinValue, 0)
+        val tot = su.agg(count(lit(1)).as("n_tot"))
+        val risk = g.crossJoin(broadcast(tot))
+          .withColumn("n_risk",
+            col("n_tot") - (sum(col("n_here")).over(wcum) - col("n_here")))
+          .filter(col("d") > 0)
+          .select(col("dur_h"), col("n_risk"), col("d"),
+            ((col("n_risk") - col("d")).cast("double") /
+              col("n_risk").cast("double")).as("factor"))
+        risk
+          .agg(sort_array(collect_list(struct(
+            col("dur_h"), col("n_risk"), col("d"), col("factor")))).as("a"))
+          .select(col("a"), posexplode(col("a")).as(Seq("i", "r")))
+          .select(col("r.dur_h").as("dur_h"),
+            col("r.n_risk").as("n_at_risk"), col("r.d").as("d_events"),
+            col("r.factor").as("factor"),
+            aggregate(
+              transform(slice(col("a"), lit(1), col("i") + 1),
+                x => x.getField("factor")),
+              lit(1.0), (p, f) => p * f).as("survival"))
+          .orderBy("dur_h")
+      },
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |            FROM events),
+        |t0 AS (SELECT user_id, MIN(us) AS t0 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |tp AS (SELECT e.user_id, MIN(us) AS tp
+        |       FROM ev e JOIN t0 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us >= t0 GROUP BY 1),
+        |mx AS (SELECT MAX(us) AS tmax FROM ev),
+        |su AS (SELECT CASE WHEN tp.tp IS NOT NULL
+        |                   THEN (tp.tp - t0.t0) // 3600000000
+        |                   ELSE (mx.tmax - t0.t0) // 3600000000 END AS dur_h,
+        |              tp.tp IS NOT NULL AS event
+        |       FROM t0 LEFT JOIN tp USING (user_id), mx),
+        |g AS (SELECT dur_h, CAST(COUNT(*) AS BIGINT) AS n_here,
+        |             CAST(SUM(CASE WHEN event THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS d
+        |      FROM su GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM su),
+        |risk AS (SELECT dur_h, d,
+        |           n_tot - (CAST(SUM(n_here) OVER (ORDER BY dur_h
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS BIGINT) - n_here) AS n_risk
+        |         FROM g, tot),
+        |k AS (SELECT dur_h, n_risk, d,
+        |        CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+        |      FROM risk WHERE d > 0),
+        |arr AS (SELECT list(struct_pack(dur_h := dur_h, n_risk := n_risk,
+        |                d := d, factor := factor) ORDER BY dur_h) AS a
+        |        FROM k)
+        |SELECT a[i].dur_h AS dur_h, a[i].n_risk AS n_at_risk,
+        |       a[i].d AS d_events, a[i].factor AS factor,
+        |       list_reduce(list_transform(list_slice(a, 1, i),
+        |         x -> x.factor), (p, f) -> p * f) AS survival
+        |FROM arr, UNNEST(generate_series(1, len(a))) AS t(i)
+        |ORDER BY dur_h""".stripMargin)
   )
 }
