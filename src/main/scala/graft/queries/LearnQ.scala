@@ -767,7 +767,72 @@ object LearnQ {
          |SELECT w1 AS w_tokens, w2 AS w_ttr, w3 AS w_toklen, b AS bias,
          |       n_violations, hinge_loss, n_correct,
          |       CAST(n_correct AS DOUBLE) / nd AS accuracy
-         |FROM v$SvmRounds, fin, n""".stripMargin)
+         |FROM v$SvmRounds, fin, n""".stripMargin),
+
+    // Item-item collaborative filtering (Sarwar et al. 2001, binary
+    // ratings): treat each order as a "user" and each part's order set
+    // as its interaction vector; cosine(p, q) = |orders(p) ∩ orders(q)|
+    // / √(|orders(p)|·|orders(q)|), and recommend each seed part's top-5
+    // most-similar parts — the "customers who bought this also bought"
+    // ranker, computed purely from co-occurrence counts so every input
+    // to the score is an exact integer and the score itself is one
+    // division by one correctly-rounded sqrt. Seeds are the 20 smallest
+    // part ids (the same scale-honest scoping as graph_link_prediction:
+    // per-seed candidates are bounded by co-purchase degree, and the
+    // full-catalog sweep is this identical plan off a bigger seed list).
+    // Scale shape: the seed list and the part-frequency table (|parts|
+    // rows — the item dimension) BROADCAST against the order-line scan;
+    // co-occurrence is one keyed agg; the top-5 window partitions BY
+    // SEED, never globally.
+    "learn_item_cf_cosine" -> QuerySpec(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nord = li.groupBy("pk").agg(count(lit(1)).as("nord"))
+        val seeds = nord.select(col("pk").as("seed"))
+          .orderBy("seed").limit(20)
+        val co = li.as("a")
+          .join(broadcast(seeds), col("a.pk") === col("seed"))
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("b.pk") =!= col("seed"))
+          .groupBy(col("seed"), col("b.pk").as("item"))
+          .agg(count(lit(1)).as("support"))
+        val ns = nord.select(col("pk").as("seed"), col("nord").as("n_seed"))
+        val ni = nord.select(col("pk").as("item"), col("nord").as("n_item"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("seed").orderBy(desc("cos"), asc("item"))
+        co.join(broadcast(ns), "seed").join(broadcast(ni), "item")
+          .withColumn("cos", col("support").cast("double") /
+            sqrt((col("n_seed") * col("n_item")).cast("double")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("seed"), col("rk").cast("long").as("rk"),
+            col("item"), col("support"), col("n_seed"), col("n_item"),
+            col("cos"))
+          .orderBy("seed", "rk")
+      },
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+        |       l_partkey AS pk FROM lineitem),
+        |nord AS MATERIALIZED (SELECT pk, CAST(COUNT(*) AS BIGINT) AS nord
+        |       FROM li GROUP BY 1),
+        |seeds AS (SELECT pk AS seed FROM nord ORDER BY seed LIMIT 20),
+        |co AS (SELECT s.seed, b.pk AS item,
+        |         CAST(COUNT(*) AS BIGINT) AS support
+        |       FROM li a JOIN seeds s ON a.pk = s.seed
+        |            JOIN li b ON a.ok = b.ok AND b.pk <> s.seed
+        |       GROUP BY 1, 2),
+        |sc AS (SELECT co.seed, co.item, co.support,
+        |         ns.nord AS n_seed, ni.nord AS n_item,
+        |         CAST(co.support AS DOUBLE) /
+        |           sqrt(CAST(ns.nord * ni.nord AS DOUBLE)) AS cos
+        |       FROM co JOIN nord ns ON co.seed = ns.pk
+        |               JOIN nord ni ON co.item = ni.pk),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY seed
+        |         ORDER BY cos DESC, item) AS rk FROM sc)
+        |SELECT seed, CAST(rk AS BIGINT) AS rk, item, support,
+        |       n_seed, n_item, cos
+        |FROM rk WHERE rk <= 5 ORDER BY seed, rk""".stripMargin)
   )
 
   /** One DuckDB SVM round: sg$i (subgradient sums) + v$i (weight update)

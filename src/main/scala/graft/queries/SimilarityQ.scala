@@ -290,6 +290,72 @@ object SimilarityQ {
          |FROM bmtop b FULL OUTER JOIN anntop a ON b.id = a.id
          |ORDER BY rrf DESC, doc_id""".stripMargin),
 
+    // Simplified silhouette (centroid-based; Hruschka et al. 2004) of the
+    // SHARED trained 8-cell codebook: per vector, a = L2 to its own
+    // centroid, b = L2 to the nearest OTHER centroid, s = (b−a)/max(a,b);
+    // reported per cell as mean intra/inter distance and mean silhouette
+    // — the "are these clusters real" audit next to the purity census,
+    // at O(n·k) cost instead of exact silhouette's O(n²) pairwise
+    // distances (which is the unrunnable-at-scale formulation). One
+    // corpus scan: the packed centroid array broadcasts, a per-row
+    // array_sort over k=8 (dist, cent_id) structs picks nearest and
+    // second-nearest in the same total order the oracle's window uses,
+    // and the per-cell means are exact 2^40-scaled decimal sums. sqrt is
+    // correctly rounded in both engines, and (b−a)/max(a,b) is a fixed
+    // two-op double chain, so the profile hashes bit-identically.
+    "embedding_silhouette_simplified" -> QuerySpec(
+      (s, d) => {
+        val cents = trainedCents8x2(s, d)
+        val packed = cents.agg(array_sort(
+          collect_list(struct(col("cent_id"), col("cvec")))).as("cents"))
+        val sc = 1099511627776.0 // 2^40
+        def dsum(v: org.apache.spark.sql.Column) =
+          sum(floor(v * lit(sc)).cast("decimal(38,0)")).cast("double") /
+            lit(sc)
+        Tables.embeddings(s, d).crossJoin(broadcast(packed))
+          .withColumn("ds", array_sort(transform(col("cents"), c =>
+            struct(
+              sqrt(Similarity.l2sq(col("embedding"), c.getField("cvec")))
+                .as("dd"),
+              c.getField("cent_id").as("cent_id")))))
+          .select(
+            col("ds")(0).getField("cent_id").as("cell"),
+            col("ds")(0).getField("dd").as("da"),
+            col("ds")(1).getField("dd").as("db"))
+          .withColumn("sil",
+            (col("db") - col("da")) / greatest(col("da"), col("db")))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n"),
+            (dsum(col("da")) / count(lit(1)).cast("double")).as("mean_a"),
+            (dsum(col("db")) / count(lit(1)).cast("double")).as("mean_b"),
+            (dsum(col("sil")) / count(lit(1)).cast("double"))
+              .as("mean_silhouette"))
+          .orderBy("cell")
+      },
+      s"""WITH ${duckKmeansCtes(8, 2)},
+         |ds AS (SELECT ev.vec_id, c.cent_id,
+         |         sqrt(${duckL2("ev.v", "c.cvec")}) AS dd
+         |       FROM ev CROSS JOIN c2 c),
+         |r AS (SELECT vec_id, cent_id, dd,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY dd, cent_id) AS rn
+         |      FROM ds),
+         |ab AS (SELECT a.cent_id AS cell, a.dd AS da, b.dd AS db,
+         |              (b.dd - a.dd) / greatest(a.dd, b.dd) AS sil
+         |       FROM r a JOIN r b ON a.vec_id = b.vec_id
+         |       WHERE a.rn = 1 AND b.rn = 2)
+         |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(floor(da * 1099511627776.0) AS DECIMAL(38,0)))
+         |    AS DOUBLE) / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE)
+         |    AS mean_a,
+         |  CAST(SUM(CAST(floor(db * 1099511627776.0) AS DECIMAL(38,0)))
+         |    AS DOUBLE) / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE)
+         |    AS mean_b,
+         |  CAST(SUM(CAST(floor(sil * 1099511627776.0) AS DECIMAL(38,0)))
+         |    AS DOUBLE) / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE)
+         |    AS mean_silhouette
+         |FROM ab GROUP BY cell ORDER BY cell""".stripMargin),
+
     // Corpus organization: the trained 8-cell quantizer as a CLUSTERING
     // (not a search index) — per cell: member count, label diversity, and
     // majority-label purity. This is the "cluster the corpus, inspect
