@@ -412,4 +412,36 @@ class PhysicalPlanSpec extends SparkSpec {
     val zf = plan(SparkEntry.registry("text_zipf_octaves").fn(spark, sf))
     assert(zf.contains("TakeOrderedAndProject"), zf)
   }
+
+  test("round-8 second wave keeps its declared scale shapes") {
+    // degree assortativity: the degree table broadcasts twice against the
+    // edge scan — the edge list is never reshuffled, and the census is a
+    // single map-side-combined global fold.
+    val as = plan(
+      SparkEntry.registry("graph_degree_assortativity").fn(spark, sf))
+    assert(as.contains("BroadcastHashJoin"), as)
+    assert(!as.contains("SortMergeJoin") && !as.contains("CartesianProduct"),
+      s"assortativity must not shuffle the edge list:\n$as")
+    // item-item CF: seeds and the part-frequency dimension broadcast; the
+    // top-5 window partitions BY SEED (never an unpartitioned window);
+    // no all-pairs join anywhere.
+    val cf = plan(SparkEntry.registry("learn_item_cf_cosine").fn(spark, sf))
+    assert(cf.contains("BroadcastHashJoin"), cf)
+    assert(!cf.contains("CartesianProduct") &&
+      !cf.contains("BroadcastNestedLoopJoin"), cf)
+    assert(cf.contains("WindowGroupLimit [seed"), // per-seed group limit
+      s"CF top-5 window must partition by seed:\n$cf")
+    // simplified silhouette: the packed 8-centroid array broadcasts into
+    // a per-row fold — no vec_id shuffle, no window; the only Exchange
+    // is the 8-group cell aggregation.
+    val sl = plan(
+      SparkEntry.registry("embedding_silhouette_simplified").fn(spark, sf))
+    assert(!sl.contains("hashpartitioning(vec_id"),
+      s"silhouette must not shuffle the corpus by vec_id:\n$sl")
+    assert(!sl.contains("Window") && !sl.contains("SortMergeJoin"), sl)
+    // KM survival: per-user aggs are keyed; the horizon and total are
+    // 1-row broadcasts; nothing plans as an all-pairs CartesianProduct.
+    val km = plan(SparkEntry.registry("events_survival_km").fn(spark, sf))
+    assert(!km.contains("CartesianProduct"), km)
+  }
 }
