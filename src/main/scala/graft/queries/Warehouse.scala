@@ -102,6 +102,110 @@ object Warehouse {
         |                    ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, version""".stripMargin),
 
+    // Time travel over the SCD2 change stream: reconstruct every
+    // customer's order-status state AS OF three historical snapshot
+    // dates — the "what did the table say on date T" query a warehouse
+    // answers from exactly this versioned history (Delta/Iceberg
+    // time-travel semantics, expressed on the engine's own SCD2 rows).
+    // Per (snapshot, customer) the current version is the LATEST change
+    // at or before the snapshot, picked by a WINDOW-FREE struct-max
+    // (lexicographic (date, orderkey) — the same total order the SCD2
+    // versioning sorts by), plus the exact count of versions to date.
+    // Scale shape: the change stream is computed once (one keyed window
+    // over the per-customer slice), the 3-snapshot explode multiplies
+    // rows by a constant, and the reconstruction is ONE map-side-
+    // combined keyed agg — no per-snapshot re-scan, no self-join.
+    "warehouse_snapshot_asof" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        val changes = Tables.orders(s, d)
+          .filter(col("o_custkey") < 1000)
+          .select(col("o_custkey"), col("o_orderstatus"),
+            col("o_orderdate"), col("o_orderkey"))
+          .withColumn("prev", lag("o_orderstatus", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+        changes
+          .withColumn("snapshot_date", explode(array(
+            lit("1996-06-30"), lit("1998-06-30"), lit("2000-06-30"))))
+          .filter(col("o_orderdate") <= to_timestamp(col("snapshot_date")))
+          .groupBy("snapshot_date", "o_custkey")
+          .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+              col("o_orderstatus"))).as("m"),
+            count(lit(1)).as("n_versions"))
+          .select(col("snapshot_date"), col("o_custkey"),
+            col("m.o_orderstatus").as("status"), col("n_versions"))
+          .orderBy("snapshot_date", "o_custkey")
+      },
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders WHERE o_custkey < 1000),
+        |v AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        |  FROM ch WHERE prev IS NULL OR prev <> o_orderstatus),
+        |f AS (
+        |  SELECT a.snapshot_date, v.*
+        |  FROM v, (SELECT unnest(['1996-06-30', '1998-06-30',
+        |                          '2000-06-30']) AS snapshot_date) a
+        |  WHERE v.o_orderdate <= CAST(a.snapshot_date AS TIMESTAMP)),
+        |r AS (
+        |  SELECT snapshot_date, o_custkey, o_orderstatus,
+        |         row_number() OVER (PARTITION BY snapshot_date, o_custkey
+        |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY snapshot_date, o_custkey)
+        |           AS n_versions
+        |  FROM f)
+        |SELECT snapshot_date, o_custkey, o_orderstatus AS status,
+        |       CAST(n_versions AS BIGINT) AS n_versions
+        |FROM r WHERE rn = 1 ORDER BY snapshot_date, o_custkey""".stripMargin),
+
+    // Categorical-diversity audit via Gini impurity: per categorical
+    // column of the documents table (lang, source), the number of
+    // distinct values, total mass, Gini impurity 1 − Σp² and its
+    // k/(k−1)-normalized form — the "is one class swallowing the
+    // corpus" balance check a mixture curator reads before weighting.
+    // Entropy would need ln() (no cross-engine bit guarantee); Gini
+    // carries the same diversity signal fully RATIONALLY: Σp² =
+    // Σc²/n² with every sum an exact BIGINT, then two double ops.
+    // One corpus scan melts both columns through one explode(map);
+    // two keyed aggs over (column, value) — each a few dozen groups.
+    "profile_gini_diversity" -> QuerySpec(
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(explode(map(
+            lit("lang"), col("lang"),
+            lit("source"), col("source"))).as(Seq("col_name", "value")))
+          .groupBy("col_name", "value").agg(count(lit(1)).as("c"))
+          .groupBy("col_name")
+          .agg(count(lit(1)).as("k"), sum("c").as("n"),
+            sum(col("c") * col("c")).as("sc2"))
+          .withColumn("gini", lit(1.0) - col("sc2").cast("double") /
+            (col("n").cast("double") * col("n").cast("double")))
+          .withColumn("gini_norm", col("gini") *
+            (col("k").cast("double") / (col("k") - 1).cast("double")))
+          .select("col_name", "k", "n", "gini", "gini_norm")
+          .orderBy("col_name")
+      },
+      """WITH m AS (
+        |  SELECT 'lang' AS col_name, lang AS value FROM documents
+        |  UNION ALL
+        |  SELECT 'source', source FROM documents),
+        |g AS (SELECT col_name, value, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM m GROUP BY 1, 2),
+        |a AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS k,
+        |             CAST(SUM(c) AS BIGINT) AS n,
+        |             CAST(SUM(c * c) AS BIGINT) AS sc2
+        |      FROM g GROUP BY 1)
+        |SELECT col_name, k, n,
+        |       1.0 - CAST(sc2 AS DOUBLE) /
+        |         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini,
+        |       (1.0 - CAST(sc2 AS DOUBLE) /
+        |         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) *
+        |         (CAST(k AS DOUBLE) / CAST(k - 1 AS DOUBLE)) AS gini_norm
+        |FROM a ORDER BY col_name""".stripMargin),
+
     // MERGE-style upsert as one declarative full-outer join (the batch
     // form of MERGE INTO: WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT /
     // else keep). The delta is derived deterministically from the target
