@@ -1736,6 +1736,72 @@ object Events {
         |HAVING epoch_ms(h) + 3600000 <= wm.w
         |ORDER BY wstart, event_type""".stripMargin),
 
+    // Two-proportion z-test on a deterministic A/B split (variant =
+    // user_id parity): did variant A convert at a different rate than
+    // B? The exposure unit is the ACTIVE USER-DAY and conversion is "the
+    // day contains a purchase" — the grain that keeps the rate strictly
+    // inside (0, 1) at any horizon (every long-lived user eventually
+    // purchases ONCE, which degenerates a per-user rate to 1 and the
+    // z denominator to 0). The experimentation readout every event
+    // pipeline serves — per-variant exposed/converted counts, conversion
+    // rates, absolute lift, pooled rate, and the z statistic
+    // (p_a−p_b)/√(p̂(1−p̂)(1/n_a+1/n_b)). Every input is an exact
+    // integer (per-user conversion flags via max(), variant counts via
+    // conditional sums — ONE keyed agg + ONE global fold, no join), and
+    // the z chain is written in the identical operation order on both
+    // engines (each ratio one division, one correctly-rounded sqrt), so
+    // the single-row verdict hashes bit-identically. Scale: the per-user
+    // agg is the only shuffle; the rest is a 1-row computation.
+    "events_ab_test_ztest" -> QuerySpec(
+      (s, d) => {
+        val per = Tables.events(s, d)
+          .groupBy(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("conv"))
+          .withColumn("va", col("user_id") % 2 === 0)
+        def cnt(c: org.apache.spark.sql.Column) =
+          sum(when(c, 1L).otherwise(0L))
+        def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+        per.agg(
+            cnt(col("va")).as("n_a"),
+            cnt(!col("va")).as("n_b"),
+            sum(when(col("va"), col("conv")).otherwise(0L)).as("x_a"),
+            sum(when(!col("va"), col("conv")).otherwise(0L)).as("x_b"))
+          .withColumn("p_a", dbl(col("x_a")) / dbl(col("n_a")))
+          .withColumn("p_b", dbl(col("x_b")) / dbl(col("n_b")))
+          .withColumn("lift", col("p_a") - col("p_b"))
+          .withColumn("p_pool",
+            dbl(col("x_a") + col("x_b")) / dbl(col("n_a") + col("n_b")))
+          .withColumn("z", col("lift") /
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / dbl(col("n_a")) + lit(1.0) / dbl(col("n_b")))))
+          .select("n_a", "n_b", "x_a", "x_b", "p_a", "p_b", "lift",
+            "p_pool", "z")
+      },
+      """WITH per AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         MAX(CASE WHEN event_type = 'purchase'
+        |           THEN 1 ELSE 0 END) AS conv,
+        |         user_id % 2 = 0 AS va
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT va THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN va THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+        |    CAST(SUM(CASE WHEN NOT va THEN conv ELSE 0 END) AS BIGINT)
+        |      AS x_b
+        |  FROM per),
+        |p AS (SELECT *,
+        |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        |    CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p_pool
+        |  FROM c)
+        |SELECT n_a, n_b, x_a, x_b, p_a, p_b, p_a - p_b AS lift, p_pool,
+        |       (p_a - p_b) / sqrt(p_pool * (1.0 - p_pool) *
+        |         (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |         AS z
+        |FROM p""".stripMargin),
+
     // Kaplan-Meier time-to-conversion: the survival curve of "hours from
     // a user's first signup to their first subsequent purchase", with
     // users who never purchase right-CENSORED at the observation horizon

@@ -29,6 +29,14 @@ object GraphQ {
 
   private val Damping = 0.85
   private val Rounds = 5
+  private val HitsRounds = 3
+  /** HITS uses a SMALLER scale than PageRank's 2^48 deliberately: with
+    * h0 = 1 and degrees ~200, 2^48-scaled squared-score sums exceed 2^53,
+    * where the two engines' big-decimal→double conversions can differ in
+    * the last ulp (observed: 1-ulp drift at round 3). At 2^30 every
+    * scaled sum stays under 2^53, so every decimal→double conversion is
+    * EXACT, not merely correctly-rounded — parity by construction. */
+  private val HitsScale = 1073741824L // 2^30
   private val Scale = 281474976710656L // 2^48: exact scale/unscale
 
   /** One co-purchase edge build per (session, sf-dir) — PageRank and
@@ -663,6 +671,107 @@ object GraphQ {
            |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
            |FROM c6 GROUP BY 1
            |ORDER BY n_nodes DESC, label LIMIT 10""".stripMargin
+      }),
+
+    // HITS hubs & authorities (Kleinberg 1999) over the degree-ORIENTED
+    // co-purchase DAG (orientation gives the undirected graph a
+    // deterministic direction: low-degree part → high-degree part, so
+    // "authorities" are the popular anchors and "hubs" the parts that
+    // point at many of them). Three mutual-reinforcement rounds, each
+    // one exactly PageRank's shape: the score vector BROADCASTs against
+    // the edge scan, mass lands via a map-side-combined keyed agg of
+    // 2^30-scaled floor()ed decimal contributions (order-free, exact;
+    // 2^30 — not 2^48 — keeps every scaled sum under 2^53, see
+    // HitsScale),
+    // and the L2 normalization is one scalar (sqrt of a scaled decimal
+    // sum) applied via a 1-row broadcast — the edge list never
+    // reshuffles. The oracle replays every round CTE-by-CTE in lockstep
+    // (same floor/decimal/unscale, same division order); nodes that
+    // receive no mass carry score 0 and are simply absent on BOTH
+    // engines. Output: top-10 authorities and top-10 hubs.
+    "graph_hits_hubs_authorities" -> QuerySpec(
+      (s, d) => {
+        val S = HitsScale.toDouble // 2^30 (see HitsScale note)
+        val e = coPurchaseEdges(s, d)
+        val deg = e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val o = orientEdges(e, deg).localCheckpoint(true)
+        def unscale(c: org.apache.spark.sql.Column) =
+          sum(c).cast("double") / lit(S)
+        def contrib(c: org.apache.spark.sql.Column) =
+          floor(c * lit(S)).cast("decimal(38,0)")
+        def normalize(raw: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val nrm = raw.agg(
+            sqrt(unscale(contrib(col("s") * col("s")))).as("nrm"))
+          raw.crossJoin(broadcast(nrm))
+            .select(col("node"), (col("s") / col("nrm")).as("s"))
+        }
+        var h = o.select(col("src").as("node")).distinct()
+          .select(col("node"), lit(1.0).as("s")).localCheckpoint(true)
+        var a: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to HitsRounds) {
+          a = normalize(
+            o.join(broadcast(h), o("src") === h("node"))
+              .groupBy(o("dst").as("node"))
+              .agg(unscale(contrib(col("s"))).as("s")))
+            .localCheckpoint(true)
+          h = normalize(
+            o.join(broadcast(a), o("dst") === a("node"))
+              .groupBy(o("src").as("node"))
+              .agg(unscale(contrib(col("s"))).as("s")))
+            .localCheckpoint(true)
+        }
+        a.orderBy(desc("s"), asc("node")).limit(10)
+          .select(lit("authority").as("role"), col("node"),
+            col("s").as("score"))
+          .unionAll(
+            h.orderBy(desc("s"), asc("node")).limit(10)
+              .select(lit("hub").as("role"), col("node"),
+                col("s").as("score")))
+          .orderBy(col("role"), desc("score"), asc("node"))
+      },
+      {
+        val S = "1073741824.0"
+        def round(i: Int): String =
+          s"""ar$i AS MATERIALIZED (SELECT o.dst AS node,
+             |    CAST(SUM(CAST(FLOOR(h.s * $S) AS DECIMAL(38,0)))
+             |      AS DOUBLE) / $S AS s
+             |  FROM o JOIN h${i - 1} h ON o.src = h.node GROUP BY 1),
+             |an$i AS MATERIALIZED (SELECT sqrt(
+             |    CAST(SUM(CAST(FLOOR(s * s * $S) AS DECIMAL(38,0)))
+             |      AS DOUBLE) / $S) AS nrm FROM ar$i),
+             |a$i AS MATERIALIZED (SELECT node,
+             |    s / (SELECT nrm FROM an$i) AS s FROM ar$i),
+             |hr$i AS MATERIALIZED (SELECT o.src AS node,
+             |    CAST(SUM(CAST(FLOOR(a.s * $S) AS DECIMAL(38,0)))
+             |      AS DOUBLE) / $S AS s
+             |  FROM o JOIN a$i a ON o.dst = a.node GROUP BY 1),
+             |hn$i AS MATERIALIZED (SELECT sqrt(
+             |    CAST(SUM(CAST(FLOOR(s * s * $S) AS DECIMAL(38,0)))
+             |      AS DOUBLE) / $S) AS nrm FROM hr$i),
+             |h$i AS MATERIALIZED (SELECT node,
+             |    s / (SELECT nrm FROM hn$i) AS s FROM hr$i)""".stripMargin
+        s"""WITH $duckEdgeCtes,
+           |deg AS MATERIALIZED (SELECT src AS node,
+           |         CAST(COUNT(*) AS BIGINT) AS deg
+           |       FROM e0 GROUP BY 1),
+           |o AS MATERIALIZED (SELECT e0.src, e0.dst FROM e0
+           |       JOIN deg d1 ON e0.src = d1.node
+           |       JOIN deg d2 ON e0.dst = d2.node
+           |       WHERE d1.deg < d2.deg
+           |          OR (d1.deg = d2.deg AND e0.src < e0.dst)),
+           |h0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0 AS s
+           |       FROM o),
+           |${(1 to HitsRounds).map(round).mkString(",\n")}
+           |SELECT * FROM (
+           |  SELECT 'authority' AS role, node, s AS score FROM a$HitsRounds
+           |  ORDER BY s DESC, node LIMIT 10)
+           |UNION ALL
+           |SELECT * FROM (
+           |  SELECT 'hub' AS role, node, s AS score FROM h$HitsRounds
+           |  ORDER BY s DESC, node LIMIT 10)
+           |ORDER BY role, score DESC, node""".stripMargin
       }),
 
     // Degree assortativity (Newman 2002): do high-degree parts co-purchase
