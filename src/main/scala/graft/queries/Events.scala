@@ -1736,6 +1736,53 @@ object Events {
         |HAVING epoch_ms(h) + 3600000 <= wm.w
         |ORDER BY wstart, event_type""".stripMargin),
 
+    // Temporal train/embargo/test split — the time-series cross-
+    // validation cut (de Prado's purged/embargoed split, single-fold
+    // form): train on the first 70% of the observation span, hold out a
+    // 24-hour EMBARGO band, test on the remainder — the embargo keeps
+    // label/feature windows that straddle the boundary from leaking
+    // future into train. Boundaries are exact integer µs arithmetic
+    // (t1 = lo + 7·(hi−lo) div 10; both engines compute on epoch-µs so
+    // the div rounds identically); the census per split (events, users,
+    // actual span) is all exact integers. Scale shape: one min/max fold,
+    // then ONE pass assigning splits via two comparisons against
+    // broadcast scalars — partition-prunable when the table is laid out
+    // by time, which is exactly how a production event store runs this.
+    "dataset_temporal_split_embargo" -> QuerySpec(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("tu", expr("ts div 1000")) // exact ns → µs
+        val mm = ev.agg(min("tu").as("lo"), max("tu").as("hi"))
+          .select(col("lo"), col("hi"),
+            (col("lo") + expr("((hi - lo) * 7) div 10")).as("t1"))
+          .select(col("t1"), (col("t1") + lit(86400000000L)).as("t2"))
+        ev.crossJoin(broadcast(mm))
+          .withColumn("split",
+            when(col("tu") < col("t1"), "1_train")
+              .when(col("tu") < col("t2"), "2_embargo")
+              .otherwise("3_test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("user_id").as("n_users"),
+            min("tu").as("t_lo_us"), max("tu").as("t_hi_us"))
+          .orderBy("split")
+      },
+      """WITH b AS (
+        |  SELECT t1, t1 + 86400000000 AS t2 FROM (
+        |    SELECT lo + ((hi - lo) * 7) // 10 AS t1 FROM (
+        |      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+        |      FROM events))),
+        |a AS (
+        |  SELECT CASE WHEN epoch_us(ts) < t1 THEN '1_train'
+        |              WHEN epoch_us(ts) < t2 THEN '2_embargo'
+        |              ELSE '3_test' END AS split,
+        |         user_id, epoch_us(ts) AS tu
+        |  FROM events, b)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       MIN(tu) AS t_lo_us, MAX(tu) AS t_hi_us
+        |FROM a GROUP BY 1 ORDER BY split""".stripMargin),
+
     // Two-proportion z-test on a deterministic A/B split (variant =
     // user_id parity): did variant A convert at a different rate than
     // B? The exposure unit is the ACTIVE USER-DAY and conversion is "the

@@ -181,6 +181,95 @@ object Text {
 
   val registry: Map[String, QuerySpec] = Map(
 
+    // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    // maximal stopword-free token runs (capped at 4 words), each word is
+    // scored deg(w)/freq(w) over the candidate set (deg = summed length
+    // of phrases containing the word — co-occurrence degree including
+    // self), and a phrase scores the SUM of its word scores; top-20
+    // phrases — the unsupervised keyphrase pass of a document-
+    // understanding pipeline, no model required. Determinism: run
+    // boundaries come from an integer stopword-prefix-count window
+    // (partitioned BY DOC — bounded by doc length, never global), word
+    // scores are one exact-integer division each, and the per-phrase sum
+    // of word scores — the only order-sensitive float accumulation — is
+    // a 2^40-scaled floor()ed decimal sum, order-free on both engines.
+    // Scale shape: two keyed aggs ((doc, run) and word), one broadcast
+    // of the word-score table (vocabulary-sized) back onto the phrase
+    // words, and a TakeOrdered top-20 — no global sort, no self-join.
+    "text_rake_keywords" -> QuerySpec(
+      (s, d) => {
+        val wdoc = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i")
+          .rowsBetween(Long.MinValue, 0)
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(TextOps.tokens(col("text")))
+            .as(Seq("i", "w")))
+          .withColumn("stop", col("w").isin("a", "the"))
+          .withColumn("run", sum(col("stop").cast("long")).over(wdoc))
+        val cands = toks.filter(!col("stop"))
+          .groupBy("doc_id", "run")
+          .agg(array_join(transform(
+              array_sort(collect_list(struct(col("i"), col("w")))),
+              x => x.getField("w")), " ").as("phrase"),
+            count(lit(1)).as("len"))
+          .filter(col("len") <= 4)
+        val wstats = cands
+          .select(col("len"), explode(split(col("phrase"), " ")).as("w"))
+          .groupBy("w")
+          .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+          .withColumn("wscore",
+            col("deg").cast("double") / col("freq").cast("double"))
+        val phrases = cands.groupBy("phrase")
+          .agg(count(lit(1)).as("n_occ"), first(col("len")).as("n_words"))
+        phrases
+          .select(col("phrase"), col("n_occ"), col("n_words"),
+            explode(split(col("phrase"), " ")).as("w"))
+          .join(broadcast(wstats.select("w", "wscore")), "w")
+          .groupBy("phrase", "n_occ", "n_words")
+          .agg((sum(floor(col("wscore") * lit(1099511627776.0))
+              .cast("decimal(38,0)")).cast("double") /
+            lit(1099511627776.0)).as("score"))
+          .orderBy(desc("score"), asc("phrase")).limit(20)
+      },
+      s"""WITH u AS (
+         |  SELECT doc_id, t.i, toks[i] AS w,
+         |         toks[i] IN ('a', 'the') AS stop
+         |  FROM (SELECT doc_id, $duckToks AS toks FROM documents),
+         |       UNNEST(generate_series(1, len(toks))) t(i)),
+         |r AS (
+         |  SELECT doc_id, i, w, stop,
+         |         SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+         |           PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS run
+         |  FROM u),
+         |cands AS (
+         |  SELECT doc_id, run, string_agg(w, ' ' ORDER BY i) AS phrase,
+         |         CAST(COUNT(*) AS BIGINT) AS len
+         |  FROM r WHERE NOT stop GROUP BY 1, 2
+         |  HAVING COUNT(*) <= 4),
+         |wstats AS (
+         |  SELECT w, CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |           AS wscore
+         |  FROM (SELECT len, unnest(string_split(phrase, ' ')) AS w
+         |        FROM cands)
+         |  GROUP BY 1),
+         |phrases AS (
+         |  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |         CAST(MIN(len) AS BIGINT) AS n_words
+         |  FROM cands GROUP BY 1),
+         |scored AS (
+         |  SELECT p.phrase, p.n_occ, p.n_words,
+         |         CAST(SUM(CAST(floor(ws.wscore * 1099511627776.0)
+         |             AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0
+         |           AS score
+         |  FROM phrases p,
+         |       UNNEST(string_split(p.phrase, ' ')) pw(w)
+         |       JOIN wstats ws ON pw.w = ws.w
+         |  GROUP BY 1, 2, 3)
+         |SELECT phrase, n_occ, n_words, score
+         |FROM scored ORDER BY score DESC, phrase LIMIT 20""".stripMargin),
+
     "text_token_stats" -> QuerySpec(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
