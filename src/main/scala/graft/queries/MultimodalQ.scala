@@ -617,6 +617,87 @@ object MultimodalQ {
     // DCT perceptual hash (pHash) over the decoded rasters — the
     // frequency-domain image fingerprint one step past aHash: box-average
     // the 60-pixel raster into 16 bins, project onto the first 8 NON-DC
+    // Sobel edge density over the decoded 10×6 PNG rasters: per image,
+    // the 3×3 Sobel gradient (Gx, Gy) at each of the 32 interior pixels,
+    // summarized as total squared gradient energy Σ(gx²+gy²), the count
+    // of edge pixels (gx²+gy² ≥ 32²), and their density — the cheap
+    // image-complexity feature a multimodal curation pipeline uses to
+    // drop blank/flat assets before expensive model scoring. EVERYTHING
+    // stays in exact integer arithmetic: pixel levels are integers, the
+    // convolution taps are ±1/±2, and edge strength is kept SQUARED
+    // (never sqrt'ed), so the only float op is the final density
+    // division — parity is structural, not numeric. Scale shape: decode
+    // rides the shared PNG stage; the convolution is one per-row fold
+    // over a literal 32-position lattice (codegen'd, zero joins, zero
+    // shuffle beyond the final orderBy of ~2 rows/doc).
+    "multimodal_sobel_edge_density" -> QuerySpec(
+      (s, d) => {
+        val staged = decodedPngs(s, d)
+          .withColumn("px", transform(col("pixels"), _.cast("long")))
+        def at(r: org.apache.spark.sql.Column,
+               c: org.apache.spark.sql.Column) =
+          element_at(col("px"), (r * 10 + c + 1).cast("int"))
+        def g2(r: org.apache.spark.sql.Column,
+               c: org.apache.spark.sql.Column) = {
+          val gx = at(r - 1, c + 1) - at(r - 1, c - 1) +
+            (at(r, c + 1) - at(r, c - 1)) * lit(2L) +
+            at(r + 1, c + 1) - at(r + 1, c - 1)
+          val gy = at(r + 1, c - 1) - at(r - 1, c - 1) +
+            (at(r + 1, c) - at(r - 1, c)) * lit(2L) +
+            at(r + 1, c + 1) - at(r - 1, c + 1)
+          gx * gx + gy * gy
+        }
+        staged
+          .withColumn("g2s", flatten(transform(sequence(lit(1), lit(4)),
+            r => transform(sequence(lit(1), lit(8)), c => g2(r, c)))))
+          .select(col("asset_id"),
+            aggregate(col("g2s"), lit(0L), (a, x) => a + x)
+              .as("sum_grad2"),
+            aggregate(col("g2s"), lit(0L),
+              (a, x) => a + when(x >= lit(1024L), 1L).otherwise(0L))
+              .as("n_edge"))
+          .withColumn("edge_density",
+            col("n_edge").cast("double") / lit(32.0))
+          .orderBy("asset_id")
+      },
+      s"""WITH $duckPxCtes,
+         |g AS (SELECT asset_id, flatten(list_transform(range(1, 5),
+         |        r -> list_transform(range(1, 9), c ->
+         |          (px[CAST(r*10+c-8 AS INT)] - px[CAST(r*10+c-10 AS INT)]
+         |             + (px[CAST(r*10+c+2 AS INT)]
+         |                - px[CAST(r*10+c AS INT)]) * 2
+         |             + px[CAST(r*10+c+12 AS INT)]
+         |             - px[CAST(r*10+c+10 AS INT)]) *
+         |          (px[CAST(r*10+c-8 AS INT)] - px[CAST(r*10+c-10 AS INT)]
+         |             + (px[CAST(r*10+c+2 AS INT)]
+         |                - px[CAST(r*10+c AS INT)]) * 2
+         |             + px[CAST(r*10+c+12 AS INT)]
+         |             - px[CAST(r*10+c+10 AS INT)]) +
+         |          (px[CAST(r*10+c+10 AS INT)] - px[CAST(r*10+c-10 AS INT)]
+         |             + (px[CAST(r*10+c+11 AS INT)]
+         |                - px[CAST(r*10+c-9 AS INT)]) * 2
+         |             + px[CAST(r*10+c+12 AS INT)]
+         |             - px[CAST(r*10+c-8 AS INT)]) *
+         |          (px[CAST(r*10+c+10 AS INT)] - px[CAST(r*10+c-10 AS INT)]
+         |             + (px[CAST(r*10+c+11 AS INT)]
+         |                - px[CAST(r*10+c-9 AS INT)]) * 2
+         |             + px[CAST(r*10+c+12 AS INT)]
+         |             - px[CAST(r*10+c-8 AS INT)]))))
+         |        AS g2s
+         |      FROM px)
+         |SELECT asset_id,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), g2s),
+         |         (a, b) -> a + b) AS BIGINT) AS sum_grad2,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(g2s, x -> CASE WHEN x >= 1024
+         |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |         (a, b) -> a + b) AS BIGINT) AS n_edge,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(g2s, x -> CASE WHEN x >= 1024
+         |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |         (a, b) -> a + b) AS DOUBLE) / 32.0 AS edge_density
+         |FROM g ORDER BY asset_id""".stripMargin),
+
     // DCT-II basis vectors, hash bit k = [coefficient_k > 0]. Because
     // every retained basis vector is DC-free, the hash is EXACTLY
     // brightness-invariant — the +8-offset second rendition of each doc
