@@ -1671,6 +1671,58 @@ object Events {
         |FROM wv WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY attributed_type""".stripMargin),
 
+    // SLIDING windows through the STREAMING engine in append mode: 1-hour
+    // windows sliding every 15 minutes (each event lands in exactly 4
+    // overlapping windows), watermark 10 minutes — the moving-average
+    // shape of every live dashboard, released to the sink only once the
+    // watermark passes a window's END (same boundary contract as
+    // events_stream_append_windows; the batch oracle enumerates each
+    // event's 4 windows with a literal 0..3 offset join and reproduces
+    // the released set exactly). Sums stay exact DECIMAL. Scale shape:
+    // the window operator multiplies state, not input — state is bounded
+    // by (watermark horizon / slide) × groups, and the 4× row expansion
+    // happens inside the stateful operator, never as a join.
+    "events_stream_sliding_windows" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val stream = Tables.eventsStreamSource(s, d)
+          .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+          .withColumn("value", col("value").cast("decimal(25,6)"))
+        val agg = stream.withWatermark("ts_utc", "10 minutes")
+          .groupBy(window(col("ts_utc"), "1 hour", "15 minutes"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("total"))
+          .select(col("window.start").as("wstart"), col("event_type"),
+            col("n"), col("total"))
+        val sinkName = "q_events_stream_sliding_windows"
+        graft.streaming.Streams.drained(s, noDataBatches = true) { ckpt =>
+          val q = agg.writeStream
+            .outputMode("append")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.table(sinkName)
+          .select(date_format(col("wstart"), fmt).as("wstart"),
+            col("event_type"), col("n"),
+            col("total").cast("double").as("total"))
+          .orderBy("wstart", "event_type")
+      },
+      """WITH wm AS (SELECT MAX(epoch_ms(ts)) - 600000 AS w FROM events),
+        |x AS (SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |               - k.k * INTERVAL '15 minutes' AS wstart,
+        |             event_type, value
+        |      FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM x, wm
+        |GROUP BY x.wstart, event_type, wm.w
+        |HAVING epoch_ms(x.wstart) + 3600000 <= wm.w
+        |ORDER BY wstart, event_type""".stripMargin),
+
     // CHAINED streaming aggregations (Spark 3.4+/4 multiple stateful
     // operators): a 15-minute tumbling window count/sum re-aggregated
     // INSIDE the same streaming query into hourly rollups by windowing

@@ -769,6 +769,95 @@ object LearnQ {
          |       CAST(n_correct AS DOUBLE) / nd AS accuracy
          |FROM v$SvmRounds, fin, n""".stripMargin),
 
+    // Per-segment simple linear regression (OLS via sufficient
+    // statistics): revenue trend — o_totalprice regressed on order day —
+    // per customer market segment, the grouped-trend primitive behind
+    // "is this segment growing". ONE pass computes the five sufficient
+    // statistics per segment (n, Σx, Σx², Σy, Σxy, Σy²) as map-side-
+    // combined exact sums; slope/intercept/R² are then fixed double
+    // chains over per-segment SCALARS. Determinism by magnitude budget
+    // (the HITS lesson): x is DAYS SINCE THE CORPUS MIN DATE (≤ ~2.5k,
+    // so Σx² is a plain BIGINT), y-sums are 2^10-scaled floor()ed
+    // decimals and Σy² is 2^-10-scaled, keeping EVERY accumulated sum
+    // under 2^53 — each decimal→double conversion is exact, not merely
+    // correctly-rounded, and the regression algebra
+    // slope = (n·Σxy−ΣxΣy)/(n·Σx²−Σx²) runs on identical doubles in
+    // identical order on both engines. (The 2^10 scale is the dial: at
+    // 100× the rows, widen x centering or drop another 2^5.)
+    "learn_linreg_per_segment" -> QuerySpec(
+      (s, d) => {
+        val j = Tables.orders(s, d)
+          .join(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("segment"),
+            expr("unix_micros(to_utc_timestamp(o_orderdate, 'UTC'))" +
+              " div 86400000000").as("day"),
+            col("o_totalprice").as("y"))
+        val d0 = j.agg(min("day").as("d0"))
+        val f = j.crossJoin(broadcast(d0))
+          .select(col("segment"), (col("day") - col("d0")).as("x"),
+            col("y"))
+        def dec(c: org.apache.spark.sql.Column) =
+          sum(floor(c).cast("decimal(38,0)")).cast("double")
+        val g = f.groupBy("segment").agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sx2"),
+          (dec(col("y") * lit(1024.0)) / lit(1024.0)).as("sy"),
+          (dec(col("x").cast("double") * col("y") * lit(1024.0)) /
+            lit(1024.0)).as("sxy"),
+          (dec(col("y") * col("y") / lit(1024.0)) * lit(1024.0)).as("syy"))
+        g.select(col("segment"), col("n"),
+            col("n").cast("double").as("nd"),
+            col("sx").cast("double").as("sxd"),
+            col("sx2").cast("double").as("sx2d"),
+            col("sy"), col("sxy"), col("syy"))
+          .withColumn("num", col("nd") * col("sxy") - col("sxd") * col("sy"))
+          .withColumn("denx",
+            col("nd") * col("sx2d") - col("sxd") * col("sxd"))
+          .withColumn("deny", col("nd") * col("syy") - col("sy") * col("sy"))
+          .withColumn("slope", col("num") / col("denx"))
+          .withColumn("intercept",
+            col("sy") / col("nd") - col("slope") * (col("sxd") / col("nd")))
+          .withColumn("r2",
+            (col("num") / col("denx")) * (col("num") / col("deny")))
+          .select("segment", "n", "slope", "intercept", "r2")
+          .orderBy("segment")
+      },
+      """WITH j AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |         epoch_us(o.o_orderdate) // 86400000000 AS day,
+        |         o.o_totalprice AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |m AS (SELECT MIN(day) AS d0 FROM j),
+        |f AS (SELECT segment, CAST(day - d0 AS BIGINT) AS x, y FROM j, m),
+        |g AS (SELECT segment,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sx2,
+        |    CAST(SUM(CAST(floor(y * 1024.0) AS DECIMAL(38,0)))
+        |      AS DOUBLE) / 1024.0 AS sy,
+        |    CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * y * 1024.0)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1024.0 AS sxy,
+        |    CAST(SUM(CAST(floor(y * y / 1024.0) AS DECIMAL(38,0)))
+        |      AS DOUBLE) * 1024.0 AS syy
+        |  FROM f GROUP BY 1),
+        |e AS (SELECT segment, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sx2 AS DOUBLE) AS sx2d, sy, sxy, syy
+        |  FROM g),
+        |r AS (SELECT segment, n, nd, sxd, sy,
+        |    nd * sxy - sxd * sy AS num,
+        |    nd * sx2d - sxd * sxd AS denx,
+        |    nd * syy - sy * sy AS deny
+        |  FROM e)
+        |SELECT segment, n,
+        |       num / denx AS slope,
+        |       sy / nd - (num / denx) * (sxd / nd) AS intercept,
+        |       (num / denx) * (num / deny) AS r2
+        |FROM r ORDER BY segment""".stripMargin),
+
     // Item-item collaborative filtering (Sarwar et al. 2001, binary
     // ratings): treat each order as a "user" and each part's order set
     // as its interaction vector; cosine(p, q) = |orders(p) ∩ orders(q)|
