@@ -886,6 +886,60 @@ object Analytic {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
 
+    // TPC-H Q7 (volume shipping) through the SQL frontend: bilateral
+    // trade — revenue flowing between supplier nation 1 and customer
+    // nation 2 (both directions), by ship year, over a two-year slice.
+    // The full 6-table Q7 join tree on this schema: lineitem ⋈ supplier
+    // ⋈ orders ⋈ customer + two nation-dim joins, with the
+    // cross-nation-pair disjunction applied AFTER the dims resolve.
+    // Scale plan: the shipdate slice prunes the fact scan, both nation
+    // dims BROADCAST, supplier and customer broadcast at these sizes
+    // (co-partitioned joins at full scale), and the 4-group output
+    // aggregates map-side. Revenue is the exact DECIMAL discount sum.
+    "sql_frontend_q7" -> QuerySpec(
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+                 COUNT(*) AS n_lines
+          FROM v_lineitem
+          JOIN v_supplier ON s_suppkey = l_suppkey
+          JOIN v_orders ON o_orderkey = l_orderkey
+          JOIN v_customer ON c_custkey = o_custkey
+          JOIN v_nation n1 ON n1.n_nationkey = s_nationkey
+          JOIN v_nation n2 ON n2.n_nationkey = c_nationkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+          ORDER BY supp_nation, cust_nation, l_year""")
+      },
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |         AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+
     // TPC-H Q10 (returned-item reporting) through the SQL frontend,
     // adapted to this schema's columns: customers ranked by revenue
     // lost to returns in one quarter — a 4-table join (fact +

@@ -1671,6 +1671,83 @@ object Events {
         |FROM wv WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY attributed_type""".stripMargin),
 
+    // Peak concurrency via the classic sweep-line (+1 at session start,
+    // −1 at session end, running-sum max) — "how many sessions were live
+    // at once, per day", the capacity-planning number. The textbook
+    // sweep needs ONE GLOBAL ordered prefix sum, which is the
+    // single-partition trap at scale; this runs it BANDED (the
+    // customer_abc_classes pattern): per-DAY partitioned prefix sums
+    // (keyed window) plus a cumulative carry-in offset from a tiny
+    // per-band delta table (the only unpartitioned window — #days
+    // rows). Sessions are 30-min-gap session_windows per user, intervals
+    // half-open [start, last+gap) with ends sorting before starts at
+    // ties, so back-to-back sessions never double-count; every quantity
+    // is an exact integer. The oracle rebuilds the identical sessions
+    // from lag-gap windows and the identical banded sweep.
+    "events_peak_concurrency" -> QuerySpec(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val sess = Tables.eventsWithTs(s, d)
+          .groupBy(session_window(col("ts_utc"), "30 minutes").as("w"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("st"), col("w.end").as("en"))
+        val bounds = sess.select(explode(array(
+            struct(col("st").as("t"), lit(1L).as("delta")),
+            struct(col("en").as("t"), lit(-1L).as("delta")))).as("b"))
+          .select(col("b.t").as("t"), col("b.delta").as("delta"))
+          .withColumn("band", expr("unix_micros(t) div 86400000000"))
+        val inb = bounds.withColumn("p",
+          sum("delta").over(W.partitionBy("band")
+            .orderBy(col("t"), col("delta"))
+            .rowsBetween(Long.MinValue, 0)))
+        val base = bounds.groupBy("band").agg(sum("delta").as("bd"))
+          .withColumn("base", coalesce(
+            sum("bd").over(W.orderBy("band").rowsBetween(Long.MinValue, -1)),
+            lit(0L)))
+          .select("band", "base")
+        inb.join(broadcast(base), "band")
+          .groupBy("band")
+          .agg(max(col("base") + col("p")).as("peak"),
+            count(lit(1)).as("n_bounds"))
+          .orderBy("band")
+      },
+      """WITH t0 AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |                (PARTITION BY user_id ORDER BY ts) >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM t0),
+        |sess AS (
+        |  SELECT MIN(ts) AS st, MAX(ts) + INTERVAL 30 MINUTE AS en
+        |  FROM s GROUP BY user_id, sid),
+        |b AS (
+        |  SELECT st AS t, CAST(1 AS BIGINT) AS delta FROM sess
+        |  UNION ALL
+        |  SELECT en, CAST(-1 AS BIGINT) FROM sess),
+        |bb AS (SELECT t, delta, epoch_us(t) // 86400000000 AS band FROM b),
+        |inb AS (SELECT band, delta,
+        |          CAST(SUM(delta) OVER (PARTITION BY band
+        |            ORDER BY t, delta
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS p
+        |        FROM bb),
+        |bt AS (SELECT band, CAST(SUM(delta) AS BIGINT) AS bd
+        |       FROM bb GROUP BY 1),
+        |base AS (SELECT band, COALESCE(CAST(SUM(bd) OVER (ORDER BY band
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) AS base
+        |         FROM bt)
+        |SELECT i.band, CAST(MAX(base.base + i.p) AS BIGINT) AS peak,
+        |       CAST(COUNT(*) AS BIGINT) AS n_bounds
+        |FROM inb i JOIN base USING (band)
+        |GROUP BY i.band ORDER BY band""".stripMargin),
+
     // SLIDING windows through the STREAMING engine in append mode: 1-hour
     // windows sliding every 15 minutes (each event lands in exactly 4
     // overlapping windows), watermark 10 minutes — the moving-average
