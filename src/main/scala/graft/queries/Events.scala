@@ -1671,6 +1671,54 @@ object Events {
         |FROM wv WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY attributed_type""".stripMargin),
 
+    // DAU / WAU / MAU per day — the engagement triple every product
+    // dashboard leads with. Rolling DISTINCT is the trap here: a naive
+    // "distinct users over a 30-day window" is a per-day re-scan (or an
+    // unbounded set-union window); the scalable form EXPANDS each
+    // (user, active-day) pair to the constant set of report days it
+    // supports (7 for WAU, 30 for MAU) and re-counts distinct per day —
+    // constant fan-out, plain keyed aggs, no window at all. Day indices
+    // are exact integer ns divisions; counts exact. Report days are the
+    // days with any activity (inner join on DAU). Scale shape: one
+    // distinct on (user, day) — the only real shuffle — then two
+    // constant-fan-out explodes into map-side-combined counts.
+    "events_dau_wau_mau" -> QuerySpec(
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .distinct()
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        def rolling(span: Int, name: String) = ud
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + lit(span - 1)))
+              .as("rday"))
+          .groupBy("rday").agg(countDistinct("user_id").as(name))
+        dau
+          .join(rolling(7, "wau"), dau("day") === col("rday"))
+          .drop("rday")
+          .join(rolling(30, "mau"), dau("day") === col("rday"))
+          .drop("rday")
+          .select("day", "dau", "wau", "mau")
+          .orderBy("day")
+      },
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+        |        FROM ud GROUP BY 1),
+        |wau AS (SELECT rday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |        FROM (SELECT user_id, day + k.k AS rday
+        |              FROM ud, (SELECT unnest(generate_series(0, 6)) AS k) k)
+        |        GROUP BY 1),
+        |mau AS (SELECT rday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        |        FROM (SELECT user_id, day + k.k AS rday
+        |              FROM ud, (SELECT unnest(generate_series(0, 29)) AS k) k)
+        |        GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau, mau.mau
+        |FROM dau JOIN wau ON dau.day = wau.rday
+        |         JOIN mau ON dau.day = mau.rday
+        |ORDER BY day""".stripMargin),
+
     // Peak concurrency via the classic sweep-line (+1 at session start,
     // −1 at session end, running-sum max) — "how many sessions were live
     // at once, per day", the capacity-planning number. The textbook

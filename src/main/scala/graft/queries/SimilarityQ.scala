@@ -290,6 +290,71 @@ object SimilarityQ {
          |FROM bmtop b FULL OUTER JOIN anntop a ON b.id = a.id
          |ORDER BY rrf DESC, doc_id""".stripMargin),
 
+    // Per-dimension embedding-hygiene census: mean, variance, and range
+    // of each of the 64 dimensions, with a LOW-VARIANCE flag (variance
+    // under half the cross-dimension mean variance) — the dead/collapsed-
+    // dimension audit run before trusting an embedding space for
+    // retrieval or Matryoshka truncation (a collapsed dimension carries
+    // no signal but full storage cost). One posexplode pass →
+    // map-side-combined (dim) aggs; means/variances are exact 2^30-
+    // scaled floor()ed decimal sums (2^30, not 2^40, keeps every scaled
+    // sum under 2^53 at 100× the corpus — the HitsScale budget), min/max
+    // are exact float→double casts, and the flag compares two
+    // identically-derived doubles. The cross-dimension mean variance is
+    // a 64-row agg broadcast back — nothing global touches the corpus.
+    "embedding_dimension_stats" -> QuerySpec(
+      (s, d) => {
+        val sc = 1073741824.0 // 2^30
+        def dsum30(v: org.apache.spark.sql.Column) =
+          sum(floor(v * lit(sc)).cast("decimal(38,0)")).cast("double") /
+            lit(sc)
+        val ex = Tables.embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("i0", "x0")))
+          .select((col("i0") + 1).as("dim"),
+            col("x0").cast("double").as("x"))
+        val st = ex.groupBy("dim")
+          .agg(count(lit(1)).as("n"), dsum30(col("x")).as("sx"),
+            dsum30(col("x") * col("x")).as("sx2"),
+            min("x").as("lo"), max("x").as("hi"))
+          .withColumn("mean", col("sx") / col("n").cast("double"))
+          .withColumn("variance",
+            col("sx2") / col("n").cast("double") -
+              col("mean") * col("mean"))
+        val mv = st.agg((dsum30(col("variance")) / lit(64.0)).as("mean_var"))
+        st.crossJoin(broadcast(mv))
+          .select(col("dim"), col("n"), col("mean"), col("variance"),
+            col("lo"), col("hi"),
+            (col("variance") < col("mean_var") * lit(0.5))
+              .as("low_variance"))
+          .orderBy("dim")
+      },
+      """WITH ex AS (
+        |  SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) t(i)),
+        |st AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(floor(x * 1073741824.0) AS DECIMAL(38,0)))
+        |      AS DOUBLE) / 1073741824.0 AS sx,
+        |    CAST(SUM(CAST(floor(x * x * 1073741824.0) AS DECIMAL(38,0)))
+        |      AS DOUBLE) / 1073741824.0 AS sx2,
+        |    MIN(x) AS lo, MAX(x) AS hi
+        |  FROM ex GROUP BY 1),
+        |sv AS (
+        |  SELECT dim, n, sx / CAST(n AS DOUBLE) AS mean,
+        |    sx2 / CAST(n AS DOUBLE)
+        |      - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))
+        |      AS variance,
+        |    lo, hi
+        |  FROM st),
+        |mv AS (
+        |  SELECT CAST(SUM(CAST(floor(variance * 1073741824.0)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0 / 64.0
+        |    AS mean_var
+        |  FROM sv)
+        |SELECT dim, n, mean, variance, lo, hi,
+        |       variance < mean_var * 0.5 AS low_variance
+        |FROM sv, mv ORDER BY dim""".stripMargin),
+
     // Simplified silhouette (centroid-based; Hruschka et al. 2004) of the
     // SHARED trained 8-cell codebook: per vector, a = L2 to its own
     // centroid, b = L2 to the nearest OTHER centroid, s = (b−a)/max(a,b);
