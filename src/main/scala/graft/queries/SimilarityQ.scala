@@ -290,6 +290,51 @@ object SimilarityQ {
          |FROM bmtop b FULL OUTER JOIN anntop a ON b.id = a.id
          |ORDER BY rrf DESC, doc_id""".stripMargin),
 
+    // FILTERED vector search (the hard mode of production ANN): top-10
+    // cosine neighbors of vector 0 restricted by a metadata predicate —
+    // here "label differs from the query's label", the cross-category
+    // recommendation / decontamination probe. The filter composes with
+    // the IVF index by applying INSIDE the probed cell BEFORE ranking
+    // (pre-filtering — post-filtering a fixed-k list under-delivers when
+    // the predicate is selective, the classic filtered-ANN bug), and the
+    // at-scale layout is unchanged: corpus partitioned by cell, label
+    // a pruning column within each cell's files. Rides the shared
+    // trained codebook; the oracle replays training and applies the
+    // identical predicate. A post-filter-vs-pre-filter delta column is
+    // audited implicitly: k rows are always delivered because ranking
+    // happens after the cut.
+    "similarity_filtered_topk" -> QuerySpec(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val assigned = Similarity.ivfAssign(emb, trainedCents8x2(s, d))
+          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        val q = assigned.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("cell").as("qcell"),
+            col("label").as("qlabel"))
+        assigned.join(broadcast(q),
+            col("cell") === col("qcell") && col("vec_id") =!= 0 &&
+              col("label") =!= col("qlabel"))
+          .select(col("vec_id"), col("label"),
+            Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+          .orderBy(desc("cos"), asc("vec_id"))
+          .limit(10)
+      },
+      s"""WITH ${duckKmeansCtes(8, 2)},
+         |assigned AS (SELECT vec_id, v, cell FROM (
+         |  SELECT ev.vec_id, ev.v, c.cent_id AS cell,
+         |         row_number() OVER (PARTITION BY ev.vec_id
+         |           ORDER BY ${duckL2("ev.v", "c.cvec")}, c.cent_id) AS rn
+         |  FROM ev CROSS JOIN c2 c) WHERE rn = 1),
+         |al AS (SELECT a.vec_id, a.v, a.cell, e.label
+         |       FROM assigned a JOIN embeddings e USING (vec_id)),
+         |q AS (SELECT v AS qv, cell AS qcell, label AS qlabel
+         |      FROM al WHERE vec_id = 0)
+         |SELECT al.vec_id, al.label, ${duckCos("al.v", "q.qv")} AS cos
+         |FROM al, q
+         |WHERE al.cell = q.qcell AND al.vec_id <> 0
+         |  AND al.label <> q.qlabel
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
+
     // Per-dimension embedding-hygiene census: mean, variance, and range
     // of each of the 64 dimensions, with a LOW-VARIANCE flag (variance
     // under half the cross-dimension mean variance) — the dead/collapsed-

@@ -181,6 +181,66 @@ object Text {
 
   val registry: Map[String, QuerySpec] = Map(
 
+    // Per-source DATASET CARD: the one-table summary a corpus ships with
+    // — per source: document and token mass, token share of the whole
+    // corpus, English fraction, and language-diversity Gini (rational,
+    // same construction as profile_gini_diversity) — the numbers a
+    // mixture designer reads before assigning weights, and the
+    // documentation artifact (Gebru et al., "Datasheets for Datasets")
+    // every released corpus owes its users. Two-level keyed agg
+    // ((source, lang) → source), token totals exact integers, one 1-row
+    // broadcast for the corpus total; every ratio is a single division
+    // of exact integers.
+    "corpus_dataset_card" -> QuerySpec(
+      (s, d) => {
+        val g1 = Tables.documents(s, d)
+          .select(col("source"), col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("toks"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("nd"), sum("toks").as("tk"))
+        val g2 = g1.groupBy("source")
+          .agg(sum("nd").as("n_docs"), sum("tk").as("total_tokens"),
+            sum(col("nd") * col("nd")).as("sc2"),
+            sum(when(col("lang") === "en", col("nd")).otherwise(0L))
+              .as("n_en"))
+        val tot = g2.agg(sum("total_tokens").as("corpus_tokens"))
+        g2.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            (col("total_tokens").cast("double") /
+              col("corpus_tokens").cast("double")).as("token_share"),
+            (col("total_tokens").cast("double") /
+              col("n_docs").cast("double")).as("mean_tokens"),
+            (col("n_en").cast("double") / col("n_docs").cast("double"))
+              .as("pct_en"),
+            (lit(1.0) - col("sc2").cast("double") /
+              (col("n_docs").cast("double") * col("n_docs").cast("double")))
+              .as("lang_gini"))
+          .orderBy("source")
+      },
+      s"""WITH g1 AS (
+         |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nd,
+         |         CAST(SUM(len($duckToks)) AS BIGINT) AS tk
+         |  FROM documents GROUP BY 1, 2),
+         |g2 AS (
+         |  SELECT source, CAST(SUM(nd) AS BIGINT) AS n_docs,
+         |         CAST(SUM(tk) AS BIGINT) AS total_tokens,
+         |         CAST(SUM(nd * nd) AS BIGINT) AS sc2,
+         |         CAST(SUM(CASE WHEN lang = 'en' THEN nd ELSE 0 END)
+         |           AS BIGINT) AS n_en
+         |  FROM g1 GROUP BY 1),
+         |t AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens
+         |      FROM g2)
+         |SELECT source, n_docs, total_tokens,
+         |       CAST(total_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE)
+         |         AS token_share,
+         |       CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |         AS mean_tokens,
+         |       CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pct_en,
+         |       1.0 - CAST(sc2 AS DOUBLE) /
+         |         (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+         |         AS lang_gini
+         |FROM g2, t ORDER BY source""".stripMargin),
+
     // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
     // maximal stopword-free token runs (capped at 4 words), each word is
     // scored deg(w)/freq(w) over the candidate set (deg = summed length

@@ -161,6 +161,121 @@ object Warehouse {
         |       CAST(n_versions AS BIGINT) AS n_versions
         |FROM r WHERE rn = 1 ORDER BY snapshot_date, o_custkey""".stripMargin),
 
+    // Cohort lifetime value: customers grouped by FIRST-ORDER YEAR, each
+    // cohort's total revenue, orders, revenue-per-customer (LTV) and
+    // orders-per-customer — the acquisition-vintage economics table.
+    // First-order year is one keyed min; the cohort join is equi-keyed
+    // on custkey (co-partitioned at scale); revenue is the exact
+    // DECIMAL(25,6) sum cast once; the per-customer ratios are single
+    // divisions of exact values. No window, two shuffles total.
+    "warehouse_cohort_ltv" -> QuerySpec(
+      (s, d) => {
+        val first = Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(min(expr("year(o_orderdate)")).as("cohort_year"))
+        Tables.orders(s, d).join(first, "o_custkey")
+          .groupBy("cohort_year")
+          .agg(countDistinct("o_custkey").as("n_customers"),
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(25,6)"))
+              .cast("double").as("revenue"))
+          .withColumn("ltv",
+            col("revenue") / col("n_customers").cast("double"))
+          .withColumn("orders_per_customer",
+            col("n_orders").cast("double") /
+              col("n_customers").cast("double"))
+          .orderBy("cohort_year")
+      },
+      """WITH first AS (
+        |  SELECT o_custkey, CAST(MIN(year(o_orderdate)) AS INTEGER)
+        |           AS cohort_year
+        |  FROM orders GROUP BY 1),
+        |g AS (
+        |  SELECT cohort_year,
+        |         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+        |           AS revenue
+        |  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+        |  GROUP BY 1)
+        |SELECT cohort_year, n_customers, n_orders, revenue,
+        |       revenue / CAST(n_customers AS DOUBLE) AS ltv,
+        |       CAST(n_orders AS DOUBLE) / CAST(n_customers AS DOUBLE)
+        |         AS orders_per_customer
+        |FROM g ORDER BY cohort_year""".stripMargin),
+
+    // Point-in-time dimension join (the "late-arriving fact vs versioned
+    // dimension" join): each order joins the SCD2 status version of its
+    // customer that was VALID AT the order's date — the lookup a
+    // warehouse must get right for any backdated fact, and the reason
+    // SCD2 history exists at all. Shape: equi-join on the natural key
+    // (custkey) plus a range residual (valid_from ≤ t < valid_to) — the
+    // scale-honest form of a temporal join, because versions-per-key is
+    // small (the range filter runs inside the co-partitioned join, never
+    // as a range-only join). Validity is [change-date, next-change-date)
+    // built with one keyed window; the summary counts matches, version
+    // distribution, and facts-on-current-version. All integers.
+    "warehouse_point_in_time_join" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        val versions = Tables.orders(s, d)
+          .filter(col("o_custkey") < 1000)
+          .select(col("o_custkey"), col("o_orderstatus"),
+            col("o_orderdate"), col("o_orderkey"))
+          .withColumn("prev", lag("o_orderstatus", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+          .withColumn("version", row_number().over(w))
+          .withColumn("valid_from", col("o_orderdate"))
+          .withColumn("valid_to", lead("o_orderdate", 1).over(w))
+          .select(col("o_custkey").as("k"), col("version"),
+            col("o_orderstatus").as("v_status"),
+            col("valid_from"), col("valid_to"))
+        val isCur = col("valid_to").isNull
+        val facts = Tables.orders(s, d).filter(col("o_custkey") < 1000)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        facts.join(versions,
+            col("o_custkey") === col("k") &&
+              col("valid_from") <= col("o_orderdate") &&
+              (isCur || col("o_orderdate") < col("valid_to")))
+          .groupBy(col("v_status").as("status_at_order"))
+          .agg(count(lit(1)).as("n_facts"),
+            countDistinct("o_custkey").as("n_customers"),
+            max("version").cast("long").as("max_version"),
+            sum(when(isCur, 1L).otherwise(0L)).as("n_on_current"))
+          .orderBy("status_at_order")
+      },
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |         lag(o_orderstatus) OVER w AS prev
+        |  FROM orders WHERE o_custkey < 1000
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |v AS (
+        |  SELECT o_custkey AS k, o_orderstatus AS v_status,
+        |         row_number() OVER w AS version,
+        |         o_orderdate AS valid_from,
+        |         lead(o_orderdate) OVER w AS valid_to
+        |  FROM (SELECT * FROM ch
+        |        WHERE prev IS NULL OR prev <> o_orderstatus)
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |f AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey FROM orders
+        |  WHERE o_custkey < 1000),
+        |j AS (
+        |  SELECT v.v_status, v.version, v.valid_to, f.o_custkey
+        |  FROM f JOIN v ON f.o_custkey = v.k
+        |    AND v.valid_from <= f.o_orderdate
+        |    AND (v.valid_to IS NULL OR f.o_orderdate < v.valid_to))
+        |SELECT v_status AS status_at_order,
+        |       CAST(COUNT(*) AS BIGINT) AS n_facts,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |       CAST(MAX(version) AS BIGINT) AS max_version,
+        |       CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_on_current
+        |FROM j GROUP BY 1 ORDER BY status_at_order""".stripMargin),
+
     // Categorical-diversity audit via Gini impurity: per categorical
     // column of the documents table (lang, source), the number of
     // distinct values, total mass, Gini impurity 1 − Σp² and its
