@@ -42,6 +42,42 @@ object Etl {
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
+    // Fixed-width (mainframe/COBOL copybook style) round trip: customer
+    // is rendered to position-delimited text records (zero-padded
+    // numerics, left-justified text — the layout legacy feeds still
+    // ship), written via the text sink, then re-parsed by OFFSET
+    // (substring → trim → cast), the parse layer every legacy-ingest
+    // pipeline owns. Money crosses as exact integer CENTS
+    // (floor(acctbal·100) — floor is deterministic on both engines;
+    // a %.2f string round trip would hinge on float re-parse rounding).
+    // A lossless round trip means the re-parsed rows match the oracle's
+    // direct parquet scan row-for-row. Scale: the text codec is
+    // per-row and embarrassingly parallel; substring parsing is
+    // codegen'd — no UDF.
+    "fixed_width_roundtrip_scan" -> QuerySpec(
+      (s, d) => {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_fw_customer_${Integer.toHexString(d.hashCode)}").getPath
+        Tables.customer(s, d)
+          .select(format_string("%010d%05d%012d%-12s",
+            col("c_custkey"), col("c_nationkey"),
+            floor(col("c_acctbal") * lit(100.0)).cast("long"),
+            col("c_mktsegment")).as("value"))
+          .coalesce(1).write.mode("overwrite").text(dir)
+        s.read.text(dir)
+          .select(
+            substring(col("value"), 1, 10).cast("long").as("c_custkey"),
+            substring(col("value"), 11, 5).cast("long").as("c_nationkey"),
+            substring(col("value"), 16, 12).cast("long")
+              .as("acctbal_cents"),
+            trim(substring(col("value"), 28, 12)).as("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_nationkey,
+        |       CAST(floor(c_acctbal * 100.0) AS BIGINT) AS acctbal_cents,
+        |       c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
     // S2 on the oracle-checked path: nation is round-tripped through a
     // real XLSX workbook (written by Xlsx.write — a complete OOXML
     // package — and read back by the native zip+StAX reader). The reader

@@ -306,8 +306,17 @@ object SimilarityQ {
     "similarity_filtered_topk" -> QuerySpec(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val assigned = Similarity.ivfAssign(emb, trainedCents8x2(s, d))
-          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        // inline packed-centroid fold (ivfAssign's shape) KEEPING the
+        // label column — re-joining labels on vec_id would shuffle the
+        // corpus, which the partition-by-cell layout exists to avoid
+        val packed = trainedCents8x2(s, d).agg(array_sort(
+          collect_list(struct(col("cent_id"), col("cvec")))).as("cents"))
+        val assigned = emb.crossJoin(broadcast(packed))
+          .withColumn("best", array_min(transform(col("cents"), c =>
+            struct(Similarity.l2sq(col("embedding"), c.getField("cvec"))
+              .as("d"), c.getField("cent_id").as("cent_id")))))
+          .select(col("vec_id"), col("embedding"), col("label"),
+            col("best.cent_id").as("cell"))
         val q = assigned.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"), col("cell").as("qcell"),
             col("label").as("qlabel"))

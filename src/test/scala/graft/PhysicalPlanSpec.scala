@@ -444,4 +444,33 @@ class PhysicalPlanSpec extends SparkSpec {
     val km = plan(SparkEntry.registry("events_survival_km").fn(spark, sf))
     assert(!km.contains("CartesianProduct"), km)
   }
+
+  test("round-8 third wave keeps its declared scale shapes") {
+    // per-segment OLS: sufficient statistics in ONE map-side-combined
+    // keyed agg (partial+final), customer dim broadcast, no window.
+    val lr = plan(
+      SparkEntry.registry("learn_linreg_per_segment").fn(spark, sf))
+    assert(lr.contains("BroadcastHashJoin"), lr)
+    assert(!lr.contains("Window") && !lr.contains("CartesianProduct"), lr)
+    // DAU/WAU/MAU: the rolling distinct is constant-fan-out explode +
+    // keyed aggs — NO window function anywhere in the plan.
+    val au = plan(SparkEntry.registry("events_dau_wau_mau").fn(spark, sf))
+    assert(!au.contains("Window"),
+      s"rolling actives must not use a window:\n$au")
+    assert(au.contains("Generate"), au) // the explode expansion
+    // point-in-time SCD2 join: equi-keyed on custkey with the validity
+    // range as a residual — never a nested-loop/cartesian range join.
+    val pit = plan(
+      SparkEntry.registry("warehouse_point_in_time_join").fn(spark, sf))
+    assert(!pit.contains("CartesianProduct") &&
+      !pit.contains("BroadcastNestedLoopJoin"), pit)
+    // filtered ANN: label rides the packed-centroid fold — no vec_id
+    // shuffle, no window; the cut is a TakeOrdered heap.
+    val ft = plan(
+      SparkEntry.registry("similarity_filtered_topk").fn(spark, sf))
+    assert(ft.contains("TakeOrderedAndProject"), ft)
+    assert(!ft.contains("hashpartitioning(vec_id"),
+      s"filtered ANN must not shuffle the corpus by vec_id:\n$ft")
+    assert(!ft.contains("Window"), ft)
+  }
 }
