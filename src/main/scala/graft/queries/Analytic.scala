@@ -1160,6 +1160,53 @@ object Analytic {
         |   OR (c_custkey % 3 = 0)
         |ORDER BY c_custkey""".stripMargin),
 
+    // Group-median imputation: fill each customer's missing balance with
+    // the exact discrete MEDIAN of the non-null balances in its market
+    // segment — the statistically-honest fill (a mean is skew-dragged; a
+    // global constant ignores structure), and the standard feature-prep
+    // step before model training. The median is percentile_disc-exact
+    // (an actual data value at rank ⌈n/2⌉ under a total order, so it
+    // reproduces bit-identically), computed per segment with one keyed
+    // window over the NON-NULL subset, then broadcast back as a 5-row
+    // table onto the full scan; was_imputed is surfaced for the
+    // downstream lineage audit. Nulls derive deterministically
+    // (custkey % 3 pattern, the na_fill fixture convention).
+    "impute_group_median" -> QuerySpec(
+      (s, d) => {
+        val base = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+            when(col("c_custkey") % 3 === 0, col("c_acctbal")).as("bal"))
+        val w = Window.partitionBy("seg").orderBy("bal", "c_custkey")
+        val med = base.filter(col("bal").isNotNull)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("seg")))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("seg"), col("bal").as("seg_median"))
+        base.join(broadcast(med), "seg")
+          .select(col("c_custkey"), col("seg"),
+            coalesce(col("bal"), col("seg_median")).as("bal_imputed"),
+            col("bal").isNull.as("was_imputed"))
+          .orderBy("c_custkey")
+      },
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal END AS bal
+        |  FROM customer),
+        |med AS (
+        |  SELECT seg, bal AS seg_median
+        |  FROM (
+        |    SELECT seg, bal, c_custkey,
+        |           row_number() OVER (PARTITION BY seg
+        |             ORDER BY bal, c_custkey) AS rn,
+        |           COUNT(*) OVER (PARTITION BY seg) AS cnt
+        |    FROM base WHERE bal IS NOT NULL)
+        |  WHERE rn = (cnt + 1) // 2)
+        |SELECT c_custkey, b.seg,
+        |       COALESCE(b.bal, m.seg_median) AS bal_imputed,
+        |       b.bal IS NULL AS was_imputed
+        |FROM base b JOIN med m ON b.seg = m.seg
+        |ORDER BY c_custkey""".stripMargin),
+
     // ANSI-safe error handling: try_cast / try_divide return NULL where
     // strict ANSI evaluation would raise — the ingestion-grade behavior
     // for dirty inputs (Spark 4 ships ANSI on by default, so the try_*
