@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Semantic invariants of the round-8 second-wave queries — properties a
+  * correct implementation must satisfy REGARDLESS of the fixture, so they
+  * complement the DuckDB hash gate (which would also pass if both engines
+  * shared the same misconception). Run at sf0.001 for speed.
+  */
+class RegistryInvariantSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def rows(name: String): Array[Row] =
+    SparkEntry.registry(name).fn(spark, sf).collect()
+
+  test("KM survival curve is a valid product-limit estimate") {
+    val r = rows("events_survival_km")
+    assert(r.nonEmpty)
+    // survival within [0, 1] (exactly 0 when the last at-risk user
+    // converts), non-increasing in duration; at-risk counts
+    // non-increasing; factors are valid probabilities
+    val surv = r.map(_.getAs[Double]("survival"))
+    assert(surv.forall(s => s >= 0.0 && s <= 1.0), surv.toSeq)
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a })
+    val risk = r.map(_.getAs[Long]("n_at_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => b <= a })
+    r.foreach { row =>
+      val f = row.getAs[Double]("factor")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("HITS scores are positive, ranked, and role-complete") {
+    val r = rows("graph_hits_hubs_authorities")
+    val byRole = r.groupBy(_.getAs[String]("role"))
+    assert(byRole.keySet == Set("authority", "hub"))
+    byRole.values.foreach { g =>
+      val scores = g.map(_.getAs[Double]("score"))
+      assert(scores.forall(s => s > 0.0 && s <= 1.0), scores.toSeq)
+      assert(scores.zip(scores.tail).forall { case (a, b) => b <= a })
+    }
+  }
+
+  test("A/B z-test internals reconcile") {
+    val Array(r) = rows("events_ab_test_ztest")
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val (xa, xb) = (r.getAs[Long]("x_a"), r.getAs[Long]("x_b"))
+    assert(na > 0 && nb > 0 && xa <= na && xb <= nb)
+    val pPool = r.getAs[Double]("p_pool")
+    assert(pPool > 0.0 && pPool < 1.0, s"degenerate pooled rate $pPool")
+    assert(!r.getAs[Double]("z").isNaN)
+  }
+
+  test("per-segment OLS R² lands in [0, 1]") {
+    val r = rows("learn_linreg_per_segment")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val r2 = row.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12,
+        s"segment ${row.getAs[String]("segment")} r2=$r2")
+    }
+  }
+
+  test("peak concurrency reconciles with the boundary ledger") {
+    val r = rows("events_peak_concurrency")
+    assert(r.nonEmpty)
+    // peaks are at least 1 wherever a session boundary fell, and the
+    // total boundary count is even (every start has an end)
+    assert(r.forall(_.getAs[Long]("peak") >= 1L))
+    assert(r.map(_.getAs[Long]("n_bounds")).sum % 2 == 0)
+  }
+
+  test("DAU <= WAU <= MAU on every report day") {
+    val r = rows("events_dau_wau_mau")
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (dau, wau, mau) = (row.getAs[Long]("dau"),
+        row.getAs[Long]("wau"), row.getAs[Long]("mau"))
+      assert(dau <= wau && wau <= mau, s"$dau / $wau / $mau")
+    }
+  }
+
+  test("temporal split is exhaustive and ordered") {
+    val r = rows("dataset_temporal_split_embargo")
+    val bySplit = r.map(row => row.getAs[String]("split") ->
+      (row.getAs[Long]("t_lo_us"), row.getAs[Long]("t_hi_us"))).toMap
+    assert(bySplit.keySet == Set("1_train", "2_embargo", "3_test"))
+    assert(bySplit("1_train")._2 < bySplit("2_embargo")._1)
+    assert(bySplit("2_embargo")._2 < bySplit("3_test")._1)
+    // the embargo band spans at most 24h of events
+    val (elo, ehi) = bySplit("2_embargo")
+    assert(ehi - elo <= 86400000000L)
+  }
+
+  test("filtered ANN never returns the query's own label") {
+    val r = rows("similarity_filtered_topk")
+    assert(r.length == 10)
+    val emb = graft.io.Tables.embeddings(spark, sf)
+    val qLabel = emb.filter(org.apache.spark.sql.functions.col("vec_id")
+      === 0).select("label").head().getInt(0)
+    assert(r.forall(_.getAs[Int]("label") != qLabel))
+  }
+
+  test("Sobel census: flat second rendition matches base edge energy") {
+    // rendition 1 is the base raster + a GLOBAL +8 offset; Sobel is a
+    // derivative, so both renditions of a doc must report identical
+    // gradient energy — a structural invariant of the convolution.
+    val r = rows("multimodal_sobel_edge_density")
+    val byDoc = r.groupBy(row => row.getAs[Long]("asset_id") / 2)
+    byDoc.values.foreach { g =>
+      assert(g.length == 2)
+      val e = g.map(_.getAs[Long]("sum_grad2")).distinct
+      assert(e.length == 1, s"renditions disagree: ${g.toSeq}")
+    }
+  }
+}
