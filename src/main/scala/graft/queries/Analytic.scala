@@ -886,6 +886,54 @@ object Analytic {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
 
+    // TPC-H Q9 (product-type profit) through the SQL frontend, adapted:
+    // this schema has no partsupp/supplycost, so "profit" is the
+    // discounted revenue MINUS a retail-price-based cost proxy
+    // (quantity · p_retailprice · 0.9), grouped by supplier nation and
+    // order year for parts whose name contains a color token — Q9's
+    // exact join tree (part + supplier + lineitem + orders + nation)
+    // and its name-LIKE predicate. Exact DECIMAL arithmetic end to end;
+    // the LIKE filter prunes part BEFORE the fact join (broadcast), and
+    // the (nation, year) output aggregates map-side.
+    "sql_frontend_q9" -> QuerySpec(
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("v_part")
+        Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(25,6))
+                   - CAST(l_quantity * p_retailprice * 0.9
+                     AS DECIMAL(25,6))) AS DOUBLE) AS profit,
+                 COUNT(*) AS n_lines
+          FROM v_lineitem
+          JOIN v_part ON p_partkey = l_partkey
+          JOIN v_supplier ON s_suppkey = l_suppkey
+          JOIN v_orders ON o_orderkey = l_orderkey
+          JOIN v_nation ON n_nationkey = s_nationkey
+          WHERE p_name LIKE '%red%'
+          GROUP BY n_name, year(o_orderdate)
+          ORDER BY nation, o_year""")
+      },
+      """SELECT n_name AS nation,
+        |       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |           AS DECIMAL(25,6))
+        |         - CAST(l_quantity * p_retailprice * 0.9
+        |           AS DECIMAL(25,6))) AS DOUBLE) AS profit,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year""".stripMargin),
+
     // TPC-H Q7 (volume shipping) through the SQL frontend: bilateral
     // trade — revenue flowing between supplier nation 1 and customer
     // nation 2 (both directions), by ship year, over a two-year slice.

@@ -1671,6 +1671,83 @@ object Events {
         |FROM wv WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY attributed_type""".stripMargin),
 
+    // Behavioral bot census — the abuse-filtering pass a training-data
+    // pipeline runs before user-generated content enters a corpus: per
+    // user, event volume, daily rate, hour-of-day coverage (humans
+    // sleep; 24/7 spread is the classic automation tell) and the exact
+    // discrete median inter-arrival gap, flagged bot when rate and
+    // coverage both exceed thresholds. Top-20 most bot-like by rate.
+    // Everything is exact integer arithmetic (gaps in µs, hours as
+    // distinct counts, the median percentile_disc-style at rank
+    // ⌈n/2⌉) plus one rate division — deterministic end to end. Scale
+    // shape: one lag window and one median window, both partitioned BY
+    // USER; the census is a keyed agg; the cut is a TakeOrdered heap.
+    "events_bot_score" -> QuerySpec(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"),
+            expr("ts div 86400000000000").as("day"),
+            expr("(ts div 3600000000000) % 24").as("hod"))
+        val gaps = ev
+          .withColumn("prev", lag("ts", 1)
+            .over(W.partitionBy("user_id").orderBy("ts")))
+          .withColumn("gap", expr("(ts - prev) div 1000")) // exact µs
+          .filter(col("gap").isNotNull)
+        val wmed = W.partitionBy("user_id").orderBy("gap", "ts")
+        val med = gaps
+          .withColumn("rn", row_number().over(wmed))
+          .withColumn("cnt", count(lit(1)).over(W.partitionBy("user_id")))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("user_id"),
+            col("gap").cast("long").as("median_gap_us"))
+        val census = ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("day").as("days_active"),
+            countDistinct("hod").as("hours_of_day"))
+          .withColumn("rate_per_day", col("n_events").cast("double") /
+            col("days_active").cast("double"))
+        census.join(med, "user_id")
+          .withColumn("is_bot",
+            col("rate_per_day") >= lit(4.0) && col("hours_of_day") >= 20)
+          .orderBy(desc("rate_per_day"), asc("user_id")).limit(20)
+          .select("user_id", "n_events", "days_active", "hours_of_day",
+            "rate_per_day", "median_gap_us", "is_bot")
+      },
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         epoch_us(ts) // 86400000000 AS day,
+        |         (epoch_us(ts) // 3600000000) % 24 AS hod
+        |  FROM events),
+        |gaps AS (
+        |  SELECT user_id, us,
+        |         us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |           AS gap
+        |  FROM ev),
+        |med AS (
+        |  SELECT user_id, CAST(gap AS BIGINT) AS median_gap_us
+        |  FROM (
+        |    SELECT user_id, gap, row_number() OVER (PARTITION BY user_id
+        |             ORDER BY gap, us) AS rn,
+        |           COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        |    FROM gaps WHERE gap IS NOT NULL)
+        |  WHERE rn = (cnt + 1) // 2),
+        |census AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         CAST(COUNT(DISTINCT day) AS BIGINT) AS days_active,
+        |         CAST(COUNT(DISTINCT hod) AS BIGINT) AS hours_of_day
+        |  FROM ev GROUP BY 1),
+        |sc AS (
+        |  SELECT c.user_id, n_events, days_active, hours_of_day,
+        |         CAST(n_events AS DOUBLE) / CAST(days_active AS DOUBLE)
+        |           AS rate_per_day,
+        |         median_gap_us
+        |  FROM census c JOIN med m ON c.user_id = m.user_id)
+        |SELECT user_id, n_events, days_active, hours_of_day, rate_per_day,
+        |       median_gap_us,
+        |       rate_per_day >= 4.0 AND hours_of_day >= 20 AS is_bot
+        |FROM sc ORDER BY rate_per_day DESC, user_id LIMIT 20""".stripMargin),
+
     // DAU / WAU / MAU per day — the engagement triple every product
     // dashboard leads with. Rolling DISTINCT is the trap here: a naive
     // "distinct users over a 30-day window" is a per-day re-scan (or an

@@ -30,6 +30,7 @@ object GraphQ {
   private val Damping = 0.85
   private val Rounds = 5
   private val HitsRounds = 3
+  private val WalkSteps = 4
   /** HITS uses a SMALLER scale than PageRank's 2^48 deliberately: with
     * h0 = 1 and degrees ~200, 2^48-scaled squared-score sums exceed 2^53,
     * where the two engines' big-decimal→double conversions can differ in
@@ -671,6 +672,67 @@ object GraphQ {
            |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
            |FROM c6 GROUP BY 1
            |ORDER BY n_nodes DESC, label LIMIT 10""".stripMargin
+      }),
+
+    // Deterministic random-walk visit census (the DeepWalk/node2vec
+    // corpus-generation primitive): 4-step walks from the 20 smallest
+    // nodes over the co-purchase graph, where step t from node v moves
+    // to sorted-neighbor index md5-hash(v, t) mod deg(v) — a
+    // hash-derandomized uniform pick both engines replay bit-identically
+    // (the same no-rand() discipline as every sampler here). Output:
+    // top-20 most-visited nodes. Scale shape: the adjacency-list table
+    // (the standard walk input, built once) BROADCASTs against the walk
+    // frontier each step — at billions of walks the frontier join flips
+    // to co-partitioned on cur, same plan; 4 static steps, no driver
+    // loop decisions. Walk corpora feed skip-gram embedding trainers;
+    // this is the exact extraction they run.
+    "graph_walk_visit_census" -> QuerySpec(
+      (s, d) => {
+        val e = coPurchaseEdges(s, d)
+        val adj = e.groupBy(col("src").as("node"))
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs"),
+            count(lit(1)).as("deg"))
+          .localCheckpoint(true)
+        val seeds = adj.select(col("node").as("seed"))
+          .orderBy("seed").limit(20)
+        var walk = seeds.select(col("seed"), col("seed").as("cur"))
+        var visits: org.apache.spark.sql.DataFrame = null
+        for (t <- 1 to WalkSteps) {
+          walk = walk.join(broadcast(adj), walk("cur") === adj("node"))
+            .select(col("seed"), element_at(col("nbrs"),
+              (graft.ext.TextOps.hash64(
+                concat_ws(":", col("cur"), lit(t))) % col("deg") + 1)
+                .cast("int")).as("cur"))
+            .localCheckpoint(true)
+          val v = walk.select(col("cur").as("node"))
+          visits = if (visits == null) v else visits.unionAll(v)
+        }
+        visits.groupBy("node").agg(count(lit(1)).as("visits"))
+          .orderBy(desc("visits"), asc("node")).limit(20)
+      },
+      {
+        // NB: this fragment is embedded in the outer oracle string whose
+        // .stripMargin runs over it AGAIN — no line may start with
+        // whitespace + '|' (a leading '||' concat loses its first pipe)
+        def step(t: Int): String =
+          s"""w$t AS MATERIALIZED (SELECT w.seed, a.nbrs[CAST(
+             |    CAST(('0x' || substr(md5(CAST(w.cur AS VARCHAR) ||
+             |      ':' || '$t'), 1, 15))::UBIGINT AS BIGINT)
+             |    % a.deg + 1 AS INT)] AS cur
+             |  FROM w${t - 1} w JOIN adj a ON w.cur = a.node)""".stripMargin
+        s"""WITH $duckEdgeCtes,
+           |adj AS MATERIALIZED (SELECT src AS node,
+           |         list(dst ORDER BY dst) AS nbrs,
+           |         CAST(COUNT(*) AS BIGINT) AS deg
+           |       FROM e0 GROUP BY 1),
+           |seeds AS (SELECT node AS seed FROM adj ORDER BY seed LIMIT 20),
+           |w0 AS (SELECT seed, seed AS cur FROM seeds),
+           |${(1 to WalkSteps).map(step).mkString(",\n")},
+           |v AS (${(1 to WalkSteps)
+                    .map(t => s"SELECT cur AS node FROM w$t")
+                    .mkString("\n  UNION ALL\n  ")})
+           |SELECT node, CAST(COUNT(*) AS BIGINT) AS visits
+           |FROM v GROUP BY 1 ORDER BY visits DESC, node LIMIT 20""".stripMargin
       }),
 
     // HITS hubs & authorities (Kleinberg 1999) over the degree-ORIENTED

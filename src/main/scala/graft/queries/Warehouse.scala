@@ -161,6 +161,56 @@ object Warehouse {
         |       CAST(n_versions AS BIGINT) AS n_versions
         |FROM r WHERE rn = 1 ORDER BY snapshot_date, o_custkey""".stripMargin),
 
+    // Shipment SLA census: per order priority, how fast did orders first
+    // ship — the fulfillment report card (and TPC-H Q4's spirit on this
+    // schema, which lacks commitdate). First-ship per order is one keyed
+    // min over lineitem; lateness is an exact integer day difference;
+    // the pct-within-7/30-day columns are conditional counts divided
+    // once. Scale shape: one map-side-combined agg on the fact, one
+    // equi-join to orders on the order key (co-partitioned), 5-group
+    // output.
+    "warehouse_sla_shipment" -> QuerySpec(
+      (s, d) => {
+        val firstShip = Tables.lineitem(s, d)
+          .groupBy("l_orderkey").agg(min("l_shipdate").as("ship"))
+        Tables.orders(s, d)
+          .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderpriority"),
+            expr("(unix_micros(to_utc_timestamp(ship, 'UTC')) - " +
+              "unix_micros(to_utc_timestamp(o_orderdate, 'UTC'))) " +
+              "div 86400000000").as("days"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("days") <= 7, 1L).otherwise(0L)).as("n_7d"),
+            sum(when(col("days") <= 30, 1L).otherwise(0L)).as("n_30d"),
+            max("days").as("max_days"))
+          .withColumn("pct_7d",
+            col("n_7d").cast("double") / col("n_orders").cast("double"))
+          .withColumn("pct_30d",
+            col("n_30d").cast("double") / col("n_orders").cast("double"))
+          .orderBy("o_orderpriority")
+      },
+      """WITH fs AS (
+        |  SELECT l_orderkey, MIN(l_shipdate) AS ship
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o_orderpriority,
+        |         (epoch_us(ship) - epoch_us(o_orderdate)) // 86400000000
+        |           AS days
+        |  FROM orders JOIN fs ON o_orderkey = l_orderkey),
+        |g AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CASE WHEN days <= 7 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_7d,
+        |         CAST(SUM(CASE WHEN days <= 30 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_30d,
+        |         CAST(MAX(days) AS BIGINT) AS max_days
+        |  FROM j GROUP BY 1)
+        |SELECT o_orderpriority, n_orders, n_7d, n_30d, max_days,
+        |       CAST(n_7d AS DOUBLE) / CAST(n_orders AS DOUBLE) AS pct_7d,
+        |       CAST(n_30d AS DOUBLE) / CAST(n_orders AS DOUBLE) AS pct_30d
+        |FROM g ORDER BY o_orderpriority""".stripMargin),
+
     // Cohort lifetime value: customers grouped by FIRST-ORDER YEAR, each
     // cohort's total revenue, orders, revenue-per-customer (LTV) and
     // orders-per-customer — the acquisition-vintage economics table.
