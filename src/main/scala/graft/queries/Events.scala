@@ -1671,6 +1671,145 @@ object Events {
         |FROM wv WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY attributed_type""".stripMargin),
 
+    // Little's law audit (L = λ·W) over the session system: time-average
+    // concurrency L from the banded sweep-line's piecewise-constant
+    // integral, arrival rate λ and mean session duration W from the
+    // session table — and the EXACT integer identity behind the law:
+    // ∫conc·dt must equal Σ session durations µs-for-µs (each live
+    // session contributes exactly its length to the integral), so the
+    // audit emits both BIGINTs and their equality as the sweep's
+    // self-check, plus the L, λ, W readouts capacity planners use. The
+    // integral is computed banded like events_peak_concurrency: in-band
+    // segments via a per-day lead window, cross-band bridge segments
+    // from the tiny per-band summary (#days rows). All µs·concurrency
+    // products stay far under 2^53.
+    "events_littles_law_audit" -> QuerySpec(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val sess = Tables.eventsWithTs(s, d)
+          .groupBy(session_window(col("ts_utc"), "30 minutes").as("w"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("w.start")).as("st"),
+            unix_micros(col("w.end")).as("en"))
+          .localCheckpoint(true)
+        val sstat = sess.agg(count(lit(1)).as("n_sessions"),
+          sum(col("en") - col("st")).as("total_dur_us"))
+        val bounds = sess.select(explode(array(
+            struct(col("st").as("t"), lit(1L).as("delta")),
+            struct(col("en").as("t"), lit(-1L).as("delta")))).as("b"))
+          .select(col("b.t").as("t"), col("b.delta").as("delta"))
+          .withColumn("band", expr("t div 86400000000"))
+        val wIn = W.partitionBy("band").orderBy(col("t"), col("delta"))
+        val inb = bounds
+          .withColumn("p", sum("delta").over(wIn.rowsBetween(
+            Long.MinValue, 0)))
+          .withColumn("nt", lead("t", 1).over(wIn))
+        val bstat = bounds.groupBy("band")
+          .agg(sum("delta").as("bd"), min("t").as("first_t"),
+            max("t").as("last_t"))
+        val wB = W.orderBy("band")
+        val bands = bstat
+          .withColumn("base", coalesce(sum("bd").over(
+            wB.rowsBetween(Long.MinValue, -1)), lit(0L)))
+          .withColumn("carry", col("base") + col("bd"))
+          .withColumn("next_first", lead("first_t", 1).over(wB))
+          .localCheckpoint(true)
+        val inSeg = inb.join(broadcast(bands.select("band", "base")), "band")
+          .filter(col("nt").isNotNull)
+          .agg(coalesce(sum((col("nt") - col("t")) *
+            (col("base") + col("p"))), lit(0L)).as("s1"))
+        val brSeg = bands.filter(col("next_first").isNotNull)
+          .agg(coalesce(sum((col("next_first") - col("last_t")) *
+            col("carry")), lit(0L)).as("s2"))
+        val span = bounds.agg((max("t") - min("t")).as("span_us"))
+        inSeg.crossJoin(brSeg).crossJoin(broadcast(span))
+          .crossJoin(broadcast(sstat))
+          .select(col("n_sessions"), col("total_dur_us"),
+            (col("s1") + col("s2")).as("integral_us"),
+            ((col("s1") + col("s2")) === col("total_dur_us"))
+              .as("is_consistent"),
+            ((col("s1") + col("s2")).cast("double") /
+              col("span_us").cast("double")).as("avg_concurrency"),
+            (col("span_us").cast("double") / lit(3600000000.0))
+              .as("span_hours"))
+          .withColumn("lambda_per_hour",
+            col("n_sessions").cast("double") / col("span_hours"))
+          .withColumn("w_hours_little",
+            col("avg_concurrency") / col("lambda_per_hour"))
+          .withColumn("w_hours_measured",
+            col("total_dur_us").cast("double") /
+              col("n_sessions").cast("double") / lit(3600000000.0))
+          .select("n_sessions", "total_dur_us", "integral_us",
+            "is_consistent", "avg_concurrency", "span_hours",
+            "lambda_per_hour", "w_hours_little", "w_hours_measured")
+      },
+      """WITH t0 AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |                (PARTITION BY user_id ORDER BY ts) >= 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM t0),
+        |sess AS (
+        |  SELECT epoch_us(MIN(ts)) AS st,
+        |         epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS en
+        |  FROM s GROUP BY user_id, sid),
+        |sstat AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |         CAST(SUM(en - st) AS BIGINT) AS total_dur_us FROM sess),
+        |b AS (
+        |  SELECT st AS t, CAST(1 AS BIGINT) AS delta FROM sess
+        |  UNION ALL
+        |  SELECT en, CAST(-1 AS BIGINT) FROM sess),
+        |bb AS (SELECT t, delta, t // 86400000000 AS band FROM b),
+        |inb AS (SELECT band, t, delta,
+        |          CAST(SUM(delta) OVER w AS BIGINT) AS p,
+        |          lead(t) OVER (PARTITION BY band ORDER BY t, delta) AS nt
+        |        FROM bb
+        |        WINDOW w AS (PARTITION BY band ORDER BY t, delta
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |bst AS (SELECT band, CAST(SUM(delta) AS BIGINT) AS bd,
+        |          MIN(t) AS first_t, MAX(t) AS last_t
+        |        FROM bb GROUP BY 1),
+        |bands AS (SELECT band,
+        |            COALESCE(CAST(SUM(bd) OVER (ORDER BY band
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              AS BIGINT), 0) AS base,
+        |            COALESCE(CAST(SUM(bd) OVER (ORDER BY band
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT), 0) AS carry,
+        |            last_t,
+        |            lead(first_t) OVER (ORDER BY band) AS next_first
+        |          FROM bst),
+        |s1 AS (SELECT COALESCE(CAST(SUM((i.nt - i.t) *
+        |           (bands.base + i.p)) AS BIGINT), 0) AS s1
+        |       FROM inb i JOIN bands USING (band)
+        |       WHERE i.nt IS NOT NULL),
+        |s2 AS (SELECT COALESCE(CAST(SUM((next_first - last_t) * carry)
+        |           AS BIGINT), 0) AS s2
+        |       FROM bands WHERE next_first IS NOT NULL),
+        |sp AS (SELECT CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us FROM bb),
+        |e AS (SELECT n_sessions, total_dur_us, s1 + s2 AS integral_us,
+        |        (s1 + s2) = total_dur_us AS is_consistent,
+        |        CAST(s1 + s2 AS DOUBLE) / CAST(span_us AS DOUBLE)
+        |          AS avg_concurrency,
+        |        CAST(span_us AS DOUBLE) / 3600000000.0 AS span_hours
+        |      FROM s1, s2, sp, sstat)
+        |SELECT n_sessions, total_dur_us, integral_us, is_consistent,
+        |       avg_concurrency, span_hours,
+        |       CAST(n_sessions AS DOUBLE) / span_hours AS lambda_per_hour,
+        |       avg_concurrency /
+        |         (CAST(n_sessions AS DOUBLE) / span_hours)
+        |         AS w_hours_little,
+        |       CAST(total_dur_us AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+        |         / 3600000000.0 AS w_hours_measured
+        |FROM e""".stripMargin),
+
     // Behavioral bot census — the abuse-filtering pass a training-data
     // pipeline runs before user-generated content enters a corpus: per
     // user, event volume, daily rate, hour-of-day coverage (humans

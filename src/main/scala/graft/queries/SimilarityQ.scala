@@ -290,6 +290,62 @@ object SimilarityQ {
          |FROM bmtop b FULL OUTER JOIN anntop a ON b.id = a.id
          |ORDER BY rrf DESC, doc_id""".stripMargin),
 
+    // BATCHED multi-query ANN — retrieval serving's throughput shape:
+    // ten query vectors resolved in ONE pass instead of ten sequential
+    // searches. All queries assign to their IVF cell up front, the
+    // query batch BROADCASTs against the assigned corpus with an
+    // equi-join on cell (each corpus row is scored only against the
+    // queries probing its cell — the batch never multiplies the scan),
+    // and the per-query top-5 is a WindowGroupLimit partitioned BY
+    // QUERY. At serving scale this is exactly the batch-lookup plan: a
+    // corpus partitioned by cell, a query micro-batch joined in, one
+    // shuffle on the (small) scored-candidate set. Oracle replays
+    // training + assignment and ranks with the same total order.
+    "similarity_batch_topk" -> QuerySpec(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val packed = trainedCents8x2(s, d).agg(array_sort(
+          collect_list(struct(col("cent_id"), col("cvec")))).as("cents"))
+        val assigned = emb.crossJoin(broadcast(packed))
+          .withColumn("best", array_min(transform(col("cents"), c =>
+            struct(Similarity.l2sq(col("embedding"), c.getField("cvec"))
+              .as("d"), c.getField("cent_id").as("cent_id")))))
+          .select(col("vec_id"), col("embedding"),
+            col("best.cent_id").as("cell"))
+        val qs = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            col("cell").as("qcell"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+        assigned.join(broadcast(qs),
+            col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("q_id"), col("rk").cast("long").as("rk"),
+            col("vec_id"), col("cos"))
+          .orderBy("q_id", "rk")
+      },
+      s"""WITH ${duckKmeansCtes(8, 2)},
+         |assigned AS (SELECT vec_id, v, cell FROM (
+         |  SELECT ev.vec_id, ev.v, c.cent_id AS cell,
+         |         row_number() OVER (PARTITION BY ev.vec_id
+         |           ORDER BY ${duckL2("ev.v", "c.cvec")}, c.cent_id) AS rn
+         |  FROM ev CROSS JOIN c2 c) WHERE rn = 1),
+         |qs AS (SELECT vec_id AS q_id, v AS qv, cell AS qcell
+         |       FROM assigned WHERE vec_id < 10),
+         |sc AS (SELECT q.q_id, a.vec_id,
+         |         ${duckCos("a.v", "q.qv")} AS cos
+         |       FROM assigned a JOIN qs q ON a.cell = q.qcell
+         |       WHERE a.vec_id <> q.q_id),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, vec_id) AS rk
+         |       FROM sc)
+         |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, cos
+         |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
     // FILTERED vector search (the hard mode of production ANN): top-10
     // cosine neighbors of vector 0 restricted by a metadata predicate —
     // here "label differs from the query's label", the cross-category
