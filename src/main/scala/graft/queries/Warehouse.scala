@@ -161,6 +161,76 @@ object Warehouse {
         |       CAST(n_versions AS BIGINT) AS n_versions
         |FROM r WHERE rn = 1 ORDER BY snapshot_date, o_custkey""".stripMargin),
 
+    // Referential-integrity census over the WHOLE star schema: for every
+    // foreign-key edge, how many child rows point at a missing parent —
+    // the first audit a warehouse loads run, and the reference's DDL
+    // post-load PK concern (insert.py's primary-key step) generalized
+    // to the relationship graph. Each edge is one LEFT-ANTI join (the
+    // parent key set broadcasts for dims; co-partitioned at fact scale),
+    // distinct-child counts are exact, and the 7 edges union into one
+    // ordered report. A healthy load reads all-zeros; the query is the
+    // loud alternative to discovering orphans inside a downstream join.
+    "profile_fk_integrity" -> QuerySpec(
+      (s, d) => {
+        def edge(name: String, child: org.apache.spark.sql.DataFrame,
+                 ck: String, parent: org.apache.spark.sql.DataFrame,
+                 pk: String) = {
+          val orphans = child.select(col(ck).as("k"))
+            .join(broadcast(parent.select(col(pk).as("k"))),
+              Seq("k"), "left_anti")
+          child.agg(count(lit(1)).as("n_child"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_orphans"),
+              countDistinct("k").as("n_orphan_keys")))
+            .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+              col("n_orphan_keys"),
+              (col("n_orphans").cast("double") /
+                col("n_child").cast("double")).as("orphan_rate"))
+        }
+        val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+        val cu = Tables.customer(s, d); val su = Tables.supplier(s, d)
+        val pa = Tables.part(s, d); val na = Tables.nation(s, d)
+        val re = Tables.region(s, d)
+        Seq(
+          edge("customer.nation", cu, "c_nationkey", na, "n_nationkey"),
+          edge("lineitem.order", li, "l_orderkey", o, "o_orderkey"),
+          edge("lineitem.part", li, "l_partkey", pa, "p_partkey"),
+          edge("lineitem.supplier", li, "l_suppkey", su, "s_suppkey"),
+          edge("nation.region", na, "n_regionkey", re, "r_regionkey"),
+          edge("orders.customer", o, "o_custkey", cu, "c_custkey"),
+          edge("supplier.nation", su, "s_nationkey", na, "n_nationkey"))
+          .reduce(_ unionAll _)
+          .orderBy("fk")
+      },
+      {
+        def edge(name: String, child: String, ck: String,
+                 parent: String, pk: String) =
+          s"""SELECT '$name' AS fk,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child) AS n_child,
+             |  CAST(COUNT(*) AS BIGINT) AS n_orphans,
+             |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_orphan_keys,
+             |  CAST(COUNT(*) AS DOUBLE) /
+             |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM $child)
+             |    AS orphan_rate
+             |FROM (SELECT $ck AS k FROM $child
+             |      WHERE $ck NOT IN (SELECT $pk FROM $parent))""".stripMargin
+        Seq(
+          edge("customer.nation", "customer", "c_nationkey",
+            "nation", "n_nationkey"),
+          edge("lineitem.order", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          edge("lineitem.part", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+          edge("lineitem.supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey"),
+          edge("nation.region", "nation", "n_regionkey",
+            "region", "r_regionkey"),
+          edge("orders.customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          edge("supplier.nation", "supplier", "s_nationkey",
+            "nation", "n_nationkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+      }),
+
     // Shipment SLA census: per order priority, how fast did orders first
     // ship — the fulfillment report card (and TPC-H Q4's spirit on this
     // schema, which lacks commitdate). First-ship per order is one keyed
