@@ -1671,6 +1671,50 @@ object Events {
         |FROM wv WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY attributed_type""".stripMargin),
 
+    // CEP-style pattern detection: "three errors from the same user
+    // within six hours" (threshold chosen ~p01 of the fixture's 3-error
+    // span distribution, so the alert actually fires — the same rule at
+    // real event density runs with minutes) — the alerting predicate
+    // every ops pipeline
+    // runs, expressed as ONE per-user ordered window with two lags (the
+    // MATCH_RECOGNIZE-lite shape: fixed-length pattern = k−1 lags, no
+    // state machine needed). Burst anchors count every 3rd-error
+    // completion; per user the census reports bursts, errors, and the
+    // tightest 3-error span, flagged when any burst fired. Exact
+    // integer µs arithmetic throughout. Scale: one keyed window over
+    // the error sub-stream (filter pushed to the scan), one keyed agg.
+    "events_error_burst_detection" -> QuerySpec(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts")
+        val err = Tables.events(s, d)
+          .filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"))
+          .withColumn("t2", lag("ts", 2).over(W))
+          .withColumn("span_us", expr("(ts - t2) div 1000"))
+        err.groupBy("user_id")
+          .agg(count(lit(1)).as("n_errors"),
+            sum(when(col("span_us") <= 21600000000L, 1L).otherwise(0L))
+              .as("n_bursts"),
+            min("span_us").cast("long").as("tightest_span_us"))
+          .filter(col("n_bursts") > 0)
+          .withColumn("alert", col("n_bursts") > 0)
+          .orderBy(desc("n_bursts"), asc("user_id"))
+      },
+      """WITH err AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         epoch_us(ts) - lag(epoch_us(ts), 2) OVER (
+        |           PARTITION BY user_id ORDER BY ts) AS span_us
+        |  FROM events WHERE event_type = 'error')
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_errors,
+        |       CAST(SUM(CASE WHEN span_us <= 21600000000 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_bursts,
+        |       CAST(MIN(span_us) AS BIGINT) AS tightest_span_us,
+        |       TRUE AS alert
+        |FROM err GROUP BY 1
+        |HAVING SUM(CASE WHEN span_us <= 21600000000 THEN 1 ELSE 0 END) > 0
+        |ORDER BY n_bursts DESC, user_id""".stripMargin),
+
     // Little's law audit (L = λ·W) over the session system: time-average
     // concurrency L from the banded sweep-line's piecewise-constant
     // integral, arrival rate λ and mean session duration W from the

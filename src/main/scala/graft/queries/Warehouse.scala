@@ -161,6 +161,59 @@ object Warehouse {
         |       CAST(n_versions AS BIGINT) AS n_versions
         |FROM r WHERE rn = 1 ORDER BY snapshot_date, o_custkey""".stripMargin),
 
+    // Right-to-erasure CASCADE audit (GDPR Art. 17 shape): given a
+    // deletion list of customers (custkey ≡ 0 mod 97 — the deterministic
+    // request fixture), report exactly what a compliant erasure removes
+    // across the schema — the customers themselves, their orders, and
+    // the order lines that cascade through the FK chain — as
+    // before/deleted/after counts per table. This is the dry-run ledger
+    // a data-protection office signs before the destructive pass, and
+    // the cascade is pure dataflow: each level is ONE semi-join against
+    // the previous level's (broadcastable) key set — customer keys →
+    // order keys → line rows — never a scan-side delete loop. All
+    // counts exact.
+    "warehouse_erasure_audit" -> QuerySpec(
+      (s, d) => {
+        val cu = Tables.customer(s, d); val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val delC = cu.filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("k")).localCheckpoint(true)
+        val delO = o.join(broadcast(delC), col("o_custkey") === col("k"))
+          .select(col("o_orderkey").as("ok")).localCheckpoint(true)
+        def row(name: String, before: org.apache.spark.sql.DataFrame,
+                deleted: org.apache.spark.sql.DataFrame) =
+          before.agg(count(lit(1)).as("n_before"))
+            .crossJoin(deleted.agg(count(lit(1)).as("n_deleted")))
+            .select(lit(name).as("table_name"), col("n_before"),
+              col("n_deleted"),
+              (col("n_before") - col("n_deleted")).as("n_after"))
+        val delL = li.join(broadcast(delO), col("l_orderkey") === col("ok"))
+        row("customer", cu, delC)
+          .unionAll(row("lineitem", li, delL))
+          .unionAll(row("orders", o, delO))
+          .orderBy("table_name")
+      },
+      """WITH delc AS (SELECT c_custkey AS k FROM customer
+        |             WHERE c_custkey % 97 = 0),
+        |delo AS (SELECT o_orderkey AS ok FROM orders
+        |         WHERE o_custkey IN (SELECT k FROM delc)),
+        |r AS (
+        |  SELECT 'customer' AS table_name,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_before,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM delc) AS n_deleted
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT ok FROM delo))
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM delo))
+        |SELECT table_name, n_before, n_deleted,
+        |       n_before - n_deleted AS n_after
+        |FROM r ORDER BY table_name""".stripMargin),
+
     // Referential-integrity census over the WHOLE star schema: for every
     // foreign-key edge, how many child rows point at a missing parent —
     // the first audit a warehouse loads run, and the reference's DDL
