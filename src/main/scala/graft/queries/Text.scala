@@ -181,6 +181,83 @@ object Text {
 
   val registry: Map[String, QuerySpec] = Map(
 
+    // Token-mass inequality census: the Gini coefficient and top-decile
+    // share of tokens-per-document — "how concentrated is the corpus in
+    // its longest documents", the statistic that decides whether
+    // length-capping / chunking policy actually changes the training
+    // mix. Gini needs a GLOBAL ascending rank, which is the
+    // single-partition-sort trap; this runs it BANDED (the
+    // customer_abc_classes pattern): ranks are per-band windows (band =
+    // tokens div 32 — bounded by max document length, independent of
+    // corpus size) plus cumulative band-count offsets from the tiny
+    // band table. Everything is exact integer arithmetic (Σ rank·x as
+    // BIGINT — exact up to ~1e9 doc·token scale, switch the sum to
+    // DECIMAL(38,0) beyond) until the two closed-form divisions.
+    "corpus_token_gini" -> QuerySpec(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val dt = Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("tk"))
+          .withColumn("band", expr("tk div 32"))
+        val wIn = W.partitionBy("band").orderBy("tk", "doc_id")
+        val ranked = dt.withColumn("rin", row_number().over(wIn)
+          .cast("long"))
+        val base = dt.groupBy("band").agg(count(lit(1)).as("bn"))
+          .withColumn("cbase", coalesce(
+            sum("bn").over(W.orderBy("band").rowsBetween(
+              Long.MinValue, -1)), lit(0L)))
+          .select("band", "cbase")
+        val g = ranked.join(broadcast(base), "band")
+          .select((col("rin") + col("cbase")).as("r"), col("tk"))
+        val tot = g.agg(count(lit(1)).as("n"), sum("tk").as("sx"),
+          sum(col("r") * col("tk")).as("srx"))
+        g.crossJoin(broadcast(tot))
+          .groupBy("n", "sx", "srx")
+          .agg(sum(when(col("r") > col("n") - expr("n div 10"),
+            col("tk")).otherwise(0L)).as("top_decile_tokens"))
+          .select(col("n").as("n_docs"), col("sx").as("total_tokens"),
+            ((lit(2.0) * col("srx").cast("double")) /
+              (col("n").cast("double") * col("sx").cast("double")) -
+              (col("n") + 1).cast("double") / col("n").cast("double"))
+              .as("gini"),
+            col("top_decile_tokens"),
+            (col("top_decile_tokens").cast("double") /
+              col("sx").cast("double")).as("top_decile_share"))
+      },
+      s"""WITH dt AS (
+         |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS tk,
+         |         CAST(len($duckToks) AS BIGINT) // 32 AS band
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT band, tk, CAST(row_number() OVER (PARTITION BY band
+         |           ORDER BY tk, doc_id) AS BIGINT) AS rin
+         |  FROM dt),
+         |base AS (
+         |  SELECT band, COALESCE(CAST(SUM(bn) OVER (ORDER BY band
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS BIGINT), 0) AS cbase
+         |  FROM (SELECT band, CAST(COUNT(*) AS BIGINT) AS bn
+         |        FROM dt GROUP BY 1)),
+         |g AS (SELECT r.rin + b.cbase AS r, r.tk
+         |      FROM ranked r JOIN base b USING (band)),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |          CAST(SUM(tk) AS BIGINT) AS sx,
+         |          CAST(SUM(r * tk) AS BIGINT) AS srx
+         |        FROM g),
+         |td AS (SELECT CAST(SUM(CASE WHEN g.r > tot.n - tot.n // 10
+         |               THEN g.tk ELSE 0 END) AS BIGINT)
+         |          AS top_decile_tokens
+         |       FROM g, tot)
+         |SELECT tot.n AS n_docs, tot.sx AS total_tokens,
+         |       (2.0 * CAST(srx AS DOUBLE)) /
+         |         (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) -
+         |         CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini,
+         |       top_decile_tokens,
+         |       CAST(top_decile_tokens AS DOUBLE) / CAST(sx AS DOUBLE)
+         |         AS top_decile_share
+         |FROM tot, td""".stripMargin),
+
     // Per-source DATASET CARD: the one-table summary a corpus ships with
     // — per source: document and token mass, token share of the whole
     // corpus, English fraction, and language-diversity Gini (rational,
