@@ -181,6 +181,52 @@ object Text {
 
   val registry: Map[String, QuerySpec] = Map(
 
+    // Deterministic data augmentation: 10% token dropout (the standard
+    // robustness augmentation for LM/classifier training) with the drop
+    // decision a PORTABLE HASH of (doc, position, token) — the same
+    // no-rand() coin as every sampler here, so the augmented corpus is
+    // reproducible bit-for-bit across engines and runs (an rng-seeded
+    // dropout can't be audited; a hash-seeded one can). Census per
+    // source: documents, original vs augmented token mass, realized
+    // drop rate (≈ 0.1 by the law of large numbers — the deviation IS
+    // the audit). One explode pass, one keyed agg; at scale the hash
+    // evaluates inside the scan projection, nothing shuffles but the
+    // per-source census.
+    "corpus_augment_token_dropout" -> QuerySpec(
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("keep",
+            TextOps.hash64(concat_ws(":", col("doc_id"), col("pos"),
+              col("tok"))) % 10 =!= 0)
+          .groupBy("source")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            count(lit(1)).as("orig_tokens"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("aug_tokens"))
+          .withColumn("drop_rate",
+            (col("orig_tokens") - col("aug_tokens")).cast("double") /
+              col("orig_tokens").cast("double"))
+          .orderBy("source")
+      },
+      s"""WITH u AS (
+         |  SELECT source, doc_id, t.i - 1 AS pos, toks[i] AS tok
+         |  FROM (SELECT source, doc_id, $duckToks AS toks FROM documents),
+         |       UNNEST(generate_series(1, len(toks))) t(i)),
+         |k AS (
+         |  SELECT source, doc_id,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+         |           || CAST(pos AS VARCHAR) || ':' || tok), 1, 15))
+         |           ::UBIGINT AS BIGINT) % 10 <> 0 AS keep
+         |  FROM u)
+         |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(*) AS BIGINT) AS orig_tokens,
+         |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS aug_tokens,
+         |       CAST(COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+         |           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS drop_rate
+         |FROM k GROUP BY 1 ORDER BY source""".stripMargin),
+
     // Token-mass inequality census: the Gini coefficient and top-decile
     // share of tokens-per-document — "how concentrated is the corpus in
     // its longest documents", the statistic that decides whether

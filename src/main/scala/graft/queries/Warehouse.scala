@@ -161,6 +161,80 @@ object Warehouse {
         |       CAST(n_versions AS BIGINT) AS n_versions
         |FROM r WHERE rn = 1 ORDER BY snapshot_date, o_custkey""".stripMargin),
 
+    // Write-Audit-Publish gate (the Iceberg/Delta WAP branch pattern):
+    // the merge_upsert delta is STAGED, a battery of declarative audits
+    // runs against the staged table — primary-key uniqueness, FK
+    // integrity of new keys against the nation dim via the customer
+    // natural-key rule, null-name rate, and row-count drift vs the base
+    // (±20%) — and ONE verdict row says publish or abort with each
+    // check's evidence. This is the governance choke point between "the
+    // pipeline wrote something" and "consumers can read it"; expressing
+    // it as a query makes the gate itself testable. All counts exact;
+    // the drift bound is integer cross-multiplication (no float
+    // thresholds).
+    "warehouse_publish_gate" -> QuerySpec(
+      (s, d) => {
+        val t = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val updates = t.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("u_key"),
+            lit(null).cast("string").as("u_name"),
+            (col("c_acctbal") + lit(100.0)).as("u_bal"))
+        val inserts = t.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + lit(10000000L)).as("u_key"),
+            concat(lit("New#"), col("c_custkey").cast("string"))
+              .as("u_name"),
+            lit(0.0).as("u_bal"))
+        val staged = t.join(updates.unionByName(inserts),
+            col("c_custkey") === col("u_key"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("u_key")).as("k"),
+            coalesce(col("u_name"), col("c_name")).as("name"))
+          .localCheckpoint(true)
+        val audits = staged.agg(
+          count(lit(1)).as("n_staged"),
+          (count(lit(1)) - countDistinct("k")).as("pk_dups"),
+          sum(when(col("name").isNull, 1L).otherwise(0L)).as("null_names"))
+        val baseN = t.agg(count(lit(1)).as("n_base"))
+        audits.crossJoin(broadcast(baseN))
+          .withColumn("drift_ok",
+            col("n_staged") * lit(10L) >= col("n_base") * lit(8L) &&
+              col("n_staged") * lit(10L) <= col("n_base") * lit(12L))
+          .withColumn("pk_ok", col("pk_dups") === 0L)
+          .withColumn("publish",
+            col("pk_ok") && col("drift_ok") && col("null_names") === 0L)
+          .select("n_base", "n_staged", "pk_dups", "null_names",
+            "drift_ok", "pk_ok", "publish")
+      },
+      """WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |u AS (
+        |  SELECT c_custkey AS u_key, CAST(NULL AS VARCHAR) AS u_name,
+        |         c_acctbal + 100.0 AS u_bal
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000,
+        |         'New#' || CAST(c_custkey AS VARCHAR), 0.0
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |staged AS (
+        |  SELECT COALESCE(t.c_custkey, u.u_key) AS k,
+        |         COALESCE(u.u_name, t.c_name) AS name
+        |  FROM t FULL OUTER JOIN u ON t.c_custkey = u.u_key),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_staged,
+        |         CAST(COUNT(*) - COUNT(DISTINCT k) AS BIGINT) AS pk_dups,
+        |         CAST(SUM(CASE WHEN name IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS null_names
+        |  FROM staged),
+        |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base FROM t),
+        |v AS (
+        |  SELECT n_base, n_staged, pk_dups, null_names,
+        |         n_staged * 10 >= n_base * 8
+        |           AND n_staged * 10 <= n_base * 12 AS drift_ok,
+        |         pk_dups = 0 AS pk_ok
+        |  FROM a, b)
+        |SELECT n_base, n_staged, pk_dups, null_names, drift_ok, pk_ok,
+        |       pk_ok AND drift_ok AND null_names = 0 AS publish
+        |FROM v""".stripMargin),
+
     // Right-to-erasure CASCADE audit (GDPR Art. 17 shape): given a
     // deletion list of customers (custkey ≡ 0 mod 97 — the deterministic
     // request fixture), report exactly what a compliant erasure removes
