@@ -181,6 +181,84 @@ object Text {
 
   val registry: Map[String, QuerySpec] = Map(
 
+    // Epoch-shuffle audit: a training loader must present examples in a
+    // DIFFERENT order every epoch (residual order correlation biases
+    // SGD), and a reproducible pipeline derives each epoch's order from
+    // a hash, not an RNG. This query computes two epochs' orders
+    // (rank by md5(epoch:doc)) and their Spearman correlation in the
+    // fully exact form ρ = 1 − 6·Σd²/(n·(n²−1)) — integer numerators
+    // end to end, one final division — with the verdict |ρ| ≤ 0.1.
+    // The global ranks use the banded pattern a THIRD way: hash-prefix
+    // bands (top bits of the 60-bit hash), which are uniform by
+    // construction, so in-band windows stay balanced at any corpus
+    // size; cross-band offsets come from the tiny band-count table.
+    "dataset_epoch_shuffle_audit" -> QuerySpec(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        def ranked(epoch: Int) = {
+          val h = TextOps.hash64(
+            concat_ws(":", lit(epoch), col("doc_id")))
+          val base = Tables.documents(s, d)
+            .select(col("doc_id"), h.as("h"))
+            .withColumn("band", expr("h div 18014398509481984")) // 2^54
+          val wIn = W.partitionBy("band").orderBy("h", "doc_id")
+          val off = base.groupBy("band").agg(count(lit(1)).as("bn"))
+            .withColumn("cbase", coalesce(sum("bn").over(
+              W.orderBy("band").rowsBetween(Long.MinValue, -1)), lit(0L)))
+            .select("band", "cbase")
+          base.withColumn("rin", row_number().over(wIn).cast("long"))
+            .join(broadcast(off), "band")
+            .select(col("doc_id"), (col("rin") + col("cbase"))
+              .as(s"r$epoch"))
+        }
+        ranked(1).join(ranked(2), "doc_id")
+          .select(((col("r1") - col("r2")) * (col("r1") - col("r2")))
+            .as("d2"))
+          .agg(count(lit(1)).as("n"), sum("d2").as("sum_d2"))
+          .withColumn("spearman_rho", lit(1.0) -
+            (lit(6.0) * col("sum_d2").cast("double")) /
+            (col("n").cast("double") *
+              (col("n") * col("n") - 1).cast("double")))
+          .withColumn("decorrelated", abs(col("spearman_rho")) <= lit(0.1))
+          .select("n", "sum_d2", "spearman_rho", "decorrelated")
+      },
+      {
+        def ranked(e: Int) =
+          s"""b$e AS (
+             |  SELECT doc_id, h, h // 18014398509481984 AS band
+             |  FROM (SELECT doc_id,
+             |          CAST(('0x' || substr(md5('$e' || ':' ||
+             |            CAST(doc_id AS VARCHAR)), 1, 15))
+             |            ::UBIGINT AS BIGINT) AS h
+             |        FROM documents)),
+             |o$e AS (
+             |  SELECT band, COALESCE(CAST(SUM(bn) OVER (ORDER BY band
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |           AS BIGINT), 0) AS cbase
+             |  FROM (SELECT band, CAST(COUNT(*) AS BIGINT) AS bn
+             |        FROM b$e GROUP BY 1)),
+             |r$e AS (
+             |  SELECT b.doc_id,
+             |         CAST(row_number() OVER (PARTITION BY b.band
+             |           ORDER BY b.h, b.doc_id) AS BIGINT) + o.cbase
+             |           AS r$e
+             |  FROM b$e b JOIN o$e o USING (band))""".stripMargin
+        s"""WITH ${ranked(1)},
+           |${ranked(2)},
+           |dd AS (SELECT (r1.r1 - r2.r2) * (r1.r1 - r2.r2) AS d2
+           |       FROM r1 JOIN r2 USING (doc_id)),
+           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |        CAST(SUM(d2) AS BIGINT) AS sum_d2 FROM dd)
+           |SELECT n, sum_d2,
+           |       1.0 - (6.0 * CAST(sum_d2 AS DOUBLE)) /
+           |         (CAST(n AS DOUBLE) * CAST(n * n - 1 AS DOUBLE))
+           |         AS spearman_rho,
+           |       abs(1.0 - (6.0 * CAST(sum_d2 AS DOUBLE)) /
+           |         (CAST(n AS DOUBLE) * CAST(n * n - 1 AS DOUBLE)))
+           |         <= 0.1 AS decorrelated
+           |FROM a""".stripMargin
+      }),
+
     // Deterministic data augmentation: 10% token dropout (the standard
     // robustness augmentation for LM/classifier training) with the drop
     // decision a PORTABLE HASH of (doc, position, token) — the same
