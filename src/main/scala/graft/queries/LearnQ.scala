@@ -705,6 +705,126 @@ object LearnQ {
         |       impurity = MIN(impurity) OVER () AS is_best
         |FROM s ORDER BY split_bin""".stripMargin),
 
+    // Depth-2 CART: the histogram stump's best price split becomes the
+    // ROOT, then each branch independently searches the best one-vs-rest
+    // categorical split on order priority — the exact recursive-
+    // partitioning step every tree ensemble repeats, expressed as two
+    // rounds of keyed count aggregation (level 1: the stump's
+    // cumulative-histogram search; level 2: per-(branch, value) counts
+    // vs branch totals). Everything is integer counts and the same
+    // rational impurity p(n−p)/n as the stump; the root argmin rides a
+    // 1-row broadcast; per-branch argmin is a window over ≤5 candidate
+    // rows. Output: per branch, its mass, the winning priority split,
+    // impurity before/after, and the gain. At scale: two passes over
+    // the fact, histogram-sized shuffles only — the classic
+    // distributed-tree recipe (XGBoost's approx split finding).
+    "learn_tree_depth2" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def gini(p: Column, n: Column): Column =
+          (p * (n - p)).cast("double") / n.cast("double")
+        val base = Tables.orders(s, d)
+          .select(
+            least(floor(col("o_totalprice") / lit(25000.0)), lit(19.0))
+              .cast("int").as("bin"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+            col("o_orderpriority").as("prio"))
+        val bins = base.groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum("y").as("p"))
+        val tot = bins.agg(sum("n").as("n_tot"), sum("p").as("p_tot"))
+        val wc = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val splits = bins
+          .select(col("bin"), sum("n").over(wc).as("nl"),
+            sum("p").over(wc).as("pl"))
+          .crossJoin(broadcast(tot))
+          .filter(col("nl") > 0 && col("n_tot") - col("nl") > 0)
+          .select(col("bin"),
+            (gini(col("pl"), col("nl")) +
+              gini(col("p_tot") - col("pl"), col("n_tot") - col("nl")))
+              .as("imp"))
+        val root = splits.orderBy("imp", "bin").limit(1)
+          .select(col("bin").as("root_bin"))
+        val branched = base.crossJoin(broadcast(root))
+          .withColumn("branch",
+            when(col("bin") <= col("root_bin"), "left").otherwise("right"))
+        val pv = branched.groupBy("branch", "prio")
+          .agg(count(lit(1)).as("nv"), sum("y").as("pvp"))
+        val bt = pv.groupBy("branch")
+          .agg(sum("nv").as("bn"), sum("pvp").as("bp"))
+        val wB = Window.partitionBy("branch")
+          .orderBy("imp_after", "prio")
+        pv.join(broadcast(bt), "branch")
+          .filter(col("nv") < col("bn")) // one-vs-rest needs a rest
+          .select(col("branch"), col("prio"), col("bn"), col("bp"),
+            (gini(col("pvp"), col("nv")) +
+              gini(col("bp") - col("pvp"), col("bn") - col("nv")))
+              .as("imp_after"))
+          .withColumn("rk", row_number().over(wB))
+          .filter(col("rk") === 1)
+          .crossJoin(broadcast(root))
+          .select(col("root_bin"), col("branch"), col("bn"), col("bp"),
+            col("prio").as("best_priority"),
+            gini(col("bp"), col("bn")).as("imp_before"),
+            col("imp_after"),
+            (gini(col("bp"), col("bn")) - col("imp_after")).as("gain"))
+          .orderBy("branch")
+      },
+      """WITH base AS (
+        |  SELECT CAST(LEAST(FLOOR(o_totalprice / 25000.0), 19.0) AS INT)
+        |           AS bin,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |         o_orderpriority AS prio
+        |  FROM orders),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(y) AS BIGINT) AS p
+        |      FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+        |               CAST(SUM(p) AS BIGINT) AS p_tot FROM g),
+        |c AS (SELECT bin,
+        |        CAST(SUM(n) OVER w AS BIGINT) AS nl,
+        |        CAST(SUM(p) OVER w AS BIGINT) AS pl
+        |      FROM g
+        |      WINDOW w AS (ORDER BY bin
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |sp AS (SELECT bin,
+        |         CAST(pl * (nl - pl) AS DOUBLE) / CAST(nl AS DOUBLE)
+        |         + CAST((p_tot - pl) * ((n_tot - nl) - (p_tot - pl))
+        |             AS DOUBLE) / CAST(n_tot - nl AS DOUBLE) AS imp
+        |       FROM c, tot
+        |       WHERE nl > 0 AND n_tot - nl > 0),
+        |root AS (SELECT bin AS root_bin FROM sp
+        |         ORDER BY imp, bin LIMIT 1),
+        |br AS (SELECT CASE WHEN bin <= root_bin THEN 'left'
+        |              ELSE 'right' END AS branch, y, prio
+        |       FROM base, root),
+        |pv AS (SELECT branch, prio, CAST(COUNT(*) AS BIGINT) AS nv,
+        |              CAST(SUM(y) AS BIGINT) AS pvp
+        |       FROM br GROUP BY 1, 2),
+        |bt AS (SELECT branch, CAST(SUM(nv) AS BIGINT) AS bn,
+        |              CAST(SUM(pvp) AS BIGINT) AS bp
+        |       FROM pv GROUP BY 1),
+        |cand AS (SELECT pv.branch, pv.prio, bt.bn, bt.bp,
+        |           CAST(pv.pvp * (pv.nv - pv.pvp) AS DOUBLE)
+        |             / CAST(pv.nv AS DOUBLE)
+        |           + CAST((bt.bp - pv.pvp) * ((bt.bn - pv.nv)
+        |               - (bt.bp - pv.pvp)) AS DOUBLE)
+        |             / CAST(bt.bn - pv.nv AS DOUBLE) AS imp_after
+        |         FROM pv JOIN bt USING (branch)
+        |         WHERE pv.nv < bt.bn),
+        |best AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY branch
+        |      ORDER BY imp_after, prio) AS rk FROM cand)
+        |  WHERE rk = 1)
+        |SELECT root.root_bin, best.branch, best.bn, best.bp,
+        |       best.prio AS best_priority,
+        |       CAST(best.bp * (best.bn - best.bp) AS DOUBLE)
+        |         / CAST(best.bn AS DOUBLE) AS imp_before,
+        |       best.imp_after,
+        |       CAST(best.bp * (best.bn - best.bp) AS DOUBLE)
+        |         / CAST(best.bn AS DOUBLE) - best.imp_after AS gain
+        |FROM best, root ORDER BY branch""".stripMargin),
+
     // Linear SVM trained ON the engine: 5 rounds of BATCH subgradient
     // descent on L2-regularized hinge loss (Pegasos-style, full-batch
     // variant) over the SAME shared feature table as logreg — the
