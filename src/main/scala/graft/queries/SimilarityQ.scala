@@ -290,6 +290,82 @@ object SimilarityQ {
          |FROM bmtop b FULL OUTER JOIN anntop a ON b.id = a.id
          |ORDER BY rrf DESC, doc_id""".stripMargin),
 
+    // k-means ELBOW curve: within-cluster inertia (Σ min-L2²) for
+    // k ∈ {2, 4, 8} at the shared 2-round training recipe — the
+    // cluster-count selection plot, and the capacity-planning input for
+    // IVF cell sizing (cells ≈ the elbow's knee × a probe-cost factor).
+    // Each k trains with the identical deterministic recipe the shared
+    // codebook uses (sha2 sample-then-rank seeds, argmin-L2² folds,
+    // exact scaled-decimal means) and the oracle replays ALL THREE
+    // trainings CTE-chain by CTE-chain. Inertia sums are 2^32-scaled
+    // floor()ed decimals (unit vectors ⇒ L2² ≤ 4; 2^32 keeps the
+    // accumulated sum under 2^53 through sf1 — the HitsScale budget).
+    // Scale: 3 × (rounds × one broadcast-fold corpus scan); nothing
+    // else touches the corpus.
+    "similarity_kmeans_elbow_curve" -> QuerySpec(
+      (s, d) => {
+        val sc = 4294967296.0 // 2^32
+        val emb = Tables.embeddings(s, d)
+        val curves = Seq(2, 4, 8).map { k =>
+          val cents = Similarity.kmeansCentroids(emb, k, 2)
+          val packed = cents.agg(array_sort(
+            collect_list(struct(col("cent_id"), col("cvec")))).as("cents"))
+          emb.crossJoin(broadcast(packed))
+            .select(array_min(transform(col("cents"), c =>
+              struct(Similarity.l2sq(col("embedding"), c.getField("cvec"))
+                .as("d"), c.getField("cent_id").as("cent_id"))))
+              .getField("d").as("d2"))
+            .agg(count(lit(1)).as("n"),
+              (sum(floor(col("d2") * lit(sc)).cast("decimal(38,0)"))
+                .cast("double") / lit(sc)).as("inertia"))
+            .select(lit(k.toLong).as("k"), col("n"), col("inertia"),
+              (col("inertia") / col("n").cast("double"))
+                .as("mean_d2"))
+        }
+        curves.reduce(_ unionAll _).orderBy("k")
+      },
+      {
+        def leg(k: Int) =
+          s"""SELECT CAST($k AS BIGINT) AS k,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(floor(d2 * 4294967296.0) AS DECIMAL(38,0)))
+             |    AS DOUBLE) / 4294967296.0 AS inertia,
+             |  (CAST(SUM(CAST(floor(d2 * 4294967296.0) AS DECIMAL(38,0)))
+             |    AS DOUBLE) / 4294967296.0) / CAST(COUNT(*) AS DOUBLE)
+             |    AS mean_d2
+             |FROM (
+             |  SELECT vec_id, d2 FROM (
+             |    SELECT ev.vec_id,
+             |           ${duckL2("ev.v", s"c.cvec")} AS d2,
+             |           row_number() OVER (PARTITION BY ev.vec_id
+             |             ORDER BY ${duckL2("ev.v", s"c.cvec")},
+             |               c.cent_id) AS rn
+             |    FROM ev CROSS JOIN ck$k c) WHERE rn = 1)""".stripMargin
+        // three independent trainings; rename each chain's CTEs to
+        // avoid collisions (ev is shared, c-chains are per-k)
+        def chain(k: Int) = duckKmeansCtes(k, 2)
+          .replaceAll("\\bc0\\b", s"ck${k}_0")
+          .replaceAll("\\bc1\\b", s"ck${k}_1")
+          .replaceAll("\\bc2\\b", s"ck$k")
+          .replaceAll("\\ba1\\b", s"ak${k}_1")
+          .replaceAll("\\ba2\\b", s"ak${k}_2")
+          .replaceAll("\\bm1\\b", s"mk${k}_1")
+          .replaceAll("\\bm2\\b", s"mk${k}_2")
+          .replaceAll("\\bn1\\b", s"nk${k}_1")
+          .replaceAll("\\bn2\\b", s"nk${k}_2")
+        val c2 = chain(2)
+        // chains 4 and 8 redefine ev identically — strip their ev CTE
+        def tail(k: Int) = {
+          val ch = chain(k)
+          ch.substring(ch.indexOf("c" + "k" + k + "_0 AS"))
+        }
+        s"""WITH $c2,
+           |${tail(4)},
+           |${tail(8)}
+           |${Seq(2, 4, 8).map(leg).mkString("\nUNION ALL\n")}
+           |ORDER BY k""".stripMargin
+      }),
+
     // BATCHED multi-query ANN — retrieval serving's throughput shape:
     // ten query vectors resolved in ONE pass instead of ten sequential
     // searches. All queries assign to their IVF cell up front, the
