@@ -371,6 +371,72 @@ object Scale {
     // across sf0.001-0.1; k=256 gives ~1/√k ≈ 6% typical error). All
     // arithmetic is exact integers until the two final divisions,
     // written in the same order on both engines.
+    // KMV/theta sketch set-UNION estimate — the other half of the
+    // mergeable-sketch algebra next to the intersection row: every
+    // SOURCE keeps its own k=64 minimum-hash sketch of document
+    // fingerprints (20 independent sketches, built where the data
+    // lives), only the 20×64 hash summaries travel, the merge is "pool
+    // and keep the k smallest", and |∪| ≈ (k−1)/θ with θ the merged
+    // k-th minimum as a fraction of hash space. Bound-verdict form:
+    // compared against the exact distinct count computed alongside,
+    // asserting rel_err ≤ 0.25 (k=64 ⇒ ~1/√k ≈ 12.5% typical). The
+    // per-source TakeOrdered never sorts a corpus; the merge sorts
+    // 20·k rows.
+    "sketch_theta_union" -> QuerySpec(
+      (s, d) => {
+        val k = 64
+        val two60 = 1152921504606846976.0 // 2^60
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("h")
+        val hashed = Tables.documents(s, d)
+          .select(col("source"),
+            graft.ext.TextOps.hash64(col("text")).as("h"))
+        val sketches = hashed
+          .withColumn("rn", row_number().over(W))
+          .filter(col("rn") <= k)
+          .select(col("source"), col("h"))
+        val merged = sketches.select(col("h")).distinct()
+          .orderBy("h").limit(k)
+        val theta = merged.agg(max("h").as("theta"),
+          count(lit(1)).as("k_eff"))
+        val exact = hashed.select("h").distinct()
+          .agg(count(lit(1)).as("exact_distinct"))
+        val est = (col("k_eff") - 1).cast("double") /
+          (col("theta").cast("double") / lit(two60))
+        theta.crossJoin(broadcast(exact))
+          .select(lit(k.toLong).as("k"), col("k_eff"),
+            est.as("est_union"), col("exact_distinct"),
+            (abs(est - col("exact_distinct").cast("double")) /
+              col("exact_distinct").cast("double")).as("rel_err"))
+          .withColumn("within_bound", col("rel_err") <= lit(0.25))
+      },
+      """WITH hashed AS (
+        |  SELECT source, CAST(('0x' || substr(md5(text), 1, 15))
+        |           ::UBIGINT AS BIGINT) AS h
+        |  FROM documents),
+        |sk AS (SELECT source, h FROM (
+        |    SELECT source, h, row_number() OVER (PARTITION BY source
+        |      ORDER BY h) AS rn
+        |    FROM hashed) WHERE rn <= 64),
+        |merged AS (SELECT DISTINCT h FROM sk ORDER BY h LIMIT 64),
+        |th AS (SELECT CAST(MAX(h) AS BIGINT) AS theta,
+        |              CAST(COUNT(*) AS BIGINT) AS k_eff FROM merged),
+        |x AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_distinct
+        |      FROM hashed),
+        |e AS (SELECT CAST(64 AS BIGINT) AS k, k_eff,
+        |        CAST(k_eff - 1 AS DOUBLE) /
+        |          (CAST(theta AS DOUBLE) / 1152921504606846976.0)
+        |          AS est_union,
+        |        exact_distinct
+        |      FROM th, x)
+        |SELECT k, k_eff, est_union, exact_distinct,
+        |       abs(est_union - CAST(exact_distinct AS DOUBLE))
+        |         / CAST(exact_distinct AS DOUBLE) AS rel_err,
+        |       abs(est_union - CAST(exact_distinct AS DOUBLE))
+        |         / CAST(exact_distinct AS DOUBLE) <= 0.25
+        |         AS within_bound
+        |FROM e""".stripMargin),
+
     "sketch_kmv_intersection" -> QuerySpec(
       (s, d) => {
         val k = 256
