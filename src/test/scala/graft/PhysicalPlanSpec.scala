@@ -473,4 +473,36 @@ class PhysicalPlanSpec extends SparkSpec {
       s"filtered ANN must not shuffle the corpus by vec_id:\n$ft")
     assert(!ft.contains("Window"), ft)
   }
+
+  test("round-8 fourth wave keeps its declared scale shapes") {
+    // walk census: each step is localCheckpointed (the per-step joins
+    // have already executed by the time the final plan exists), so the
+    // observable plan is the union + census over materialized steps —
+    // assert the top-k is a heap and nothing cartesian survives; the
+    // per-step broadcast shape is the same join khopExpand pins.
+    val wk = plan(SparkEntry.registry("graph_walk_visit_census")
+      .fn(spark, sf))
+    assert(wk.contains("TakeOrderedAndProject"), wk)
+    assert(!wk.contains("CartesianProduct"), wk)
+    // batched ANN: the query batch broadcasts; per-query top-5 is a
+    // WindowGroupLimit partitioned by q_id; no corpus vec_id shuffle.
+    val bt = plan(SparkEntry.registry("similarity_batch_topk")
+      .fn(spark, sf))
+    assert(bt.contains("WindowGroupLimit [q_id"), bt)
+    assert(!bt.contains("hashpartitioning(vec_id"),
+      s"batched ANN must not shuffle the corpus by vec_id:\n$bt")
+    // FK integrity: every orphan probe is a broadcast left-anti join of
+    // the parent key set — the child scans never shuffle for the check.
+    val fk = plan(SparkEntry.registry("profile_fk_integrity")
+      .fn(spark, sf))
+    assert(fk.contains("BroadcastHashJoin") &&
+      fk.contains("LeftAnti"), fk)
+    assert(!fk.contains("SortMergeJoin"), fk)
+    // theta union: both the per-source sketch cut (window over k rows
+    // after a keyed shuffle) and the merge (TakeOrdered over 20·k rows)
+    // avoid any corpus-wide global sort.
+    val tu = plan(SparkEntry.registry("sketch_theta_union").fn(spark, sf))
+    assert(tu.contains("TakeOrderedAndProject"), tu)
+    assert(!tu.contains("CartesianProduct"), tu)
+  }
 }
