@@ -705,6 +705,113 @@ object LearnQ {
         |       impurity = MIN(impurity) OVER () AS is_best
         |FROM s ORDER BY split_bin""".stripMargin),
 
+    // ALS half-step (the matrix-factorization recommender's inner loop,
+    // canonical Spark workload): with rank-2 item factors FIXED
+    // (hash-derived rationals — the deterministic stand-in for the
+    // previous iteration's factors), solve every user's factors in
+    // closed form — the per-user ridge system (QᵀQ + λI)u = Qᵀr is 2×2,
+    // so the solve is an explicit determinant formula, NO linear-algebra
+    // library and no iteration. One keyed agg computes each user's five
+    // sufficient sums (2^30-scaled exact decimals); the solve and the
+    // global training RMSE are fixed double chains. Output: top-20
+    // users by factor norm + the fleet RMSE. At 100 TB this is
+    // per-user-keyed all the way down — exactly how ALS scales, with
+    // the item-factor table broadcast (rank × |items| doubles).
+    "learn_als_half_step" -> QuerySpec(
+      (s, d) => {
+        val sc = 1073741824.0 // 2^30
+        def dec(c: Column) =
+          sum(floor(c * lit(sc)).cast("decimal(38,0)")).cast("double") /
+            lit(sc)
+        val lam = 0.1
+        def qf(i: Int) =
+          ((graft.ext.TextOps.hash64(
+            concat_ws(":", col("l_partkey"), lit(i))) % 1000)
+            .cast("double") / lit(1000.0)) - lit(0.5)
+        val r = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey"),
+              col("l_quantity").cast("double").as("rt")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_partkey"), col("rt"),
+            qf(1).as("q1"), qf(2).as("q2"))
+        val su = r.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_items"),
+            dec(col("q1") * col("q1")).as("a11"),
+            dec(col("q1") * col("q2")).as("a12"),
+            dec(col("q2") * col("q2")).as("a22"),
+            dec(col("rt") * col("q1")).as("b1"),
+            dec(col("rt") * col("q2")).as("b2"))
+          .withColumn("det",
+            (col("a11") + lit(lam)) * (col("a22") + lit(lam)) -
+              col("a12") * col("a12"))
+          .withColumn("u1",
+            ((col("a22") + lit(lam)) * col("b1") -
+              col("a12") * col("b2")) / col("det"))
+          .withColumn("u2",
+            ((col("a11") + lit(lam)) * col("b2") -
+              col("a12") * col("b1")) / col("det"))
+          .select("o_custkey", "n_items", "u1", "u2")
+          .localCheckpoint(true)
+        val err = r.join(su, "o_custkey")
+          .select((col("rt") - (col("u1") * col("q1") +
+            col("u2") * col("q2"))).as("e"))
+        val rmse = err.agg(
+          sqrt(dec(col("e") * col("e")) /
+            count(lit(1)).cast("double")).as("rmse_global"))
+        su.crossJoin(broadcast(rmse))
+          .withColumn("norm2",
+            col("u1") * col("u1") + col("u2") * col("u2"))
+          .orderBy(desc("norm2"), asc("o_custkey")).limit(20)
+          .select("o_custkey", "n_items", "u1", "u2", "norm2",
+            "rmse_global")
+      },
+      """WITH r AS (
+        |  SELECT o.o_custkey, l.l_partkey,
+        |         CAST(l.l_quantity AS DOUBLE) AS rt,
+        |         CAST(CAST(('0x' || substr(md5(
+        |             CAST(l.l_partkey AS VARCHAR) || ':' || '1'), 1, 15))
+        |             ::UBIGINT AS BIGINT) % 1000 AS DOUBLE)
+        |           / 1000.0 - 0.5 AS q1,
+        |         CAST(CAST(('0x' || substr(md5(
+        |             CAST(l.l_partkey AS VARCHAR) || ':' || '2'), 1, 15))
+        |             ::UBIGINT AS BIGINT) % 1000 AS DOUBLE)
+        |           / 1000.0 - 0.5 AS q2
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |su AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(CAST(floor(q1 * q1 * 1073741824.0)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0 AS a11,
+        |    CAST(SUM(CAST(floor(q1 * q2 * 1073741824.0)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0 AS a12,
+        |    CAST(SUM(CAST(floor(q2 * q2 * 1073741824.0)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0 AS a22,
+        |    CAST(SUM(CAST(floor(rt * q1 * 1073741824.0)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0 AS b1,
+        |    CAST(SUM(CAST(floor(rt * q2 * 1073741824.0)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0 AS b2
+        |  FROM r GROUP BY 1),
+        |uf AS (
+        |  SELECT o_custkey, n_items,
+        |    ((a22 + 0.1) * b1 - a12 * b2) /
+        |      ((a11 + 0.1) * (a22 + 0.1) - a12 * a12) AS u1,
+        |    ((a11 + 0.1) * b2 - a12 * b1) /
+        |      ((a11 + 0.1) * (a22 + 0.1) - a12 * a12) AS u2
+        |  FROM su),
+        |er AS (
+        |  SELECT r.rt - (uf.u1 * r.q1 + uf.u2 * r.q2) AS e
+        |  FROM r JOIN uf USING (o_custkey)),
+        |rm AS (
+        |  SELECT sqrt((CAST(SUM(CAST(floor(e * e * 1073741824.0)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0)
+        |      / CAST(COUNT(*) AS DOUBLE)) AS rmse_global
+        |  FROM er)
+        |SELECT o_custkey, n_items, u1, u2,
+        |       u1 * u1 + u2 * u2 AS norm2, rmse_global
+        |FROM uf, rm
+        |ORDER BY norm2 DESC, o_custkey LIMIT 20""".stripMargin),
+
     // Depth-2 CART: the histogram stump's best price split becomes the
     // ROOT, then each branch independently searches the best one-vs-rest
     // categorical split on order priority — the exact recursive-
