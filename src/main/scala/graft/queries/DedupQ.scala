@@ -454,6 +454,78 @@ object DedupQ {
          |SELECT src AS node, least(src, MIN(dst)) AS component
          |FROM reach GROUP BY src ORDER BY node""".stripMargin),
 
+    // Detector AGREEMENT audit: the two independent near-dup detectors —
+    // MinHash-LSH verified pairs (shingle Jaccard ≥ 0.5, the shared pair
+    // stage) and banded SimHash (Hamming ≤ 3 on the 60-bit token
+    // simhash) — scored against each other with a full-outer pair join:
+    // how many pairs both catch, and how many only one sees. The
+    // methods measure DIFFERENT similarities (3-gram set overlap vs
+    // bag-of-words bit votes), so the disagreement rows are the
+    // interesting ones: minhash-only = word-order edits simhash's bag
+    // ignores caught by shingles; simhash-only = token-multiset
+    // near-misses whose 3-gram overlap diluted. Running both and
+    // diffing IS the production calibration procedure for choosing a
+    // detector. Exact counts + one 2^40-decimal Jaccard mass per
+    // verdict class; both detectors stay banded/bucketed.
+    "dedup_detector_agreement" -> QuerySpec(
+      (s, d) => {
+        val mh = lshVerifiedPairs(s, d).filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+        val sh0 = Tables.documents(s, d)
+          .withColumn("hs", Dedup.tokenHashes(
+            array_distinct(TextOps.tokens(col("text")))))
+          .select(col("doc_id"),
+            Dedup.simhashFromHashes(col("hs"), 60).as("simhash"))
+        val shp = Dedup.simhashBandPairs(sh0, "doc_id", "simhash",
+            bands = 4, bitsPerBand = 15, maxDist = 3)
+          .select(col("id_a"), col("id_b"), lit(1L).as("in_sh"))
+        mh.join(shp, Seq("id_a", "id_b"), "full_outer")
+          .select(
+            when(col("jaccard").isNotNull && col("in_sh").isNotNull,
+              "both")
+              .when(col("jaccard").isNotNull, "minhash_only")
+              .otherwise("simhash_only").as("verdict"),
+            coalesce(col("jaccard"), lit(0.0)).as("j"))
+          .groupBy("verdict")
+          .agg(count(lit(1)).as("n_pairs"),
+            (sum(floor(col("j") * lit(1099511627776.0))
+              .cast("decimal(38,0)")).cast("double") /
+              lit(1099511627776.0)).as("jaccard_mass"))
+          .orderBy("verdict")
+      },
+      {
+        val votes = (0 until 60).map { j =>
+          s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+            s"list_transform(hs, h -> (((h >> $j) & 1) * 2 - 1))), " +
+            s"(a,b) -> a+b) > 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH $duckVerifiedCtes,
+           |mh AS (SELECT id_a, id_b, jaccard FROM verified
+           |       WHERE jaccard >= 0.5),
+           |t2 AS (SELECT doc_id, $duckSet AS s2 FROM documents),
+           |h2 AS (SELECT doc_id,
+           |         list_transform(s2, t -> ${duckHash("t")}) AS hs
+           |       FROM t2),
+           |sh2 AS (SELECT doc_id, $votes AS simhash FROM h2),
+           |sp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         CAST(1 AS BIGINT) AS in_sh
+           |       FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+           |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |fo AS (SELECT
+           |         CASE WHEN mh.jaccard IS NOT NULL
+           |                   AND sp.in_sh IS NOT NULL THEN 'both'
+           |              WHEN mh.jaccard IS NOT NULL THEN 'minhash_only'
+           |              ELSE 'simhash_only' END AS verdict,
+           |         COALESCE(mh.jaccard, 0.0) AS j
+           |       FROM mh FULL OUTER JOIN sp
+           |         ON mh.id_a = sp.id_a AND mh.id_b = sp.id_b)
+           |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |       CAST(SUM(CAST(floor(j * 1099511627776.0)
+           |         AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0
+           |         AS jaccard_mass
+           |FROM fo GROUP BY 1 ORDER BY verdict""".stripMargin
+      }),
+
     // SimHash near-pair detection over the FULL corpus (no sampling):
     // 60-bit simhash, banded 4 x 15 bits — by pigeonhole every pair at
     // Hamming distance <= 3 shares at least one exact band, so the banded
