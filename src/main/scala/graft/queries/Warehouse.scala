@@ -161,6 +161,64 @@ object Warehouse {
         |       CAST(n_versions AS BIGINT) AS n_versions
         |FROM r WHERE rn = 1 ORDER BY snapshot_date, o_custkey""".stripMargin),
 
+    // Aggregate-rewrite consistency proof: answer the MONTHLY revenue
+    // question twice — once directly from the fact table, once from the
+    // DAILY pre-aggregate (the materialized-view rewrite every
+    // summary-table architecture performs) — and emit both with an
+    // exact-equality verdict per month. Because the daily rollup keeps
+    // EXACT decimal partial sums (count + DECIMAL(25,6) revenue — the
+    // same mergeable-state discipline as incremental_agg_maintenance),
+    // the rewrite is provably lossless: re-aggregating partials equals
+    // the direct answer bit-for-bit, which is precisely the property
+    // that licenses answering from summaries at all. Two keyed aggs +
+    // one join on month; the verdict column must read all-true.
+    "warehouse_rollup_answering" -> QuerySpec(
+      (s, d) => {
+        val month = expr("year(o_orderdate) * 100 + month(o_orderdate)")
+        val day = to_date(col("o_orderdate"))
+        val daily = Tables.orders(s, d)
+          .groupBy(month.as("month"), day.as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(25,6)")).as("rev"))
+        val fromRollup = daily.groupBy("month")
+          .agg(sum("n").as("n_rollup"),
+            sum("rev").cast("double").as("rev_rollup"))
+        val direct = Tables.orders(s, d)
+          .groupBy(month.as("month"))
+          .agg(count(lit(1)).as("n_direct"),
+            sum(col("o_totalprice").cast("decimal(25,6)"))
+              .cast("double").as("rev_direct"))
+        direct.join(fromRollup, "month")
+          .select(col("month").cast("long").as("month"),
+            col("n_direct"), col("n_rollup"),
+            col("rev_direct"), col("rev_rollup"),
+            (col("n_direct") === col("n_rollup") &&
+              col("rev_direct") === col("rev_rollup")).as("rewrite_exact"))
+          .orderBy("month")
+      },
+      """WITH daily AS (
+        |  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month,
+        |         CAST(o_orderdate AS DATE) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT month, CAST(SUM(n) AS BIGINT) AS n_rollup,
+        |         CAST(SUM(rev) AS DOUBLE) AS rev_rollup
+        |  FROM daily GROUP BY 1),
+        |di AS (
+        |  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month,
+        |         CAST(COUNT(*) AS BIGINT) AS n_direct,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+        |           AS DOUBLE) AS rev_direct
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(di.month AS BIGINT) AS month, n_direct, n_rollup,
+        |       rev_direct, rev_rollup,
+        |       n_direct = n_rollup AND rev_direct = rev_rollup
+        |         AS rewrite_exact
+        |FROM di JOIN fr ON di.month = fr.month
+        |ORDER BY month""".stripMargin),
+
     // Write-Audit-Publish gate (the Iceberg/Delta WAP branch pattern):
     // the merge_upsert delta is STAGED, a battery of declarative audits
     // runs against the staged table — primary-key uniqueness, FK
