@@ -101,6 +101,48 @@ class RegistryInvariantSpec extends SparkSpec {
     assert(r.forall(_.getAs[Int]("label") != qLabel))
   }
 
+  test("Little's law closes exactly: sweep integral == total duration") {
+    val Array(r) = rows("events_littles_law_audit")
+    assert(r.getAs[Boolean]("is_consistent"),
+      s"integral ${r.getAs[Long]("integral_us")} != " +
+        s"durations ${r.getAs[Long]("total_dur_us")}")
+    assert(r.getAs[Double]("avg_concurrency") > 0.0)
+    // L = λ·W closes up to float op-order (the two W derivations use
+    // different operation orders; the INTEGER identity above is the
+    // exact check)
+    val wl = r.getAs[Double]("w_hours_little")
+    val wm = r.getAs[Double]("w_hours_measured")
+    assert(math.abs(wl - wm) <= 1e-12 * math.abs(wm), s"$wl vs $wm")
+  }
+
+  test("rollup answering is bit-exact for every month") {
+    val r = rows("warehouse_rollup_answering")
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Boolean]("rewrite_exact")),
+      r.filterNot(_.getAs[Boolean]("rewrite_exact")).toSeq.toString)
+  }
+
+  test("publish gate passes a healthy staged delta with evidence") {
+    val Array(r) = rows("warehouse_publish_gate")
+    // the update delta's null names do NOT survive the COALESCE merge
+    // (kept names win), inserts stay within the ±20% drift band, and
+    // merge keys stay unique — so the gate reads all-green and says so
+    assert(r.getAs[Boolean]("publish"))
+    assert(r.getAs[Long]("null_names") == 0)
+    assert(r.getAs[Long]("pk_dups") == 0)
+    assert(r.getAs[Boolean]("pk_ok") && r.getAs[Boolean]("drift_ok"))
+    assert(r.getAs[Long]("n_staged") > r.getAs[Long]("n_base"))
+  }
+
+  test("mergeable sketches stay inside their declared error bounds") {
+    val Array(u) = rows("sketch_theta_union")
+    assert(u.getAs[Boolean]("within_bound"),
+      s"union rel_err ${u.getAs[Double]("rel_err")}")
+    val Array(i) = rows("sketch_kmv_intersection")
+    assert(i.getAs[Boolean]("within_bound"),
+      s"intersection rel_err ${i.getAs[Double]("rel_err")}")
+  }
+
   test("Sobel census: flat second rendition matches base edge energy") {
     // rendition 1 is the base raster + a GLOBAL +8 offset; Sobel is a
     // derivative, so both renditions of a doc must report identical
