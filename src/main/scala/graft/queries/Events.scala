@@ -1671,6 +1671,76 @@ object Events {
         |FROM wv WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY attributed_type""".stripMargin),
 
+    // Retention-decay fit WITHOUT logarithms: fit the geometric model
+    // N(t) ≈ N(0)·b̂ᵗ to the weekly retention curve with the
+    // ratio-of-sums estimator b̂ = ΣN(1..T) / ΣN(0..T−1) — the
+    // closed-form MLE for a constant hazard, fully RATIONAL (a
+    // log-space least squares would hinge on ln() parity). Predictions
+    // evaluate b̂ᵗ as an identical left-fold product on both engines
+    // (t ≤ weeks-in-window, bounded); the per-offset absolute errors
+    // report where reality leaves the geometric model — the churn
+    // readout a growth team actually consumes. Two keyed aggs + a
+    // ≤5-row curve table.
+    "events_retention_decay_fit" -> QuerySpec(
+      (s, d) => {
+        val week = expr("ts div 604800000000000")
+        val activity = Tables.events(s, d)
+          .select(col("user_id"), week.as("week")).distinct()
+        val cohorts = activity.groupBy("user_id")
+          .agg(min("week").as("c0"))
+        val curve = activity.join(cohorts, "user_id")
+          .groupBy((col("week") - col("c0")).as("t"))
+          .agg(countDistinct("user_id").as("n_active"))
+          .localCheckpoint(true)
+        val mx = curve.agg(max("t").as("tmax"))
+        val bhat = curve.crossJoin(broadcast(mx))
+          .agg(
+            sum(when(col("t") >= 1, col("n_active")).otherwise(0L))
+              .as("num"),
+            sum(when(col("t") < col("tmax"), col("n_active"))
+              .otherwise(0L)).as("den"))
+          .select((col("num").cast("double") / col("den").cast("double"))
+            .as("b_hat"))
+        val n0 = curve.filter(col("t") === 0)
+          .select(col("n_active").cast("double").as("n0"))
+        curve.crossJoin(broadcast(bhat)).crossJoin(broadcast(n0))
+          .select(col("t"), col("n_active"), col("b_hat"),
+            // sequence(1, 0) DESCENDS in Spark (it is not empty like
+            // DuckDB's range(1, 1)) — guard the t = 0 row explicitly
+            when(col("t") === 0, col("n0")).otherwise(
+              aggregate(sequence(lit(1), col("t").cast("int")),
+                col("n0"), (acc, _) => acc * col("b_hat"))).as("predicted"))
+          .withColumn("abs_err",
+            abs(col("n_active").cast("double") - col("predicted")))
+          .orderBy("t")
+      },
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |coh AS (SELECT user_id, MIN(week) AS c0 FROM act GROUP BY 1),
+        |curve AS (
+        |  SELECT a.week - c.c0 AS t,
+        |         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |  FROM act a JOIN coh c USING (user_id) GROUP BY 1),
+        |mx AS (SELECT MAX(t) AS tmax FROM curve),
+        |bh AS (
+        |  SELECT CAST(SUM(CASE WHEN t >= 1 THEN n_active ELSE 0 END)
+        |           AS DOUBLE) /
+        |         CAST(SUM(CASE WHEN t < tmax THEN n_active ELSE 0 END)
+        |           AS DOUBLE) AS b_hat
+        |  FROM curve, mx),
+        |n0 AS (SELECT CAST(n_active AS DOUBLE) AS n0 FROM curve
+        |       WHERE t = 0)
+        |SELECT t, n_active, b_hat,
+        |       list_reduce(list_prepend(n0,
+        |         list_transform(range(1, CAST(t + 1 AS INT)),
+        |           x -> b_hat)), (a, x) -> a * x) AS predicted,
+        |       abs(CAST(n_active AS DOUBLE) -
+        |         list_reduce(list_prepend(n0,
+        |           list_transform(range(1, CAST(t + 1 AS INT)),
+        |             x -> b_hat)), (a, x) -> a * x)) AS abs_err
+        |FROM curve, bh, n0 ORDER BY t""".stripMargin),
+
     // CEP-style pattern detection: "three errors from the same user
     // within six hours" (threshold chosen ~p01 of the fixture's 3-error
     // span distribution, so the alert actually fires — the same rule at

@@ -181,6 +181,66 @@ object Text {
 
   val registry: Map[String, QuerySpec] = Map(
 
+    // Collocation mining by LIFT (the log-free PMI): for adjacent token
+    // pairs with support ≥ 20, lift = p(ab) / (p(a)·p(b)) — how much
+    // more often the bigram occurs than independence predicts, the
+    // collocation extractor behind phrase vocabularies and tokenizer
+    // merge candidates. Lift carries exactly PMI's ranking (PMI =
+    // log lift) without the cross-engine ln(); every input is an exact
+    // count and the score is a three-division chain written identically
+    // on both engines. Bigram counts are one explode + keyed agg; the
+    // unigram table joins in twice as a broadcast vocabulary; top-20 by
+    // (lift, pair) via TakeOrdered.
+    "text_collocation_lift" -> QuerySpec(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+        val bi = toks
+          .select(explode(zip_with(col("ts"),
+            slice(col("ts"), 2, 1000000),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+          .filter(col("p.w2").isNotNull)
+          .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .agg(count(lit(1)).as("nab"))
+        val uni = toks.select(explode(col("ts")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("nw"))
+        val tot = uni.agg(sum("nw").as("u_tot"))
+        val btot = bi.agg(sum("nab").as("b_tot"))
+        bi.filter(col("nab") >= 20)
+          .join(broadcast(uni.select(col("w").as("w1"),
+            col("nw").as("na"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"),
+            col("nw").as("nb"))), "w2")
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+          .select(col("w1"), col("w2"), col("nab"), col("na"), col("nb"),
+            ((col("nab").cast("double") / col("b_tot").cast("double")) /
+              ((col("na").cast("double") / col("u_tot").cast("double")) *
+                (col("nb").cast("double") / col("u_tot").cast("double"))))
+              .as("lift"))
+          .orderBy(desc("lift"), asc("w1"), asc("w2")).limit(20)
+      },
+      s"""WITH t AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |bi AS (
+         |  SELECT ts[i] AS w1, ts[i + 1] AS w2,
+         |         CAST(COUNT(*) AS BIGINT) AS nab
+         |  FROM t, UNNEST(generate_series(1, len(ts) - 1)) s(i)
+         |  GROUP BY 1, 2),
+         |uni AS (
+         |  SELECT unnest(ts) AS w FROM t),
+         |ug AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nw
+         |       FROM uni GROUP BY 1),
+         |ut AS (SELECT CAST(SUM(nw) AS BIGINT) AS u_tot FROM ug),
+         |bt AS (SELECT CAST(SUM(nab) AS BIGINT) AS b_tot FROM bi)
+         |SELECT bi.w1, bi.w2, bi.nab, a.nw AS na, b.nw AS nb,
+         |       (CAST(bi.nab AS DOUBLE) / CAST(b_tot AS DOUBLE)) /
+         |         ((CAST(a.nw AS DOUBLE) / CAST(u_tot AS DOUBLE)) *
+         |          (CAST(b.nw AS DOUBLE) / CAST(u_tot AS DOUBLE)))
+         |         AS lift
+         |FROM bi JOIN ug a ON bi.w1 = a.w
+         |        JOIN ug b ON bi.w2 = b.w, ut, bt
+         |WHERE bi.nab >= 20
+         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin),
+
     // Epoch-shuffle audit: a training loader must present examples in a
     // DIFFERENT order every epoch (residual order correlation biases
     // SGD), and a reproducible pipeline derives each epoch's order from

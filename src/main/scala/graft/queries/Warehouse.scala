@@ -161,6 +161,45 @@ object Warehouse {
         |       CAST(n_versions AS BIGINT) AS n_versions
         |FROM r WHERE rn = 1 ORDER BY snapshot_date, o_custkey""".stripMargin),
 
+    // Week-over-week growth: weekly revenue with WoW percentage change
+    // and a 4-week trailing total — the top-line growth dashboard. The
+    // weekly rollup is exact decimal; the growth windows (lag-1, 4-row
+    // trailing frame) run over the WEEKLY table, whose cardinality is
+    // the calendar, not the data — the canonical case where an
+    // unpartitioned window is scale-correct by construction. First week
+    // reports NULL growth (no prior), matched exactly by the oracle.
+    "warehouse_wow_growth" -> QuerySpec(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window.orderBy("week")
+        Tables.orders(s, d)
+          .groupBy(expr("unix_micros(to_utc_timestamp(o_orderdate," +
+            " 'UTC')) div 604800000000").as("week"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(25,6)")).as("rev"))
+          .withColumn("prev", lag("rev", 1).over(W))
+          .withColumn("wow_pct",
+            ((col("rev") - col("prev")).cast("double") /
+              col("prev").cast("double")))
+          .withColumn("rev4w",
+            sum("rev").over(W.rowsBetween(-3, 0)).cast("double"))
+          .select(col("week"), col("n_orders"),
+            col("rev").cast("double").as("revenue"), col("wow_pct"),
+            col("rev4w"))
+          .orderBy("week")
+      },
+      """WITH w AS (
+        |  SELECT epoch_us(o_orderdate) // 604800000000 AS week,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT week, n_orders, CAST(rev AS DOUBLE) AS revenue,
+        |       CAST(rev - lag(rev) OVER (ORDER BY week) AS DOUBLE) /
+        |         CAST(lag(rev) OVER (ORDER BY week) AS DOUBLE) AS wow_pct,
+        |       CAST(SUM(rev) OVER (ORDER BY week
+        |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS rev4w
+        |FROM w ORDER BY week""".stripMargin),
+
     // Aggregate-rewrite consistency proof: answer the MONTHLY revenue
     // question twice — once directly from the fact table, once from the
     // DAILY pre-aggregate (the materialized-view rewrite every
