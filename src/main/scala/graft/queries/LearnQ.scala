@@ -705,6 +705,114 @@ object LearnQ {
         |       impurity = MIN(impurity) OVER () AS is_best
         |FROM s ORDER BY split_bin""".stripMargin),
 
+    // Data SCALING-LAW curve — the readout that motivates a 100 TB
+    // pipeline in the first place: retrain the 5-round logreg on NESTED
+    // hash-defined subsets (10%, 25%, 50%, 100% of documents — nested
+    // because h%100 < 10 ⊂ h%100 < 25 ⊂ …, so each point adds data
+    // rather than resampling) and report full-corpus accuracy per
+    // training fraction. Every training replays the exact logreg
+    // discipline (softsign surrogate, 2^40 decimal gradient sums,
+    // driver-held weights) and the oracle replays all FOUR trainings
+    // chain-by-chain. On this fixture the features are weak, so the
+    // curve is honestly FLAT at the base rate — which is itself the
+    // scaling answer ("more of the same features won't help"); the
+    // machinery is the deliverable. Cost: 4 × 5 single-scan rounds.
+    "learn_scaling_law_curve" -> QuerySpec(
+      (s, d) => {
+        val fracs = Seq(10, 25, 50, 100)
+        val toks = TextOps.tokens(col("text"))
+        val nt = size(toks).cast("double")
+        val ftAll = Tables.documents(s, d)
+          .select(
+            (TextOps.hash64(col("doc_id").cast("string")) % 100)
+              .as("hb"),
+            when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+              .as("y"),
+            (size(toks).cast("double") / lit(100.0)).as("x1"),
+            (size(array_distinct(toks)).cast("double") / nt).as("x2"),
+            (aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+              .cast("double") / nt / lit(10.0)).as("x3"))
+          .localCheckpoint(true)
+        val legs = fracs.map { f =>
+          val sub = ftAll.filter(col("hb") < f)
+          val n = sub.count().toDouble
+          var w = Array(0.0, 0.0, 0.0, 0.0)
+          for (_ <- 1 to LogregRounds) {
+            val r = softsign(zOf(w)) - col("y")
+            val row = sub.agg(dsum(r * col("x1")), dsum(r * col("x2")),
+              dsum(r * col("x3")), dsum(r * lit(1.0))).head()
+            val g = (0 to 3).map(i =>
+              (row.getDecimal(i).doubleValue() / Scale.toDouble) / n)
+            w = Array.tabulate(4)(i => w(i) - LogregLr * g(i))
+          }
+          val pred = (zOf(w) >= lit(0.0)).cast("long")
+          val yi = col("y").cast("long")
+          ftAll.agg(count(lit(1)).as("n_eval"),
+              sum(when(pred === yi, 1L).otherwise(0L)).as("n_correct"))
+            .select(lit(f.toLong).as("train_pct"),
+              lit(n.toLong).as("n_train"), col("n_eval"), col("n_correct"),
+              (col("n_correct").cast("double") /
+                col("n_eval").cast("double")).as("accuracy"))
+        }
+        legs.reduce(_ unionAll _).orderBy("train_pct")
+      },
+      {
+        def hb = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), " +
+          "1, 15))::UBIGINT AS BIGINT) % 100"
+        def round(f: Int, i: Int): String = {
+          val fn = "0.5 * (1.0 + z / (1.0 + abs(z)))"
+          s"""g${f}_$i AS MATERIALIZED (SELECT
+             |    SUM(CAST(floor(($fn - y) * x1 * 1099511627776.0) AS DECIMAL(38,0))) AS s1,
+             |    SUM(CAST(floor(($fn - y) * x2 * 1099511627776.0) AS DECIMAL(38,0))) AS s2,
+             |    SUM(CAST(floor(($fn - y) * x3 * 1099511627776.0) AS DECIMAL(38,0))) AS s3,
+             |    SUM(CAST(floor(($fn - y) * 1.0 * 1099511627776.0) AS DECIMAL(38,0))) AS sb
+             |  FROM (SELECT y, x1, x2, x3,
+             |          w1 * x1 + w2 * x2 + w3 * x3 + b AS z
+             |        FROM f$f, w${f}_${i - 1}) t),
+             |w${f}_$i AS MATERIALIZED (SELECT
+             |    w1 - 1.0 * ((CAST(s1 AS DOUBLE) / 1099511627776.0) / nd) AS w1,
+             |    w2 - 1.0 * ((CAST(s2 AS DOUBLE) / 1099511627776.0) / nd) AS w2,
+             |    w3 - 1.0 * ((CAST(s3 AS DOUBLE) / 1099511627776.0) / nd) AS w3,
+             |    b  - 1.0 * ((CAST(sb AS DOUBLE) / 1099511627776.0) / nd) AS b
+             |  FROM w${f}_${i - 1}, g${f}_$i, n$f)""".stripMargin
+        }
+        def leg(f: Int): String =
+          s"""f$f AS MATERIALIZED (SELECT y, x1, x2, x3 FROM fta
+             |  WHERE hb < $f),
+             |n$f AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+             |  CAST(COUNT(*) AS BIGINT) AS nb FROM f$f),
+             |w${f}_0 AS MATERIALIZED (SELECT 0.0 AS w1, 0.0 AS w2,
+             |  0.0 AS w3, 0.0 AS b),
+             |${(1 to 5).map(i => round(f, i)).mkString(",\n")},
+             |e$f AS (SELECT CAST($f AS BIGINT) AS train_pct,
+             |    (SELECT nb FROM n$f) AS n_train,
+             |    CAST(COUNT(*) AS BIGINT) AS n_eval,
+             |    CAST(SUM(CASE WHEN (CASE WHEN z >= 0.0 THEN 1 ELSE 0 END)
+             |          = CAST(y AS INT) THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_correct
+             |  FROM (SELECT y, w1 * x1 + w2 * x2 + w3 * x3 + b AS z
+             |        FROM fta, w${f}_5) t)""".stripMargin
+        s"""WITH fta AS MATERIALIZED (
+           |  SELECT $hb AS hb,
+           |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           |         CAST(len(toks) AS DOUBLE) / 100.0 AS x1,
+           |         CAST(len(list_distinct(toks)) AS DOUBLE)
+           |           / CAST(len(toks) AS DOUBLE) AS x2,
+           |         CAST(list_sum(list_transform(toks, t -> length(t)))
+           |             AS DOUBLE)
+           |           / CAST(len(toks) AS DOUBLE) / 10.0 AS x3
+           |  FROM (SELECT doc_id, $duckToks AS toks, lang
+           |        FROM documents)),
+           |${Seq(10, 25, 50, 100).map(leg).mkString(",\n")}
+           |SELECT train_pct, n_train, n_eval, n_correct,
+           |       CAST(n_correct AS DOUBLE) / CAST(n_eval AS DOUBLE)
+           |         AS accuracy
+           |FROM (${Seq(10, 25, 50, 100)
+                    .map(f => s"SELECT * FROM e$f")
+                    .mkString("\n  UNION ALL\n  ")})
+           |ORDER BY train_pct""".stripMargin
+      }),
+
     // ALS half-step (the matrix-factorization recommender's inner loop,
     // canonical Spark workload): with rank-2 item factors FIXED
     // (hash-derived rationals — the deterministic stand-in for the
