@@ -1180,6 +1180,521 @@ object Analytic {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin),
 
+    // TPC-H Q2 (minimum-cost supplier) through the SQL frontend, adapted:
+    // this schema has no partsupp, so the supply relation is the DISTINCT
+    // (l_partkey, l_suppkey) pair set observed in lineitem, and the
+    // "cost" a buyer minimizes is the supplier's account balance — which
+    // keeps Q2's defining shape intact: a correlated scalar MIN subquery
+    // re-reading the same supply relation, resolved per part, under a
+    // region-restricted dim join tree. Catalyst decorrelates the MIN
+    // into an aggregate + join on the equality correlation (p_partkey);
+    // at scale the pair-distinct is one shuffle on (part,supp) and every
+    // dim (supplier/nation/region) broadcasts.
+    "sql_frontend_q2" -> QuerySpec(
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("v_part")
+        Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        Tables.region(s, d).createOrReplaceTempView("v_region")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM v_lineitem)
+          SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+          FROM supply JOIN v_part ON p_partkey = l_partkey
+                      JOIN v_supplier ON s_suppkey = l_suppkey
+                      JOIN v_nation ON s_nationkey = n_nationkey
+                      JOIN v_region ON n_regionkey = r_regionkey
+          WHERE p_size = 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+            AND s_acctbal = (
+              SELECT MIN(s2.s_acctbal)
+              FROM supply p2 JOIN v_supplier s2 ON s2.s_suppkey = p2.l_suppkey
+                             JOIN v_nation n2 ON s2.s_nationkey = n2.n_nationkey
+                             JOIN v_region r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE p2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+          ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          LIMIT 100""")
+      },
+      """WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM supply JOIN part ON p_partkey = l_partkey
+        |            JOIN supplier ON s_suppkey = l_suppkey
+        |            JOIN nation ON s_nationkey = n_nationkey
+        |            JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size = 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+        |  AND s_acctbal = (
+        |    SELECT MIN(s2.s_acctbal)
+        |    FROM supply p2 JOIN supplier s2 ON s2.s_suppkey = p2.l_suppkey
+        |                   JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |                   JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE p2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin),
+
+    // TPC-H Q4 (order-priority checking) through the SQL frontend,
+    // adapted: no l_commitdate/l_receiptdate in this schema, so a "late"
+    // order is one with a line shipped more than 90 days after the order
+    // date. The shape is exact Q4: a quarter filter on orders + an EXISTS
+    // semi-join against lineitem, grouped to a 5-row priority census.
+    // Catalyst plans the EXISTS as a LeftSemi on l_orderkey; the quarter
+    // filter prunes orders at the scan before any join.
+    "sql_frontend_q4" -> QuerySpec(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT o_orderpriority, COUNT(*) AS order_count
+          FROM v_orders
+          WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+            AND o_orderdate <  TIMESTAMP '1996-10-01'
+            AND EXISTS (SELECT 1 FROM v_lineitem
+                        WHERE l_orderkey = o_orderkey
+                          AND l_shipdate > o_orderdate + INTERVAL '90' DAY)
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // TPC-H Q8 (national market share) through the SQL frontend: the
+    // full 8-relation join tree (part, lineitem, supplier, orders,
+    // customer, region + nation twice), then per order year the share of
+    // ECONOMY-part revenue in AMERICA delivered by NATION_3 suppliers.
+    // Share = exact-decimal conditional sum over exact-decimal total,
+    // divided once as doubles (IEEE-deterministic, so the oracle
+    // reproduces it bit-for-bit). Every dim broadcasts; the fact scan is
+    // pruned by the two-year order window.
+    "sql_frontend_q8" -> QuerySpec(
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("v_part")
+        Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        Tables.region(s, d).createOrReplaceTempView("v_region")
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          WITH trade AS (
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume,
+                   n2.n_name AS supp_nation
+            FROM v_part JOIN v_lineitem ON p_partkey = l_partkey
+                        JOIN v_supplier ON s_suppkey = l_suppkey
+                        JOIN v_orders ON l_orderkey = o_orderkey
+                        JOIN v_customer ON o_custkey = c_custkey
+                        JOIN v_nation n1 ON c_nationkey = n1.n_nationkey
+                        JOIN v_region ON n1.n_regionkey = r_regionkey
+                        JOIN v_nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01')
+          SELECT o_year,
+                 CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                    ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+                    / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+          FROM trade
+          GROUP BY o_year
+          ORDER BY o_year""")
+      },
+      """WITH trade AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume,
+        |         n2.n_name AS supp_nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |            JOIN supplier ON s_suppkey = l_suppkey
+        |            JOIN orders ON l_orderkey = o_orderkey
+        |            JOIN customer ON o_custkey = c_custkey
+        |            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |            JOIN region ON n1.n_regionkey = r_regionkey
+        |            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |                          ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+        |          / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+        |FROM trade
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin),
+
+    // TPC-H Q11 (important stock identification) through the SQL
+    // frontend, adapted: "stock value" per part is the exact-decimal
+    // Σ(l_quantity · p_retailprice) over lines supplied by NATION_1
+    // suppliers (no partsupp/availqty here), kept when above 0.1% of the
+    // national total — Q11's defining shape: a grouped aggregate
+    // compared against a scalar subquery re-aggregating the SAME
+    // derivation. The threshold compare happens in doubles derived from
+    // exact decimals (deterministic in both engines). The CTE is read
+    // twice; Spark plans it as a reused exchange, not a rescan.
+    "sql_frontend_q11" -> QuerySpec(
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("v_part")
+        Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          WITH partval AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_quantity * p_retailprice AS DECIMAL(25,6))) AS val
+            FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+                            JOIN v_supplier ON s_suppkey = l_suppkey
+                            JOIN v_nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+            GROUP BY l_partkey)
+          SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS value
+          FROM partval
+          WHERE CAST(val AS DOUBLE) >
+                (SELECT CAST(SUM(val) AS DOUBLE) FROM partval) * 0.001
+          ORDER BY value DESC, p_partkey""")
+      },
+      """WITH partval AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(l_quantity * p_retailprice AS DECIMAL(25,6))) AS val
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |                JOIN supplier ON s_suppkey = l_suppkey
+        |                JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_1'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS value
+        |FROM partval
+        |WHERE CAST(val AS DOUBLE) >
+        |      (SELECT CAST(SUM(val) AS DOUBLE) FROM partval) * 0.001
+        |ORDER BY value DESC, p_partkey""".stripMargin),
+
+    // TPC-H Q13 (customer order-count distribution) through the SQL
+    // frontend: LEFT OUTER join with an extra non-key join predicate
+    // (priority filter INSIDE the join condition, so zero-order
+    // customers survive), aggregated twice — per customer, then into the
+    // count-of-counts histogram. The double aggregation is the shape to
+    // keep at scale: the first groupBy shuffles on custkey, the second
+    // on the tiny distinct-count domain.
+    "sql_frontend_q13" -> QuerySpec(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        s.sql("""
+          SELECT c_count, COUNT(*) AS custdist
+          FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM v_customer LEFT OUTER JOIN v_orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '4-NOT SPECIFIED'
+                GROUP BY c_custkey) c_orders
+          GROUP BY c_count
+          ORDER BY custdist DESC, c_count DESC""")
+      },
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey
+        |       AND o_orderpriority <> '4-NOT SPECIFIED'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // TPC-H Q15 (top supplier) through the SQL frontend: a quarterly
+    // per-supplier revenue view, then the supplier(s) whose revenue
+    // EQUALS the view's max — Q15's view + scalar-max-equality shape.
+    // Revenue is an exact decimal sum, so the equality is exact (a
+    // float-summed revenue would make "= MAX" flaky); the view is tiny
+    // (one row per supplier) and its second read is a reused exchange.
+    "sql_frontend_q15" -> QuerySpec(
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS total_revenue
+            FROM v_lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+          FROM v_supplier JOIN revenue ON s_suppkey = supplier_no
+          WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+          ORDER BY s_suppkey""")
+      },
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // TPC-H Q16 (parts/supplier relationship census) through the SQL
+    // frontend, adapted: suppliers "with complaints" become suppliers
+    // with a negative account balance (no comment column), excluded via
+    // NOT IN — which Catalyst plans as a null-aware anti join. The
+    // census itself is COUNT(DISTINCT supplier) per (brand, type, size)
+    // over the distinct supply pair relation, with the brand/type/size
+    // exclusions pushed to the part scan.
+    "sql_frontend_q16" -> QuerySpec(
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("v_part")
+        Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT p_brand, p_type, p_size,
+                 COUNT(DISTINCT l_suppkey) AS supplier_cnt
+          FROM (SELECT DISTINCT l_partkey, l_suppkey FROM v_lineitem) supply
+               JOIN v_part ON p_partkey = l_partkey
+          WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+            AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+            AND l_suppkey NOT IN
+                (SELECT s_suppkey FROM v_supplier WHERE s_acctbal < 0)
+          GROUP BY p_brand, p_type, p_size
+          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+      },
+      """SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) supply
+        |     JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+
+    // TPC-H Q17 (small-quantity-order revenue) through the SQL frontend,
+    // adapted: the per-part average-quantity threshold (l_quantity <
+    // 0.2 · avg over the part) is algebraically rearranged to
+    // 5 · l_quantity · cnt < Σqty so the exact-decimal sum and the
+    // integer count carry the comparison instead of a float division —
+    // membership can't flip on an ulp. No container column, so the part
+    // slice is brand + type. The per-part aggregate joins back on
+    // partkey (Q17's correlated-avg shape, decorrelated explicitly).
+    "sql_frontend_q17" -> QuerySpec(
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("v_part")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          WITH pq AS (
+            SELECT l_partkey AS pk, COUNT(*) AS cnt,
+                   SUM(CAST(l_quantity AS DECIMAL(25,6))) AS sum_qty
+            FROM v_lineitem GROUP BY l_partkey)
+          SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+                      / 7.0 AS DOUBLE) AS avg_yearly,
+                 COUNT(*) AS n_lines
+          FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+                          JOIN pq ON pk = l_partkey
+          WHERE p_brand = 'Brand#17' AND p_type = 'SMALL'
+            AND l_quantity * 5.0 * cnt < CAST(sum_qty AS DOUBLE)""")
+      },
+      """WITH pq AS (
+        |  SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |         SUM(CAST(l_quantity AS DECIMAL(25,6))) AS sum_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+        |            / 7.0 AS DOUBLE) AS avg_yearly,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |              JOIN pq ON pk = l_partkey
+        |WHERE p_brand = 'Brand#17' AND p_type = 'SMALL'
+        |  AND l_quantity * 5.0 * cnt < CAST(sum_qty AS DOUBLE)""".stripMargin),
+
+    // TPC-H Q19 (discounted revenue, disjunctive predicates) through the
+    // SQL frontend: three OR'd brand/size/quantity band conjunctions
+    // over the part join — the classic "OR of ANDs" predicate Catalyst
+    // must NOT naively cross-join on: the common p_partkey = l_partkey
+    // equi-key stays the join condition and the disjunction becomes a
+    // post-join filter, with the size/brand legs pushed to the part scan.
+    "sql_frontend_q19" -> QuerySpec(
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("v_part")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+                 COUNT(*) AS n_lines
+          FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 30)""")
+      },
+      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+
+    // TPC-H Q20 (potential part promotion) through the SQL frontend,
+    // adapted: no availqty, so a NATION_2 supplier qualifies when, for
+    // some red-named part it supplies, its own 1997 shipped quantity
+    // exceeds a quarter of the part's total 1997 shipped quantity —
+    // preserving Q20's nested-subquery shape: an IN over a subquery
+    // that itself nests an IN (part names) and a correlated scalar
+    // aggregate (the part's total). The comparison runs in doubles
+    // derived from exact decimal sums.
+    "sql_frontend_q20" -> QuerySpec(
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("v_part")
+        Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          WITH shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(25,6))) AS qty
+            FROM v_lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_partkey, l_suppkey)
+          SELECT s_name, s_acctbal
+          FROM v_supplier JOIN v_nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_2'
+            AND s_suppkey IN (
+              SELECT l_suppkey FROM shipped sh
+              WHERE sh.l_partkey IN
+                    (SELECT p_partkey FROM v_part WHERE p_name LIKE 'red%')
+                AND CAST(sh.qty AS DOUBLE) * 4.0 > (
+                  SELECT CAST(SUM(s2.qty) AS DOUBLE) FROM shipped s2
+                  WHERE s2.l_partkey = sh.l_partkey))
+          ORDER BY s_name""")
+      },
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         SUM(CAST(l_quantity AS DECIMAL(25,6))) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  GROUP BY l_partkey, l_suppkey)
+        |SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_2'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM shipped sh
+        |    WHERE sh.l_partkey IN
+        |          (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND CAST(sh.qty AS DOUBLE) * 4.0 > (
+        |        SELECT CAST(SUM(s2.qty) AS DOUBLE) FROM shipped s2
+        |        WHERE s2.l_partkey = sh.l_partkey))
+        |ORDER BY s_name""".stripMargin),
+
+    // TPC-H Q21 (suppliers who kept orders waiting) through the SQL
+    // frontend, adapted: "late" = shipped more than 60 days after the
+    // order date (no commit/receipt dates). The full Q21 shape: for
+    // finished orders, count per NATION_0 supplier the orders where it
+    // shipped late, another supplier ALSO participated (EXISTS), and no
+    // OTHER supplier was late (NOT EXISTS) — i.e. the sole culprit.
+    // Both subqueries correlate on the equality l_orderkey, so Catalyst
+    // plans one LeftSemi and one LeftAnti against lineitem.
+    "sql_frontend_q21" -> QuerySpec(
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT s_name, COUNT(*) AS numwait
+          FROM v_supplier
+          JOIN v_lineitem l1 ON s_suppkey = l1.l_suppkey
+          JOIN v_orders ON o_orderkey = l1.l_orderkey
+          JOIN v_nation ON s_nationkey = n_nationkey
+          WHERE o_orderstatus = 'F' AND n_name = 'NATION_0'
+            AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+            AND EXISTS (SELECT 1 FROM v_lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (
+              SELECT 1 FROM v_lineitem l3
+                       JOIN v_orders o2 ON o2.o_orderkey = l3.l_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o2.o_orderdate + INTERVAL '60' DAY)
+          GROUP BY s_name
+          ORDER BY numwait DESC, s_name
+          LIMIT 20""")
+      },
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_0'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |             JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin),
+
+    // TPC-H Q22 (global sales opportunity) through the SQL frontend,
+    // adapted: the phone country code becomes the nation key mod 5 (no
+    // phone column). Shape preserved exactly: positive-balance customers
+    // in selected codes, above the segment's average balance (the
+    // scalar-subquery average, carried as c_acctbal · n > Σ so the exact
+    // decimal sum and integer count decide membership, not a float
+    // division), with NO RECENT orders (anti join — every customer in
+    // this data has SOME order, so Q22's "never ordered" is sharpened to
+    // "dormant since 1999", which is the query's business intent anyway),
+    // bucketed per code.
+    "sql_frontend_q22" -> QuerySpec(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        s.sql("""
+          WITH pos AS (
+            SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, c_custkey, c_acctbal
+            FROM v_customer
+            WHERE c_nationkey % 5 IN (0, 2, 3) AND c_acctbal > 0.0),
+          avgbal AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS s,
+                   COUNT(*) AS n
+            FROM pos)
+          SELECT cntrycode, COUNT(*) AS numcust,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+          FROM pos CROSS JOIN avgbal
+          WHERE c_acctbal * n > s
+            AND NOT EXISTS (SELECT 1 FROM v_orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '1999-01-01')
+          GROUP BY cntrycode
+          ORDER BY cntrycode""")
+      },
+      """WITH pos AS (
+        |  SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode, c_custkey, c_acctbal
+        |  FROM customer
+        |  WHERE c_nationkey % 5 IN (0, 2, 3) AND c_acctbal > 0.0),
+        |avgbal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS s,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pos)
+        |SELECT cntrycode, COUNT(*) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+        |FROM pos CROSS JOIN avgbal
+        |WHERE c_acctbal * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin),
+
     // The DataFrameNaFunctions surface (na.fill / na.drop / na.replace) —
     // the missing-data API an ETL user reaches for first. Nulls are
     // derived deterministically (nullif), then: drop rows where BOTH

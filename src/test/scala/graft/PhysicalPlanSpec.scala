@@ -505,4 +505,39 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(tu.contains("TakeOrderedAndProject"), tu)
     assert(!tu.contains("CartesianProduct"), tu)
   }
+
+  test("TPC-H completion wave decorrelates every subquery to a join") {
+    // Q4: the EXISTS(late line) probe plans as a LeftSemi against
+    // lineitem — never a per-order rescan or nested loop.
+    val q4 = plan(SparkEntry.registry("sql_frontend_q4").fn(spark, sf))
+    assert(q4.contains("LeftSemi"), q4)
+    assert(!q4.contains("CartesianProduct") &&
+      !q4.contains("BroadcastNestedLoopJoin"), q4)
+    // Q2: the correlated scalar MIN over the supply relation decorrelates
+    // into an aggregate joined back on partkey (equality correlation) —
+    // no nested loop, and the dims broadcast.
+    val q2 = plan(SparkEntry.registry("sql_frontend_q2").fn(spark, sf))
+    assert(q2.contains("BroadcastHashJoin"), q2)
+    assert(!q2.contains("CartesianProduct") &&
+      !q2.contains("BroadcastNestedLoopJoin"), q2)
+    // Q21: the sole-culprit logic is exactly one LeftSemi (another
+    // supplier participated) + one LeftAnti (no other supplier was late),
+    // both equi-keyed on orderkey.
+    val q21 = plan(SparkEntry.registry("sql_frontend_q21").fn(spark, sf))
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21)
+    assert(!q21.contains("CartesianProduct"), q21)
+    // Q19: the OR-of-ANDs predicate must NOT degrade the part join to a
+    // nested loop — the shared p_partkey equi-key stays the join key and
+    // the disjunction filters after it.
+    val q19 = plan(SparkEntry.registry("sql_frontend_q19").fn(spark, sf))
+    assert(q19.contains("BroadcastHashJoin") ||
+      q19.contains("SortMergeJoin"), q19)
+    assert(!q19.contains("CartesianProduct") &&
+      !q19.contains("BroadcastNestedLoopJoin"), q19)
+    // Q16: the negative-balance supplier exclusion (NOT IN) plans as a
+    // null-aware anti join, not a per-row subquery.
+    val q16 = plan(SparkEntry.registry("sql_frontend_q16").fn(spark, sf))
+    assert(q16.contains("LeftAnti"), q16)
+    assert(!q16.contains("CartesianProduct"), q16)
+  }
 }
