@@ -1695,6 +1695,84 @@ object Analytic {
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin),
 
+    // GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB both speak this
+    // dialect, so the SAME text runs on both engines): the grouping key
+    // set derives from the non-aggregate select items and the output
+    // order from the full select list — the ergonomic form analysts
+    // actually write. Semantically identical to the explicit form, so
+    // the plan is the ordinary partial+final hash aggregate.
+    "sql_frontend_group_order_all" -> QuerySpec(
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+          FROM v_lineitem
+          GROUP BY ALL
+          ORDER BY ALL""")
+      },
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin),
+
+    // SQL pipe syntax (Spark 4's |> operator chain): the linear
+    // filter → aggregate → order form that reads in dataflow order
+    // instead of inside-out SQL. Parses to the SAME logical plan as the
+    // classic form (the oracle phrases it classically), so pushdown /
+    // partial aggregation are unchanged. NB the |> tokens live in a
+    // plain triple-quoted string — stripMargin would eat the pipes
+    // (the PERF.md double-stripMargin lesson).
+    "sql_pipe_syntax" -> QuerySpec(
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          FROM v_lineitem
+          |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+          |> AGGREGATE COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+             GROUP BY l_returnflag
+          |> ORDER BY l_returnflag""")
+      },
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |         AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
+    // Parameterized SQL (spark.sql(text, args)): named :placeholders
+    // bound server-side as typed literals — the injection-safe templated
+    // form a query service exposes. The binder substitutes BEFORE
+    // analysis, so Catalyst sees plain literals and constant-folds /
+    // pushes them down exactly like inline SQL (same pruned scan). The
+    // oracle is the same text with the literals inlined.
+    "sql_parameterized_query" -> QuerySpec(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        s.sql(
+          """SELECT o_orderpriority, COUNT(*) AS n,
+            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+            |FROM v_orders
+            |WHERE o_totalprice > :minprice
+            |  AND o_orderdate >= CAST(:from_date AS TIMESTAMP)
+            |GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin,
+          Map("minprice" -> 300000.0, "from_date" -> "1997-01-01"))
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_totalprice > 300000.0
+        |  AND o_orderdate >= CAST('1997-01-01' AS TIMESTAMP)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
     // The DataFrameNaFunctions surface (na.fill / na.drop / na.replace) —
     // the missing-data API an ETL user reaches for first. Nulls are
     // derived deterministically (nullif), then: drop rows where BOTH

@@ -174,6 +174,38 @@ object Etl {
       """SELECT s_suppkey, s_name, s_nationkey
         |FROM supplier ORDER BY s_suppkey""".stripMargin),
 
+    // XML source (built into Spark 4 — no external package): supplier
+    // round-trips through rowTag-delimited XML and is read back with an
+    // EXPLICIT schema (no inference scan — at 100 TB an inference pass
+    // over XML would read everything twice). Doubles survive exactly:
+    // Spark renders shortest-round-trip representations and
+    // Double.parseDouble restores the identical bits. The oracle scans
+    // the original parquet — a lossless round trip means both sides
+    // agree row-for-row.
+    "xml_roundtrip_scan" -> QuerySpec(
+      (s, d) => {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_xml_supplier_${Integer.toHexString(d.hashCode)}").getPath
+        Tables.supplier(s, d).coalesce(1)
+          .write.mode("overwrite")
+          .option("rootTag", "suppliers").option("rowTag", "supplier")
+          .format("xml").save(dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("s_suppkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("s_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("s_nationkey",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("s_acctbal",
+            org.apache.spark.sql.types.DoubleType)))
+        s.read.option("rowTag", "supplier").schema(schema)
+          .format("xml").load(dir)
+          .orderBy("s_suppkey")
+      },
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin),
+
     // Schema evolution across ingestion batches — the 100 TB reality that
     // older files lack columns newer ones carry. Batch 1 is written
     // WITHOUT n_regionkey, batch 2 WITH it; the mergeSchema read unifies

@@ -828,6 +828,57 @@ object Events {
         |FROM events WHERE user_id < 100
         |GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // Offline STATE-STORE inspection (the Spark 4 state data source):
+    // after draining a keyed streaming aggregation, the checkpoint's
+    // state store is read back as a batch DataFrame — the operational
+    // tool for debugging a production stream's state without stopping
+    // it (rocksdb/HDFS state becomes queryable). The declared result is
+    // the final per-user count AS RECOVERED FROM STATE, which must equal
+    // the oracle's batch aggregation over the same events — proving the
+    // store holds exactly the accumulated aggregate, no key lost or
+    // double-counted across the >= 3 replayed micro-batches. The state
+    // rows are localCheckpointed before the ephemeral checkpoint dir is
+    // torn down (a production inspection reads a durable checkpoint in
+    // place). Value layout is asserted, not assumed: exactly one buffer
+    // field beside the key, else fail loudly.
+    "events_stream_state_inspection" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val stream = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "slice-*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(slicedEventsDir(s, d))
+          .filter(col("user_id") < 100)
+          .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        val sinkName = "q_events_stream_state_inspection"
+        graft.streaming.Streams.drained(s) { ckpt =>
+          val q = stream.writeStream
+            .outputMode("update").format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          requireMultiBatch(q, "events_stream_state_inspection")
+          val st = s.read.format("statestore").option("path", ckpt).load()
+          val vals = st.select(col("key.user_id").as("user_id"),
+            col("value.*"))
+          val bufferCol = vals.columns.filter(_ != "user_id") match {
+            case Array(one) => one
+            case other => throw new IllegalStateException(
+              "unexpected aggregation state value layout: " +
+                other.mkString(", "))
+          }
+          vals.select(col("user_id"),
+              col(s"`$bufferCol`").cast("long").as("n_events"))
+            .orderBy("user_id")
+            .localCheckpoint()
+        }
+      },
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events WHERE user_id < 100
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // foreachBatch parquet SINK on the oracle-checked path — the
     // production landing shape (idempotent per-batch append with the
     // batch id stamped for exactly-once-style reconciliation), via

@@ -1057,6 +1057,42 @@ object Warehouse {
         |         AS violation_rate
         |FROM x ORDER BY rule""".stripMargin),
 
+    // Observed metrics (df.observe + Observation): the data-quality gate
+    // that rides an EXISTING pass instead of paying its own scan — at
+    // 100 TB an extra validation aggregation doubles the IO bill, while
+    // CollectMetrics accumulates on the side of whatever action already
+    // runs (here a noop write stands in for the production sink). The
+    // declared result is the one-row metrics record the Observation
+    // handed back on the driver; the oracle recomputes the same
+    // aggregates directly, proving the side-channel equals a dedicated
+    // pass. Counts are exact longs; the sum crosses as an exact decimal.
+    "profile_observe_metrics" -> QuerySpec(
+      (s, d) => {
+        val obs = org.apache.spark.sql.Observation(
+          s"li_gate_${java.util.UUID.randomUUID().toString.take(8)}")
+        Tables.lineitem(s, d)
+          .observe(obs,
+            count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(25,6)")).as("sum_qty"),
+            count(when(col("l_discount") > 0.07, 1)).as("n_high_discount"),
+            count(when(col("l_shipdate").isNull, 1)).as("n_null_shipdate"))
+          .write.format("noop").mode("overwrite").save()
+        val m = obs.get
+        import s.implicits._
+        Seq((m("n_rows").asInstanceOf[Long],
+          m("sum_qty").asInstanceOf[java.math.BigDecimal].doubleValue(),
+          m("n_high_discount").asInstanceOf[Long],
+          m("n_null_shipdate").asInstanceOf[Long]))
+          .toDF("n_rows", "sum_qty", "n_high_discount", "n_null_shipdate")
+      },
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(COUNT(CASE WHEN l_discount > 0.07 THEN 1 END) AS BIGINT)
+        |         AS n_high_discount,
+        |       CAST(COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT)
+        |         AS n_null_shipdate
+        |FROM lineitem""".stripMargin),
+
     // Pre-join key-skew audit: the per-key count distribution of a join
     // key (nearest-rank p50/p99/max, mean, and the hottest key's share) —
     // the diagnostic that decides between a plain shuffle join, salting,

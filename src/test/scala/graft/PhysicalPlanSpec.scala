@@ -540,4 +540,24 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(q16.contains("LeftAnti"), q16)
     assert(!q16.contains("CartesianProduct"), q16)
   }
+
+  test("Spark-4 surface wave keeps plan quality") {
+    // Parameterized SQL: the bound :minprice literal must reach the
+    // parquet scan as a pushed filter — binding happens before analysis,
+    // so the templated form costs nothing vs inline literals.
+    val pq = SparkEntry.registry("sql_parameterized_query").fn(spark, sf)
+    val scan = pq.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThan(o_totalprice"), scan)
+    // Pipe syntax parses to the ordinary partial+final hash aggregate
+    // over a pruned, filter-pushed scan — same plan as classic SQL.
+    val ps = plan(SparkEntry.registry("sql_pipe_syntax").fn(spark, sf))
+    assert(ps.contains("HashAggregate"), ps)
+    assert(!ps.contains("CartesianProduct"), ps)
+    // GROUP BY ALL resolves to the explicit grouping — partial+final
+    // aggregate, nothing exotic in the plan.
+    val ga = plan(
+      SparkEntry.registry("sql_frontend_group_order_all").fn(spark, sf))
+    assert(ga.contains("HashAggregate"), ga)
+  }
 }
