@@ -1773,6 +1773,31 @@ object Analytic {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
 
+    // IDENTIFIER clause: dynamic table AND column references bound from
+    // parameters without string concatenation — the injection-safe way a
+    // multi-tenant query service routes "same query, different table/
+    // metric". The identifier resolves at analysis time, so the plan is
+    // indistinguishable from literal SQL (pruned scan, pushed filter).
+    // The oracle inlines the identifiers.
+    "sql_identifier_clause" -> QuerySpec(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        s.sql(
+          """SELECT o_orderstatus,
+            |       COUNT(*) AS n,
+            |       CAST(SUM(CAST(IDENTIFIER(:metric) AS DECIMAL(25,6)))
+            |         AS DOUBLE) AS total
+            |FROM IDENTIFIER(:tbl)
+            |GROUP BY o_orderstatus
+            |ORDER BY o_orderstatus""".stripMargin,
+          Map("tbl" -> "v_orders", "metric" -> "o_totalprice"))
+      },
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
     // The DataFrameNaFunctions surface (na.fill / na.drop / na.replace) —
     // the missing-data API an ETL user reaches for first. Nulls are
     // derived deterministically (nullif), then: drop rows where BOTH

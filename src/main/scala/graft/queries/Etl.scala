@@ -233,6 +233,30 @@ object Etl {
         |            ELSE n_regionkey END AS BIGINT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
+    // unionByName(allowMissingColumns): the IN-MEMORY face of schema
+    // evolution (the merge-scan query above covers the storage face) —
+    // an old extract lacking a column unions with a new one whose
+    // columns also arrive in a DIFFERENT order. Positional unionAll
+    // would mis-align or reject; by-name alignment pads the missing
+    // column with nulls, normalized here with the same sentinel
+    // convention. Purely structural — zero shuffle added.
+    "union_by_name_evolution" -> QuerySpec(
+      (s, d) => {
+        val legacy = Tables.nation(s, d).filter(col("n_nationkey") < 13)
+          .select("n_nationkey", "n_name")
+        val current = Tables.nation(s, d).filter(col("n_nationkey") >= 13)
+          .select("n_regionkey", "n_name", "n_nationkey") // reordered
+        legacy.unionByName(current, allowMissingColumns = true)
+          .select(col("n_nationkey"), col("n_name"),
+            coalesce(col("n_regionkey"), lit(-1L)).cast("long")
+              .as("n_regionkey"))
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name,
+        |       CAST(CASE WHEN n_nationkey < 13 THEN -1
+        |            ELSE n_regionkey END AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
     // C6 — entity typing from null patterns (insert.py:16-25). Nulls are
     // derived via NULLIF so all four null combinations occur.
     "entity_type_derivation" -> QuerySpec(

@@ -744,6 +744,82 @@ object Events {
         |  SELECT * FROM matched UNION ALL SELECT * FROM unmatched) AS u
         |ORDER BY c_event, COALESCE(p_event, -1)""".stripMargin),
 
+    // Stream-stream FULL OUTER interval join — completes the join-family
+    // semantics (inner: matches only; left: + clicks the frontier proves
+    // unmatchable; full: + purchases the frontier proves unmatchable).
+    // A purchase can match clicks up to 30 min AFTER it, so its
+    // null-extension deadline is p_ts + 30min — it emits only when the
+    // global watermark (min over both inputs of max-event-time − 10 min)
+    // passes that instant, while an unmatched click's deadline is its own
+    // timestamp (matches only precede it). Rows inside the final frontier
+    // stay WITHHELD in state on both sides; the oracle reproduces both
+    // deadline arithmetics in µs. NULL ordering differs between engines'
+    // defaults, so both sides order by COALESCE of both event ids.
+    "events_stream_full_outer_join" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        def src = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "slice-*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(slicedEventsDir(s, d))
+          .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+        val joined = graft.streaming.Streams.clickPurchaseJoin(
+            src.filter(col("event_type") === "click"),
+            src.filter(col("event_type") === "purchase"),
+            intervalMinutes = 30, joinType = "fullOuter")
+          .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+            col("c_event"), col("p_event"), col("p_value"))
+        val sinkName = "q_events_stream_foj"
+        graft.streaming.Streams.drained(s, noDataBatches = true) { ckpt =>
+          val q = joined.writeStream
+            .outputMode("append")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          requireMultiBatch(q, "events_stream_full_outer_join")
+        }
+        s.table(sinkName)
+          .orderBy(coalesce(col("c_event"), lit(-1L)),
+            coalesce(col("p_event"), lit(-1L)))
+      },
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT LEAST((SELECT MAX(us) FROM c), (SELECT MAX(us) FROM p))
+        |         - 600000000 AS w),
+        |matched AS (
+        |  SELECT c.user_id AS user_id, c.event_id AS c_event,
+        |         p.event_id AS p_event, p.value AS p_value
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND p.us BETWEEN c.us - 1800000000 AND c.us),
+        |unmatched_c AS (
+        |  SELECT c.user_id AS user_id, c.event_id AS c_event,
+        |         CAST(NULL AS BIGINT) AS p_event,
+        |         CAST(NULL AS DOUBLE) AS p_value
+        |  FROM c CROSS JOIN wm
+        |  WHERE c.us < wm.w AND NOT EXISTS (
+        |    SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |      AND p.us BETWEEN c.us - 1800000000 AND c.us)),
+        |unmatched_p AS (
+        |  SELECT p.user_id AS user_id, CAST(NULL AS BIGINT) AS c_event,
+        |         p.event_id AS p_event, p.value AS p_value
+        |  FROM p CROSS JOIN wm
+        |  WHERE p.us + 1800000000 < wm.w AND NOT EXISTS (
+        |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND p.us BETWEEN c.us - 1800000000 AND c.us))
+        |SELECT * FROM (
+        |  SELECT * FROM matched
+        |  UNION ALL SELECT * FROM unmatched_c
+        |  UNION ALL SELECT * FROM unmatched_p) AS u
+        |ORDER BY COALESCE(c_event, -1), COALESCE(p_event, -1)""".stripMargin),
+
     // Stream-STATIC enrichment join executed by the real engine: the
     // sliced event stream joined per micro-batch against a static
     // dimension (customer segment keyed by custkey = user_id) — the
