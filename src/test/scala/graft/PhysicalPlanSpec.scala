@@ -57,6 +57,80 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(partitionsRead == 1, s"expected 1 partition, read $partitionsRead")
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // The 100 TB scan saver STATIC pruning can't give: the fact filter
+    // comes from a JOIN against a filtered dimension, so which
+    // partitions survive is only known at runtime. Spark injects a
+    // dynamicpruning subquery into the partitioned fact scan; without
+    // it, every status partition of a 100 TB fact table would be read
+    // just to be thrown away by the join.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Tables.orders(spark, sf).withColumn("status", col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status").parquet(dir)
+    // dim must be a SCANNED relation (a LocalRelation has no scan to
+    // estimate, so the benefit heuristic never fires); useStats=false
+    // makes the tiny fixture take the same fallback-ratio decision a
+    // TB-scale plan takes from real stats.
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+      .toDF("status_key", "label")
+      .write.mode("overwrite").parquet(dimDir)
+    val prev = spark.conf
+      .getOption("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val joined = spark.read.parquet(dir)
+        .join(spark.read.parquet(dimDir).filter(col("label") === "finished"),
+          col("status") === col("status_key"))
+        .select("o_orderkey", "status", "label")
+      val scan = joined.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).find(_.contains("PartitionFilters")).getOrElse("")
+      assert(scan.contains("dynamicpruning"),
+        s"expected a dynamic pruning subquery in the fact scan:\n$scan")
+      assert(joined.collect().nonEmpty)
+    } finally prev.fold(spark.conf.unset(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats"))(
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", _))
+  }
+
+  test("runtime bloom filter: a selective dim join injects a fact-side bloom probe") {
+    // Runtime filtering for NON-partition join keys: the optimizer
+    // builds a bloom filter from the selective dim side and probes it
+    // on the fact side BEFORE the shuffle — at 100 TB this drops the
+    // shuffled fact volume by the join's selectivity without any layout
+    // prerequisite. Thresholds are lowered so the sf0.001 fixture
+    // triggers the same decision a TB-scale plan makes by default.
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      // no broadcast: force the shuffle join the bloom probe protects
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = Tables.lineitem(spark, sf)
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity")
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter"),
+        s"expected a runtime bloom filter probe in the optimized plan:\n$p")
+      assert(joined.collect().nonEmpty)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dimension joins broadcast (no shuffle of the fact side)") {
     val q = SparkEntry.registry("join_three_way").fn(spark, sf)
     val p = plan(q)
