@@ -653,6 +653,76 @@ object Text {
     // bit-exact the query emits tf and df as exact integers plus the
     // ratio-based tfidf = tf * N / df in double (same IEEE ops both
     // sides). Top-5 terms per doc over a deterministic stripe.
+    // DSIR-style importance weights (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling"): score every raw doc
+    // by how target-like its hashed-unigram distribution is — the
+    // published recipe for tilting a web crawl toward a quality domain
+    // WITHOUT a trained classifier. Target = the 'en' slice; features =
+    // unigrams hashed into 64 buckets (the portable md5-60bit hash);
+    // per-bucket ratio = Laplace-smoothed p_target/p_source as ONE
+    // double expression (integer counts in, same operation order on
+    // both engines); per-doc weight = the product of its tokens'
+    // ratios, computed as an identical left fold over the SORTED ratio
+    // array (the running-product rule from PERF.md — a float product is
+    // order-sensitive, so the order is pinned; long off-target docs
+    // underflow to +0.0 identically on both engines). Scale shape: two
+    // keyed bucket aggs + a 64-row broadcast back onto the token
+    // stream; the top-20 cut is a TakeOrdered heap.
+    "corpus_dsir_weights" -> QuerySpec(
+      (s, d) => {
+        val b = 64
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(TextOps.tokens(col("text"))).as("t"))
+          .select(col("doc_id"), col("lang"),
+            (TextOps.hash64(col("t")) % b).as("b"))
+        val st = tok.agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+          count(lit(1)).as("ns")).head()
+        val (nt, ns) = (st.getLong(0), st.getLong(1))
+        val ratio = tok.groupBy("b").agg(
+            count(lit(1)).as("sc"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+          .select(col("b"),
+            (((col("tc") + 1).cast("double") * lit((ns + b).toDouble)) /
+              ((col("sc") + 1).cast("double") * lit((nt + b).toDouble)))
+              .as("r"))
+        tok.join(broadcast(ratio), "b")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sort_array(collect_list(col("r"))).as("rs"))
+          .select(col("doc_id"), col("n_tokens"),
+            aggregate(col("rs"), lit(1.0), (acc, x) => acc * x)
+              .as("weight"))
+          .orderBy(col("weight").desc, col("doc_id"))
+          .limit(20)
+      },
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |         ${duckHash64("t.tok")} % 64 AS b
+         |  FROM documents, UNNEST($duckToks) AS t(tok)),
+         |tot AS (
+         |  SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+         |         COUNT(*) AS ns
+         |  FROM tok),
+         |ratio AS (
+         |  SELECT b,
+         |         (CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1
+         |            AS DOUBLE) * CAST((SELECT ns FROM tot) + 64 AS DOUBLE))
+         |       / (CAST(COUNT(*) + 1 AS DOUBLE)
+         |          * CAST((SELECT nt FROM tot) + 64 AS DOUBLE)) AS r
+         |  FROM tok GROUP BY b),
+         |doc AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |         list_sort(list(r)) AS rs
+         |  FROM tok JOIN ratio USING (b)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       list_reduce(rs, (p, f) -> p * f) AS weight
+         |FROM doc
+         |ORDER BY weight DESC, doc_id
+         |LIMIT 20""".stripMargin),
+
     "text_tf_idf" -> QuerySpec(
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -1093,6 +1093,56 @@ object Warehouse {
         |         AS n_null_shipdate
         |FROM lineitem""".stripMargin),
 
+    // k-anonymity census — the re-identification audit a governed data
+    // platform runs before releasing a table: group by the
+    // quasi-identifier tuple (nation, segment, 1000-unit balance band)
+    // and, for each privacy level k ∈ {2,5,10}, count the equivalence
+    // classes smaller than k and the rows exposed in them. A release
+    // gate reads rows_at_risk = 0 as "k-anonymous at that k";
+    // generalization (coarser bands) is the remediation. One keyed
+    // aggregate over the QI tuple (map-side combined), then a
+    // constant-fan-out explode over the three k values — the group
+    // table, not the fact table, is re-scanned. floor(bal/1000) is
+    // IEEE-deterministic on both engines, negatives floor toward -inf.
+    "warehouse_k_anonymity" -> QuerySpec(
+      (s, d) => {
+        val groups = Tables.customer(s, d)
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+          .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+          .agg(count(lit(1)).as("sz"))
+        groups
+          .select(explode(array(lit(2L), lit(5L), lit(10L))).as("k"),
+            col("sz"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("sz") < col("k"), 1L).otherwise(0L))
+              .as("groups_at_risk"),
+            sum(when(col("sz") < col("k"), col("sz")).otherwise(0L))
+              .as("rows_at_risk"))
+          .select(col("k"), col("n_groups"), col("groups_at_risk"),
+            col("rows_at_risk"),
+            (col("rows_at_risk") === 0L).as("anonymous"))
+          .orderBy("k")
+      },
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |         COUNT(*) AS sz
+        |  FROM customer
+        |  GROUP BY c_nationkey, c_mktsegment, bal_band),
+        |x AS (SELECT k, sz FROM g, UNNEST([2, 5, 10]) AS t(k))
+        |SELECT CAST(k AS BIGINT) AS k,
+        |       COUNT(*) AS n_groups,
+        |       CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS groups_at_risk,
+        |       CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+        |         AS rows_at_risk,
+        |       SUM(CASE WHEN sz < k THEN sz ELSE 0 END) = 0 AS anonymous
+        |FROM x
+        |GROUP BY k
+        |ORDER BY k""".stripMargin),
+
     // Pre-join key-skew audit: the per-key count distribution of a join
     // key (nearest-rank p50/p99/max, mean, and the hottest key's share) —
     // the diagnostic that decides between a plain shuffle join, salting,
