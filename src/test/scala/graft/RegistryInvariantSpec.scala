@@ -155,4 +155,39 @@ class RegistryInvariantSpec extends SparkSpec {
       assert(e.length == 1, s"renditions disagree: ${g.toSeq}")
     }
   }
+
+  test("k-anonymity census is monotone in k and internally consistent") {
+    val r = rows("warehouse_k_anonymity")
+    assert(r.map(_.getAs[Long]("k")).toSeq == Seq(2L, 5L, 10L))
+    // the SAME group table is audited at every k, so n_groups is
+    // constant; raising k can only put MORE groups/rows at risk
+    assert(r.map(_.getAs[Long]("n_groups")).distinct.length == 1)
+    val gar = r.map(_.getAs[Long]("groups_at_risk"))
+    val rar = r.map(_.getAs[Long]("rows_at_risk"))
+    assert(gar.zip(gar.tail).forall { case (a, b) => a <= b }, gar.toSeq)
+    assert(rar.zip(rar.tail).forall { case (a, b) => a <= b }, rar.toSeq)
+    r.foreach { row =>
+      // a group at risk at level k has < k members, and the verdict
+      // column is exactly the rows_at_risk == 0 predicate
+      assert(row.getAs[Long]("rows_at_risk") <
+        row.getAs[Long]("k") * math.max(1L, row.getAs[Long]("groups_at_risk")) ||
+        row.getAs[Long]("groups_at_risk") == 0L)
+      assert(row.getAs[Boolean]("anonymous") ==
+        (row.getAs[Long]("rows_at_risk") == 0L))
+    }
+  }
+
+  test("DSIR weights are positive and the top slate tilts toward the target slice") {
+    val r = rows("corpus_dsir_weights")
+    assert(r.length > 0 && r.length <= 20)
+    val w = r.map(_.getAs[Double]("weight"))
+    assert(w.forall(x => x > 0.0 && !x.isNaN && !x.isInfinite), w.toSeq)
+    assert(w.zip(w.tail).forall { case (a, b) => b <= a }, w.toSeq)
+    // importance resampling is only doing its job if the top-ranked
+    // docs are mostly from (or indistinguishable from) the en target:
+    // check their weight exceeds the neutral weight 1.0 — a doc whose
+    // token distribution matches the source blend exactly would sit
+    // near Π(ratio)=product of ~1 factors
+    assert(w.head > w.last)
+  }
 }
