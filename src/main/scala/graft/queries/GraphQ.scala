@@ -421,11 +421,16 @@ object GraphQ {
           .filter(col("sl") =!= col("dl"))
           .groupBy(col("sl").as("label"))
           .agg(count(lit(1)).as("cut_edges"))
+        // φ is undefined when one community holds ALL volume
+        // (min(vol, 2m−vol) = 0 — seen on the sf0.001 fixture where LPA
+        // converges to a single community): NULL the denominator rather
+        // than divide by zero under ANSI mode.
         comm.join(cut, Seq("label"), "left")
           .select(col("label"), col("n_members"), col("vol"),
             coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
             (coalesce(col("cut_edges"), lit(0L)).cast("double") /
-              least(col("vol"), lit(twoM) - col("vol")).cast("double"))
+              nullif(least(col("vol"), lit(twoM) - col("vol")), lit(0L))
+                .cast("double"))
               .as("conductance"))
           .orderBy("label")
       },
@@ -443,8 +448,8 @@ object GraphQ {
          |SELECT c.label, c.n_members, c.vol,
          |       COALESCE(t.cut_edges, 0) AS cut_edges,
          |       CAST(COALESCE(t.cut_edges, 0) AS DOUBLE)
-         |         / CAST(least(c.vol,
-         |             (SELECT two_m FROM m2) - c.vol) AS DOUBLE)
+         |         / CAST(NULLIF(least(c.vol,
+         |             (SELECT two_m FROM m2) - c.vol), 0) AS DOUBLE)
          |         AS conductance
          |FROM comm c LEFT JOIN cut t USING (label)
          |ORDER BY c.label""".stripMargin),
