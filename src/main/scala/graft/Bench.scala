@@ -85,7 +85,9 @@ object Bench {
       timedStage("multimodal_wav_shared_encode")(f =>
         graft.queries.MultimodalQ.buildSharedWavStage(spark, sfDir, f)),
       timedStage("learn_logreg_shared_train")(f =>
-        graft.queries.LearnQ.buildSharedLogregStage(spark, sfDir, f)))
+        graft.queries.LearnQ.buildSharedLogregStage(spark, sfDir, f)),
+      timedStage("linkage_candidates_shared_stage")(f =>
+        graft.queries.LinkageQ.buildSharedLinkageStage(spark, sfDir, f)))
 
     // noop sink forces FULL evaluation of every column (a bare .count()
     // would let Catalyst prune projection work and under-measure

@@ -19,7 +19,8 @@ object Registry {
       Warehouse.registry,
       Integration.registry,
       GraphQ.registry,
-      LearnQ.registry
+      LearnQ.registry,
+      LinkageQ.registry
     )
     val pairs = parts.flatten
     val merged = pairs.toMap

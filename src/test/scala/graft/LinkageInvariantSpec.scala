@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Semantic invariants of the data-integration wave (LinkageQ) — the
+  * properties Fellegi–Sunter, blocking audits, truth discovery, KMV schema
+  * matching and g3 FD discovery must satisfy regardless of the fixture, so
+  * they complement the DuckDB hash gate (which also passes when both
+  * engines share the same misconception). Run at sf0.001 for speed.
+  */
+class LinkageInvariantSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def rows(name: String): Array[Row] =
+    SparkEntry.registry(name).fn(spark, sf).collect()
+
+  test("FS census: m and u are distributions; name-agreeing patterns link") {
+    val r = rows("linkage_fellegi_sunter")
+    assert(r.nonEmpty && r.length <= 8)
+    // m and u each sum to 1 over the pattern space (they are conditional
+    // pattern distributions given match / non-match)
+    val mSum = r.map(_.getAs[Double]("m_prob")).sum
+    val uSum = r.map(_.getAs[Double]("u_prob")).sum
+    assert(math.abs(mSum - 1.0) < 1e-9, s"m sums to $mSum")
+    assert(math.abs(uSum - 1.0) < 1e-9, s"u sums to $uSum")
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_match") <= row.getAs[Long]("n_pairs"))
+      // exact-name agreement implies a true match in this fixture (names
+      // are unique per customer), so those patterns must all be links
+      if (row.getAs[Int]("name_eq") == 1)
+        assert(row.getAs[String]("verdict") == "link",
+          s"name-agreeing pattern not linked: $row")
+    }
+  }
+
+  test("blocking audit: ratios in range, passes reconcile, matches bounded") {
+    val Array(r) = rows("linkage_blocking_audit")
+    val cand = r.getAs[Long]("cand_pairs")
+    assert(cand <= r.getAs[Long]("total_pairs"))
+    // each pass contributes at most every candidate; union at least max
+    assert(r.getAs[Long]("conj_pairs") <= cand)
+    assert(r.getAs[Long]("name_pairs") <= cand)
+    assert(r.getAs[Long]("conj_pairs") + r.getAs[Long]("name_pairs")
+      >= cand)
+    val rr = r.getAs[Double]("reduction_ratio")
+    val pc = r.getAs[Double]("pair_completeness")
+    assert(rr > 0.5 && rr < 1.0, s"reduction ratio $rr")
+    assert(pc > 0.9 && pc <= 1.0, s"pair completeness $pc")
+    assert(r.getAs[Long]("matches_in_cand") <=
+      r.getAs[Long]("n_true_matches"))
+    // B is a strict subset of A's keys
+    assert(r.getAs[Long]("n_b") < r.getAs[Long]("n_a"))
+  }
+
+  test("truth discovery: trust tracks injected noise; iteration helps") {
+    val r = rows("fusion_truth_discovery")
+    val by = r.map(row => row.getAs[String]("source") -> row).toMap
+    assert(by.keySet == Set("source_1", "source_2", "source_3",
+      "consensus_r1", "consensus_r2"))
+    // trust ordering must recover the injected error-rate ordering
+    // (5% < 20% < 33% corruption)
+    val t1 = by("source_1").getAs[Double]("trust")
+    val t2 = by("source_2").getAs[Double]("trust")
+    val t3 = by("source_3").getAs[Double]("trust")
+    assert(t1 > t2 && t2 > t3, s"trust ordering broken: $t1 $t2 $t3")
+    // consensus beats the WORST source, and the trust-weighted round
+    // cannot be worse than the unweighted one on this fixture
+    val a1 = by("consensus_r1").getAs[Double]("accuracy")
+    val a2 = by("consensus_r2").getAs[Double]("accuracy")
+    assert(a1 > by("source_3").getAs[Double]("accuracy"))
+    assert(a2 >= a1, s"trust-weighted round regressed: $a1 -> $a2")
+    r.foreach { row =>
+      val a = row.getAs[Double]("accuracy")
+      assert(a >= 0.0 && a <= 1.0)
+    }
+  }
+
+  test("schema matching: KMV agrees with exact on decided pairs") {
+    val r = rows("schema_match_kmv")
+    assert(r.length == 12) // 4 customer cols x 3 supplier cols
+    r.foreach { row =>
+      val kmv = row.getAs[Double]("jaccard_kmv")
+      val exact = row.getAs[Double]("jaccard_exact")
+      assert(kmv >= 0.0 && kmv <= 1.0)
+      assert(exact >= 0.0 && exact <= 1.0)
+      assert(row.getAs[Long]("k_used") > 0)
+      assert(row.getAs[Long]("n_both") <= row.getAs[Long]("k_used"))
+    }
+    // when both value sets fit inside the sketch, KMV degrades to the
+    // exact Jaccard — bit-equal, not just close
+    r.filter(row => row.getAs[Long]("ndv_a") + row.getAs[Long]("ndv_b")
+        <= 256).foreach { row =>
+      assert(row.getAs[Double]("jaccard_kmv") ==
+        row.getAs[Double]("jaccard_exact"),
+        s"sub-k sketch not exact: $row")
+    }
+    // the one true domain match must outscore every other pair
+    val nk = r.find(row => row.getAs[String]("col_a") == "c_nationkey" &&
+      row.getAs[String]("col_b") == "s_nationkey").get
+    val best = r.map(_.getAs[Double]("jaccard_kmv")).max
+    assert(nk.getAs[Double]("jaccard_kmv") == best && best > 0.0,
+      s"nationkey pair is not the top match: $nk vs best $best")
+    // disjoint-prefix name columns must score 0
+    val nm = r.find(row => row.getAs[String]("col_a") == "c_name" &&
+      row.getAs[String]("col_b") == "s_name").get
+    assert(nm.getAs[Double]("jaccard_kmv") == 0.0)
+  }
+
+  test("FD discovery: g3 is a consistent repair cost; keys hold") {
+    val r = rows("profile_fd_discovery")
+    assert(r.length == 8)
+    r.foreach { row =>
+      val nRows = row.getAs[Long]("n_rows")
+      val g3 = row.getAs[Long]("g3_rows")
+      val viol = row.getAs[Long]("n_violating_groups")
+      assert(row.getAs[Long]("n_groups") <= nRows)
+      assert(viol <= row.getAs[Long]("n_groups"))
+      // holds <=> no violating groups <=> zero repair cost
+      assert(row.getAs[Boolean]("holds") == (viol == 0))
+      assert((g3 == 0) == (viol == 0), s"g3/violations disagree: $row")
+      // deleting every row but one per group always repairs an FD
+      assert(g3 <= nRows - row.getAs[Long]("n_groups"))
+    }
+    val by = r.map(row => row.getAs[String]("fd_name") -> row).toMap
+    assert(by("order_to_cust").getAs[Boolean]("holds"))
+    assert(by("nation_to_region").getAs[Boolean]("holds"))
+    assert(by("cust_to_seg").getAs[Boolean]("holds"))
+    assert(!by("ocust_to_priority").getAs[Boolean]("holds"))
+  }
+}
