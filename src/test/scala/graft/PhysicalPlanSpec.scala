@@ -634,4 +634,39 @@ class PhysicalPlanSpec extends SparkSpec {
       SparkEntry.registry("sql_frontend_group_order_all").fn(spark, sf))
     assert(ga.contains("HashAggregate"), ga)
   }
+
+  test("data-integration wave keeps its declared scale shapes") {
+    // FS census: sources broadcast onto the candidate scan; candidates
+    // themselves come only from equi-key blocking joins (no cross join
+    // anywhere), and the 8-row pattern census is a map-side-combined
+    // partial+final aggregate.
+    val fs = plan(
+      SparkEntry.registry("linkage_fellegi_sunter").fn(spark, sf))
+    assert(fs.contains("BroadcastHashJoin"), fs)
+    assert(!fs.contains("CartesianProduct"),
+      s"linkage candidates must never plan as a cross join:\n$fs")
+    assert(fs.contains("HashAggregate"), fs)
+    // truth discovery: per-entity argmax windows partition BY ek (never
+    // an unpartitioned window); the 3-row trust table broadcasts.
+    val td = plan(
+      SparkEntry.registry("fusion_truth_discovery").fn(spark, sf))
+    assert(td.contains("hashpartitioning(ek"),
+      s"truth-discovery windows must partition by entity:\n$td")
+    assert(td.contains("BroadcastHashJoin"), td)
+    assert(!td.contains("CartesianProduct"), td)
+    // KMV schema matching: the rank window partitions BY COLUMN; the
+    // 12-pair matrix is a broadcast nested loop of 7 sketch rows (the
+    // one place a BNLJ is the right plan — both sides are column
+    // sketches, not data), and the exact-intersection join is equi-keyed.
+    val sm = plan(SparkEntry.registry("schema_match_kmv").fn(spark, sf))
+    assert(sm.contains("hashpartitioning(cname"),
+      s"KMV rank window must partition by column:\n$sm")
+    assert(!sm.contains("CartesianProduct"), sm)
+    // FD discovery: two-level keyed aggregation — no countDistinct
+    // expand, no window, no join in any candidate's subplan.
+    val fd = plan(SparkEntry.registry("profile_fd_discovery").fn(spark, sf))
+    assert(!fd.contains("Window") && !fd.contains("Expand") &&
+      !fd.contains("Join"), s"FD audit must stay join/window-free:\n$fd")
+    assert(fd.contains("HashAggregate"), fd)
+  }
 }
