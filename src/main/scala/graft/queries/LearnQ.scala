@@ -1265,7 +1265,182 @@ object LearnQ {
         |         ORDER BY cos DESC, item) AS rk FROM sc)
         |SELECT seed, CAST(rk AS BIGINT) AS rk, item, support,
         |       n_seed, n_item, cos
-        |FROM rk WHERE rk <= 5 ORDER BY seed, rk""".stripMargin)
+        |FROM rk WHERE rk <= 5 ORDER BY seed, rk""".stripMargin),
+
+    // Isotonic (PAV) calibration of the shared trained classifier —
+    // the monotone-regression upgrade of the decile reliability diagram:
+    // fit the best NON-DECREASING calibrated rate over score buckets.
+    // Instead of the sequential pool-adjacent-violators sweep (which
+    // doesn't parallelize), the fit uses PAV's closed-form minimax
+    // identity — iso(b) = max_{i≤b} min_{j≥b} mean(pos)/mean(n) over
+    // bucket range [i,j] — so both engines compute it as joins/aggs over
+    // EXACT integer range sums (prefix sums once, every range average an
+    // exact rational, min/max of identically-computed doubles). Buckets
+    // quantize scores to 1/200 units, so the bucket table is ≤ 201 rows
+    // BY CONSTRUCTION: the cumulative window, the O(B²) range table and
+    // the O(B³) minimax join are all bounded regardless of corpus size
+    // (the bounded-window discipline of learn_logreg_filter_curve) while
+    // the only corpus-sized step is the keyed bucket count. The spec
+    // asserts monotonicity and PAV's mass-preservation identity.
+    "learn_isotonic_calibration" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val (ft, w, _) = trainedLogreg(s, d)
+        val bk = ft.select(col("y"),
+            floor(softsign(zOf(w)) * lit(200.0)).cast("long").as("b"))
+          .groupBy("b")
+          .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("pos"))
+        val cw = Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bk.select(col("b"), col("n"), col("pos"),
+          sum("n").over(cw).as("cn"), sum("pos").over(cw).as("cp"))
+        val lo = cum.select(col("b").as("bi"),
+          (col("cn") - col("n")).as("pn"), (col("cp") - col("pos")).as("pp"))
+        val hi = cum.select(col("b").as("bj"), col("cn"), col("cp"))
+        val ranges = lo.join(hi, col("bi") <= col("bj"))
+          .select(col("bi"), col("bj"),
+            ((col("cp") - col("pp")).cast("double") /
+              (col("cn") - col("pn")).cast("double")).as("ravg"))
+        val bs = bk.select(col("b").as("bb"))
+        val m1 = ranges.join(bs,
+            col("bi") <= col("bb") && col("bj") >= col("bb"))
+          .groupBy("bb", "bi").agg(min("ravg").as("mn"))
+        val iso = m1.groupBy("bb").agg(max("mn").as("iso_rate"))
+        bk.join(iso, col("b") === col("bb"))
+          .select(col("b").as("bucket"), col("n").as("n_docs"),
+            col("pos").as("n_pos"),
+            (col("pos").cast("double") / col("n").cast("double"))
+              .as("raw_rate"),
+            col("iso_rate"))
+          .orderBy("bucket")
+      },
+      s"""WITH $duckLogregCtes,
+         |bk AS MATERIALIZED (SELECT
+         |    CAST(FLOOR(0.5 * (1.0 + z / (1.0 + abs(z))) * 200.0)
+         |      AS BIGINT) AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos
+         |  FROM (SELECT y, w1 * x1 + w2 * x2 + w3 * x3 + b AS z
+         |        FROM ft, w$LogregRounds) t GROUP BY 1),
+         |cum AS MATERIALIZED (SELECT b, n, pos,
+         |    CAST(SUM(n) OVER (ORDER BY b) AS BIGINT) AS cn,
+         |    CAST(SUM(pos) OVER (ORDER BY b) AS BIGINT) AS cp
+         |  FROM bk),
+         |ranges AS MATERIALIZED (SELECT lo.b AS bi, hi.b AS bj,
+         |    CAST(hi.cp - (lo.cp - lo.pos) AS DOUBLE)
+         |      / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS ravg
+         |  FROM cum lo JOIN cum hi ON lo.b <= hi.b),
+         |m1 AS MATERIALIZED (SELECT bs.b AS bb, r.bi,
+         |    MIN(r.ravg) AS mn
+         |  FROM ranges r JOIN bk bs ON r.bi <= bs.b AND r.bj >= bs.b
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT bb, MAX(mn) AS iso_rate FROM m1 GROUP BY 1)
+         |SELECT bk.b AS bucket, bk.n AS n_docs, bk.pos AS n_pos,
+         |  CAST(bk.pos AS DOUBLE) / CAST(bk.n AS DOUBLE) AS raw_rate,
+         |  iso.iso_rate
+         |FROM bk JOIN iso ON bk.b = iso.bb
+         |ORDER BY bucket""".stripMargin),
+
+    // Split-conformal coverage audit of the shared trained classifier
+    // (Vovk's split conformal, the distribution-free prediction-set
+    // guarantee a curation pipeline wants before trusting scores): a
+    // hash-derandomized 50/50 calibration/test split; nonconformity =
+    // probability mass the model puts on the WRONG side (1−f for
+    // positives, f for negatives), quantized to integer MICRO-units so
+    // the calibration quantile is an exact integer order statistic over
+    // a ≤10⁶-row distinct-score table BY CONSTRUCTION (the bounded-
+    // window discipline), at rank ceil((n_cal+1)(1−α)) with α = 0.1 —
+    // exact integer arithmetic, no percentile interpolation. Coverage on
+    // the held-out half (fraction with nonconformity ≤ the threshold)
+    // carries the finite-sample ≥ 1−α marginal guarantee; the verdict
+    // allows 5 points of finite-sample slack. Scale shape: scoring is
+    // one scan; the split is a hash predicate; the only non-keyed step
+    // is the bounded cumulative window.
+    "learn_conformal_coverage" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val (_, w, _) = trainedLogreg(s, d)
+        val toks = TextOps.tokens(col("text"))
+        val nt = size(toks).cast("double")
+        val sc = Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+              .as("y"),
+            (size(toks).cast("double") / lit(100.0)).as("x1"),
+            (size(array_distinct(toks)).cast("double") / nt).as("x2"),
+            (aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+              .cast("double") / nt / lit(10.0)).as("x3"))
+          .select(col("doc_id"), col("y"), softsign(zOf(w)).as("f"))
+          .select(col("doc_id"),
+            floor(when(col("y") === 1.0, lit(1.0) - col("f"))
+              .otherwise(col("f")) * lit(1000000.0)).cast("long").as("su"),
+            (TextOps.hash64(concat_ws(":", col("doc_id"), lit("cal")))
+              % 2 === 0).as("is_cal"))
+          .localCheckpoint(true)
+        val nCal = sc.filter(col("is_cal")).count()
+        val kRank = ((nCal + 1) * 9 + 9) / 10 // ceil((n_cal+1)*0.9)
+        val cw = Window.orderBy("su")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val q = sc.filter(col("is_cal")).groupBy("su")
+          .agg(count(lit(1)).as("c"))
+          .select(col("su"), sum("c").over(cw).as("cum"))
+          .filter(col("cum") >= kRank)
+          .agg(min("su").as("q_units"))
+        sc.filter(!col("is_cal")).crossJoin(broadcast(q))
+          .agg(count(lit(1)).as("n_test"),
+            (sum(when(col("su") <= col("q_units"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1)).cast("double"))
+              .as("coverage"),
+            first(col("q_units")).as("q_units"))
+          .select(lit(nCal).as("n_cal"), col("n_test"),
+            lit(kRank).as("k_rank"), col("q_units"), col("coverage"),
+            (col("coverage") >= 0.85).as("within_slack"))
+      },
+      {
+        val k = "CAST(doc_id AS VARCHAR)"
+        val h = s"CAST(('0x' || substr(md5($k || ':cal'), 1, 15))" +
+          "::UBIGINT AS BIGINT)"
+        s"""WITH $duckLogregCtes,
+           |ftd AS MATERIALIZED (SELECT doc_id,
+           |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           |    CAST(len(toks) AS DOUBLE) / 100.0 AS x1,
+           |    CAST(len(list_distinct(toks)) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE) AS x2,
+           |    CAST(list_sum(list_transform(toks, t -> length(t)))
+           |        AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE) / 10.0 AS x3
+           |  FROM (SELECT doc_id, $duckToks AS toks, lang
+           |        FROM documents)),
+           |sc AS MATERIALIZED (SELECT doc_id,
+           |    CAST(FLOOR(CASE WHEN y = 1.0
+           |        THEN 1.0 - (0.5 * (1.0 + z / (1.0 + abs(z))))
+           |        ELSE 0.5 * (1.0 + z / (1.0 + abs(z))) END
+           |      * 1000000.0) AS BIGINT) AS su,
+           |    $h % 2 = 0 AS is_cal
+           |  FROM (SELECT doc_id, y,
+           |          w1 * x1 + w2 * x2 + w3 * x3 + b AS z
+           |        FROM ftd, w$LogregRounds) t),
+           |ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM sc
+           |  WHERE is_cal),
+           |krank AS (SELECT ((n_cal + 1) * 9 + 9) // 10 AS k_rank
+           |  FROM ncal),
+           |q AS (SELECT MIN(su) AS q_units FROM (
+           |    SELECT su, CAST(SUM(c) OVER (ORDER BY su) AS BIGINT)
+           |      AS cum
+           |    FROM (SELECT su, COUNT(*) AS c FROM sc WHERE is_cal
+           |          GROUP BY 1) g) w, krank
+           |  WHERE cum >= k_rank)
+           |SELECT n_cal, CAST(COUNT(*) AS BIGINT) AS n_test, k_rank,
+           |  q_units,
+           |  CAST(SUM(CASE WHEN su <= q_units THEN 1 ELSE 0 END)
+           |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage,
+           |  CAST(SUM(CASE WHEN su <= q_units THEN 1 ELSE 0 END)
+           |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) >= 0.85
+           |    AS within_slack
+           |FROM sc, ncal, krank, q
+           |WHERE NOT is_cal
+           |GROUP BY n_cal, k_rank, q_units""".stripMargin
+      })
   )
 
   /** One DuckDB SVM round: sg$i (subgradient sums) + v$i (weight update)

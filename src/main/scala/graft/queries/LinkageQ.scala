@@ -242,6 +242,144 @@ object LinkageQ {
          |FROM pat, tot
          |ORDER BY name_eq, seg_eq, band_eq""".stripMargin),
 
+    // UNSUPERVISED Fellegi–Sunter weight estimation via EM (Winkler
+    // 1988) — the estimator production linkage actually runs, because
+    // labeled matches don't exist at integration time. The 8-row
+    // agreement-pattern census (counts only, labels NEVER consulted) is
+    // collected to the driver — bounded at 2^|fields| = 8 rows BY
+    // CONSTRUCTION, the same driver-held-parameter-vector pattern as the
+    // logreg weights and the PCA Gramian — and 3 fixed EM rounds re-fit
+    // (p, m_f, u_f): E-step posterior w(g) = p·Πm / (p·Πm + (1−p)·Πu)
+    // as a fixed-order double chain, M-step sums as floor(2^40-scaled)
+    // integer terms accumulated in BigInt (order-free, exact) so the
+    // oracle's DECIMAL(38,0) sums replay them bit-identically. Output:
+    // the parameter trajectory, one row per iteration. The EM estimates
+    // are validated against the SUPERVISED census two ways: the spec
+    // asserts m_f > u_f separation and p ≈ the labeled match rate, and
+    // the oracle recomputes the identical trajectory from scratch.
+    "linkage_em_weights" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val (srcA, srcB, cand) = linkageStage(s, d)
+        val pat = cand
+          .join(broadcast(srcA), "a_id")
+          .join(broadcast(srcB), "b_id")
+          .groupBy(
+            when(col("a_name") === col("b_name"), 1).otherwise(0)
+              .as("g1"),
+            when(col("a_seg") === col("b_seg"), 1).otherwise(0).as("g2"),
+            when(col("a_band") === col("b_band"), 1).otherwise(0)
+              .as("g3"))
+          .agg(count(lit(1)).as("n"))
+          .collect() // <= 8 rows by construction (2^3 patterns)
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        val S = Scale.toDouble
+        val nTot = pat.map(_._4).sum.toDouble
+        var p = 0.1
+        var m = Array(0.8, 0.8, 0.8)
+        var u = Array(0.2, 0.2, 0.2)
+        val traj = (1 to 3).map { it =>
+          // E-step: posterior match weight per pattern (fixed-order
+          // double chain, mirrored term-by-term in the oracle)
+          def w(g: (Int, Int, Int, Long)): Double = {
+            val pm = p * (if (g._1 == 1) m(0) else 1.0 - m(0)) *
+              (if (g._2 == 1) m(1) else 1.0 - m(1)) *
+              (if (g._3 == 1) m(2) else 1.0 - m(2))
+            val pu = (1.0 - p) * (if (g._1 == 1) u(0) else 1.0 - u(0)) *
+              (if (g._2 == 1) u(1) else 1.0 - u(1)) *
+              (if (g._3 == 1) u(2) else 1.0 - u(2))
+            pm / (pm + pu)
+          }
+          // M-step: exact order-free scaled-integer sums (BigInt here,
+          // DECIMAL(38,0) in the oracle — same floor terms). All terms
+          // are materialized under the CURRENT params before any update.
+          val terms = pat.map { g =>
+            val wg = w(g)
+            (g, BigInt(math.floor(wg * g._4.toDouble * S).toLong),
+              BigInt(math.floor((1.0 - wg) * g._4.toDouble * S).toLong))
+          }
+          val sw = terms.map(_._2).sum
+          val su = terms.map(_._3).sum
+          def sel(g: (Int, Int, Int, Long), f: Int): Int =
+            f match { case 0 => g._1; case 1 => g._2; case _ => g._3 }
+          p = sw.toDouble / S / nTot
+          m = Array.tabulate(3)(f =>
+            terms.filter(x => sel(x._1, f) == 1).map(_._2).sum.toDouble /
+              sw.toDouble)
+          u = Array.tabulate(3)(f =>
+            terms.filter(x => sel(x._1, f) == 1).map(_._3).sum.toDouble /
+              su.toDouble)
+          (it.toLong, p, m(0), m(1), m(2), u(0), u(1), u(2))
+        }
+        traj.toDF("iteration", "p_match", "m_name", "m_seg", "m_band",
+            "u_name", "u_seg", "u_band")
+          .orderBy("iteration")
+      },
+      {
+        val S = "1099511627776.0"
+        def estep(prev: String): String =
+          s"""SELECT g1, g2, g3, n,
+             |  CAST(FLOOR(pm / (pm + pu) * CAST(n AS DOUBLE) * $S)
+             |    AS DECIMAL(38,0)) AS t,
+             |  CAST(FLOOR((1.0 - pm / (pm + pu)) * CAST(n AS DOUBLE)
+             |    * $S) AS DECIMAL(38,0)) AS tu
+             |FROM (SELECT g1, g2, g3, n,
+             |    q.p_match
+             |      * (CASE WHEN g1 = 1 THEN q.m_name
+             |              ELSE 1.0 - q.m_name END)
+             |      * (CASE WHEN g2 = 1 THEN q.m_seg
+             |              ELSE 1.0 - q.m_seg END)
+             |      * (CASE WHEN g3 = 1 THEN q.m_band
+             |              ELSE 1.0 - q.m_band END) AS pm,
+             |    (1.0 - q.p_match)
+             |      * (CASE WHEN g1 = 1 THEN q.u_name
+             |              ELSE 1.0 - q.u_name END)
+             |      * (CASE WHEN g2 = 1 THEN q.u_seg
+             |              ELSE 1.0 - q.u_seg END)
+             |      * (CASE WHEN g3 = 1 THEN q.u_band
+             |              ELSE 1.0 - q.u_band END) AS pu
+             |  FROM pat, $prev q) x""".stripMargin
+        def mstep(i: Int, prev: String): String =
+          s"""it$i AS MATERIALIZED (SELECT
+             |  CAST(SUM(t) AS DOUBLE) / $S
+             |    / CAST(SUM(n) AS DOUBLE) AS p_match,
+             |  CAST(SUM(CASE WHEN g1 = 1 THEN t ELSE 0 END) AS DOUBLE)
+             |    / CAST(SUM(t) AS DOUBLE) AS m_name,
+             |  CAST(SUM(CASE WHEN g2 = 1 THEN t ELSE 0 END) AS DOUBLE)
+             |    / CAST(SUM(t) AS DOUBLE) AS m_seg,
+             |  CAST(SUM(CASE WHEN g3 = 1 THEN t ELSE 0 END) AS DOUBLE)
+             |    / CAST(SUM(t) AS DOUBLE) AS m_band,
+             |  CAST(SUM(CASE WHEN g1 = 1 THEN tu ELSE 0 END) AS DOUBLE)
+             |    / CAST(SUM(tu) AS DOUBLE) AS u_name,
+             |  CAST(SUM(CASE WHEN g2 = 1 THEN tu ELSE 0 END) AS DOUBLE)
+             |    / CAST(SUM(tu) AS DOUBLE) AS u_seg,
+             |  CAST(SUM(CASE WHEN g3 = 1 THEN tu ELSE 0 END) AS DOUBLE)
+             |    / CAST(SUM(tu) AS DOUBLE) AS u_band
+             |FROM (${estep(prev)}) e)""".stripMargin
+        s"""WITH $duckLinkCtes,
+           |pat AS MATERIALIZED (SELECT
+           |    CASE WHEN a.a_name = b.b_name THEN 1 ELSE 0 END AS g1,
+           |    CASE WHEN a.a_seg = b.b_seg THEN 1 ELSE 0 END AS g2,
+           |    CASE WHEN a.a_band = b.b_band THEN 1 ELSE 0 END AS g3,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM cand c JOIN srca a ON c.a_id = a.a_id
+           |              JOIN srcb b ON c.b_id = b.b_id
+           |  GROUP BY 1, 2, 3),
+           |it0 AS (SELECT CAST(0.1 AS DOUBLE) AS p_match,
+           |  CAST(0.8 AS DOUBLE) AS m_name, CAST(0.8 AS DOUBLE) AS m_seg,
+           |  CAST(0.8 AS DOUBLE) AS m_band,
+           |  CAST(0.2 AS DOUBLE) AS u_name, CAST(0.2 AS DOUBLE) AS u_seg,
+           |  CAST(0.2 AS DOUBLE) AS u_band),
+           |${mstep(1, "it0")},
+           |${mstep(2, "it1")},
+           |${mstep(3, "it2")}
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS iteration, * FROM it1
+           |  UNION ALL SELECT CAST(2 AS BIGINT), * FROM it2
+           |  UNION ALL SELECT CAST(3 AS BIGINT), * FROM it3)
+           |ORDER BY iteration""".stripMargin
+      }),
+
     // Blocking-quality audit — the two numbers every blocking scheme is
     // graded on (Christen, "Data Matching" 2012): REDUCTION RATIO
     // (1 − candidates / |A|·|B|: how much of the quadratic pair space the

@@ -106,6 +106,60 @@ class LinkageInvariantSpec extends SparkSpec {
     assert(nm.getAs[Double]("jaccard_kmv") == 0.0)
   }
 
+  test("EM weights: parameters are probabilities with m/u separation") {
+    val r = rows("linkage_em_weights").sortBy(_.getAs[Long]("iteration"))
+    assert(r.map(_.getAs[Long]("iteration")).toSeq == Seq(1L, 2L, 3L))
+    r.foreach { row =>
+      Seq("p_match", "m_name", "m_seg", "m_band",
+        "u_name", "u_seg", "u_band").foreach { c =>
+        val v = row.getAs[Double](c)
+        assert(v > 0.0 && v < 1.0, s"$c=$v out of (0,1)")
+      }
+    }
+    val last = r.last
+    // the unsupervised fit must recover the m > u separation on every
+    // field (the supervised census shows m_f >> u_f), and the class
+    // prior must land well below one half — matches are always the
+    // minority of blocked pairs (its level tracks block size, so no
+    // tighter fixture-independent bound exists)
+    Seq("name", "seg", "band").foreach { f =>
+      assert(last.getAs[Double](s"m_$f") > last.getAs[Double](s"u_$f"),
+        s"EM lost m/u separation on $f: $last")
+    }
+    assert(last.getAs[Double]("p_match") < 0.5, last.toString)
+    // the match-evidence weight on the strongest field must grow as EM
+    // sharpens (name agreement is near-deterministic for matches)
+    val mn = r.map(_.getAs[Double]("m_name"))
+    assert(mn.zip(mn.tail).forall { case (a, b) => b > a }, mn.toSeq)
+  }
+
+  test("isotonic fit is monotone and mass-preserving") {
+    val r = rows("learn_isotonic_calibration")
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(r.nonEmpty)
+    val iso = r.map(_.getAs[Double]("iso_rate"))
+    assert(iso.forall(v => v >= 0.0 && v <= 1.0), iso.toSeq)
+    assert(iso.zip(iso.tail).forall { case (a, b) => b >= a },
+      s"isotonic fit not monotone: ${iso.toSeq}")
+    // PAV preserves total mass: sum(iso * n) == sum(pos)
+    val fitted = r.map(row =>
+      row.getAs[Double]("iso_rate") * row.getAs[Long]("n_docs")).sum
+    val pos = r.map(_.getAs[Long]("n_pos")).sum.toDouble
+    assert(math.abs(fitted - pos) < 1e-6 * math.max(pos, 1.0),
+      s"mass not preserved: fitted=$fitted pos=$pos")
+  }
+
+  test("conformal coverage meets the finite-sample guarantee") {
+    val Array(r) = rows("learn_conformal_coverage")
+    val nCal = r.getAs[Long]("n_cal")
+    assert(r.getAs[Long]("k_rank") == ((nCal + 1) * 9 + 9) / 10)
+    val q = r.getAs[Long]("q_units")
+    assert(q >= 0L && q <= 1000000L)
+    val cov = r.getAs[Double]("coverage")
+    assert(cov >= 0.85 && cov <= 1.0, s"coverage $cov")
+    assert(r.getAs[Boolean]("within_slack"))
+  }
+
   test("FD discovery: g3 is a consistent repair cost; keys hold") {
     val r = rows("profile_fd_discovery")
     assert(r.length == 8)
