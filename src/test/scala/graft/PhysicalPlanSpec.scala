@@ -668,5 +668,17 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(!fd.contains("Window") && !fd.contains("Expand") &&
       !fd.contains("Join"), s"FD audit must stay join/window-free:\n$fd")
     assert(fd.contains("HashAggregate"), fd)
+    // conformal audit: scoring is one scan per half; the quantile
+    // threshold joins back as a 1-row broadcast; the cumulative window
+    // runs over the AGGREGATED distinct-score table (HashAggregate on
+    // su feeds the window's sort), never the raw corpus.
+    val cf = plan(
+      SparkEntry.registry("learn_conformal_coverage").fn(spark, sf))
+    assert(cf.contains("BroadcastNestedLoopJoin") ||
+      cf.contains("BroadcastHashJoin"),
+      s"conformal threshold must broadcast:\n$cf")
+    assert(!cf.contains("CartesianProduct"), cf)
+    assert(cf.contains("HashAggregate(keys=[su"),
+      s"conformal quantile must window the distinct-score table:\n$cf")
   }
 }
