@@ -2576,6 +2576,67 @@ object Events {
         |       list_reduce(list_transform(list_slice(a, 1, i),
         |         x -> x.factor), (p, f) -> p * f) AS survival
         |FROM arr, UNNEST(generate_series(1, len(a))) AS t(i)
-        |ORDER BY dur_h""".stripMargin)
+        |ORDER BY dur_h""".stripMargin),
+
+    // MATCH_RECOGNIZE-style sequence pattern matching — the CEP primitive
+    // SQL:2016 MATCH_RECOGNIZE and Flink CEP expose, over each user's
+    // timeline encoded as a code string (one char per event: v/c/p/s/e,
+    // time-ordered by the same (ts, event_id, event_type) total order the
+    // trigram miner uses). The "browse-then-buy" pattern `[vc]+p` — one or
+    // more views/clicks completed by a purchase — is counted with
+    // non-overlapping leftmost-greedy regex semantics, which is exactly
+    // MATCH_RECOGNIZE's AFTER MATCH SKIP PAST LAST ROW; purchases not
+    // preceded by browsing are the direct-buy remainder, and the longest
+    // uninterrupted browse run is the dwell-depth census. Java regex and
+    // DuckDB's RE2 agree on leftmost-greedy for this lookaround-free
+    // pattern class, and all outputs are integer string arithmetic — no
+    // floats cross the engine boundary. Scale: ONE keyed agg assembles
+    // each user's sequence (bounded by that user's event count — the
+    // sessionize-then-mine memory contract; burst users would first be
+    // split by session_window), then the regex scan is per-row linear
+    // work with no further shuffle.
+    "events_pattern_match_cep" -> QuerySpec(
+      (s, d) => {
+        val seqd = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))).as("evs"))
+          .select(col("user_id"),
+            concat_ws("", transform(col("evs"),
+              e => substring(e.getField("event_type"), 1, 1))).as("seq"))
+        seqd
+          .select(col("user_id"),
+            length(col("seq")).cast("long").as("n_events"),
+            (length(col("seq")) -
+              length(regexp_replace(col("seq"), "p", "")))
+              .cast("long").as("n_purchases"),
+            size(regexp_extract_all(col("seq"), lit("[vc]+p"), lit(0)))
+              .cast("long").as("n_browse_buy"),
+            coalesce(array_max(transform(
+                regexp_extract_all(col("seq"), lit("[vc]+"), lit(0)),
+                m => length(m))), lit(0))
+              .cast("long").as("max_browse_run"))
+          .withColumn("n_direct_buy",
+            col("n_purchases") - col("n_browse_buy"))
+          .orderBy("user_id")
+      },
+      """WITH s AS (
+        |  SELECT user_id,
+        |         string_agg(substring(event_type, 1, 1), ''
+        |           ORDER BY ts, event_id, event_type) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(length(seq) AS BIGINT) AS n_events,
+        |       CAST(length(seq) - length(replace(seq, 'p', '')) AS BIGINT)
+        |         AS n_purchases,
+        |       CAST(len(regexp_extract_all(seq, '[vc]+p')) AS BIGINT)
+        |         AS n_browse_buy,
+        |       CAST(length(seq) - length(replace(seq, 'p', '')) AS BIGINT)
+        |         - CAST(len(regexp_extract_all(seq, '[vc]+p')) AS BIGINT)
+        |         AS n_direct_buy,
+        |       CAST(COALESCE(list_max(list_transform(
+        |           regexp_extract_all(seq, '[vc]+'), m -> length(m))), 0)
+        |         AS BIGINT) AS max_browse_run
+        |FROM s ORDER BY user_id""".stripMargin)
   )
 }

@@ -43,6 +43,8 @@ object LearnQ {
   private val SvmEta = 0.5
   private val SvmLambda = 0.01
 
+  private val PerceptronRounds = 4
+
   /** z = w·x (left-assoc, lockstep with the oracle's CTE expression). */
   private def zOf(w: Array[Double]): Column =
     lit(w(0)) * col("x1") + lit(w(1)) * col("x2") +
@@ -1440,6 +1442,105 @@ object LearnQ {
            |FROM sc, ncal, krank, q
            |WHERE NOT is_cal
            |GROUP BY n_cal, k_rank, q_units""".stripMargin
+      }),
+
+    // Batch perceptron (Rosenblatt's rule, batched: w += Σ_misclassified
+    // y·x per round) for the en-vs-rest router on INTEGER features
+    // (token count, char count, 'the' count, bias) — the one linear
+    // learner whose whole training run is EXACT integer arithmetic: no
+    // scaled decimals, no softsign surrogate, every weight and margin a
+    // bounded Long (|Δw| ≤ Σ|x| ≈ 2M per round at sf0.1; margins < 2^40 —
+    // nowhere near overflow even at 1000× the corpus). Each round is ONE
+    // scan of the checkpointed feature table producing the gradient sums,
+    // the train mistake count, AND the holdout accuracy under the same
+    // weight vector (a single map-side-combined global agg — the
+    // treeAggregate shape); the driver holds only the 4-long weight
+    // vector, exactly MLlib's model-vector-broadcast discipline. Output
+    // is the per-round learning curve: mistakes seen, weights after the
+    // update, holdout hits under them. The oracle replays every round
+    // CTE-for-CTE in lockstep integer arithmetic.
+    "learn_perceptron_batch" -> QuerySpec(
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val ft = Tables.documents(s, d)
+          .select(
+            when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+            size(toks).cast("long").as("x1"),
+            col("n_chars").as("x2"),
+            size(filter(toks, t => t === "the")).cast("long").as("x3"),
+            (col("doc_id") % 5 === 0).as("hold"))
+          .localCheckpoint(true)
+        def margin(w: Array[Long]) =
+          col("y") * (lit(w(0)) * col("x1") + lit(w(1)) * col("x2") +
+            lit(w(2)) * col("x3") + lit(w(3)))
+        // One scan: misclassified-train gradient sums, mistake count, and
+        // holdout hits — all under the same weight vector.
+        def audit(w: Array[Long]) = {
+          val mis = !col("hold") && margin(w) <= 0
+          ft.agg(
+            sum(when(mis, col("y") * col("x1")).otherwise(0L)),
+            sum(when(mis, col("y") * col("x2")).otherwise(0L)),
+            sum(when(mis, col("y") * col("x3")).otherwise(0L)),
+            sum(when(mis, col("y")).otherwise(0L)),
+            sum(when(mis, 1L).otherwise(0L)),
+            sum(when(col("hold") && margin(w) > 0, 1L).otherwise(0L)))
+            .head()
+        }
+        var w = Array(0L, 0L, 0L, 0L)
+        var prev = audit(w)
+        val rows = (1 to PerceptronRounds).map { r =>
+          val nMis = prev.getLong(4)
+          w = Array(w(0) + prev.getLong(0), w(1) + prev.getLong(1),
+            w(2) + prev.getLong(2), w(3) + prev.getLong(3))
+          prev = audit(w) // n_mis for the NEXT round, holdout for THIS one
+          (r.toLong, nMis, w(0), w(1), w(2), w(3), prev.getLong(5))
+        }
+        import s.implicits._
+        rows.toDF("round", "n_mis", "w1", "w2", "w3", "b",
+          "holdout_correct").orderBy("round")
+      },
+      {
+        val m = "y * (w1 * x1 + w2 * x2 + w3 * x3 + b)"
+        def aCte(k: Int): String =
+          s"""a$k AS (SELECT
+             |  CAST(SUM(CASE WHEN NOT hold AND $m <= 0
+             |    THEN y * x1 ELSE 0 END) AS BIGINT) AS g1,
+             |  CAST(SUM(CASE WHEN NOT hold AND $m <= 0
+             |    THEN y * x2 ELSE 0 END) AS BIGINT) AS g2,
+             |  CAST(SUM(CASE WHEN NOT hold AND $m <= 0
+             |    THEN y * x3 ELSE 0 END) AS BIGINT) AS g3,
+             |  CAST(SUM(CASE WHEN NOT hold AND $m <= 0
+             |    THEN y ELSE 0 END) AS BIGINT) AS gb,
+             |  CAST(SUM(CASE WHEN NOT hold AND $m <= 0
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mis,
+             |  CAST(SUM(CASE WHEN hold AND $m > 0
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS hc
+             |FROM ft, wt$k)""".stripMargin
+        def wCte(k: Int): String =
+          s"""wt$k AS (SELECT wt${k - 1}.w1 + a${k - 1}.g1 AS w1,
+             |  wt${k - 1}.w2 + a${k - 1}.g2 AS w2,
+             |  wt${k - 1}.w3 + a${k - 1}.g3 AS w3,
+             |  wt${k - 1}.b + a${k - 1}.gb AS b
+             |FROM wt${k - 1}, a${k - 1})""".stripMargin
+        def outRow(r: Int): String =
+          s"""SELECT CAST($r AS BIGINT) AS round, a${r - 1}.n_mis,
+             |  wt$r.w1, wt$r.w2, wt$r.w3, wt$r.b,
+             |  a$r.hc AS holdout_correct
+             |FROM a${r - 1}, wt$r, a$r""".stripMargin
+        s"""WITH ft AS MATERIALIZED (
+           |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+           |    CAST(len($duckToks) AS BIGINT) AS x1,
+           |    n_chars AS x2,
+           |    CAST(len(list_filter($duckToks, t -> t = 'the'))
+           |      AS BIGINT) AS x3,
+           |    doc_id % 5 = 0 AS hold
+           |  FROM documents),
+           |wt0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+           |  CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS b),
+           |${(aCte(0) +: (1 to PerceptronRounds)
+                .flatMap(k => Seq(wCte(k), aCte(k)))).mkString(",\n")}
+           |${(1 to PerceptronRounds).map(outRow).mkString("\nUNION ALL\n")}
+           |ORDER BY round""".stripMargin
       })
   )
 

@@ -24,6 +24,17 @@ object Warehouse {
   private def duckHash(e: String) =
     s"CAST(('0x' || substr(md5($e), 1, 15))::UBIGINT AS BIGINT)"
 
+  /** Inverse-CDF thresholds of the two-sided geometric distribution with
+    * α = 1/2 (the ε = ln 2 discrete-Laplace mechanism), on a 2^20 uniform
+    * grid: t_j = floor(2^20 · CDF(j)) for j = -16..15, exact BigInt
+    * rationals (CDF(j) = 2^(j+1)/3 for j ≤ -1, 1 - 2^(-j)/3 for j ≥ 0).
+    * A draw u ∈ [0, 2^20) inverts to k = #{t ≤ u} - 16, clipping |k| > 16
+    * to the extremes. Shared verbatim by the Spark plan and the oracle. */
+  private val DpThresholds: Seq[Long] =
+    ((-16 to -1).map(j => (BigInt(1) << (21 + j)) / 3) ++
+      (0 to 15).map(j => ((BigInt(1) << 20) * (BigInt(3) * (BigInt(1) << j)
+        - 1)) / (BigInt(3) << j))).map(_.toLong)
+
   /** Two-sample Kolmogorov-Smirnov over `obs` (g: Boolean split flag,
     * v: value): D_max between the two ECDFs + the alpha=0.05 verdict.
     * One keyed agg collapses to the distinct-value table; the ECDFs are
@@ -1979,6 +1990,177 @@ object Warehouse {
         |       CAST(SUM(CASE WHEN o.o_totalprice > q.hi THEN 1 ELSE 0 END)
         |         AS BIGINT) AS n_high
         |FROM orders o JOIN q USING (o_orderpriority)
-        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+
+    // Bitemporal as-of: the two-axis point-in-time query a restatement-
+    // aware warehouse answers — "what was VALID on date V, as the system
+    // KNEW it on date T" (valid time × transaction time, Snodgrass's
+    // bitemporal model; single-axis cousins: snapshot_asof = transaction
+    // time only, scd2 history = valid time only). The version table is
+    // derived deterministically from orders: every order books a PENDING
+    // version valid from o_orderdate (recorded next day), then a
+    // restatement to its final o_orderstatus valid from day +30 (recorded
+    // day +35 — the ingest lag). Two scenarios share the SAME valid date
+    // and differ only in transaction time, so their delta is pure
+    // retroactive knowledge: under 'as_reported' recent orders still read
+    // PENDING; under 'restated' the same valid instant has absorbed the
+    // late-arriving corrections. Effective version = latest (valid_from,
+    // tx_date) among versions visible on both axes — one row_number over
+    // (scenario, orderkey). All date/integer arithmetic — exact on both
+    // engines. Scale: the version union is 2 rows/order and the scenario
+    // fan-out a constant ×2; ONE hash Exchange on (scenario, orderkey)
+    // drives the pick, then the grouped census is map-side combined.
+    "warehouse_bitemporal_asof" -> QuerySpec(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderdate").cast("date").as("o_orderdate"))
+        val v = o.select(col("o_orderkey"), lit("PENDING").as("status"),
+            col("o_orderdate").as("valid_from"),
+            date_add(col("o_orderdate"), 1).as("tx_date"))
+          .unionAll(o.select(col("o_orderkey"), col("o_orderstatus"),
+            date_add(col("o_orderdate"), 30), date_add(col("o_orderdate"), 35)))
+        val scen = explode(array(
+          struct(lit("as_reported").as("scenario"),
+            to_date(lit("1995-07-01")).as("v_date"),
+            to_date(lit("1995-07-03")).as("t_date")),
+          struct(lit("restated").as("scenario"),
+            to_date(lit("1995-07-01")).as("v_date"),
+            to_date(lit("1996-01-01")).as("t_date"))))
+        v.select(col("*"), scen.as("sc"))
+          .filter(col("valid_from") <= col("sc.v_date") &&
+            col("tx_date") <= col("sc.t_date"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("sc.scenario"), col("o_orderkey"))
+            .orderBy(desc("valid_from"), desc("tx_date"))))
+          .filter(col("rn") === 1)
+          .groupBy(col("sc.scenario").as("scenario"), col("status"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("scenario", "status")
+      },
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(o_orderdate AS DATE) AS od
+        |  FROM orders),
+        |v AS (
+        |  SELECT o_orderkey, 'PENDING' AS status,
+        |         od AS valid_from, od + 1 AS tx_date
+        |  FROM o
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, od + 30, od + 35
+        |  FROM o),
+        |sc AS (SELECT * FROM (VALUES
+        |         ('as_reported', DATE '1995-07-01', DATE '1995-07-03'),
+        |         ('restated',    DATE '1995-07-01', DATE '1996-01-01'))
+        |       t(scenario, v_date, t_date)),
+        |eff AS (
+        |  SELECT sc.scenario, v.o_orderkey, v.status,
+        |         row_number() OVER (PARTITION BY sc.scenario, v.o_orderkey
+        |           ORDER BY v.valid_from DESC, v.tx_date DESC) AS rn
+        |  FROM v JOIN sc
+        |    ON v.valid_from <= sc.v_date AND v.tx_date <= sc.t_date)
+        |SELECT scenario, status, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM eff WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY scenario, status""".stripMargin),
+
+    // Differentially-private count release — the geometric mechanism
+    // (Ghosh-Roughgarden-Sundararajan 2009: the discrete Laplace, and the
+    // universally-optimal ε-DP mechanism for counting queries) applied to
+    // the per-nation customer census at ε = ln 2 (α = e^-ε = 1/2,
+    // sensitivity 1 for add/remove-one-row neighbors). Noise is
+    // DERANDOMIZED the repo-standard way: u = md5-hash(group key) mod
+    // 2^20 is the uniform draw, and k = #{CDF thresholds ≤ u} - 16 inverts
+    // the exact two-sided-geometric CDF — thresholds are floor(2^20·CDF)
+    // integers computed once in BigInt arithmetic and embedded VERBATIM
+    // in both engines' plans, so no transcendental function crosses the
+    // engine boundary (same no-exp/no-ln discipline as LearnQ). |k| > 16
+    // clips to ±16 (tail mass 2^-15/3 ≈ 1e-5 — the clip is the standard
+    // bounded-noise variant, stated here rather than silent). Negative
+    // releases post-process to 0 (post-processing preserves DP). This
+    // query is the pre-release CALIBRATION AUDIT (true count, draw, noise
+    // side by side on test data); the production release projects
+    // (c_nationkey, n_released) only. Scale: one map-side-combined keyed
+    // agg; noise is per-GROUP scalar arithmetic — nothing else moves.
+    "warehouse_dp_noisy_release" -> QuerySpec(
+      (s, d) => {
+        val noise = lit(-16L) +
+          size(filter(typedLit(DpThresholds),
+            t => t <= col("u"))).cast("long")
+        Tables.customer(s, d)
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_true"))
+          .withColumn("u", TextOps.hash64(
+            concat(lit("dp:"), col("c_nationkey"))) % lit(1048576L))
+          .withColumn("noise", noise)
+          .withColumn("n_released",
+            greatest(col("n_true") + col("noise"), lit(0L)))
+          .select(col("c_nationkey"), col("n_true"), col("u"),
+            col("noise"), col("n_released"))
+          .orderBy("c_nationkey")
+      },
+      s"""WITH g AS (
+         |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |         ${duckHash("'dp:' || CAST(c_nationkey AS VARCHAR)")}
+         |           % 1048576 AS u
+         |  FROM customer GROUP BY c_nationkey),
+         |n AS (
+         |  SELECT c_nationkey, n_true, u,
+         |         CAST(len(list_filter([${DpThresholds.mkString(", ")}],
+         |           t -> t <= u)) AS BIGINT) - 16 AS noise
+         |  FROM g)
+         |SELECT c_nationkey, n_true, u, noise,
+         |       GREATEST(n_true + noise, 0) AS n_released
+         |FROM n ORDER BY c_nationkey""".stripMargin),
+
+    // Distinct l-diversity census — k-anonymity's companion audit
+    // (Machanavajjhala et al. 2007): a release can be k-anonymous yet
+    // leak the sensitive attribute when an equivalence class is
+    // homogeneous, so the gate also requires every quasi-identifier
+    // class to carry >= l DISTINCT sensitive values. Same QI tuple
+    // machinery as warehouse_k_anonymity (nation × 1000-unit balance
+    // band) with c_mktsegment standing in as the sensitive column; for
+    // each l ∈ {2,3,4} the census counts the classes below l and the
+    // rows exposed in them. One keyed agg with a distinct-count (the
+    // only extra cost over the k-anon pass), then a constant fan-out
+    // over the l values re-scans the GROUP table, not the fact table.
+    "warehouse_l_diversity" -> QuerySpec(
+      (s, d) => {
+        val groups = Tables.customer(s, d)
+          .select(col("c_nationkey"),
+            floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"),
+            col("c_mktsegment"))
+          .groupBy("c_nationkey", "bal_band")
+          .agg(count(lit(1)).as("sz"),
+            countDistinct(col("c_mktsegment")).as("nd"))
+        groups
+          .select(explode(array(lit(2L), lit(3L), lit(4L))).as("l"),
+            col("sz"), col("nd"))
+          .groupBy("l")
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("nd") < col("l"), 1L).otherwise(0L))
+              .as("groups_below"),
+            sum(when(col("nd") < col("l"), col("sz")).otherwise(0L))
+              .as("rows_exposed"))
+          .select(col("l"), col("n_groups"), col("groups_below"),
+            col("rows_exposed"), (col("rows_exposed") === 0L).as("diverse"))
+          .orderBy("l")
+      },
+      """WITH g AS (
+        |  SELECT c_nationkey,
+        |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |         COUNT(*) AS sz,
+        |         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS nd
+        |  FROM customer
+        |  GROUP BY c_nationkey, bal_band),
+        |x AS (SELECT l, sz, nd FROM g, UNNEST([2, 3, 4]) AS t(l))
+        |SELECT CAST(l AS BIGINT) AS l,
+        |       COUNT(*) AS n_groups,
+        |       CAST(SUM(CASE WHEN nd < l THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS groups_below,
+        |       CAST(SUM(CASE WHEN nd < l THEN sz ELSE 0 END) AS BIGINT)
+        |         AS rows_exposed,
+        |       SUM(CASE WHEN nd < l THEN sz ELSE 0 END) = 0 AS diverse
+        |FROM x
+        |GROUP BY l
+        |ORDER BY l""".stripMargin)
   )
 }

@@ -1,0 +1,135 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the sequence-pattern (CEP) query and the
+  * governed-release wave (bitemporal, DP noise, l-diversity) plus the
+  * integer-exact batch perceptron. The DuckDB oracle proves cross-engine
+  * parity; these prove the MATH is the named mechanism — independent
+  * recomputations from first principles, not replays of the query code. */
+class SequenceGovernanceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("CEP pattern counts match an independent Java-regex replay") {
+    val out = graft.queries.Events.registry("events_pattern_match_cep")
+      .fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val Seq(n, np, nbb, run, nd) = Seq("n_events", "n_purchases",
+        "n_browse_buy", "max_browse_run", "n_direct_buy")
+        .map(c => r.getLong(r.fieldIndex(c)))
+      assert(nbb + nd == np && nbb >= 0 && nd >= 0, s"split: $r")
+      assert(run <= n && np <= n, s"bounds: $r")
+    }
+    // Replay three users end-to-end: rebuild the code string from the raw
+    // table in Scala, count with java.util.regex (the independent
+    // implementation), compare all five columns.
+    val raw = graft.io.Tables.events(spark, sf)
+      .filter(col("user_id") < 3)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .groupBy(_._1).map { case (u, rows) =>
+        u -> rows.map(_._2).sortBy(t => (t._1, t._2, t._3))
+          .map(_._3.head).mkString
+      }
+    val byUser = out.filter(_.getLong(0) < 3)
+      .map(r => r.getLong(0) -> r).toMap
+    raw.foreach { case (u, seq) =>
+      val r = byUser(u)
+      def count(pat: String) =
+        pat.r.findAllIn(seq).length.toLong
+      assert(r.getLong(r.fieldIndex("n_events")) == seq.length.toLong)
+      assert(r.getLong(r.fieldIndex("n_purchases")) == seq.count(_ == 'p'))
+      assert(r.getLong(r.fieldIndex("n_browse_buy")) == count("[vc]+p"),
+        s"user $u seq $seq")
+      val runs = "[vc]+".r.findAllIn(seq).map(_.length).toSeq
+      assert(r.getLong(r.fieldIndex("max_browse_run")) ==
+        (if (runs.isEmpty) 0L else runs.max.toLong))
+    }
+  }
+
+  test("DP noise is the exact inverse-CDF of the alpha=1/2 geometric") {
+    val rows = graft.queries.Warehouse
+      .registry("warehouse_dp_noisy_release").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(nTrue, u, noise, rel) = Seq("n_true", "u", "noise",
+        "n_released").map(c => r.getLong(r.fieldIndex(c)))
+      assert(u >= 0 && u < (1L << 20), s"u out of grid: $r")
+      assert(noise >= -16 && noise <= 16, s"clip: $r")
+      assert(rel == math.max(nTrue + noise, 0L), s"post-process: $r")
+      // Independent inversion, no floor()ed thresholds: k is the smallest
+      // j with u+1 <= 2^20*CDF(j), checked as exact BigInt inequalities
+      // (j <= -1: 2^(21+j) >= 3(u+1); j >= 0: 2^20(3*2^j - 1) >= 3*2^j(u+1)).
+      val k = (-16 to 16).find { j =>
+        if (j == 16) true
+        else if (j < 0) (BigInt(1) << (21 + j)) >= BigInt(3) * (u + 1)
+        else (BigInt(1) << 20) * (BigInt(3) * (BigInt(1) << j) - 1) >=
+          (BigInt(3) << j) * BigInt(u + 1)
+      }.get
+      assert(noise == k.toLong, s"u=$u engine=$noise independent=$k")
+    }
+  }
+
+  test("perceptron round 1 is the exact all-misclassified update") {
+    val out = graft.queries.LearnQ.registry("learn_perceptron_batch")
+      .fn(spark, sf).collect().sortBy(_.getLong(0))
+    assert(out.length == 4)
+    // w0 = 0 makes every train margin 0 (<= 0): round 1 must report the
+    // full train split as mistakes and w1 = sum of y*x over it — recompute
+    // that sum directly from the table.
+    val toks = TextOps.tokens(col("text"))
+    val exp = graft.io.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        size(toks).cast("long").as("x1"), col("n_chars").as("x2"),
+        size(filter(toks, t => t === "the")).cast("long").as("x3"))
+      .agg(sum(col("y") * col("x1")), sum(col("y") * col("x2")),
+        sum(col("y") * col("x3")), sum(col("y")), count(lit(1)))
+      .head()
+    val r1 = out.head
+    assert(r1.getLong(r1.fieldIndex("n_mis")) == exp.getLong(4))
+    Seq("w1", "w2", "w3", "b").zipWithIndex.foreach { case (c, i) =>
+      assert(r1.getLong(r1.fieldIndex(c)) == exp.getLong(i), s"$c: $r1")
+    }
+  }
+
+  test("bitemporal scenarios cover the same valid population") {
+    val rows = graft.queries.Warehouse
+      .registry("warehouse_bitemporal_asof").fn(spark, sf).collect()
+    val byScen = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(r => r.getString(1) -> r.getLong(2)).toMap)
+      .toMap
+    assert(byScen.keySet == Set("as_reported", "restated"))
+    // Every order valid on V has SOME version recorded by both T's, so the
+    // scenario totals must both equal |orders with od <= V| — transaction
+    // time moves counts BETWEEN statuses, never in or out.
+    val expected = graft.io.Tables.orders(spark, sf)
+      .filter(col("o_orderdate").cast("date") <= lit("1995-07-01"))
+      .count()
+    byScen.foreach { case (s0, m) =>
+      assert(m.values.sum == expected, s"$s0 total ${m.values.sum}")
+    }
+    // Later knowledge can only RESOLVE pending orders, never create them.
+    assert(byScen("restated").getOrElse("PENDING", 0L) <=
+      byScen("as_reported").getOrElse("PENDING", 0L))
+  }
+
+  test("l-diversity census is monotone in l and matches a direct count") {
+    val rows = graft.queries.Warehouse.registry("warehouse_l_diversity")
+      .fn(spark, sf).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    assert(rows.map(_.getLong(1)).distinct.length == 1, "n_groups varies")
+    assert(rows.map(_.getLong(2)).toSeq == rows.map(_.getLong(2)).sorted.toSeq)
+    assert(rows.map(_.getLong(3)).toSeq == rows.map(_.getLong(3)).sorted.toSeq)
+    val direct = graft.io.Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("b"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col("c_mktsegment")).as("nd"))
+      .filter(col("nd") < 2).agg(coalesce(sum("sz"), lit(0L))).head.getLong(0)
+    assert(rows.head.getLong(3) == direct, s"l=2 rows_exposed")
+  }
+}
