@@ -2637,6 +2637,97 @@ object Events {
         |       CAST(COALESCE(list_max(list_transform(
         |           regexp_extract_all(seq, '[vc]+'), m -> length(m))), 0)
         |         AS BIGINT) AS max_browse_run
-        |FROM s ORDER BY user_id""".stripMargin)
+        |FROM s ORDER BY user_id""".stripMargin),
+
+    // Position-based (U-shaped) multi-touch attribution — the 40/20/40
+    // credit model marketing warehouses run next to last-touch: each
+    // converting journey's first and last touch get 40% each and the
+    // middles split the remaining 20% (solo touch: 100%; two touches:
+    // 50/50). A journey is the run of view/click touches since the
+    // user's previous purchase, attributed to the purchase that closes
+    // it (touch with k purchases before it → purchase #k+1, matched by
+    // a semi join on the cumulative-purchase ordinal — no time-range
+    // join needed). Credits are exact ppm INTEGERS: middles get
+    // floor(200000/(n-2)) each and the first middle absorbs the
+    // remainder, so every journey's credit sums to exactly 1,000,000
+    // (asserted in the spec) — no rational rounding drifts across
+    // engines. Scale: ONE hash Exchange on user_id serves the ordinal
+    // window, the (user, journey) windows (same clustering, no second
+    // shuffle), and the semi join; the final census is a tiny grouped
+    // agg, map-side combined.
+    "events_attribution_position_based" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wU = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("cum_p",
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .over(wU))
+        val touches = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), (col("cum_p") + 1).as("conv"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("cum_p").as("conv"))
+        val wS = Window.partitionBy("user_id", "conv")
+          .orderBy(col("ts"), col("event_id"))
+        val g = touches
+          .join(purchases, Seq("user_id", "conv"), "left_semi")
+          .withColumn("rn", row_number().over(wS))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("user_id", "conv")))
+        val credit = when(col("n") === 1, 1000000L)
+          .when(col("n") === 2, 500000L)
+          .when(col("rn") === 1 || col("rn") === col("n"), 400000L)
+          .otherwise(expr("200000 div (n - 2)") +
+            when(col("rn") === 2, expr("200000 % (n - 2)")).otherwise(0L))
+        val position = when(col("n") === 1, "solo")
+          .when(col("rn") === 1, "first")
+          .when(col("rn") === col("n"), "last")
+          .otherwise("middle")
+        g.withColumn("credit_ppm", credit)
+          .withColumn("position", position)
+          .groupBy("event_type", "position")
+          .agg(count(lit(1)).as("n_touches"),
+            sum("credit_ppm").as("credit_ppm_total"))
+          .orderBy("event_type", "position")
+      },
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                       THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_p
+        |  FROM events),
+        |t AS (SELECT user_id, ts, event_id, event_type,
+        |             cum_p + 1 AS conv
+        |      FROM ev WHERE event_type IN ('view', 'click')),
+        |p AS (SELECT DISTINCT user_id, cum_p AS conv FROM ev
+        |      WHERE event_type = 'purchase'),
+        |a AS (SELECT t.* FROM t
+        |      WHERE EXISTS (SELECT 1 FROM p
+        |             WHERE p.user_id = t.user_id AND p.conv = t.conv)),
+        |g AS (SELECT user_id, conv, event_type,
+        |        row_number() OVER (PARTITION BY user_id, conv
+        |          ORDER BY ts, event_id) AS rn,
+        |        CAST(COUNT(*) OVER (PARTITION BY user_id, conv)
+        |          AS BIGINT) AS n
+        |      FROM a)
+        |SELECT event_type,
+        |       CASE WHEN n = 1 THEN 'solo' WHEN rn = 1 THEN 'first'
+        |            WHEN rn = n THEN 'last' ELSE 'middle' END AS position,
+        |       CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |       CAST(SUM(CASE WHEN n = 1 THEN 1000000
+        |                     WHEN n = 2 THEN 500000
+        |                     WHEN rn = 1 OR rn = n THEN 400000
+        |                     ELSE 200000 // (n - 2)
+        |                       + CASE WHEN rn = 2 THEN 200000 % (n - 2)
+        |                              ELSE 0 END END) AS BIGINT)
+        |         AS credit_ppm_total
+        |FROM g GROUP BY 1, 2 ORDER BY event_type, position""".stripMargin)
   )
 }

@@ -45,6 +45,40 @@ object LearnQ {
 
   private val PerceptronRounds = 4
 
+  /** One perceptron round's audit under weight vector `w`: the
+    * train-side misclassified gradient sums, mistake count, and holdout
+    * hits — ONE scan, one partial+final aggregate (no self-join, no
+    * window, no second pass). Exposed for PhysicalPlanSpec, which pins
+    * the single-Exchange shape. */
+  private[graft] def perceptronAudit(
+      ft: org.apache.spark.sql.DataFrame, w: Array[Long])
+      : org.apache.spark.sql.DataFrame = {
+    val margin = col("y") * (lit(w(0)) * col("x1") + lit(w(1)) * col("x2") +
+      lit(w(2)) * col("x3") + lit(w(3)))
+    val mis = !col("hold") && margin <= 0
+    ft.agg(
+      sum(when(mis, col("y") * col("x1")).otherwise(0L)),
+      sum(when(mis, col("y") * col("x2")).otherwise(0L)),
+      sum(when(mis, col("y") * col("x3")).otherwise(0L)),
+      sum(when(mis, col("y")).otherwise(0L)),
+      sum(when(mis, 1L).otherwise(0L)),
+      sum(when(col("hold") && margin > 0, 1L).otherwise(0L)))
+  }
+
+  /** The perceptron's integer feature table (y, x1..x3, hold split). */
+  private[graft] def perceptronFeatures(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        size(toks).cast("long").as("x1"),
+        col("n_chars").as("x2"),
+        size(filter(toks, t => t === "the")).cast("long").as("x3"),
+        (col("doc_id") % 5 === 0).as("hold"))
+  }
+
   /** z = w·x (left-assoc, lockstep with the oracle's CTE expression). */
   private def zOf(w: Array[Double]): Column =
     lit(w(0)) * col("x1") + lit(w(1)) * col("x2") +
@@ -1461,31 +1495,8 @@ object LearnQ {
     // CTE-for-CTE in lockstep integer arithmetic.
     "learn_perceptron_batch" -> QuerySpec(
       (s, d) => {
-        val toks = TextOps.tokens(col("text"))
-        val ft = Tables.documents(s, d)
-          .select(
-            when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
-            size(toks).cast("long").as("x1"),
-            col("n_chars").as("x2"),
-            size(filter(toks, t => t === "the")).cast("long").as("x3"),
-            (col("doc_id") % 5 === 0).as("hold"))
-          .localCheckpoint(true)
-        def margin(w: Array[Long]) =
-          col("y") * (lit(w(0)) * col("x1") + lit(w(1)) * col("x2") +
-            lit(w(2)) * col("x3") + lit(w(3)))
-        // One scan: misclassified-train gradient sums, mistake count, and
-        // holdout hits — all under the same weight vector.
-        def audit(w: Array[Long]) = {
-          val mis = !col("hold") && margin(w) <= 0
-          ft.agg(
-            sum(when(mis, col("y") * col("x1")).otherwise(0L)),
-            sum(when(mis, col("y") * col("x2")).otherwise(0L)),
-            sum(when(mis, col("y") * col("x3")).otherwise(0L)),
-            sum(when(mis, col("y")).otherwise(0L)),
-            sum(when(mis, 1L).otherwise(0L)),
-            sum(when(col("hold") && margin(w) > 0, 1L).otherwise(0L)))
-            .head()
-        }
+        val ft = perceptronFeatures(s, d).localCheckpoint(true)
+        def audit(w: Array[Long]) = perceptronAudit(ft, w).head()
         var w = Array(0L, 0L, 0L, 0L)
         var prev = audit(w)
         val rows = (1 to PerceptronRounds).map { r =>
@@ -1541,7 +1552,100 @@ object LearnQ {
                 .flatMap(k => Seq(wCte(k), aCte(k)))).mkString(",\n")}
            |${(1 to PerceptronRounds).map(outRow).mkString("\nUNION ALL\n")}
            |ORDER BY round""".stripMargin
-      })
+      }),
+
+    // Leave-one-out top-k evaluation of the co-occurrence recommender —
+    // the hit-rate@k harness every retrieval/recsys pipeline runs before
+    // shipping a model (learn_item_cf_cosine builds the model; this
+    // measures it). For the 50 smallest baskets with ≥ 3 distinct items,
+    // hide the max-id item, score every item co-occurring with the
+    // remaining context (score = Σ_ctx co-occurrence count), and report
+    // the held-out item's rank. The eval basket's own contribution is
+    // removed EXACTLY: global co-occurrence minus n_ctx for the held
+    // item (each context item co-occurs with it once in the eval basket
+    // itself) — the leave-one-basket-out correction without a per-basket
+    // re-count. Context items are excluded from the candidate ranking;
+    // rank 0 = the held item shares no other basket with any context
+    // item (an honest miss, kept via the LEFT JOIN). All-integer scores,
+    // total-ordered ranking. Scale: candidates come ONLY from equi-key
+    // joins seeded by the broadcast context set (never all-pairs); the
+    // ranking window partitions per basket over its co-occurrence
+    // fan-out, bounded by item popularity.
+    "learn_cf_eval_topk" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val evalB = li.groupBy("ok")
+          .agg(count(lit(1)).as("n"), max("pk").as("held"))
+          .filter(col("n") >= 3).orderBy("ok").limit(50)
+          .select(col("ok").as("eok"), col("held"),
+            (col("n") - 1).as("n_ctx"))
+        val ctx = li.join(broadcast(evalB), col("ok") === col("eok"))
+          .filter(col("pk") =!= col("held"))
+          .select(col("eok"), col("pk").as("ctx_pk"))
+        val co = li.as("a")
+          .join(broadcast(ctx), col("a.pk") === col("ctx_pk"))
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("b.pk") =!= col("a.pk"))
+          .groupBy(col("eok"), col("b.pk").as("cand"))
+          .agg(count(lit(1)).as("s_global"))
+        val sc = co
+          .join(broadcast(ctx.withColumnRenamed("ctx_pk", "cand")),
+            Seq("eok", "cand"), "left_anti")
+          .join(broadcast(evalB), "eok")
+          .withColumn("score", when(col("cand") === col("held"),
+            col("s_global") - col("n_ctx")).otherwise(col("s_global")))
+          .filter(col("score") > 0)
+        val w = Window.partitionBy("eok").orderBy(desc("score"), asc("cand"))
+        val heldRank = sc.withColumn("rk", row_number().over(w))
+          .filter(col("cand") === col("held"))
+          .select(col("eok"), col("rk").cast("long").as("rank_held"),
+            col("score").as("score_held"))
+        evalB.join(heldRank, Seq("eok"), "left")
+          .select(col("eok").as("ok"), col("held"), col("n_ctx"),
+            coalesce(col("rank_held"), lit(0L)).as("rank_held"),
+            coalesce(col("score_held"), lit(0L)).as("score_held"),
+            coalesce(col("rank_held"), lit(0L)).between(1L, 10L)
+              .as("hit_at_10"))
+          .orderBy("ok")
+      },
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+        |       l_partkey AS pk FROM lineitem),
+        |eb AS MATERIALIZED (
+        |  SELECT ok AS eok, MAX(pk) AS held,
+        |         CAST(COUNT(*) - 1 AS BIGINT) AS n_ctx
+        |  FROM li GROUP BY ok HAVING COUNT(*) >= 3
+        |  ORDER BY ok LIMIT 50),
+        |ctx AS MATERIALIZED (
+        |  SELECT eb.eok, li.pk AS ctx_pk
+        |  FROM li JOIN eb ON li.ok = eb.eok WHERE li.pk <> eb.held),
+        |co AS (SELECT c.eok, b.pk AS cand,
+        |         CAST(COUNT(*) AS BIGINT) AS s_global
+        |       FROM ctx c JOIN li a ON a.pk = c.ctx_pk
+        |            JOIN li b ON b.ok = a.ok AND b.pk <> a.pk
+        |       GROUP BY 1, 2),
+        |sc AS (SELECT co.eok, co.cand, eb.held,
+        |         CASE WHEN co.cand = eb.held
+        |              THEN co.s_global - eb.n_ctx
+        |              ELSE co.s_global END AS score
+        |       FROM co JOIN eb ON co.eok = eb.eok
+        |       WHERE NOT EXISTS (SELECT 1 FROM ctx x
+        |              WHERE x.eok = co.eok AND x.ctx_pk = co.cand)),
+        |rk AS (SELECT eok, cand, held, score,
+        |         row_number() OVER (PARTITION BY eok
+        |           ORDER BY score DESC, cand) AS rk
+        |       FROM sc WHERE score > 0),
+        |hr AS (SELECT eok, CAST(rk AS BIGINT) AS rank_held,
+        |         score AS score_held
+        |       FROM rk WHERE cand = held)
+        |SELECT eb.eok AS ok, eb.held, eb.n_ctx,
+        |       COALESCE(hr.rank_held, 0) AS rank_held,
+        |       COALESCE(hr.score_held, 0) AS score_held,
+        |       COALESCE(hr.rank_held, 0) BETWEEN 1 AND 10 AS hit_at_10
+        |FROM eb LEFT JOIN hr ON eb.eok = hr.eok
+        |ORDER BY ok""".stripMargin)
   )
 
   /** One DuckDB SVM round: sg$i (subgradient sums) + v$i (weight update)

@@ -681,4 +681,59 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(cf.contains("HashAggregate(keys=[su"),
       s"conformal quantile must window the distinct-score table:\n$cf")
   }
+
+  test("sequence + governed-release wave keeps its declared scale shapes") {
+    // CEP: one keyed agg assembles each user's sequence; the regex scan
+    // is pure per-row projection — no join, no window anywhere.
+    val cep = plan(
+      SparkEntry.registry("events_pattern_match_cep").fn(spark, sf))
+    assert(cep.contains("hashpartitioning(user_id"),
+      s"CEP sequence agg must key by user:\n$cep")
+    assert(!cep.contains("Join") && !cep.contains("Window"),
+      s"CEP must stay join/window-free:\n$cep")
+    // bitemporal: the scenario fan-out is a generator (never a cross
+    // join) and the effective-version pick is ONE window keyed by
+    // (scenario, orderkey).
+    val bt = plan(
+      SparkEntry.registry("warehouse_bitemporal_asof").fn(spark, sf))
+    assert(bt.contains("Generate"), s"scenario fan-out must generate:\n$bt")
+    assert(!bt.contains("Join"), s"bitemporal needs no join:\n$bt")
+    // the rn=1 pick must push down as a partial+final WindowGroupLimit
+    // (each map task keeps one candidate per (scenario, orderkey) before
+    // the shuffle), keyed by the scenario struct-field alias + orderkey
+    assert(bt.contains("WindowGroupLimit"),
+      s"version pick must push a window group limit:\n$bt")
+    assert("hashpartitioning\\(\\S+, o_orderkey".r.findFirstIn(bt).isDefined,
+      s"version pick must partition by (scenario, orderkey):\n$bt")
+    // DP release: one keyed count; the CDF inversion is scalar array
+    // arithmetic on the GROUP rows — no join against a threshold table,
+    // no window.
+    val dp = plan(
+      SparkEntry.registry("warehouse_dp_noisy_release").fn(spark, sf))
+    assert(dp.contains("HashAggregate(keys=[c_nationkey"),
+      s"DP release is one keyed agg:\n$dp")
+    assert(!dp.contains("Join") && !dp.contains("Window"),
+      s"DP noise must not join or window:\n$dp")
+    // l-diversity: keyed agg + constant fan-out over the GROUP table —
+    // no join, no window; the fact table is scanned once.
+    val ld = plan(
+      SparkEntry.registry("warehouse_l_diversity").fn(spark, sf))
+    assert(!ld.contains("Join") && !ld.contains("Window"),
+      s"l-diversity must stay join/window-free:\n$ld")
+    assert(ld.contains("HashAggregate"), ld)
+    // perceptron: each round's audit is ONE scan — a partial+final
+    // global aggregate with a single Exchange, like the logreg gradient
+    // (synthetic feature table so the fixture fan-out doesn't add its
+    // own repartition Exchange, same as the logreg test).
+    import spark.implicits._
+    val ft = Seq((1L, 3L, 10L, 1L, false), (-1L, 4L, 20L, 0L, true))
+      .toDF("y", "x1", "x2", "x3", "hold")
+    val pa = plan(
+      graft.queries.LearnQ.perceptronAudit(ft, Array(1L, 2L, 3L, 4L)))
+    val nEx = "Exchange".r.findAllIn(pa).length
+    assert(nEx == 1, s"perceptron audit must shuffle once, saw $nEx:\n$pa")
+    assert("HashAggregate".r.findAllIn(pa).length == 2,
+      s"expected partial+final aggregate pair:\n$pa")
+    assert(!pa.contains("Join") && !pa.contains("Window"), pa)
+  }
 }
