@@ -2728,6 +2728,73 @@ object Events {
         |                       + CASE WHEN rn = 2 THEN 200000 % (n - 2)
         |                              ELSE 0 END END) AS BIGINT)
         |         AS credit_ppm_total
-        |FROM g GROUP BY 1, 2 ORDER BY event_type, position""".stripMargin)
+        |FROM g GROUP BY 1, 2 ORDER BY event_type, position""".stripMargin),
+
+    // The CEP pattern as a STREAMING state machine: the same `[vc]+p`
+    // browse-then-buy census as events_pattern_match_cep, folded per
+    // user by mapGroupsWithState over >= 3 real micro-batches — the
+    // automaton carries only (cur_run, counters) across batches, never
+    // the sequence, which is what makes MATCH_RECOGNIZE semantics
+    // runnable over an unbounded stream (Flink CEP's model). The fold
+    // is provably equal to the batch regex (see Streams.cepProgress:
+    // non-overlapping greedy matches of `[vc]+p` are in bijection with
+    // purchases directly preceded by a browse), runs spanning batch
+    // boundaries included — so the oracle IS the batch CEP SQL,
+    // bit-exact. Update-mode emissions reconcile by argmax(folded).
+    "events_stream_pattern_match" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.Trigger
+        val stream = s.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("pathGlobFilter", "slice-*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(slicedEventsDir(s, d))
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_id"), col("event_type"))
+          .as[graft.streaming.Streams.CepEvent]
+        val prog = graft.streaming.Streams.cepProgress(stream)
+        val sinkName = "q_events_stream_pattern_match"
+        graft.streaming.Streams.drained(s) { ckpt =>
+          val q = prog.toDF().writeStream
+            .outputMode("update")
+            .format("memory").queryName(sinkName)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          requireMultiBatch(q, "events_stream_pattern_match")
+        }
+        s.table(sinkName).groupBy("user_id")
+          .agg(max(struct(col("folded"), col("n_events"),
+            col("n_purchases"), col("n_browse_buy"), col("max_run")))
+            .as("m"))
+          .select(col("user_id"),
+            col("m.n_events").as("n_events"),
+            col("m.n_purchases").as("n_purchases"),
+            col("m.n_browse_buy").as("n_browse_buy"),
+            (col("m.n_purchases") - col("m.n_browse_buy"))
+              .as("n_direct_buy"),
+            col("m.max_run").as("max_browse_run"))
+          .orderBy("user_id")
+      },
+      """WITH s AS (
+        |  SELECT user_id,
+        |         string_agg(substring(event_type, 1, 1), ''
+        |           ORDER BY ts, event_id, event_type) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(length(seq) AS BIGINT) AS n_events,
+        |       CAST(length(seq) - length(replace(seq, 'p', '')) AS BIGINT)
+        |         AS n_purchases,
+        |       CAST(len(regexp_extract_all(seq, '[vc]+p')) AS BIGINT)
+        |         AS n_browse_buy,
+        |       CAST(length(seq) - length(replace(seq, 'p', '')) AS BIGINT)
+        |         - CAST(len(regexp_extract_all(seq, '[vc]+p')) AS BIGINT)
+        |         AS n_direct_buy,
+        |       CAST(COALESCE(list_max(list_transform(
+        |           regexp_extract_all(seq, '[vc]+'), m -> length(m))), 0)
+        |         AS BIGINT) AS max_browse_run
+        |FROM s ORDER BY user_id""".stripMargin)
   )
 }

@@ -826,6 +826,124 @@ object LinkageQ {
             "o_orderpriority"))
           .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
             "\n) ORDER BY fd_name")
-      })
+      }),
+
+    // Sorted-neighborhood (merge/purge, Hernández & Stolfo 1995) — the
+    // OTHER classic linkage indexing family next to blocking: merge both
+    // sources, sort by a key, and pair every record with its w-1
+    // successors in the sorted order. The global rank is computed the
+    // SCALABLE way (the epoch-shuffle banded-rank pattern): a
+    // row_number within (balance-band × name-prefix) stripes plus
+    // cumulative stripe offsets over the tiny stripe table (≤ ~12×1000
+    // rows by construction — the one single-partition window, bounded),
+    // so no corpus-sized global window exists; the sliding window
+    // itself is an EQUI-join on rank+j (j < w, a constant fan-out) that
+    // naturally crosses stripe boundaries — exactly the merged-list
+    // semantics, without the per-partition boundary-loss hack
+    // distributed SNM implementations usually accept. The audit sweeps
+    // w ∈ {3, 10} and reports pair completeness and reduction ratio
+    // against the same truth as the blocking audit — showing SNM's
+    // characteristic failure mode: the 1/11 band-noised true pairs sort
+    // far apart and stay unreachable at ANY small w, while blocking's
+    // conjunctive pass (which ignores the band) keeps them.
+    "linkage_sorted_neighborhood" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val (srcA, srcB, _) = linkageStage(s, d)
+        val recs = srcA.select(lit("A").as("src"), col("a_id").as("rid"),
+            col("a_band").as("band"), col("a_name").as("name"))
+          .unionAll(srcB.select(lit("B"), col("b_id"), col("b_band"),
+            col("b_name")))
+          .withColumn("pfx", substring(col("name"), 10, 3))
+        val wStripe = Window.partitionBy("band", "pfx")
+          .orderBy("name", "src", "rid")
+        val ranked = recs
+          .withColumn("r", row_number().over(wStripe).cast("long"))
+        val offsets = recs.groupBy("band", "pfx")
+          .agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(sum("bn").over(
+            Window.orderBy("band", "pfx")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("band"), col("pfx"), col("off"))
+        val g = ranked.join(broadcast(offsets), Seq("band", "pfx"))
+          .select(col("src"), col("rid"), (col("off") + col("r")).as("g2k"))
+          .localCheckpoint(true)
+        val wmax = 10
+        val pairs = g
+          .select(col("src"), col("rid"),
+            explode(array((1 until wmax).map(lit(_)): _*)).as("j"),
+            col("g2k"))
+          .withColumn("gt", col("g2k") + col("j"))
+          .join(g.select(col("src").as("src2"), col("rid").as("rid2"),
+            col("g2k").as("gt")), Seq("gt"))
+          .filter(col("src") =!= col("src2"))
+          .select(
+            when(col("src") === "A", col("rid")).otherwise(col("rid2"))
+              .as("a_id"),
+            when(col("src") === "A", col("rid2")).otherwise(col("rid"))
+              .as("b_id"),
+            col("j").cast("long").as("gap"))
+        val totals = srcA.agg(count(lit(1)).as("n_a"))
+          .crossJoin(srcB.agg(count(lit(1)).as("n_b")))
+        pairs
+          .select(explode(array(lit(3), lit(10))).as("w"), col("gap"),
+            col("a_id"), col("b_id"))
+          .filter(col("gap") <= col("w") - 1)
+          .groupBy("w")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("a_id") === col("b_id"), 1L).otherwise(0L))
+              .as("n_true_found"))
+          .crossJoin(broadcast(totals))
+          .select(col("w").cast("long").as("w"), col("n_candidates"),
+            col("n_true_found"), col("n_b").as("n_truth"),
+            (col("n_true_found").cast("double") /
+              col("n_b").cast("double")).as("pair_completeness"),
+            (lit(1.0) - col("n_candidates").cast("double") /
+              (col("n_a") * col("n_b")).cast("double"))
+              .as("reduction_ratio"))
+          .orderBy("w")
+      },
+      s"""WITH $duckLinkCtes,
+         |recs AS MATERIALIZED (
+         |  SELECT 'A' AS src, a_id AS rid, a_band AS band, a_name AS name,
+         |         substr(a_name, 10, 3) AS pfx
+         |  FROM srca
+         |  UNION ALL
+         |  SELECT 'B', b_id, b_band, b_name, substr(b_name, 10, 3)
+         |  FROM srcb),
+         |rk AS (SELECT src, rid, band, pfx,
+         |         CAST(row_number() OVER (PARTITION BY band, pfx
+         |           ORDER BY name, src, rid) AS BIGINT) AS r
+         |       FROM recs),
+         |off AS (SELECT band, pfx,
+         |          COALESCE(SUM(bn) OVER (ORDER BY band, pfx
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |            0) AS off
+         |        FROM (SELECT band, pfx, CAST(COUNT(*) AS BIGINT) AS bn
+         |              FROM recs GROUP BY band, pfx)),
+         |g AS MATERIALIZED (
+         |  SELECT src, rid, r + off AS g2k
+         |  FROM rk JOIN off USING (band, pfx)),
+         |pr AS (SELECT
+         |         CASE WHEN x.src = 'A' THEN x.rid ELSE y.rid END AS a_id,
+         |         CASE WHEN x.src = 'A' THEN y.rid ELSE x.rid END AS b_id,
+         |         jj.j AS gap
+         |       FROM g x
+         |       CROSS JOIN (SELECT unnest(range(1, 10)) AS j) jj
+         |       JOIN g y ON y.g2k = x.g2k + jj.j AND y.src <> x.src),
+         |tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM srca) AS n_a,
+         |               (SELECT CAST(COUNT(*) AS BIGINT) FROM srcb) AS n_b),
+         |pw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |         CAST(SUM(CASE WHEN a_id = b_id THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_true_found
+         |       FROM pr, UNNEST([3, 10]) AS t(w)
+         |       WHERE gap <= w - 1 GROUP BY w)
+         |SELECT CAST(w AS BIGINT) AS w, n_candidates, n_true_found,
+         |       n_b AS n_truth,
+         |       CAST(n_true_found AS DOUBLE) / CAST(n_b AS DOUBLE)
+         |         AS pair_completeness,
+         |       1.0 - CAST(n_candidates AS DOUBLE)
+         |         / CAST(n_a * n_b AS DOUBLE) AS reduction_ratio
+         |FROM pw, tot ORDER BY w""".stripMargin)
   )
 }

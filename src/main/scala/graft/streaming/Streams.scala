@@ -90,6 +90,60 @@ object Streams {
       }
   }
 
+  final case class CepEvent(user_id: Long, tus: Long, event_id: Long,
+                            event_type: String)
+  /** Per-user CEP automaton state: cur_run is the live `[vc]+` run length
+    * (the only cross-batch carry the pattern needs), max_run its maximum,
+    * and `folded` the monotone reconciliation counter. */
+  final case class CepState(user_id: Long, n_events: Long, n_purchases: Long,
+                            n_browse_buy: Long, cur_run: Long, max_run: Long,
+                            folded: Long)
+
+  /** Streaming CEP: the browse-then-buy pattern `[vc]+p` as a per-user
+    * state machine. Non-overlapping leftmost-greedy regex matching of
+    * `[vc]+p` over the concatenated event-code sequence is EXACTLY
+    * "purchases whose immediately-preceding event is a view/click" (the
+    * greedy match consumes a maximal browse run plus its purchase, so
+    * matches and such purchases are in bijection), so this fold is
+    * provably equal to the batch regex form (events_pattern_match_cep)
+    * — including runs that SPAN micro-batch boundaries, which cur_run
+    * carries across. State is five longs per user — bounded; the
+    * automaton never stores the sequence itself, which is what makes
+    * the pattern runnable over an unbounded stream. */
+  def cepProgress(events: Dataset[CepEvent]): Dataset[CepState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CepState, CepState](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[CepEvent], state: GroupState[CepState]) =>
+          var s = state.getOption
+            .getOrElse(CepState(uid, 0L, 0L, 0L, 0L, 0L, 0L))
+          // full total order (tus, event_id) — event ids are unique, so
+          // the in-batch fold order equals the batch form's array_sort
+          val sorted = rows.toSeq.sortBy(e => (e.tus, e.event_id))
+          sorted.foreach { e =>
+            e.event_type match {
+              case "view" | "click" =>
+                val run = s.cur_run + 1
+                s = s.copy(cur_run = run,
+                  max_run = math.max(s.max_run, run))
+              case "purchase" =>
+                s = s.copy(n_purchases = s.n_purchases + 1,
+                  n_browse_buy = s.n_browse_buy +
+                    (if (s.cur_run > 0) 1L else 0L),
+                  cur_run = 0L)
+              case _ => // signup/error break the browse run
+                s = s.copy(cur_run = 0L)
+            }
+            s = s.copy(n_events = s.n_events + 1)
+          }
+          s = s.copy(folded = s.folded + sorted.size)
+          state.update(s)
+          s
+      }
+  }
+
   final case class FunnelEvent(user_id: Long, event_type: String, tus: Long)
   /** Funnel step timestamps in µs; -1 = step not reached. `folded` counts
     * events folded so far — monotone per user, so the LAST update-mode

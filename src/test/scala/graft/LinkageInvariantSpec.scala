@@ -181,4 +181,33 @@ class LinkageInvariantSpec extends SparkSpec {
     assert(by("cust_to_seg").getAs[Boolean]("holds"))
     assert(!by("ocust_to_priority").getAs[Boolean]("holds"))
   }
+
+  test("sorted neighborhood: monotone in w; misses are sort-key noise") {
+    val r = rows("linkage_sorted_neighborhood").sortBy(_.getAs[Long]("w"))
+    assert(r.map(_.getAs[Long]("w")).toSeq == Seq(3L, 10L))
+    val Seq(w3, w10) = r.toSeq
+    // a wider window can only add candidates and found pairs
+    assert(w10.getAs[Long]("n_candidates") >= w3.getAs[Long]("n_candidates"))
+    assert(w10.getAs[Long]("n_true_found") >= w3.getAs[Long]("n_true_found"))
+    r.foreach { row =>
+      val pc = row.getAs[Double]("pair_completeness")
+      val rr = row.getAs[Double]("reduction_ratio")
+      // the w·n candidate bound makes rr → 1 as the corpus grows; at
+      // the 150-row sf0.001 fixture it is only ~0.93
+      assert(pc > 0.0 && pc <= 1.0 && rr > 0.9 && rr < 1.0, s"$row")
+      assert(row.getAs[Long]("n_true_found") <= row.getAs[Long]("n_truth"))
+      assert(row.getAs[Long]("n_true_found") <=
+        row.getAs[Long]("n_candidates"))
+    }
+    // the characteristic SNM failure: band-noised true pairs sort far
+    // apart, so completeness plateaus below 1 instead of rising with w
+    assert(w10.getAs[Double]("pair_completeness") < 1.0)
+    // the sliding window must plan as an EQUI-join on the target rank
+    // (the 1-row totals crossJoin is the only nested-loop allowed)
+    val p = SparkEntry.registry("linkage_sorted_neighborhood")
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join [gt#"),
+      s"SNM window must join on the rank key:\n$p")
+  }
 }
