@@ -22,6 +22,30 @@ object Events {
     sum(col(c).cast("decimal(25,6)")).cast("double")
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** Shared oracle for the CEP pair: events_pattern_match_cep (batch
+    * regex) and events_stream_pattern_match (automaton) are DEFINED to be
+    * bit-equal, so they verify against the one SQL — the equality is
+    * structural, not copy-maintained. */
+  private val duckCepSql: String =
+    """WITH s AS (
+      |  SELECT user_id,
+      |         string_agg(substring(event_type, 1, 1), ''
+      |           ORDER BY ts, event_id, event_type) AS seq
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id,
+      |       CAST(length(seq) AS BIGINT) AS n_events,
+      |       CAST(length(seq) - length(replace(seq, 'p', '')) AS BIGINT)
+      |         AS n_purchases,
+      |       CAST(len(regexp_extract_all(seq, '[vc]+p')) AS BIGINT)
+      |         AS n_browse_buy,
+      |       CAST(length(seq) - length(replace(seq, 'p', '')) AS BIGINT)
+      |         - CAST(len(regexp_extract_all(seq, '[vc]+p')) AS BIGINT)
+      |         AS n_direct_buy,
+      |       CAST(COALESCE(list_max(list_transform(
+      |           regexp_extract_all(seq, '[vc]+'), m -> length(m))), 0)
+      |         AS BIGINT) AS max_browse_run
+      |FROM s ORDER BY user_id""".stripMargin
+
   /** Time-sliced multi-file replay copy of the events table, built once per
     * (session, sf-dir): repartitionByRange over (ts, event_id) writes
     * non-overlapping ascending ts ranges, published as sequentially named
@@ -2620,24 +2644,7 @@ object Events {
             col("n_purchases") - col("n_browse_buy"))
           .orderBy("user_id")
       },
-      """WITH s AS (
-        |  SELECT user_id,
-        |         string_agg(substring(event_type, 1, 1), ''
-        |           ORDER BY ts, event_id, event_type) AS seq
-        |  FROM events GROUP BY user_id)
-        |SELECT user_id,
-        |       CAST(length(seq) AS BIGINT) AS n_events,
-        |       CAST(length(seq) - length(replace(seq, 'p', '')) AS BIGINT)
-        |         AS n_purchases,
-        |       CAST(len(regexp_extract_all(seq, '[vc]+p')) AS BIGINT)
-        |         AS n_browse_buy,
-        |       CAST(length(seq) - length(replace(seq, 'p', '')) AS BIGINT)
-        |         - CAST(len(regexp_extract_all(seq, '[vc]+p')) AS BIGINT)
-        |         AS n_direct_buy,
-        |       CAST(COALESCE(list_max(list_transform(
-        |           regexp_extract_all(seq, '[vc]+'), m -> length(m))), 0)
-        |         AS BIGINT) AS max_browse_run
-        |FROM s ORDER BY user_id""".stripMargin),
+      duckCepSql),
 
     // Position-based (U-shaped) multi-touch attribution — the 40/20/40
     // credit model marketing warehouses run next to last-touch: each
@@ -2750,8 +2757,8 @@ object Events {
           .option("pathGlobFilter", "slice-*.parquet")
           .option("maxFilesPerTrigger", "1")
           .parquet(slicedEventsDir(s, d))
-          .select(col("user_id"), expr("ts div 1000").as("tus"),
-            col("event_id"), col("event_type"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
           .as[graft.streaming.Streams.CepEvent]
         val prog = graft.streaming.Streams.cepProgress(stream)
         val sinkName = "q_events_stream_pattern_match"
@@ -2778,23 +2785,6 @@ object Events {
             col("m.max_run").as("max_browse_run"))
           .orderBy("user_id")
       },
-      """WITH s AS (
-        |  SELECT user_id,
-        |         string_agg(substring(event_type, 1, 1), ''
-        |           ORDER BY ts, event_id, event_type) AS seq
-        |  FROM events GROUP BY user_id)
-        |SELECT user_id,
-        |       CAST(length(seq) AS BIGINT) AS n_events,
-        |       CAST(length(seq) - length(replace(seq, 'p', '')) AS BIGINT)
-        |         AS n_purchases,
-        |       CAST(len(regexp_extract_all(seq, '[vc]+p')) AS BIGINT)
-        |         AS n_browse_buy,
-        |       CAST(length(seq) - length(replace(seq, 'p', '')) AS BIGINT)
-        |         - CAST(len(regexp_extract_all(seq, '[vc]+p')) AS BIGINT)
-        |         AS n_direct_buy,
-        |       CAST(COALESCE(list_max(list_transform(
-        |           regexp_extract_all(seq, '[vc]+'), m -> length(m))), 0)
-        |         AS BIGINT) AS max_browse_run
-        |FROM s ORDER BY user_id""".stripMargin)
+      duckCepSql)
   )
 }

@@ -1557,7 +1557,8 @@ object LearnQ {
     // Leave-one-out top-k evaluation of the co-occurrence recommender —
     // the hit-rate@k harness every retrieval/recsys pipeline runs before
     // shipping a model (learn_item_cf_cosine builds the model; this
-    // measures it). For the 50 smallest baskets with ≥ 3 distinct items,
+    // measures it). For the first 50 order keys whose basket has ≥ 3
+    // distinct items,
     // hide the max-id item, score every item co-occurring with the
     // remaining context (score = Σ_ctx co-occurrence count), and report
     // the held-out item's rank. The eval basket's own contribution is
@@ -1574,14 +1575,19 @@ object LearnQ {
     "learn_cf_eval_topk" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // li feeds four DAG arms (evalB, ctx, both sides of co) and evalB
+        // three — checkpoint both so the distinct scan and the
+        // group/sort/limit run once, not per consumer
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+          .localCheckpoint(true)
         val evalB = li.groupBy("ok")
           .agg(count(lit(1)).as("n"), max("pk").as("held"))
           .filter(col("n") >= 3).orderBy("ok").limit(50)
           .select(col("ok").as("eok"), col("held"),
             (col("n") - 1).as("n_ctx"))
+          .localCheckpoint(true)
         val ctx = li.join(broadcast(evalB), col("ok") === col("eok"))
           .filter(col("pk") =!= col("held"))
           .select(col("eok"), col("pk").as("ctx_pk"))

@@ -90,7 +90,7 @@ object Streams {
       }
   }
 
-  final case class CepEvent(user_id: Long, tus: Long, event_id: Long,
+  final case class CepEvent(user_id: Long, ts: Long, event_id: Long,
                             event_type: String)
   /** Per-user CEP automaton state: cur_run is the live `[vc]+` run length
     * (the only cross-batch carry the pattern needs), max_run its maximum,
@@ -119,9 +119,11 @@ object Streams {
         (uid: Long, rows: Iterator[CepEvent], state: GroupState[CepState]) =>
           var s = state.getOption
             .getOrElse(CepState(uid, 0L, 0L, 0L, 0L, 0L, 0L))
-          // full total order (tus, event_id) — event ids are unique, so
-          // the in-batch fold order equals the batch form's array_sort
-          val sorted = rows.toSeq.sortBy(e => (e.tus, e.event_id))
+          // full total order on the RAW epoch-ns ts (+ unique event_id) —
+          // the same resolution the batch form's array_sort uses, so the
+          // fold order matches even on legacy data whose ns remainders
+          // are nonzero (a µs-truncated sort key would not)
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
           sorted.foreach { e =>
             e.event_type match {
               case "view" | "click" =>
