@@ -15,6 +15,24 @@ object Analytic {
   private def dsum(c: String) =
     sum(col(c).cast("decimal(25,6)")).cast("double")
 
+  private val BootB = 64
+
+  /** floor(2^20 · CDF_Poisson(1)(j)) for j = 0..7 — the inverse-CDF grid
+    * of the Poisson-bootstrap weight. Computed ONCE here at class init
+    * (the only exp() in the pipeline runs on the driver; both engines
+    * consume the resulting integer literals verbatim, same discipline as
+    * Warehouse.DpThresholds). A draw u ∈ [0, 2^20) maps to weight
+    * w = #{t ≤ u} ∈ 0..8; the tail clips at 8 (residual mass ≈ 1.1e-6). */
+  private val PoissonThresholds: Seq[Long] = {
+    var p = math.exp(-1.0)
+    var cdf = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) p /= k
+      cdf += p
+      math.floor(cdf * 1048576.0).toLong
+    }
+  }
+
   val registry: Map[String, QuerySpec] = Map(
 
     // Market-basket association rules over order contents: for every part
@@ -2209,7 +2227,98 @@ object Analytic {
         |           AND q.p_size >= p.p_size)
         |     OR (q.p_retailprice <= p.p_retailprice
         |           AND q.p_size > p.p_size))
-        |ORDER BY p_retailprice, p_partkey""".stripMargin)
+        |ORDER BY p_retailprice, p_partkey""".stripMargin),
+
+    // Poisson-bootstrap confidence interval for the mean order value —
+    // the AT-SCALE resampling method (Chamandy et al., "Estimating
+    // uncertainty for massive data streams": per-row INDEPENDENT
+    // Poisson(1) weights approximate the multinomial resample, so a
+    // bootstrap needs no global shuffle — each of the B=64 replicates is
+    // one more weighted term in the same map-side-combined agg). Weights
+    // are derandomized the repo way: u = md5-hash(orderkey:b) on a 2^20
+    // grid inverted through floor(2^20·CDF_Poisson(1)) thresholds —
+    // constants computed ONCE (driver-side, at class init) and embedded
+    // verbatim in both engines, so no exp() is ever evaluated inside
+    // either engine; the tail clips at w=8 (mass ~1e-6, stated). Each
+    // replicate's mean is an exact DECIMAL(25,6) sum over an exact
+    // integer weight total; the 95% CI is the nearest-rank 2nd/63rd
+    // order statistic of the 64 replicate means (a window over exactly
+    // 64 rows — bounded by construction). Output: point estimate, CI,
+    // and the replicate-mean average as the bias check.
+    "stat_bootstrap_ci" -> QuerySpec(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        // The B-fold expansion does 64 md5s per order — CPU-heavy per-row
+        // work that a one-row-group fixture would pin to a single core
+        // (the Scale.fanOut contract); the 64-row replicate table is then
+        // checkpointed so its three consumers (rank window, CI picks,
+        // bias check) don't re-run the expansion.
+        val reps = graft.ops.Scale.fanOut(o)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            explode(array((0 until BootB).map(lit(_)): _*)).as("b"))
+          .withColumn("u", graft.ext.TextOps.hash64(
+            concat_ws(":", col("o_orderkey"), col("b"))) % lit(1048576L))
+          .withColumn("w",
+            size(filter(typedLit(PoissonThresholds), t => t <= col("u")))
+              .cast("long"))
+          .groupBy("b")
+          .agg(sum((col("w").cast("double") * col("o_totalprice"))
+              .cast("decimal(25,6)")).as("s"),
+            sum("w").as("n"))
+          .select(col("b"),
+            (col("s").cast("double") / col("n").cast("double")).as("m"))
+          .localCheckpoint(true)
+        val ranked = reps.withColumn("rk", row_number().over(
+          Window.orderBy("m", "b")))
+        val lo = ranked.filter(col("rk") === 2)
+          .select(col("m").as("ci_lo"))
+        val hi = ranked.filter(col("rk") === BootB - 1)
+          .select(col("m").as("ci_hi"))
+        val boot = reps.agg(count(lit(1)).as("n_resamples"),
+          (sum(col("m").cast("decimal(25,6)")).cast("double") /
+            count(lit(1)).cast("double")).as("boot_mean"))
+        val point = o.agg(count(lit(1)).as("n_orders"),
+          (sum(col("o_totalprice").cast("decimal(25,6)")).cast("double") /
+            count(lit(1)).cast("double")).as("point_mean"))
+        point.crossJoin(broadcast(boot))
+          .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+          .select(col("n_orders"), col("point_mean"), col("n_resamples"),
+            col("boot_mean"), col("ci_lo"), col("ci_hi"),
+            (col("ci_hi") - col("ci_lo")).as("ci_width"))
+      },
+      s"""WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+         |r AS (SELECT o_orderkey, o_totalprice, b
+         |      FROM o CROSS JOIN
+         |        (SELECT unnest(range(0, $BootB)) AS b)),
+         |w AS (SELECT b, o_totalprice,
+         |        CAST(len(list_filter([${PoissonThresholds.mkString(", ")}],
+         |          t -> t <= CAST(('0x' || substr(md5(
+         |            CAST(o_orderkey AS VARCHAR) || ':' ||
+         |            CAST(b AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)
+         |            % 1048576)) AS BIGINT) AS w
+         |      FROM r),
+         |reps AS (SELECT b,
+         |           CAST(SUM(CAST(w * o_totalprice AS DECIMAL(25,6)))
+         |             AS DOUBLE)
+         |           / CAST(SUM(w) AS DOUBLE) AS m
+         |         FROM w GROUP BY b),
+         |rk AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk
+         |       FROM reps),
+         |ci AS (SELECT
+         |         (SELECT m FROM rk WHERE rk = 2) AS ci_lo,
+         |         (SELECT m FROM rk WHERE rk = ${BootB - 1}) AS ci_hi),
+         |boot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples,
+         |           CAST(SUM(CAST(m AS DECIMAL(25,6))) AS DOUBLE)
+         |             / CAST(COUNT(*) AS DOUBLE) AS boot_mean
+         |         FROM reps),
+         |pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+         |           / CAST(COUNT(*) AS DOUBLE) AS point_mean
+         |       FROM o)
+         |SELECT n_orders, point_mean, n_resamples, boot_mean,
+         |       ci_lo, ci_hi, ci_hi - ci_lo AS ci_width
+         |FROM pt, boot, ci""".stripMargin)
   )
 
   /** One SQL text for both engines (see recursive_cte_hierarchy): only the

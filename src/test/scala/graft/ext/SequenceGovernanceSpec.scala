@@ -202,4 +202,24 @@ class SequenceGovernanceSpec extends SparkSpec {
         s"basket $eok: engine ${row} vs brute $expRank")
     }
   }
+
+  test("bootstrap CI brackets the estimate; the point mean is exact") {
+    val r = graft.queries.Analytic.registry("stat_bootstrap_ci")
+      .fn(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    def d(c: String) = row.getDouble(row.fieldIndex(c))
+    assert(row.getLong(row.fieldIndex("n_resamples")) == 64L)
+    assert(d("ci_lo") < d("ci_hi"))
+    assert(d("ci_width") == d("ci_hi") - d("ci_lo"))
+    // the bootstrap distribution centers on the sample statistic — both
+    // the replicate-mean average and the point estimate sit inside the CI
+    assert(d("ci_lo") <= d("boot_mean") && d("boot_mean") <= d("ci_hi"))
+    assert(d("ci_lo") <= d("point_mean") && d("point_mean") <= d("ci_hi"))
+    // the point estimate must be the exact decimal-sum mean of the table
+    val exp = graft.io.Tables.orders(spark, sf).agg(
+      (sum(col("o_totalprice").cast("decimal(25,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("m")).head.getDouble(0)
+    assert(d("point_mean") == exp, s"${d("point_mean")} != $exp")
+  }
 }
