@@ -2276,11 +2276,10 @@ object Analytic {
         val hi = ranked.filter(col("rk") === BootB - 1)
           .select(col("m").as("ci_hi"))
         val boot = reps.agg(count(lit(1)).as("n_resamples"),
-          (sum(col("m").cast("decimal(25,6)")).cast("double") /
-            count(lit(1)).cast("double")).as("boot_mean"))
+          (dsum("m") / count(lit(1)).cast("double")).as("boot_mean"))
         val point = o.agg(count(lit(1)).as("n_orders"),
-          (sum(col("o_totalprice").cast("decimal(25,6)")).cast("double") /
-            count(lit(1)).cast("double")).as("point_mean"))
+          (dsum("o_totalprice") / count(lit(1)).cast("double"))
+            .as("point_mean"))
         point.crossJoin(broadcast(boot))
           .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
           .select(col("n_orders"), col("point_mean"), col("n_resamples"),
