@@ -735,5 +735,15 @@ class PhysicalPlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(pa).length == 2,
       s"expected partial+final aggregate pair:\n$pa")
     assert(!pa.contains("Join") && !pa.contains("Window"), pa)
+    // bootstrap: the heavy B-fold expansion ran ONCE into the 64-row
+    // checkpointed replicate table — every downstream consumer (rank
+    // window, CI picks, bias check) reads the materialized RDD, never
+    // re-expanding; the only joins are the 1-row broadcast combiners.
+    val bs = plan(SparkEntry.registry("stat_bootstrap_ci").fn(spark, sf))
+    assert(bs.contains("Scan ExistingRDD[b"),
+      s"replicate consumers must read the checkpointed 64-row table:\n$bs")
+    assert(!bs.contains("Generate"),
+      s"no consumer may re-run the B-fold expansion:\n$bs")
+    assert(!bs.contains("CartesianProduct"), bs)
   }
 }
