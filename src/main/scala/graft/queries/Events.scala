@@ -22,6 +22,28 @@ object Events {
     sum(col(c).cast("decimal(25,6)")).cast("double")
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** One Holt-Winters fold step, emitted for both lambda dialects so the
+    * operation chains are identical by construction. `idx(k)` renders the
+    * 1-based accumulator slot (element_at(acc, k) / acc[k]), `yv` the
+    * incoming observation, `lit` the double-literal spelling ("0.5D" in
+    * Spark SQL vs "0.5" in DuckDB — both exact binary fractions).
+    * Slots: 1 level, 2 trend, 3..9 seasonals oldest-first, 10 Σ|err|,
+    * 11 count. newLevel is inlined where reused — the duplicated
+    * subexpression evaluates identically, keeping both engines on one
+    * arithmetic chain. */
+  private def hwUpdate(idx: Int => String, yv: String,
+                       lit: String => String): Seq[String] = {
+    val nl = s"${lit("0.5")} * ($yv - ${idx(3)}) + " +
+      s"${lit("0.5")} * (${idx(1)} + ${idx(2)})"
+    Seq(
+      nl,
+      s"${lit("0.25")} * (($nl) - ${idx(1)}) + ${lit("0.75")} * ${idx(2)}",
+      idx(4), idx(5), idx(6), idx(7), idx(8), idx(9),
+      s"${lit("0.25")} * ($yv - ($nl)) + ${lit("0.75")} * ${idx(3)}",
+      s"${idx(10)} + abs($yv - (${idx(1)} + ${idx(2)} + ${idx(3)}))",
+      s"${idx(11)} + ${lit("1.0")}")
+  }
+
   /** Shared oracle for the CEP pair: events_pattern_match_cep (batch
     * regex) and events_stream_pattern_match (automaton) are DEFINED to be
     * bit-equal, so they verify against the one SQL — the equality is
@@ -2736,6 +2758,100 @@ object Events {
         |                              ELSE 0 END END) AS BIGINT)
         |         AS credit_ppm_total
         |FROM g GROUP BY 1, 2 ORDER BY event_type, position""".stripMargin),
+
+    // Holt-Winters additive seasonal forecast (period 7) over the daily
+    // event-count series — the trend+seasonality upgrade of the SES
+    // forecast, and the most demanding instance of the repo's
+    // identical-left-fold pattern (events_survival_km's aggregate ≡
+    // list_reduce): the 11-slot state [level, trend, s1..s7, Σ|err|, n]
+    // folds one day at a time with the SAME operation order in both
+    // engines, seasonals kept oldest-first and ROTATED (drop head,
+    // append new) so no per-slot CASE is needed and the due seasonal is
+    // always slot 3. Smoothing constants 1/2, 1/4, 3/4 are exact binary
+    // fractions; the update arithmetic is emitted from ONE Scala
+    // generator into both dialects (element_at vs 1-indexed [] only), so
+    // the chains cannot drift. DuckDB's reduce() has no explicit zero —
+    // the init state is PREPENDED as the first list element (all
+    // elements are LIST<DOUBLE>, so the accumulator type unifies).
+    // Init: level = mean(week 1), trend = (mean(week 2) − mean(week 1))/7,
+    // seasonals = week-1 residuals; fold runs from day 8 (assumes a
+    // ≥ 15-day span — the fixture covers 30). Output: final state, the
+    // in-sample one-step MAE, and the 7-day-ahead forecast
+    // ŷ(D+h) = level + h·trend + s[h]. Scale: the daily series is ONE
+    // keyed agg (map-side combined); only the |days|-length array — one
+    // row per calendar day, bounded by the time span, not the data —
+    // passes through the fold.
+    "events_forecast_holt_winters" -> QuerySpec(
+      (s, d) => {
+        val days = Tables.eventsWithTs(s, d)
+          .select(to_date(col("ts_utc")).as("day"))
+          .groupBy("day").agg(count(lit(1)).as("y"))
+        val series = days.agg(min("day").as("d0"), max("day").as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)"))
+            .as("day"))
+          .join(days, Seq("day"), "left")
+          .select(col("day"), coalesce(col("y"), lit(0L)).cast("double")
+            .as("y"))
+        val init = series
+          .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+            .as("a"))
+          .select(transform(col("a"), e => e.getField("y")).as("ys"))
+          .withColumn("lvl0",
+            expr("aggregate(slice(ys, 1, 7), 0D, (a, x) -> a + x) / 7.0D"))
+          .withColumn("tr0", expr(
+            "(aggregate(slice(ys, 8, 7), 0D, (a, x) -> a + x) / 7.0D" +
+              " - lvl0) / 7.0D"))
+        val upd = hwUpdate(k => s"element_at(acc, $k)", "yv", c => c + "D")
+        val zero = "array(lvl0, tr0, " +
+          (1 to 7).map(i => s"element_at(ys, $i) - lvl0")
+            .mkString(", ") + ", 0D, 0D)"
+        val st = init.select(col("ys"),
+          expr(s"""aggregate(slice(ys, 8, size(ys) - 7), $zero,
+                  (acc, yv) -> array(${upd.mkString(", ")}))""").as("st"))
+        val outCols = Seq(
+          size(col("ys")).cast("long").as("n_days"),
+          expr("element_at(st, 1)").as("level"),
+          expr("element_at(st, 2)").as("trend"),
+          expr("element_at(st, 10) / element_at(st, 11)")
+            .as("mae_one_step")) ++
+          (1 to 7).map(h => expr(
+            s"element_at(st, 1) + ${h}.0D * element_at(st, 2)" +
+              s" + element_at(st, ${2 + h})").as(s"f$h"))
+        st.select(outCols: _*)
+      },
+      {
+        val upd = hwUpdate(k => s"acc[$k]", "x[1]", identity)
+        s"""WITH dd AS (SELECT CAST(ts AS DATE) AS day,
+           |         COUNT(*) AS y FROM events GROUP BY 1),
+           |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dd),
+           |cal AS (SELECT CAST(unnest(generate_series(d0, d1,
+           |         INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+           |ser AS (SELECT cal.day, CAST(COALESCE(dd.y, 0) AS DOUBLE) AS y
+           |        FROM cal LEFT JOIN dd USING (day)),
+           |arr AS (SELECT list(y ORDER BY day) AS ys FROM ser),
+           |ini AS (SELECT ys,
+           |          list_reduce(ys[1:7], (a, x) -> a + x) / 7.0 AS lvl0,
+           |          (list_reduce(ys[8:14], (a, x) -> a + x) / 7.0
+           |            - list_reduce(ys[1:7], (a, x) -> a + x) / 7.0)
+           |            / 7.0 AS tr0
+           |        FROM arr),
+           |st AS (SELECT ys, list_reduce(
+           |          list_prepend(
+           |            [lvl0, tr0, ${(1 to 7)
+                            .map(i => s"ys[$i] - lvl0").mkString(", ")},
+           |             0.0, 0.0],
+           |            list_transform(ys[8:], y -> [y])),
+           |          (acc, x) -> [${upd.mkString(",\n             ")}])
+           |          AS st
+           |        FROM ini)
+           |SELECT CAST(len(ys) AS BIGINT) AS n_days,
+           |       st[1] AS level, st[2] AS trend,
+           |       st[10] / st[11] AS mae_one_step,
+           |       ${(1 to 7).map(h =>
+                      s"st[1] + $h.0 * st[2] + st[${2 + h}] AS f$h")
+                      .mkString(",\n       ")}
+           |FROM st""".stripMargin
+      }),
 
     // The CEP pattern as a STREAMING state machine: the same `[vc]+p`
     // browse-then-buy census as events_pattern_match_cep, folded per

@@ -222,4 +222,44 @@ class SequenceGovernanceSpec extends SparkSpec {
         count(lit(1)).cast("double")).as("m")).head.getDouble(0)
     assert(d("point_mean") == exp, s"${d("point_mean")} != $exp")
   }
+
+  test("Holt-Winters fold matches an independent Scala replay bit-exactly") {
+    val r = graft.queries.Events.registry("events_forecast_holt_winters")
+      .fn(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    def d(c: String) = row.getDouble(row.fieldIndex(c))
+    // independent daily series from the raw table
+    val daily = graft.io.Tables.eventsWithTs(spark, sf)
+      .select(to_date(col("ts_utc")).as("day")).groupBy("day")
+      .agg(count(lit(1)).as("y")).collect()
+      .map(x => x.getDate(0).toLocalDate -> x.getLong(1).toDouble).toMap
+    val d0 = daily.keys.min(Ordering.by((_: java.time.LocalDate).toEpochDay))
+    val d1 = daily.keys.max(Ordering.by((_: java.time.LocalDate).toEpochDay))
+    val ys = Iterator.iterate(d0)(_.plusDays(1))
+      .takeWhile(!_.isAfter(d1)).map(daily.getOrElse(_, 0.0)).toArray
+    assert(row.getLong(row.fieldIndex("n_days")) == ys.length.toLong)
+    assert(ys.length >= 15, "fixture must span >= 15 days")
+    // replay the exact fold: same init, same operation order
+    val lvl0 = ys.take(7).foldLeft(0.0)(_ + _) / 7.0
+    val tr0 = (ys.slice(7, 14).foldLeft(0.0)(_ + _) / 7.0 - lvl0) / 7.0
+    var level = lvl0; var trend = tr0
+    var s7 = (0 until 7).map(i => ys(i) - lvl0).toVector
+    var sumAbs = 0.0; var n = 0.0
+    ys.drop(7).foreach { yv =>
+      val sOld = s7.head
+      val nl = 0.5 * (yv - sOld) + 0.5 * (level + trend)
+      val nt = 0.25 * (nl - level) + 0.75 * trend
+      val ns = 0.25 * (yv - nl) + 0.75 * sOld
+      sumAbs += math.abs(yv - (level + trend + sOld)); n += 1.0
+      level = nl; trend = nt; s7 = s7.tail :+ ns
+    }
+    assert(d("level") == level, s"level ${d("level")} != $level")
+    assert(d("trend") == trend, s"trend ${d("trend")} != $trend")
+    assert(d("mae_one_step") == sumAbs / n)
+    (1 to 7).foreach { h =>
+      val exp = level + h.toDouble * trend + s7(h - 1)
+      assert(d(s"f$h") == exp, s"f$h ${d(s"f$h")} != $exp")
+    }
+  }
 }
