@@ -33,6 +33,39 @@ object Analytic {
     }
   }
 
+  /** Poisson-bootstrap replicate means over (o_orderkey, o_totalprice):
+    * the B/2-fold expansion does 32 md5s per order (each 128-bit digest
+    * funds TWO independent 60-bit draws — hex 1-15 for replicate g, hex
+    * 17-31 for g+B/2), CPU-heavy per-row work that a one-row-group
+    * fixture would pin to a single core (the Scale.fanOut contract).
+    * Exposed private[graft] so PhysicalPlanSpec can assert the shape the
+    * comment claims: ONE map-side-combined agg straight off the
+    * expansion — partial+final HashAggregate around the single
+    * hash(b) Exchange, no Window, no join. */
+  private[graft] def bootstrapReplicates(
+      o: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.ops.Scale.fanOut(o)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        explode(array((0 until BootB / 2).map(lit(_)): _*)).as("g"))
+      .withColumn("h",
+        md5(concat_ws(":", col("o_orderkey"), col("g"))))
+      .select(col("o_totalprice"), col("g"),
+        posexplode(array(
+          conv(substring(col("h"), 1, 15), 16, 10).cast("long")
+            % lit(1048576L),
+          conv(substring(col("h"), 17, 15), 16, 10).cast("long")
+            % lit(1048576L))).as(Seq("half", "u")))
+      .withColumn("b", col("g") + lit(BootB / 2) * col("half"))
+      .withColumn("w",
+        size(filter(typedLit(PoissonThresholds), t => t <= col("u")))
+          .cast("long"))
+      .groupBy("b")
+      .agg(sum((col("w").cast("double") * col("o_totalprice"))
+          .cast("decimal(25,6)")).as("s"),
+        sum("w").as("n"))
+      .select(col("b"),
+        (col("s").cast("double") / col("n").cast("double")).as("m"))
+
   val registry: Map[String, QuerySpec] = Map(
 
     // Market-basket association rules over order contents: for every part
@@ -2235,11 +2268,15 @@ object Analytic {
     // Poisson(1) weights approximate the multinomial resample, so a
     // bootstrap needs no global shuffle — each of the B=64 replicates is
     // one more weighted term in the same map-side-combined agg). Weights
-    // are derandomized the repo way: u = md5-hash(orderkey:b) on a 2^20
-    // grid inverted through floor(2^20·CDF_Poisson(1)) thresholds —
+    // are derandomized the repo way: md5-hash draws on a 2^20 grid
+    // inverted through floor(2^20·CDF_Poisson(1)) thresholds —
     // constants computed ONCE (driver-side, at class init) and embedded
     // verbatim in both engines, so no exp() is ever evaluated inside
-    // either engine; the tail clips at w=8 (mass ~1e-6, stated). Each
+    // either engine; the tail clips at w=8 (mass ~1e-6, stated). One
+    // 128-bit digest funds TWO independent 60-bit draws (hex chars
+    // 1-15 and 17-31), so replicates g and g+B/2 share a single
+    // md5(orderkey:g) — halving the digest count, the dominant cost of
+    // the expansion — with the identical split mirrored in DuckDB. Each
     // replicate's mean is an exact DECIMAL(25,6) sum over an exact
     // integer weight total; the 95% CI is the nearest-rank 2nd/63rd
     // order statistic of the 64 replicate means (a window over exactly
@@ -2249,26 +2286,10 @@ object Analytic {
       (s, d) => {
         val o = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_totalprice"))
-        // The B-fold expansion does 64 md5s per order — CPU-heavy per-row
-        // work that a one-row-group fixture would pin to a single core
-        // (the Scale.fanOut contract); the 64-row replicate table is then
-        // checkpointed so its three consumers (rank window, CI picks,
-        // bias check) don't re-run the expansion.
-        val reps = graft.ops.Scale.fanOut(o)
-          .select(col("o_orderkey"), col("o_totalprice"),
-            explode(array((0 until BootB).map(lit(_)): _*)).as("b"))
-          .withColumn("u", graft.ext.TextOps.hash64(
-            concat_ws(":", col("o_orderkey"), col("b"))) % lit(1048576L))
-          .withColumn("w",
-            size(filter(typedLit(PoissonThresholds), t => t <= col("u")))
-              .cast("long"))
-          .groupBy("b")
-          .agg(sum((col("w").cast("double") * col("o_totalprice"))
-              .cast("decimal(25,6)")).as("s"),
-            sum("w").as("n"))
-          .select(col("b"),
-            (col("s").cast("double") / col("n").cast("double")).as("m"))
-          .localCheckpoint(true)
+        // The 64-row replicate table is checkpointed so its three
+        // consumers (rank window, CI picks, bias check) don't re-run
+        // the expansion.
+        val reps = bootstrapReplicates(o).localCheckpoint(true)
         val ranked = reps.withColumn("rk", row_number().over(
           Window.orderBy("m", "b")))
         val lo = ranked.filter(col("rk") === 2)
@@ -2287,16 +2308,20 @@ object Analytic {
             (col("ci_hi") - col("ci_lo")).as("ci_width"))
       },
       s"""WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
-         |r AS (SELECT o_orderkey, o_totalprice, b
+         |r AS (SELECT o_totalprice, g,
+         |        md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+         |            CAST(g AS VARCHAR)) AS h
          |      FROM o CROSS JOIN
-         |        (SELECT unnest(range(0, $BootB)) AS b)),
+         |        (SELECT unnest(range(0, ${BootB / 2})) AS g)),
+         |d AS (SELECT o_totalprice, g + ${BootB / 2} * half AS b,
+         |        CAST(('0x' || substr(h, 1 + 16 * half, 15))::UBIGINT
+         |          AS BIGINT) % 1048576 AS u
+         |      FROM r CROSS JOIN
+         |        (SELECT unnest(range(0, 2)) AS half)),
          |w AS (SELECT b, o_totalprice,
          |        CAST(len(list_filter([${PoissonThresholds.mkString(", ")}],
-         |          t -> t <= CAST(('0x' || substr(md5(
-         |            CAST(o_orderkey AS VARCHAR) || ':' ||
-         |            CAST(b AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)
-         |            % 1048576)) AS BIGINT) AS w
-         |      FROM r),
+         |          t -> t <= u)) AS BIGINT) AS w
+         |      FROM d),
          |reps AS (SELECT b,
          |           CAST(SUM(CAST(w * o_totalprice AS DECIMAL(25,6)))
          |             AS DOUBLE)

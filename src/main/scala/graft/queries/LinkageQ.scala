@@ -293,10 +293,16 @@ object LinkageQ {
           // M-step: exact order-free scaled-integer sums (BigInt here,
           // DECIMAL(38,0) in the oracle — same floor terms). All terms
           // are materialized under the CURRENT params before any update.
+          // floor() of a double is an integral double, so the
+          // BigDecimal→BigInt conversion is exact at ANY magnitude —
+          // unlike .toLong, which would clamp at 2^63 once a census
+          // cell passes ~2^23 pairs while DuckDB's DECIMAL(38,0) side
+          // kept going (the silent-divergence hazard this avoids).
           val terms = pat.map { g =>
             val wg = w(g)
-            (g, BigInt(math.floor(wg * g._4.toDouble * S).toLong),
-              BigInt(math.floor((1.0 - wg) * g._4.toDouble * S).toLong))
+            def exactFloor(x: Double): BigInt = BigDecimal(x).toBigInt
+            (g, exactFloor(math.floor(wg * g._4.toDouble * S)),
+              exactFloor(math.floor((1.0 - wg) * g._4.toDouble * S)))
           }
           val sw = terms.map(_._2).sum
           val su = terms.map(_._3).sum

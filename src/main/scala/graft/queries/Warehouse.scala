@@ -1687,9 +1687,14 @@ object Warehouse {
             .unionAll(view(oBase, cDelta))
             .unionAll(view(oDelta, cDelta)),
           "n_inc", "rev_inc_cents")
+        // Output casts to BIGINT: the cents sums are exact integers
+        // far below 2^63, and a raw DecimalType output column renders
+        // differently across engines' result hashers — decimals stay
+        // inside the plan, never in the final select.
         full.join(inc, Seq("o_orderpriority"), "full")
           .select(col("o_orderpriority"), col("n_full"), col("n_inc"),
-            col("rev_full_cents"), col("rev_inc_cents"),
+            col("rev_full_cents").cast("long").as("rev_full_cents"),
+            col("rev_inc_cents").cast("long").as("rev_inc_cents"),
             (col("n_full") <=> col("n_inc") &&
               col("rev_full_cents") <=> col("rev_inc_cents"))
               .as("view_consistent"))
@@ -1711,7 +1716,8 @@ object Warehouse {
         |            UNION ALL SELECT * FROM v WHERE od AND cd) u
         |      GROUP BY 1)
         |SELECT o_orderpriority, n_full, n_inc,
-        |       rev_full_cents, rev_inc_cents,
+        |       CAST(rev_full_cents AS BIGINT) AS rev_full_cents,
+        |       CAST(rev_inc_cents AS BIGINT) AS rev_inc_cents,
         |       (n_full IS NOT DISTINCT FROM n_inc) AND
         |       (rev_full_cents IS NOT DISTINCT FROM rev_inc_cents)
         |         AS view_consistent
@@ -1765,12 +1771,16 @@ object Warehouse {
           when(col("cum") * 10 <= col("t") * 8, "A")
             .when(col("cum") * 20 <= col("t") * 19, "B")
             .otherwise("C"))
+        // rev_cents is cast to BIGINT in the output (exact cents
+        // ≪ 2^63): decimals decide every boundary inside the plan but
+        // never appear in the final select — raw DecimalType output
+        // renders differently across engines' result hashers.
         cls.groupBy("abc_class")
           .agg(count(lit(1)).as("n_customers"),
             sum("r").cast("decimal(38,0)").as("rev_cents"),
             max(col("t")).as("t"))
           .select(col("abc_class"), col("n_customers"),
-            col("rev_cents"),
+            col("rev_cents").cast("long").as("rev_cents"),
             (col("rev_cents").cast("double") / col("t").cast("double"))
               .as("rev_share"))
           .orderBy("abc_class")
@@ -1792,7 +1802,7 @@ object Warehouse {
         |               ELSE 'C' END AS abc_class
         |        FROM w)
         |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
-        |       CAST(SUM(r) AS DECIMAL(38,0)) AS rev_cents,
+        |       CAST(SUM(r) AS BIGINT) AS rev_cents,
         |       CAST(CAST(SUM(r) AS DECIMAL(38,0)) AS DOUBLE)
         |         / CAST((SELECT t FROM tot) AS DOUBLE) AS rev_share
         |FROM cls GROUP BY 1 ORDER BY abc_class""".stripMargin),
@@ -2078,9 +2088,16 @@ object Warehouse {
     // bounded-noise variant, stated here rather than silent). Negative
     // releases post-process to 0 (post-processing preserves DP). This
     // query is the pre-release CALIBRATION AUDIT (true count, draw, noise
-    // side by side on test data); the production release projects
-    // (c_nationkey, n_released) only. Scale: one map-side-combined keyed
-    // agg; noise is per-GROUP scalar arithmetic — nothing else moves.
+    // side by side on test data). IMPORTANT: the md5-of-public-group-key
+    // draw exists ONLY for cross-engine testing — it is recomputable by
+    // any consumer who knows the group key, so this derandomized form
+    // provides NO actual ε-DP guarantee. A real release MUST substitute
+    // a secret-seeded PRF (e.g. HMAC with a key held by the curator) or
+    // a truly random draw for `u`, and project (c_nationkey, n_released)
+    // only — everything else about the mechanism (thresholds, clip,
+    // post-processing) carries over unchanged. Scale: one
+    // map-side-combined keyed agg; noise is per-GROUP scalar
+    // arithmetic — nothing else moves.
     "warehouse_dp_noisy_release" -> QuerySpec(
       (s, d) => {
         val noise = lit(-16L) +

@@ -746,4 +746,43 @@ class PhysicalPlanSpec extends SparkSpec {
       s"no consumer may re-run the B-fold expansion:\n$bs")
     assert(!bs.contains("CartesianProduct"), bs)
   }
+
+  test("bootstrap replicate expansion is ONE map-side-combined agg off the scan") {
+    // The pre-checkpoint shape stat_bootstrap_ci's comment claims: the
+    // B-fold explode feeds the groupBy("b") DIRECTLY — partial
+    // HashAggregate runs map-side inside the expansion stage, and the
+    // only data that crosses the one hash(b) Exchange is B partial
+    // (sum, count) pairs per task. An extra Exchange before the
+    // groupBy, a Window, or a join here would reshuffle the full
+    // N×B/2 expansion — the shape that dies at 100 TB. Synthetic
+    // 2-row input (as in the logreg/perceptron tests) so Scale.fanOut
+    // doesn't add its own fixture repartition.
+    import spark.implicits._
+    val o = Seq((1L, 10.0), (2L, 20.0)).toDF("o_orderkey", "o_totalprice")
+      .repartition(4)
+    val p = plan(graft.queries.Analytic.bootstrapReplicates(o))
+    assert("HashAggregate".r.findAllIn(p).length == 2,
+      s"expected exactly partial+final HashAggregate:\n$p")
+    // exactly the input fixture's repartition + the hash(b) shuffle
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 2 && p.contains("Exchange hashpartitioning(b"),
+      s"expected one hash(b) Exchange after the expansion:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("Holt-Winters forecast is one keyed agg + bounded fold: no Window") {
+    // events_forecast_holt_winters folds the |days|-length series
+    // (bounded by the calendar span, not the event count) through an
+    // 11-slot aggregate() state. The plan must show the daily series as
+    // a map-side-combined keyed agg and NO WindowExec anywhere — a
+    // lag/lead-window formulation of the smoothing chain would sort and
+    // single-partition the whole series; the fold keeps it one row.
+    val p = plan(
+      SparkEntry.registry("events_forecast_holt_winters").fn(spark, sf))
+    assert(!p.contains("Window"),
+      s"Holt-Winters must fold, not window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"daily series should be a partial+final keyed agg:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -190,4 +190,33 @@ class RegistryInvariantSpec extends SparkSpec {
     // near Π(ratio)=product of ~1 factors
     assert(w.head > w.last)
   }
+
+  test("no registry query's output schema contains a DecimalType") {
+    // Decimals are load-bearing INSIDE plans (the exactness machinery
+    // depends on them) but must never reach a final select: the
+    // driver's result hasher renders a Decimal column differently from
+    // DuckDB's numeric rendering (75770369206 vs 75770369206.0), so a
+    // raw decimal output flips hash_match even when rows and schema
+    // match — the exact failure customer_abc_classes and
+    // incremental_join_maintenance hit in rounds 7-8. Walk every
+    // declared query's output schema (recursively, through structs,
+    // arrays and maps) and fail loudly on any DecimalType field.
+    import org.apache.spark.sql.types._
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType => hasDecimal(a.elementType)
+      case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
+    val offenders = SparkEntry.registry.toSeq.sortBy(_._1).flatMap {
+      case (name, spec) =>
+        spec.fn(spark, sf).schema.fields.collect {
+          case f if hasDecimal(f.dataType) => s"$name.${f.name}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"DecimalType in declared output (cast to BIGINT/DOUBLE in the " +
+        s"final select of BOTH engines): ${offenders.mkString(", ")}")
+  }
 }
