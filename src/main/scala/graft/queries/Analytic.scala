@@ -163,7 +163,14 @@ object Analytic {
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             sum(col("l_quantity").cast("decimal(25,6)")).over(w)
               .cast("double").as("running_qty"))
-          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+          // running_qty is the final tiebreaker: the synthetic lineitem
+          // does NOT have a unique (l_orderkey, l_linenumber) — rows
+          // duplicating it differ by l_shipdate and so carry DISTINCT
+          // running sums (quantities >= 1 make the prefix sum strictly
+          // increasing within a partition), which would otherwise be an
+          // engine-order coin flip in the emitted row order.
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber",
+            "running_qty")
       },
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
@@ -172,7 +179,7 @@ object Analytic {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |         AS running_qty
         |FROM lineitem WHERE l_suppkey < 10
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin),
 
     // lag/lead over event streams keyed by user — the sessionization
     // primitive. Ordered by event_id (ts is ns-precision in the parquet;

@@ -219,4 +219,76 @@ class RegistryInvariantSpec extends SparkSpec {
       s"DecimalType in declared output (cast to BIGINT/DOUBLE in the " +
         s"final select of BOTH engines): ${offenders.mkString(", ")}")
   }
+
+  test("every multi-row result's ORDER BY is a total order (no tie-ambiguity)") {
+    // Tie-ambiguity is the likeliest future hash flake: if two DISTINCT
+    // rows compare equal under a query's final ORDER BY, Spark and
+    // DuckDB may legally emit them in different orders and the driver's
+    // row-order-sensitive hash splits while rows/schema still match.
+    // For every declared query: peel Project/Limit/Offset wrappers off
+    // the analyzed plan to the final Sort, evaluate (sort key, emitted
+    // row) pairs, and assert no key group holds more than one distinct
+    // emitted row. A query with NO final Sort must be provably
+    // single-row. Runs on sf0.001 — ambiguity is a plan property, but
+    // it needs data to witness; the fixture carries duplicate natural
+    // keys by design, so collisions that can happen, do.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.NamedExpression
+    import org.apache.spark.sql.graftshim.Shim
+    import org.apache.spark.sql.functions._
+
+    def peel(p: LogicalPlan, projs: List[Seq[NamedExpression]])
+        : (LogicalPlan, List[Seq[NamedExpression]]) = p match {
+      case Project(l, c) => peel(c, l :: projs) // ends innermost-first
+      case GlobalLimit(_, c) => peel(c, projs)
+      case LocalLimit(_, c) => peel(c, projs)
+      case Offset(_, c) => peel(c, projs)
+      case s: SubqueryAlias => peel(s.child, projs)
+      case other => (other, projs)
+    }
+
+    val problems = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.registry.toSeq.sortBy(_._1).foreach { case (name, spec) =>
+      val df = spec.fn(spark, sf)
+      // SQL-frontend plans root at WithCTE; the Sort sits in the body.
+      // Keep the defs so the Sort child (which references the CTEs via
+      // CTERelationRef) stays evaluable when re-wrapped below.
+      val (cteDefs, body) = df.queryExecution.analyzed match {
+        case w: WithCTE => (w.cteDefs, w.plan)
+        case p => (Seq.empty[CTERelationDef], p)
+      }
+      if (name == "events_stream_state_inspection") {
+        // localCheckpoint truncates the plan to a LogicalRDD, so the
+        // Sort is invisible — attest the contract directly instead:
+        // rows strictly increase on user_id (per-group state key, so
+        // unique ⇒ the emitted order is total).
+        val ids = df.collect().map(_.getAs[Long]("user_id"))
+        assert(ids.zip(ids.tail).forall { case (a, b) => a < b },
+          s"$name must emit strictly increasing unique user_id")
+      } else peel(body, Nil) match {
+        case (s: Sort, projs) =>
+          val childPlan =
+            if (cteDefs.isEmpty) s.child else WithCTE(s.child, cteDefs)
+          val keyed = Shim.ofRows(spark, childPlan).withColumn("__sortkey",
+            struct(s.order.map(o => Shim.column(o.child)): _*))
+          // re-apply the projections sitting above the Sort so ties are
+          // judged on the EMITTED columns (ties among identical emitted
+          // rows are harmless; a dropped tiebreaker column is not)
+          val emitted = projs.foldLeft(keyed) { (acc, list) =>
+            acc.select(list.map(Shim.column(_)) :+ col("__sortkey"): _*)
+          }
+          val outCols = emitted.columns.filterNot(_ == "__sortkey")
+          val worst = emitted.groupBy("__sortkey")
+            .agg(countDistinct(struct(outCols.map(col): _*)).as("d"))
+            .agg(coalesce(max("d"), lit(0L))).head.getLong(0)
+          if (worst > 1)
+            problems += s"$name: ORDER BY admits $worst distinct rows " +
+              "in one tie group"
+        case _ =>
+          if (df.count() > 1)
+            problems += s"$name: multi-row result without a final ORDER BY"
+      }
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
 }
