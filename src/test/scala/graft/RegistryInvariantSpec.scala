@@ -278,12 +278,22 @@ class RegistryInvariantSpec extends SparkSpec {
             acc.select(list.map(Shim.column(_)) :+ col("__sortkey"): _*)
           }
           val outCols = emitted.columns.filterNot(_ == "__sortkey")
-          val worst = emitted.groupBy("__sortkey")
-            .agg(countDistinct(struct(outCols.map(col): _*)).as("d"))
-            .agg(coalesce(max("d"), lit(0L))).head.getLong(0)
+          val Array(worst, total) = emitted.groupBy("__sortkey")
+            .agg(countDistinct(struct(outCols.map(col): _*)).as("d"),
+              count(lit(1)).as("n"))
+            .agg(coalesce(max("d"), lit(0L)), coalesce(sum("n"), lit(0L)))
+            .head.toSeq.map(_.asInstanceOf[Long]).toArray
           if (worst > 1)
             problems += s"$name: ORDER BY admits $worst distinct rows " +
               "in one tie group"
+          // the driver's hash is row-order-sensitive on BOTH engines: a
+          // multi-row result whose ORACLE text lacks a final ORDER BY
+          // leaves DuckDB free to emit any order even when the Spark
+          // side sorts (all current no-ORDER-BY oracles are 1-row)
+          if (total > 1 && spec.oracle.exists(o =>
+              !o.toLowerCase.contains("order by")))
+            problems += s"$name: multi-row result but the DuckDB oracle " +
+              "has no ORDER BY"
         case _ =>
           if (df.count() > 1)
             problems += s"$name: multi-row result without a final ORDER BY"
