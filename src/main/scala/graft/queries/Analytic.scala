@@ -2208,7 +2208,11 @@ object Analytic {
           .groupBy(collate(col("v"), "UNICODE_CI").as("k"))
           .agg(count(lit(1)).as("n"),
             countDistinct(col("v")).as("n_casings"))
-          .select(lower(col("k")).as("seg"), col("n"), col("n_casings"))
+          // the collated type stays INSIDE the plan (it drives the
+          // case-insensitive grouping); the output casts back to plain
+          // string so the declared schema holds only hash-safe types
+          .select(lower(col("k")).cast("string").as("seg"), col("n"),
+            col("n_casings"))
           .orderBy("seg")
       },
       """WITH v AS (

@@ -191,33 +191,33 @@ class RegistryInvariantSpec extends SparkSpec {
     assert(w.head > w.last)
   }
 
-  test("no registry query's output schema contains a DecimalType") {
-    // Decimals are load-bearing INSIDE plans (the exactness machinery
-    // depends on them) but must never reach a final select: the
-    // driver's result hasher renders a Decimal column differently from
-    // DuckDB's numeric rendering (75770369206 vs 75770369206.0), so a
-    // raw decimal output flips hash_match even when rows and schema
-    // match — the exact failure customer_abc_classes and
-    // incremental_join_maintenance hit in rounds 7-8. Walk every
-    // declared query's output schema (recursively, through structs,
-    // arrays and maps) and fail loudly on any DecimalType field.
+  test("declared output schemas use only hash-safe primitive types") {
+    // The driver hash-compares RENDERED values, so a declared output
+    // column may only use a type whose rendering is proven identical
+    // across Spark and DuckDB. DecimalType is the documented offender
+    // (rendered 75770369206 vs DuckDB's 75770369206.0 — the exact
+    // failure customer_abc_classes and incremental_join_maintenance hit
+    // in rounds 7-8; decimals stay INSIDE plans, the final select casts
+    // to BIGINT/DOUBLE). The rest of the allowlist is the closed set
+    // every one of the 342 green queries already uses — notably NO
+    // timestamps (events queries cast to string/date for output), no
+    // floats, no binary, no nested types. Extending the set requires a
+    // demonstrated rendering-parity argument, not just a green local
+    // run.
     import org.apache.spark.sql.types._
-    def hasDecimal(dt: DataType): Boolean = dt match {
-      case _: DecimalType => true
-      case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
-      case a: ArrayType => hasDecimal(a.elementType)
-      case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
-      case _ => false
-    }
+    val allowed: Set[DataType] = Set(LongType, IntegerType, DoubleType,
+      StringType, BooleanType, DateType)
     val offenders = SparkEntry.registry.toSeq.sortBy(_._1).flatMap {
       case (name, spec) =>
         spec.fn(spark, sf).schema.fields.collect {
-          case f if hasDecimal(f.dataType) => s"$name.${f.name}"
+          case f if !allowed.contains(f.dataType) =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
         }
     }
     assert(offenders.isEmpty,
-      s"DecimalType in declared output (cast to BIGINT/DOUBLE in the " +
-        s"final select of BOTH engines): ${offenders.mkString(", ")}")
+      s"output type outside the proven-rendering allowlist " +
+        s"(cast in the final select of BOTH engines, or prove parity " +
+        s"and extend the list): ${offenders.mkString(", ")}")
   }
 
   test("every multi-row result's ORDER BY is a total order (no tie-ambiguity)") {
