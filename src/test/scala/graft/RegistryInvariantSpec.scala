@@ -9,7 +9,12 @@ import org.apache.spark.sql.Row
   */
 class RegistryInvariantSpec extends SparkSpec {
 
-  private val sf = "/root/testdata/sf0.001"
+  // The registry-wide walks honor GRAFT_AUDIT_SF so the ORDER-BY
+  // totality audit can be run one-off at a bigger scale factor (tie
+  // witnesses are data-dependent; sf0.001 is the always-on gate,
+  // sf0.01 the pre-round deep check).
+  private val sf = sys.env.getOrElse("GRAFT_AUDIT_SF",
+    "/root/testdata/sf0.001")
   private def rows(name: String): Array[Row] =
     SparkEntry.registry(name).fn(spark, sf).collect()
 
