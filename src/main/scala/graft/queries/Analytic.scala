@@ -1135,6 +1135,84 @@ object Analytic {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag_l_linestatus""".stripMargin),
 
+    // Kendall tau-b rank correlation between two per-nation orderings —
+    // order volume vs revenue ("does the nation that sends the most
+    // orders also earn the most?"), the nonparametric rank-stability
+    // audit a pipeline runs when it swaps a scoring function (e.g. a new
+    // quality model vs the old: high tau = safe rollout). Exact by
+    // construction: both measures are exact BIGINTs (order count;
+    // floor-cents revenue), concordant/discordant/tied pair counts are
+    // pure integer comparisons, and the only doubles are the final
+    // tau-b = (C-D)/sqrt((n0-nx)(n0-ny)) — one subtraction, one exact
+    // int-product (≤ n0² ≪ 2^53), one correctly-rounded sqrt (the
+    // events_ab_test_ztest precedent) and one division, same op order
+    // both engines. Scale: the nation measures are ONE keyed agg over
+    // the broadcast-joined fact; the pair stage is the DIMENSION square
+    // (≤ 25² rows — bounded by the nation domain, never the corpus),
+    // broadcast-joined against itself.
+    "stat_kendall_tau" -> QuerySpec(
+      (s, d) => {
+        val nat = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100 + lit(0.5))
+              .cast("decimal(38,0)")).cast("long").as("rev"))
+        val p = nat.as("a").join(broadcast(nat.as("b")),
+            col("a.c_nationkey") < col("b.c_nationkey"))
+          .select(col("a.n_orders").as("xa"), col("a.rev").as("ya"),
+            col("b.n_orders").as("xb"), col("b.rev").as("yb"))
+        val agg = p.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when((col("xa") > col("xb") && col("ya") > col("yb")) ||
+              (col("xa") < col("xb") && col("ya") < col("yb")), 1L)
+            .otherwise(0L)).as("concordant"),
+          sum(when((col("xa") > col("xb") && col("ya") < col("yb")) ||
+              (col("xa") < col("xb") && col("ya") > col("yb")), 1L)
+            .otherwise(0L)).as("discordant"),
+          sum(when(col("xa") === col("xb"), 1L).otherwise(0L))
+            .as("ties_x"),
+          sum(when(col("ya") === col("yb"), 1L).otherwise(0L))
+            .as("ties_y"))
+        agg.crossJoin(broadcast(nat.agg(count(lit(1)).as("n_items"))))
+          .select(col("n_items"), col("n_pairs"), col("concordant"),
+            col("discordant"), col("ties_x"), col("ties_y"),
+            ((col("concordant") - col("discordant")).cast("double") /
+              sqrt(((col("n_pairs") - col("ties_x")) *
+                (col("n_pairs") - col("ties_y"))).cast("double")))
+              .as("tau_b"))
+      },
+      """WITH nat AS (
+        |  SELECT c_nationkey,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+        |           AS DECIMAL(38,0))) AS BIGINT) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |p AS (SELECT a.n_orders AS xa, a.rev AS ya,
+        |             b.n_orders AS xb, b.rev AS yb
+        |      FROM nat a JOIN nat b ON a.c_nationkey < b.c_nationkey),
+        |agg AS (SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN (xa > xb AND ya > yb)
+        |               OR (xa < xb AND ya < yb) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS concordant,
+        |    CAST(SUM(CASE WHEN (xa > xb AND ya < yb)
+        |               OR (xa < xb AND ya > yb) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS discordant,
+        |    CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ties_x,
+        |    CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ties_y
+        |  FROM p)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nat) AS n_items,
+        |       n_pairs, concordant, discordant, ties_x, ties_y,
+        |       CAST(concordant - discordant AS DOUBLE)
+        |         / sqrt(CAST((n_pairs - ties_x) * (n_pairs - ties_y)
+        |             AS DOUBLE)) AS tau_b
+        |FROM agg""".stripMargin),
+
     // Exact discrete median per group (percentile_disc semantics): the
     // value AT rank ceil(n/2) under a total order — no interpolation, so
     // the result is an actual data value and exactly reproducible in any

@@ -1651,8 +1651,138 @@ object LearnQ {
         |       COALESCE(hr.score_held, 0) AS score_held,
         |       COALESCE(hr.rank_held, 0) BETWEEN 1 AND 10 AS hit_at_10
         |FROM eb LEFT JOIN hr ON eb.eok = hr.eok
-        |ORDER BY ok""".stripMargin)
+        |ORDER BY ok""".stripMargin),
+
+    // Bradley-Terry strength aggregation over pairwise preferences — the
+    // preference-data primitive an RLHF pipeline runs to turn noisy
+    // per-annotator A-beats-B comparisons into item strengths (and the
+    // classic paired-comparison model, Bradley & Terry 1952). The MLE is
+    // fit with ZERMELO'S MM iteration w_i ← W_i / Σ_j N_ij/(w_i+w_j)
+    // (Hunter 2004, "MM algorithms for generalized Bradley-Terry
+    // models") precisely because it needs ONLY +,/ — no exp()/ln() ever
+    // crosses the engine boundary, the same discipline as the logreg
+    // softsign surrogate. Preferences here are derived
+    // deterministically from the events fixture: for each user, type i
+    // beats type j iff the user fired strictly more i-events (a user
+    // contributes at most one verdict per unordered pair, so every win
+    // census cell is bounded by the user count). DISTRIBUTED part: the
+    // per-user type census and the (ti, tj, n) win census — one keyed
+    // agg plus one user-keyed self-join whose fan-out is the type-domain
+    // square per user, never corpus². The collected census is
+    // |types|²-bounded (≤ 25 rows here — the EM-weights/Gramian
+    // precedent: driver sees dim², not n). Three MM rounds run
+    // driver-side in lockstep with the oracle's CTE chain: each
+    // denominator term floor-scales to a 2^30 integer summed in exact
+    // arithmetic (BigInt here, DECIMAL(38,0) there — order-free), every
+    // derived scalar is the same fixed chain of IEEE ops, and 2^30 (not
+    // 2^40) keeps the worst-case denominator sum under 2^53, where
+    // BigInt→double and DECIMAL→double are BOTH exact (the documented
+    // int128-truncation hazard). Strengths are normalized to mean 1
+    // each round via the same floor-scaled exact sum.
+    "learn_bradley_terry_strength" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val S = 1073741824.0 // 2^30
+        val pc = Tables.events(s, d)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        val cmp = pc.as("a").join(pc.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") =!= col("b.event_type") &&
+              col("a.c") > col("b.c"))
+          .groupBy(col("a.event_type").as("ti"),
+            col("b.event_type").as("tj"))
+          .agg(count(lit(1)).as("n"))
+          .collect() // <= |types|^2 rows by construction
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val types = Tables.events(s, d).select("event_type").distinct()
+          .collect().map(_.getString(0)).sorted // domain-bounded
+        val wins = types.map(t =>
+          t -> cmp.filter(_._1 == t).map(_._3).sum).toMap
+        val losses = types.map(t =>
+          t -> cmp.filter(_._2 == t).map(_._3).sum).toMap
+        val nSym = (cmp.map(c => ((c._1, c._2), c._3)) ++
+            cmp.map(c => ((c._2, c._1), c._3)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+        def exactFloor(x: Double): BigInt = BigDecimal(x).toBigInt
+        var w = types.map(_ => 1.0)
+        for (_ <- 1 to 3) {
+          val wByT = types.zip(w).toMap
+          val wu = types.map { ti =>
+            val den = types.filter(_ != ti).map { tj =>
+              nSym.get((ti, tj)) match {
+                case Some(nij) => exactFloor(math.floor(
+                  nij.toDouble / (wByT(ti) + wByT(tj)) * S))
+                case None => BigInt(0)
+              }
+            }.sum
+            if (den == 0) 0.0
+            else wins(ti).toDouble * S / den.toDouble
+          }
+          val norm = wu.map(x => exactFloor(math.floor(x * S))).sum
+          val cS = types.length.toDouble * S
+          w = wu.map(x => x * cS / norm.toDouble)
+        }
+        types.zip(w).map { case (t, st) =>
+          (t, wins(t), losses(t), st) }.toSeq
+          .toDF("event_type", "n_wins", "n_losses", "strength")
+          .orderBy("event_type")
+      },
+      btOracleSql),
   )
+
+  /** DuckDB side of learn_bradley_terry_strength: the identical census +
+    * three Zermelo MM rounds as a CTE chain, generated round-by-round so
+    * the arithmetic cannot drift from the Scala loop above (same
+    * floor(·2^30) scaled terms into DECIMAL(38,0), same op order in
+    * every derived double). */
+  private def btOracleSql: String = {
+    val S = "1073741824.0"
+    val rounds = (1 to 3).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""d$i AS (SELECT s.ti AS t,
+         |    CAST(SUM(CAST(FLOOR(CAST(s.nn AS DOUBLE) / (wi.w + wj.w)
+         |      * $S) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS den
+         |  FROM sym s JOIN $prev wi ON wi.t = s.ti
+         |             JOIN $prev wj ON wj.t = s.tj
+         |  GROUP BY 1),
+         |u$i AS (SELECT ty.t,
+         |    COALESCE(CAST(COALESCE(wi.wins, 0) AS DOUBLE) * $S
+         |      / CAST(d.den AS DOUBLE), 0.0) AS wu
+         |  FROM types ty LEFT JOIN wins wi ON wi.t = ty.t
+         |                LEFT JOIN d$i d ON d.t = ty.t),
+         |n$i AS (SELECT CAST(SUM(CAST(FLOOR(wu * $S) AS DECIMAL(38,0)))
+         |    AS DECIMAL(38,0)) AS ns FROM u$i),
+         |w$i AS (SELECT t, wu * ((SELECT CAST(COUNT(*) AS DOUBLE)
+         |      FROM types) * $S)
+         |    / CAST((SELECT ns FROM n$i) AS DOUBLE) AS w
+         |  FROM u$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pc AS (SELECT user_id, event_type AS t, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |types AS (SELECT DISTINCT t FROM pc),
+       |cmp AS (SELECT a.t AS ti, b.t AS tj, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM pc a JOIN pc b
+       |    ON a.user_id = b.user_id AND a.t <> b.t AND a.c > b.c
+       |  GROUP BY 1, 2),
+       |sym AS (SELECT ti, tj, CAST(SUM(n) AS BIGINT) AS nn FROM (
+       |    SELECT ti, tj, n FROM cmp
+       |    UNION ALL SELECT tj AS ti, ti AS tj, n FROM cmp) u
+       |  GROUP BY 1, 2),
+       |wins AS (SELECT ti AS t, CAST(SUM(n) AS BIGINT) AS wins
+       |  FROM cmp GROUP BY 1),
+       |losses AS (SELECT tj AS t, CAST(SUM(n) AS BIGINT) AS losses
+       |  FROM cmp GROUP BY 1),
+       |w0 AS (SELECT t, 1.0 AS w FROM types),
+       |$rounds
+       |SELECT ty.t AS event_type,
+       |       CAST(COALESCE(wi.wins, 0) AS BIGINT) AS n_wins,
+       |       CAST(COALESCE(lo.losses, 0) AS BIGINT) AS n_losses,
+       |       w3.w AS strength
+       |FROM types ty LEFT JOIN wins wi ON wi.t = ty.t
+       |              LEFT JOIN losses lo ON lo.t = ty.t
+       |              JOIN w3 ON w3.t = ty.t
+       |ORDER BY event_type""".stripMargin
+  }
 
   /** One DuckDB SVM round: sg$i (subgradient sums) + v$i (weight update)
     * from v${i-1}. Lockstep with the Spark loop above — same indicator,

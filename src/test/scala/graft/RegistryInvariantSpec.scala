@@ -196,6 +196,41 @@ class RegistryInvariantSpec extends SparkSpec {
     assert(w.head > w.last)
   }
 
+  test("Bradley-Terry strengths conserve wins and track the win differential") {
+    val r = rows("learn_bradley_terry_strength")
+    assert(r.length >= 2)
+    val wins = r.map(_.getAs[Long]("n_wins"))
+    val losses = r.map(_.getAs[Long]("n_losses"))
+    // every win is some other item's loss — an exact ledger identity
+    assert(wins.sum == losses.sum, s"${wins.sum} != ${losses.sum}")
+    val st = r.map(_.getAs[Double]("strength"))
+    assert(st.forall(s => s > 0.0 && !s.isNaN && !s.isInfinite), st.toSeq)
+    // mean-1 normalization (up to the 2^30 floor-scaling granularity)
+    assert(math.abs(st.sum / st.length - 1.0) < 1e-6, st.toSeq)
+    // with near-uniform comparison counts the MM fit is monotone in the
+    // win differential at the extremes: best net record ⇒ top strength
+    val byDiff = r.sortBy(x =>
+      x.getAs[Long]("n_wins") - x.getAs[Long]("n_losses"))
+    assert(byDiff.last.getAs[Double]("strength") == st.max,
+      r.mkString("; "))
+    assert(byDiff.head.getAs[Double]("strength") == st.min,
+      r.mkString("; "))
+  }
+
+  test("Kendall tau-b pair ledger reconciles") {
+    val Array(r) = rows("stat_kendall_tau")
+    val n = r.getAs[Long]("n_items")
+    val pairs = r.getAs[Long]("n_pairs")
+    assert(pairs == n * (n - 1) / 2)
+    val (c, dd) = (r.getAs[Long]("concordant"), r.getAs[Long]("discordant"))
+    val (tx, ty) = (r.getAs[Long]("ties_x"), r.getAs[Long]("ties_y"))
+    // every pair is concordant, discordant, or tied in >= 1 coordinate
+    assert(c + dd <= pairs && c + dd + tx + ty >= pairs,
+      s"$c + $dd + $tx + $ty vs $pairs")
+    val tau = r.getAs[Double]("tau_b")
+    assert(tau >= -1.0 && tau <= 1.0 && !tau.isNaN, tau)
+  }
+
   test("declared output schemas use only hash-safe primitive types") {
     // The driver hash-compares RENDERED values, so a declared output
     // column may only use a type whose rendering is proven identical
