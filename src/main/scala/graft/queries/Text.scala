@@ -605,6 +605,76 @@ object Text {
          |       CAST(length(text) AS BIGINT) AS len, n_chars
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Cohen's kappa between two independent document labelers — the
+    // inter-rater reliability audit a labeling pipeline runs before
+    // trusting agreement-based pseudo-labels (raw agreement po is
+    // inflated by chance; kappa subtracts the chance-agreement floor
+    // pe). The two raters here are deterministic quality gates judging
+    // DIFFERENT evidence: A = length gate (≥ 40 whitespace tokens),
+    // B = fluency gate (stopword share ≥ 1/18, as the exact integer
+    // cross-product st·18 ≥ n — no ratio double ever decides a label).
+    // The confusion cells are exact BIGINTs from one map-side-combined
+    // scan; po/pe/kappa are the only doubles, computed as the identical
+    // fixed chain in both engines with pe built from per-marginal
+    // RATES ((a1/N)·(b1/N) + (a0/N)·(b0/N)) so nothing ever forms the
+    // N² product that would overflow BIGINT on a 100 TB corpus.
+    "stat_cohen_kappa" -> QuerySpec(
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val n = size(toks).cast("long")
+        val st = size(filter(toks, t =>
+          Seq("the", "a", "of", "and").map(t === _).reduce(_ || _)))
+          .cast("long")
+        val lab = Tables.documents(s, d)
+          .select((n >= 40).as("a"), (st * 18 >= n).as("b"))
+        val nd = col("n_docs").cast("double")
+        lab.agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+            sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+            sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+            sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+          .withColumn("po",
+            (col("n11") + col("n00")).cast("double") / nd)
+          .withColumn("pe",
+            ((col("n11") + col("n10")).cast("double") / nd) *
+              ((col("n11") + col("n01")).cast("double") / nd) +
+              ((col("n01") + col("n00")).cast("double") / nd) *
+              ((col("n10") + col("n00")).cast("double") / nd))
+          .select(col("n_docs"), col("n11"), col("n10"), col("n01"),
+            col("n00"), col("po"), col("pe"),
+            ((col("po") - col("pe")) / (lit(1.0) - col("pe")))
+              .as("kappa"))
+      },
+      s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
+         |m AS (SELECT len(toks) AS n,
+         |        len(list_filter(toks,
+         |          x -> x IN ('the', 'a', 'of', 'and'))) AS st
+         |      FROM t),
+         |l AS (SELECT n >= 40 AS a, st * 18 >= n AS b FROM m),
+         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n11,
+         |        CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n10,
+         |        CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n01,
+         |        CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n00
+         |      FROM l),
+         |e AS (SELECT *,
+         |        CAST(n11 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |          AS po,
+         |        (CAST(n11 + n10 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |          * (CAST(n11 + n01 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |        + (CAST(n01 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |          * (CAST(n10 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |          AS pe
+         |      FROM c)
+         |SELECT n_docs, n11, n10, n01, n00, po, pe,
+         |       (po - pe) / (1.0 - pe) AS kappa
+         |FROM e""".stripMargin),
+
     "text_lang_id" -> QuerySpec(
       (s, d) => Tables.documents(s, d)
         .select(TextOps.langId(TextOps.tokens(col("text"))).as("pred_lang"),

@@ -217,6 +217,17 @@ class RegistryInvariantSpec extends SparkSpec {
       r.mkString("; "))
   }
 
+  test("Cohen's kappa confusion ledger reconciles") {
+    val Array(r) = rows("stat_cohen_kappa")
+    val cells = Seq("n11", "n10", "n01", "n00").map(r.getAs[Long])
+    assert(cells.sum == r.getAs[Long]("n_docs"))
+    assert(cells.forall(_ > 0), cells) // both gates genuinely disagree
+    val (po, pe) = (r.getAs[Double]("po"), r.getAs[Double]("pe"))
+    assert(po >= 0.0 && po <= 1.0 && pe > 0.0 && pe < 1.0)
+    val k = r.getAs[Double]("kappa")
+    assert(k == (po - pe) / (1.0 - pe) && k <= 1.0, k)
+  }
+
   test("Kendall tau-b pair ledger reconciles") {
     val Array(r) = rows("stat_kendall_tau")
     val n = r.getAs[Long]("n_items")
