@@ -770,6 +770,28 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
 
+  test("Kendall tau pair stage broadcasts the dimension square; kappa is one scan") {
+    // stat_kendall_tau: the 25-row nation table self-joins under a
+    // non-equi (<) predicate — that must be a broadcast nested-loop
+    // over the DIMENSION, never a CartesianProduct of fact-sized
+    // inputs, and the fact side is consumed by exactly one keyed agg.
+    val kt = plan(SparkEntry.registry("stat_kendall_tau").fn(spark, sf))
+    assert(kt.contains("BroadcastNestedLoopJoin") ||
+      kt.contains("BroadcastHashJoin"), kt)
+    assert(!kt.contains("CartesianProduct"), kt)
+    // stat_cohen_kappa: the whole confusion ledger is ONE map-side-
+    // combined global agg over the scan — partial+final HashAggregate
+    // around a single SinglePartition Exchange, no join, no window.
+    // (The fixture's RoundRobin widening repartition from
+    // Tables.documents is not a data-dependent shuffle and is ignored.)
+    val ck = plan(SparkEntry.registry("stat_cohen_kappa").fn(spark, sf))
+    assert("HashAggregate".r.findAllIn(ck).length == 2, ck)
+    val realExchanges = "Exchange [A-Za-z]+".r.findAllIn(ck).toSeq
+      .filterNot(_.contains("RoundRobin"))
+    assert(realExchanges == Seq("Exchange SinglePartition"), ck)
+    assert(!ck.contains("Join") && !ck.contains("Window"), ck)
+  }
+
   test("Holt-Winters forecast is one keyed agg + bounded fold: no Window") {
     // events_forecast_holt_winters folds the |days|-length series
     // (bounded by the calendar span, not the event count) through an
