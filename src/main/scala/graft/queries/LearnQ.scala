@@ -1696,6 +1696,10 @@ object LearnQ {
           .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         val types = Tables.events(s, d).select("event_type").distinct()
           .collect().map(_.getString(0)).sorted // domain-bounded
+        require(types.length <= 64,
+          s"BT census is |types|^2 driver rows; ${types.length} types " +
+            "exceeds the documented 64-item bound — block on a coarser " +
+            "item key before fitting")
         val wins = types.map(t =>
           t -> cmp.filter(_._1 == t).map(_._3).sum).toMap
         val losses = types.map(t =>
