@@ -1213,6 +1213,128 @@ object Analytic {
         |             AS DOUBLE)) AS tau_b
         |FROM agg""".stripMargin),
 
+    // Mann-Whitney U (Wilcoxon rank-sum) between two customer segments'
+    // order values — the ROBUST two-sample test a pipeline reaches for
+    // when the metric is heavy-tailed and the z-test's mean is the
+    // wrong summary (revenue, tokens-per-doc). U_A counts B-values
+    // beaten per A-row (ties half-weighted), computed WITHOUT ranking
+    // the corpus: per-distinct-value counts, then the exact cumulative
+    // count of B below each value via the SAME distributed two-level
+    // prefix sum as customer_abc_classes (coarse value BANDS — bounded
+    // by the cents domain, not the row count — window only over the
+    // tiny band table; the fine prefix runs partitioned by band). All
+    // tallies are exact: doubled statistics (2U keeps the half-tie
+    // weight integral) accumulate in DECIMAL(38,0), and the U outputs
+    // convert through the hi/lo 2^20 split (profile_correlation_matrix
+    // precedent) so the conversion stays bit-identical even past 2^53
+    // where a raw DECIMAL→DOUBLE cast diverges between engines. The
+    // oracle is the independent NAIVE formulation — one global window
+    // — so the two engines cross-check the banded identity itself.
+    // Output: group sizes, U for both directions (they must sum to
+    // n_a·n_b — the ledger identity the invariant spec pins) and the
+    // rank-biserial effect size r = U_A/(n_a·n_b) − 1 on the doubled
+    // scale.
+    "stat_mann_whitney_u" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val j = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("c_mktsegment").as("seg"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+              .as("v"))
+        val pv = j.groupBy("v").agg(
+          sum(when(col("seg") === "BUILDING", 1L).otherwise(0L))
+            .cast("decimal(38,0)").as("ca"),
+          sum(when(col("seg") === "MACHINERY", 1L).otherwise(0L))
+            .cast("decimal(38,0)").as("cb"))
+        val b = pv.withColumn("band", expr("v div 1000000"))
+        val bandTot = b.groupBy("band")
+          .agg(sum("ca").as("basum"), sum("cb").as("bbsum"))
+        val wBand = Window.orderBy(col("band").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val z = lit(0).cast("decimal(38,0)")
+        val bandOff = bandTot.select(col("band"),
+          coalesce(sum("basum").over(wBand), z).as("aoff"),
+          coalesce(sum("bbsum").over(wBand), z).as("boff"))
+        val wIn = Window.partitionBy("band").orderBy(col("v").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = b.join(broadcast(bandOff), "band")
+          .select(col("v"), col("ca"), col("cb"),
+            (col("aoff") + coalesce(sum("ca").over(wIn), z)).as("cuma"),
+            (col("boff") + coalesce(sum("cb").over(wIn), z)).as("cumb"))
+        // per-TERM hi/lo split on BIGINT (the profile_correlation_matrix
+        // idiom — DuckDB's // is integer division on BIGINT but float
+        // division on DECIMAL, so the split must happen before the
+        // decimal sums); a term is ca·(2·cum+c) ≤ ca·2n — fits BIGINT
+        // unless billions of rows share ONE exact cent value
+        val terms = cum.select(col("ca"), col("cb"),
+          (col("ca") * (col("cumb") * 2 + col("cb"))).cast("long")
+            .as("ta"),
+          (col("cb") * (col("cuma") * 2 + col("ca"))).cast("long")
+            .as("tb"))
+        val agg = terms.agg(
+          sum("ca").cast("long").as("n_a"),
+          sum("cb").cast("long").as("n_b"),
+          sum(expr("ta div 1048576").cast("decimal(38,0)")).as("ha"),
+          sum(expr("ta % 1048576").cast("decimal(38,0)")).as("la"),
+          sum(expr("tb div 1048576").cast("decimal(38,0)")).as("hb"),
+          sum(expr("tb % 1048576").cast("decimal(38,0)")).as("lb"))
+        def asD(h: String, l: String) =
+          (col(h).cast("double") * lit(1048576.0) +
+            col(l).cast("double")) / lit(2.0)
+        agg.select(col("n_a"), col("n_b"),
+            asD("ha", "la").as("u_a"), asD("hb", "lb").as("u_b"),
+            (asD("ha", "la") / (col("n_a").cast("double") *
+              col("n_b").cast("double")) * 2.0 - lit(1.0))
+              .as("rank_biserial"))
+      },
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |pv AS (SELECT v,
+        |    CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS ca,
+        |    CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS cb
+        |  FROM j GROUP BY 1),
+        |cum AS (SELECT v, ca, cb,
+        |    CAST(COALESCE(SUM(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS DECIMAL(38,0)) AS cuma,
+        |    CAST(COALESCE(SUM(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS DECIMAL(38,0)) AS cumb
+        |  FROM pv),
+        |t AS (SELECT ca, cb,
+        |    CAST(ca * (cumb * 2 + cb) AS BIGINT) AS ta,
+        |    CAST(cb * (cuma * 2 + ca) AS BIGINT) AS tb
+        |  FROM cum),
+        |agg AS (SELECT
+        |    CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(ta // 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS ha,
+        |    CAST(SUM(CAST(ta % 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS la,
+        |    CAST(SUM(CAST(tb // 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS hb,
+        |    CAST(SUM(CAST(tb % 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS lb
+        |  FROM t)
+        |SELECT n_a, n_b,
+        |  (CAST(ha AS DOUBLE) * 1048576.0 + CAST(la AS DOUBLE)) / 2.0
+        |    AS u_a,
+        |  (CAST(hb AS DOUBLE) * 1048576.0 + CAST(lb AS DOUBLE)) / 2.0
+        |    AS u_b,
+        |  (CAST(ha AS DOUBLE) * 1048576.0 + CAST(la AS DOUBLE)) / 2.0
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 2.0 - 1.0
+        |    AS rank_biserial
+        |FROM agg""".stripMargin),
+
     // Exact discrete median per group (percentile_disc semantics): the
     // value AT rank ceil(n/2) under a total order — no interpolation, so
     // the result is an actual data value and exactly reproducible in any

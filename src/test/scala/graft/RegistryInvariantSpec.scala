@@ -228,6 +228,20 @@ class RegistryInvariantSpec extends SparkSpec {
     assert(k == (po - pe) / (1.0 - pe) && k <= 1.0, k)
   }
 
+  test("Mann-Whitney U ledger reconciles across both directions") {
+    val Array(r) = rows("stat_mann_whitney_u")
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(na > 0 && nb > 0)
+    val (ua, ub) = (r.getAs[Double]("u_a"), r.getAs[Double]("u_b"))
+    // U_A + U_B = n_a·n_b exactly (every cross pair scores once; the
+    // doubled-integer accumulation makes this identity exact in double)
+    assert(ua + ub == na.toDouble * nb.toDouble, s"$ua + $ub vs $na*$nb")
+    assert(ua >= 0.0 && ub >= 0.0)
+    val rb = r.getAs[Double]("rank_biserial")
+    assert(rb >= -1.0 && rb <= 1.0, rb)
+    assert(rb == ua / (na.toDouble * nb.toDouble) * 2.0 - 1.0)
+  }
+
   test("Kendall tau-b pair ledger reconciles") {
     val Array(r) = rows("stat_kendall_tau")
     val n = r.getAs[Long]("n_items")
