@@ -33,6 +33,32 @@ object Analytic {
     }
   }
 
+  /** Tie-averaged DOUBLED rank per distinct value of `vcol` (a LongType
+    * column): dr(v) = 2·(#values below v) + count(v) + 1, so average
+    * ranks with .5 ties stay integral. Computed with the SAME two-level
+    * banded prefix sum as stat_mann_whitney_u / customer_abc_classes:
+    * the only unpartitioned window runs over the BAND table (bounded by
+    * the value domain / bandWidth, never the row count); the fine prefix
+    * is partitioned by band. Input: one row per distinct value with its
+    * count — callers groupBy first, so this stage is distinct-sized.
+    * Exposed private[graft] so PhysicalPlanSpec can pin the shape. */
+  private[graft] def doubledRankTable(
+      distinctCounts: org.apache.spark.sql.DataFrame,
+      vcol: String, bandWidth: Long): org.apache.spark.sql.DataFrame = {
+    val b = distinctCounts.withColumn("band", expr(s"$vcol div $bandWidth"))
+    val wBand = Window.orderBy(col("band").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bandOff = b.groupBy("band").agg(sum("c").as("bc"))
+      .select(col("band"),
+        coalesce(sum("bc").over(wBand), lit(0L)).as("off"))
+    val wIn = Window.partitionBy("band").orderBy(col(vcol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(bandOff), "band")
+      .select(col(vcol),
+        (lit(2L) * (col("off") + coalesce(sum("c").over(wIn), lit(0L))) +
+          col("c") + lit(1L)).as("dr"))
+  }
+
   /** Poisson-bootstrap replicate means over (o_orderkey, o_totalprice):
     * the B/2-fold expansion does 32 md5s per order (each 128-bit digest
     * funds TWO independent 60-bit draws — hex 1-15 for replicate g, hex
@@ -1334,6 +1360,169 @@ object Analytic {
         |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 2.0 - 1.0
         |    AS rank_biserial
         |FROM agg""".stripMargin),
+
+    // Spearman rank correlation between per-customer order COUNT and
+    // order-value REVENUE — completing the correlation trio (Pearson =
+    // profile_correlation_matrix, Kendall = stat_kendall_tau): the
+    // monotone-association audit a pipeline runs when a metric is
+    // heavy-tailed enough that Pearson is dominated by outliers but the
+    // item count is too large for Kendall's pair square. Exact by
+    // construction: tie-AVERAGED ranks are kept integral by doubling
+    // (dr = 2·below + count + 1, computed per DISTINCT value via the
+    // banded two-level prefix in doubledRankTable — no corpus-wide
+    // window); rho is then Pearson over the doubled ranks with the
+    // per-TERM hi/lo 2^20 split (profile_correlation_matrix idiom) so
+    // every DECIMAL→DOUBLE conversion stays under 2^53 (bit-identical
+    // engines) up to n ≈ 13M items; past that the split constant
+    // widens, documented here rather than silently wrong. The doubled
+    // linear sums obey s_x = s_y = n(n+1) — a ledger identity the
+    // invariant spec can pin. Scale: one keyed agg over orders; rank
+    // tables are distinct-value-sized (the x table is bounded by the
+    // order-count domain and broadcast; the y table is joined by a
+    // plain equi-join on the value). The oracle is the independent
+    // NAIVE single-window formulation, so the engines cross-check the
+    // banded identity itself, same discipline as stat_mann_whitney_u.
+    "stat_spearman_rho" -> QuerySpec(
+      (s, d) => {
+        val m = Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("x"),
+            sum(floor(col("o_totalprice") * 100 + lit(0.5))
+              .cast("decimal(38,0)")).cast("long").as("y"))
+        val rx = doubledRankTable(
+          m.groupBy(col("x").as("vx")).agg(count(lit(1)).as("c")),
+          "vx", 16L).withColumnRenamed("dr", "drx")
+        val ry = doubledRankTable(
+          m.groupBy(col("y").as("vy")).agg(count(lit(1)).as("c")),
+          "vy", 100000000L).withColumnRenamed("dr", "dry")
+        val ranked = m
+          .join(broadcast(rx), col("x") === col("vx"))
+          .join(ry, col("y") === col("vy"))
+          .select(col("drx"), col("dry"),
+            (col("drx") * col("drx")).as("txx"),
+            (col("dry") * col("dry")).as("tyy"),
+            (col("drx") * col("dry")).as("txy"))
+        def hiloSums(t: String, h: String, l: String) = Seq(
+          sum(expr(s"$t div 1048576").cast("decimal(38,0)")).as(h),
+          sum(expr(s"$t % 1048576").cast("decimal(38,0)")).as(l))
+        val agg = ranked.agg(
+          count(lit(1)).as("n"),
+          (Seq(sum("drx").as("s_x"), sum("dry").as("s_y")) ++
+            hiloSums("txx", "hxx", "lxx") ++
+            hiloSums("tyy", "hyy", "lyy") ++
+            hiloSums("txy", "hxy", "lxy")): _*)
+        def asD(h: String, l: String) =
+          col(h).cast("double") * lit(1048576.0) + col(l).cast("double")
+        val nD = col("n").cast("double")
+        val sxD = col("s_x").cast("double")
+        val syD = col("s_y").cast("double")
+        agg.select(col("n"), col("s_x"), col("s_y"),
+          ((nD * asD("hxy", "lxy") - sxD * syD) /
+            sqrt((nD * asD("hxx", "lxx") - sxD * sxD) *
+              (nD * asD("hyy", "lyy") - syD * syD))).as("rho_spearman"))
+      },
+      """WITH m AS (
+        |  SELECT o_custkey,
+        |         CAST(COUNT(*) AS BIGINT) AS x,
+        |         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+        |           AS DECIMAL(38,0))) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |px AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM m GROUP BY 1),
+        |rx AS (SELECT v,
+        |    2 * CAST(COALESCE(SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) + c + 1 AS drx
+        |  FROM px),
+        |py AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM m GROUP BY 1),
+        |ry AS (SELECT v,
+        |    2 * CAST(COALESCE(SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) + c + 1 AS dry
+        |  FROM py),
+        |r AS (SELECT drx, dry, drx * drx AS txx, dry * dry AS tyy,
+        |             drx * dry AS txy
+        |      FROM m JOIN rx ON m.x = rx.v JOIN ry ON m.y = ry.v),
+        |agg AS (SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(drx) AS BIGINT) AS s_x,
+        |    CAST(SUM(dry) AS BIGINT) AS s_y,
+        |    CAST(SUM(CAST(txx // 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS hxx,
+        |    CAST(SUM(CAST(txx % 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS lxx,
+        |    CAST(SUM(CAST(tyy // 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS hyy,
+        |    CAST(SUM(CAST(tyy % 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS lyy,
+        |    CAST(SUM(CAST(txy // 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS hxy,
+        |    CAST(SUM(CAST(txy % 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS lxy
+        |  FROM r)
+        |SELECT n, s_x, s_y,
+        |  (CAST(n AS DOUBLE) * (CAST(hxy AS DOUBLE) * 1048576.0
+        |     + CAST(lxy AS DOUBLE))
+        |   - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))
+        |  / sqrt((CAST(n AS DOUBLE) * (CAST(hxx AS DOUBLE) * 1048576.0
+        |       + CAST(lxx AS DOUBLE))
+        |     - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * (CAST(hyy AS DOUBLE) * 1048576.0
+        |       + CAST(lyy AS DOUBLE))
+        |     - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE)))
+        |    AS rho_spearman
+        |FROM agg""".stripMargin),
+
+    // Theil-Sen robust trend of the daily event-count series — the
+    // median of all pairwise slopes, the outlier-proof answer to "is
+    // traffic actually growing?" (one bad backfill day moves an OLS
+    // slope but not this one; OLS lives in profile_moments_regression).
+    // Deterministic cross-engine: dy and dx are exact BIGINTs, each
+    // slope is ONE IEEE division of identical operands, and the median
+    // is SELECTED (percentile_disc discipline, rank (m+1) div 2) under
+    // a total order with an exact (dy, dx) tie-break — the output even
+    // carries the chosen pair's integer witnesses (med_dy, med_dx).
+    // Scale: the corpus-sized stage is one map-side-combined day agg;
+    // the pair table is the DAY table squared (calendar-bounded —
+    // T(T-1)/2 pairs, never the event count) and the single-partition
+    // rank window runs over that bounded table only.
+    "stat_theil_sen" -> QuerySpec(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("ts div 86400000000000").as("day_idx"))
+          .agg(count(lit(1)).as("n"))
+        val pairs = daily.as("a").join(broadcast(daily.as("b")),
+            col("b.day_idx") > col("a.day_idx"))
+          .select((col("b.n") - col("a.n")).as("dy"),
+            (col("b.day_idx") - col("a.day_idx")).as("dx"))
+          .withColumn("slope",
+            col("dy").cast("double") / col("dx").cast("double"))
+        val w = Window.orderBy(col("slope").asc, col("dy").asc,
+          col("dx").asc)
+        pairs.withColumn("rn", row_number().over(w))
+          .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+          .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+          .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+          .select(col("n_days"), col("n_pairs"), col("dy").as("med_dy"),
+            col("dx").as("med_dx"), col("slope").as("slope_per_day"))
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT b.n - a.n AS dy, b.day_idx - a.day_idx AS dx,
+        |             CAST(b.n - a.n AS DOUBLE)
+        |               / CAST(b.day_idx - a.day_idx AS DOUBLE) AS slope
+        |      FROM daily a JOIN daily b ON b.day_idx > a.day_idx),
+        |r AS (SELECT dy, dx, slope,
+        |             row_number() OVER (ORDER BY slope, dy, dx) AS rn,
+        |             CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs
+        |      FROM p)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+        |       n_pairs, dy AS med_dy, dx AS med_dx,
+        |       slope AS slope_per_day
+        |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin),
 
     // Exact discrete median per group (percentile_disc semantics): the
     // value AT rank ceil(n/2) under a total order — no interpolation, so

@@ -1779,6 +1779,63 @@ object Events {
         |JOIN cd b ON b.day_idx = a.day_idx + k
         |GROUP BY k ORDER BY k""".stripMargin),
 
+    // CUSUM change-point screen over the daily event-count series — the
+    // ingestion-drift detector a pipeline runs on its own volume: a
+    // sustained shift in daily rate accumulates in the one-sided CUSUM
+    // statistics where a single spike decays. Fully EXACT cross-engine:
+    // deviations scale by T to integers (T·n_t − S, the
+    // events_daily_autocorr centering), and the max(0, S+d) recurrence
+    // is expressed CLOSED-FORM as prefix-sum minus running-minimum
+    // (S⁺_t = P_t − min_{j≤t} P_j with P_0 = 0; S⁻ mirrors with the
+    // running max) — two stacked windows, no recursion, no floats
+    // anywhere. Scale: the corpus-sized stage is one map-side-combined
+    // day agg; both windows run over the DAY table (calendar-bounded,
+    // never the event count). Output statistics are on the ×T scale;
+    // consumers threshold as k·T·sigma.
+    "events_changepoint_cusum" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, d)
+          .groupBy(expr("ts div 86400000000000").as("day_idx"))
+          .agg(count(lit(1)).as("n"))
+        val st = daily.agg(count(lit(1)).as("t_days"),
+          sum("n").as("s_tot"))
+        val dev = daily.crossJoin(broadcast(st))
+          .select(col("day_idx"), col("n"),
+            (col("t_days") * col("n") - col("s_tot")).as("dv"))
+        val wCum = Window.orderBy("day_idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val p = dev.select(col("day_idx"), col("n"),
+          sum("dv").over(wCum).as("p"))
+        p.select(col("day_idx"), col("n").as("n_events"),
+            (col("p") - least(lit(0L), min("p").over(wCum)))
+              .as("cusum_pos"),
+            (greatest(lit(0L), max("p").over(wCum)) - col("p"))
+              .as("cusum_neg"))
+          .orderBy("day_idx")
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_days,
+        |              CAST(SUM(n) AS BIGINT) AS s_tot FROM daily),
+        |dev AS (SELECT day_idx, n, t_days * n - s_tot AS dv
+        |        FROM daily, st),
+        |p AS (SELECT day_idx, n,
+        |    CAST(SUM(dv) OVER (ORDER BY day_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS p
+        |  FROM dev)
+        |SELECT day_idx, n AS n_events,
+        |  p - LEAST(0, MIN(p) OVER (ORDER BY day_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    AS cusum_pos,
+        |  GREATEST(0, MAX(p) OVER (ORDER BY day_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - p
+        |    AS cusum_neg
+        |FROM p ORDER BY day_idx""".stripMargin),
+
     // The SAME last-touch attribution as a streaming state machine:
     // flatMapGroupsWithState keeps ONE (timestamp, type) pair per user —
     // the most recent non-purchase — and each purchase emits exactly one

@@ -792,6 +792,34 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(!ck.contains("Join") && !ck.contains("Window"), ck)
   }
 
+  test("Spearman ranks stay banded; CUSUM and Theil-Sen stay day-sized") {
+    // stat_spearman_rho: the fine rank prefix must run PARTITIONED BY
+    // band (the doubledRankTable contract — a corpus-wide unpartitioned
+    // rank window is the shape banding exists to avoid), and the pair
+    // machinery is join-only: no CartesianProduct anywhere.
+    val sp = plan(SparkEntry.registry("stat_spearman_rho").fn(spark, sf))
+    assert(sp.contains("hashpartitioning(band"),
+      s"rank prefix lost its band partitioning:\n$sp")
+    assert(!sp.contains("CartesianProduct"), sp)
+    // events_changepoint_cusum: raw events collapse through ONE
+    // map-side-combined day agg BEFORE any Window touches the data —
+    // the first Window in the plan must sit above the aggregate, never
+    // over the event scan.
+    val cu = plan(
+      SparkEntry.registry("events_changepoint_cusum").fn(spark, sf))
+    val (firstWin, firstAgg) =
+      (cu.indexOf("Window"), cu.indexOf("HashAggregate"))
+    assert(firstWin >= 0 && firstAgg >= 0 && firstWin < firstAgg,
+      s"window must consume the day table, not raw events:\n$cu")
+    assert(!cu.contains("CartesianProduct"), cu)
+    // stat_theil_sen: the pair square is a broadcast nested-loop over
+    // the calendar-bounded DAY table — never a cartesian of fact-sized
+    // inputs.
+    val ts = plan(SparkEntry.registry("stat_theil_sen").fn(spark, sf))
+    assert(ts.contains("BroadcastNestedLoopJoin"), ts)
+    assert(!ts.contains("CartesianProduct"), ts)
+  }
+
   test("Holt-Winters forecast is one keyed agg + bounded fold: no Window") {
     // events_forecast_holt_winters folds the |days|-length series
     // (bounded by the calendar span, not the event count) through an

@@ -256,6 +256,55 @@ class RegistryInvariantSpec extends SparkSpec {
     assert(tau >= -1.0 && tau <= 1.0 && !tau.isNaN, tau)
   }
 
+  test("Spearman doubled-rank ledger reconciles") {
+    val Array(r) = rows("stat_spearman_rho")
+    val n = r.getAs[Long]("n")
+    assert(n > 0)
+    // doubled tie-averaged ranks sum to n(n+1) in EACH coordinate —
+    // this holds for any tie structure, so it pins the banded rank
+    // construction itself, not just the fixture
+    assert(r.getAs[Long]("s_x") == n * (n + 1), r)
+    assert(r.getAs[Long]("s_y") == n * (n + 1), r)
+    val rho = r.getAs[Double]("rho_spearman")
+    assert(rho >= -1.0 && rho <= 1.0 && !rho.isNaN, rho)
+  }
+
+  test("CUSUM statistics are non-negative and touch zero on both sides") {
+    val r = rows("events_changepoint_cusum")
+    assert(r.length > 1)
+    val pos = r.map(_.getAs[Long]("cusum_pos"))
+    val neg = r.map(_.getAs[Long]("cusum_neg"))
+    // S = P - running_min(P) and running_max(P) - P are non-negative by
+    // construction, and each hits 0 wherever P touches its own extremum
+    // (at least once — the extremum is attained in a finite series)
+    assert(pos.forall(_ >= 0L) && neg.forall(_ >= 0L))
+    assert(pos.contains(0L) && neg.contains(0L))
+    // exact independent re-derivation from the emitted day counts:
+    // rebuild P_t = Σ(T·n_j − S) and both running extrema in plain
+    // Scala and demand bit-equality — pins the closed-form
+    // prefix-minus-extremum identity itself, not just the fixture
+    val n = r.map(_.getAs[Long]("n_events"))
+    val (t, s) = (n.length.toLong, n.sum)
+    var (p, mn, mx) = (0L, 0L, 0L)
+    r.zipWithIndex.foreach { case (row, i) =>
+      p += t * n(i) - s
+      mn = math.min(mn, p); mx = math.max(mx, p)
+      assert(row.getAs[Long]("cusum_pos") == p - mn, s"row $i")
+      assert(row.getAs[Long]("cusum_neg") == mx - p, s"row $i")
+    }
+    assert(p == 0L) // the T-scaled deviations telescope to exactly zero
+  }
+
+  test("Theil-Sen median pair is a real pair with the exact pair count") {
+    val Array(r) = rows("stat_theil_sen")
+    val days = r.getAs[Long]("n_days")
+    assert(r.getAs[Long]("n_pairs") == days * (days - 1) / 2)
+    val dx = r.getAs[Long]("med_dx")
+    assert(dx >= 1L && dx < days * 2, r) // day gap within the calendar
+    assert(r.getAs[Double]("slope_per_day") ==
+      r.getAs[Long]("med_dy").toDouble / dx.toDouble, r)
+  }
+
   test("declared output schemas use only hash-safe primitive types") {
     // The driver hash-compares RENDERED values, so a declared output
     // column may only use a type whose rendering is proven identical
