@@ -1524,6 +1524,88 @@ object Analytic {
         |       slope AS slope_per_day
         |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin),
 
+    // Wald-Wolfowitz runs test on the daily event-count series — "is
+    // traffic randomly scattered about its median, or does it drift in
+    // sustained runs?" — the independence screen that complements
+    // events_changepoint_cusum (CUSUM locates a shift; the runs test
+    // says whether ANY clustering exists). Exact machinery: the median
+    // is SELECTED (rank (T+1) div 2, percentile_disc discipline),
+    // median-valued days are excluded per the classic test, signs and
+    // the run count R = 1 + #sign-changes are pure integer window ops,
+    // and the z-score's expectation/variance are rationals of exact
+    // BIGINTs evaluated in ONE double chain with identical operand
+    // order both engines. Scale: one map-side-combined day agg; every
+    // window runs over the calendar-bounded day table.
+    "stat_runs_test" -> QuerySpec(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("ts div 86400000000000").as("day_idx"))
+          .agg(count(lit(1)).as("n"))
+        val med = daily
+          .withColumn("rn",
+            row_number().over(Window.orderBy("n", "day_idx")))
+          .crossJoin(broadcast(daily.agg(count(lit(1)).as("t"))))
+          .filter(col("rn") === expr("(t + 1) div 2"))
+          .select(col("n").as("med"))
+        val sg = daily.crossJoin(broadcast(med))
+          .filter(col("n") =!= col("med"))
+          .select(col("day_idx"), col("med"),
+            when(col("n") > col("med"), 1).otherwise(-1).as("sgn"))
+        val agg = sg
+          .withColumn("prev", lag("sgn", 1).over(Window.orderBy("day_idx")))
+          .agg(first("med").as("med"),
+            sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_above"),
+            sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_below"),
+            sum(when(col("prev").isNull || col("prev") =!= col("sgn"), 1L)
+              .otherwise(0L)).as("n_runs"))
+        val aD = col("n_above").cast("double")
+        val bD = col("n_below").cast("double")
+        val nD = aD + bD
+        val eR = lit(2.0) * aD * bD / nD + lit(1.0)
+        val vR = (lit(2.0) * aD * bD * (lit(2.0) * aD * bD - nD)) /
+          (nD * nD * (nD - lit(1.0)))
+        agg.select(col("med"), col("n_above"), col("n_below"),
+          col("n_runs"),
+          ((col("n_runs").cast("double") - eR) / sqrt(vR)).as("z_runs"))
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily),
+        |med AS (SELECT n AS med FROM
+        |    (SELECT n, row_number() OVER (ORDER BY n, day_idx) AS rn
+        |     FROM daily), t
+        |  WHERE rn = (t + 1) // 2),
+        |sg AS (SELECT day_idx, med,
+        |              CASE WHEN n > med THEN 1 ELSE -1 END AS sgn
+        |       FROM daily, med WHERE n <> med),
+        |r AS (SELECT med, sgn,
+        |             LAG(sgn) OVER (ORDER BY day_idx) AS prev
+        |      FROM sg),
+        |agg AS (SELECT
+        |    MIN(med) AS med,
+        |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_above,
+        |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_below,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> sgn
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        |  FROM r)
+        |SELECT med, n_above, n_below, n_runs,
+        |  (CAST(n_runs AS DOUBLE)
+        |   - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |      / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+        |      + 1.0))
+        |  / sqrt((2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |      * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |         - (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))))
+        |    / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+        |       * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+        |       * ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+        |          - 1.0))) AS z_runs
+        |FROM agg""".stripMargin),
+
     // Exact discrete median per group (percentile_disc semantics): the
     // value AT rank ceil(n/2) under a total order — no interpolation, so
     // the result is an actual data value and exactly reproducible in any

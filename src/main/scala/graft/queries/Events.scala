@@ -1836,6 +1836,46 @@ object Events {
         |    AS cusum_neg
         |FROM p ORDER BY day_idx""".stripMargin),
 
+    // Multiplicative weekday seasonal index of the event series — the
+    // normalization table a forecaster divides by before trending
+    // (events_forecast_holt_winters fits level+trend+period-7 season;
+    // this emits the season PROFILE itself for reuse and audit).
+    // Weekday is epoch-day mod 7 (label-free: day 0 = a Thursday) so
+    // no timezone/locale crosses the engine boundary. Exact: index_w =
+    // (mean_w / mean) = (n_w·T) / (c_w·S) — both sides exact BIGINT
+    // products, ONE IEEE division per emitted row. Scale: one
+    // map-side-combined day agg, then a 7-row regroup; the totals ride
+    // a 1-row broadcast.
+    "events_weekday_seasonality" -> QuerySpec(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("ts div 86400000000000").as("day_idx"))
+          .agg(count(lit(1)).as("n"))
+        val wd = daily.groupBy((col("day_idx") % 7).as("weekday"))
+          .agg(count(lit(1)).as("n_days"), sum("n").as("n_events"))
+        wd.crossJoin(broadcast(
+            daily.agg(count(lit(1)).as("t_days"), sum("n").as("s_tot"))))
+          .select(col("weekday"), col("n_days"), col("n_events"),
+            ((col("n_events") * col("t_days")).cast("double") /
+              (col("n_days") * col("s_tot")).cast("double"))
+              .as("seasonal_index"))
+          .orderBy("weekday")
+      },
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_days,
+        |               CAST(SUM(n) AS BIGINT) AS s_tot FROM daily),
+        |wd AS (SELECT day_idx % 7 AS weekday,
+        |              CAST(COUNT(*) AS BIGINT) AS n_days,
+        |              CAST(SUM(n) AS BIGINT) AS n_events
+        |       FROM daily GROUP BY 1)
+        |SELECT weekday, n_days, n_events,
+        |       CAST(n_events * t_days AS DOUBLE)
+        |         / CAST(n_days * s_tot AS DOUBLE) AS seasonal_index
+        |FROM wd, tot ORDER BY weekday""".stripMargin),
+
     // The SAME last-touch attribution as a streaming state machine:
     // flatMapGroupsWithState keeps ONE (timestamp, type) pair per user —
     // the most recent non-purchase — and each purchase emits exactly one

@@ -305,6 +305,38 @@ class RegistryInvariantSpec extends SparkSpec {
       r.getAs[Long]("med_dy").toDouble / dx.toDouble, r)
   }
 
+  test("runs-test z-score reconciles exactly with its integer tallies") {
+    val Array(r) = rows("stat_runs_test")
+    val (a, b) = (r.getAs[Long]("n_above"), r.getAs[Long]("n_below"))
+    val runs = r.getAs[Long]("n_runs")
+    assert(a > 0 && b > 0, r)
+    // with both signs present, runs ∈ [2, n] and the z formula is a
+    // pure function of the three emitted integers — recompute it
+    assert(runs >= 2 && runs <= a + b, r)
+    val (aD, bD) = (a.toDouble, b.toDouble)
+    val nD = aD + bD
+    val e = 2.0 * aD * bD / nD + 1.0
+    val v = (2.0 * aD * bD * (2.0 * aD * bD - nD)) /
+      (nD * nD * (nD - 1.0))
+    assert(r.getAs[Double]("z_runs") == (runs.toDouble - e) / math.sqrt(v),
+      r)
+  }
+
+  test("weekday seasonal indices reconcile with their own totals") {
+    val r = rows("events_weekday_seasonality")
+    assert(r.length == 7)
+    assert(r.map(_.getAs[Long]("weekday")).toSeq == (0L to 6L))
+    val t = r.map(_.getAs[Long]("n_days")).sum
+    val s = r.map(_.getAs[Long]("n_events")).sum
+    r.foreach { row =>
+      // index_w = (n_w·T)/(c_w·S) exactly, recomputed from the emitted
+      // per-weekday tallies and their own totals
+      val expect = (row.getAs[Long]("n_events") * t).toDouble /
+        (row.getAs[Long]("n_days") * s).toDouble
+      assert(row.getAs[Double]("seasonal_index") == expect, row)
+    }
+  }
+
   test("declared output schemas use only hash-safe primitive types") {
     // The driver hash-compares RENDERED values, so a declared output
     // column may only use a type whose rendering is proven identical
