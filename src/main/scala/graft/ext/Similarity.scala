@@ -454,6 +454,36 @@ object Similarity {
       .orderBy("q_id", "vec_id")
   }
 
+  /** Mutual k-NN pairs within LSH buckets: emit (a, b) once (a < b)
+    * iff b is in a's bucket-restricted top-k AND a is in b's — the
+    * symmetry filter a SemDeDup-style pruner applies before trusting a
+    * neighbor list (asymmetric hub vectors fail it). Candidates come
+    * only from the hyperplane-bucket equi-join (never all pairs); the
+    * per-query rank is a window partitioned by the query id; the
+    * mutuality check is one equi-join of the ranked list against its
+    * own reverse. cosine(a,b) folds component-ordered, so the two
+    * directions score bit-identically and either row can carry `cos`. */
+  def mutualKnnLsh(embeddings: DataFrame, k: Int,
+                   planes: Int): DataFrame = {
+    val b = embeddings.select(col("vec_id"), col("embedding"),
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val cand = b.join(
+        b.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+          col("bucket")), Seq("bucket"))
+      .filter(col("vec_id") =!= col("b_id"))
+      .select(col("vec_id").as("a_id"), col("b_id"),
+        cosine(col("embedding"), col("bv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(desc("cos"), asc("b_id"))
+    val topk = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+    topk.join(
+        topk.select(col("b_id").as("a_id"), col("a_id").as("b_id")),
+        Seq("a_id", "b_id"), "left_semi")
+      .filter(col("a_id") < col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Squared L2 between two (sub)vectors: zip, diff², sequential fold —
     * deterministic double order, like [[dot]]. */
   def l2sq(a: Column, b: Column): Column =

@@ -891,6 +891,33 @@ object SimilarityQ {
          |SELECT q_id, vec_id, cos FROM r WHERE rn <= 3
          |ORDER BY q_id, vec_id""".stripMargin),
 
+    // Mutual k-NN pairs — the symmetry audit of the ANN neighbor lists:
+    // a pair survives only if each side ranks the other in its own
+    // bucket-restricted top-3 (hub vectors that "everyone points at but
+    // who point elsewhere" are exactly what this prunes before a
+    // SemDeDup-style dedup trusts neighbor lists). Same LSH candidate
+    // generation as similarity_knn_join; the mutuality check is one
+    // equi-join of the ranked list against its own reverse, and each
+    // surviving pair is emitted once in canonical (a < b) order.
+    "similarity_mutual_knn" -> QuerySpec(
+      (s, d) => Similarity.mutualKnnLsh(Tables.embeddings(s, d),
+        k = 3, planes = 4),
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |             ${duckBucket("embedding", 4)} AS bucket
+         |           FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+         |         ${duckCos("a.embedding", "c.embedding")} AS cos
+         |  FROM b a JOIN b c USING (bucket) WHERE a.vec_id <> c.vec_id),
+         |r AS (SELECT a_id, b_id, cos,
+         |             row_number() OVER (PARTITION BY a_id
+         |               ORDER BY cos DESC, b_id) AS rn
+         |      FROM cand),
+         |k AS (SELECT a_id, b_id, cos FROM r WHERE rn <= 3)
+         |SELECT x.a_id, x.b_id, x.cos
+         |FROM k x JOIN k y ON x.a_id = y.b_id AND x.b_id = y.a_id
+         |WHERE x.a_id < x.b_id ORDER BY x.a_id, x.b_id""".stripMargin),
+
     // PQ + Asymmetric Distance Computation — the memory-bound ANN stage
     // after IVF: vectors live as m=8 centroid CODES, the query scores
     // candidates from a broadcast distance table without touching raw

@@ -591,6 +591,50 @@ object Text {
          |SELECT phrase, n_occ, n_words, score
          |FROM scored ORDER BY score DESC, phrase LIMIT 20""".stripMargin),
 
+    // Good-Turing frequency-of-frequencies table over the corpus
+    // unigrams — the classical smoothing estimator feeding every
+    // held-out-mass decision an LM-data pipeline makes (how much
+    // probability to reserve for unseen tokens; how hard to discount
+    // hapaxes before trusting a count). Emits, for every frequency r
+    // with a populated successor class, the class size N_r and the
+    // smoothed count r* = (r+1)·N_{r+1}/N_r plus the discount r*/r —
+    // exact BIGINT tallies, divisions as the identical double chain
+    // both engines (the r·N_{r+1} product is bounded by the corpus
+    // token total, so it cannot overflow BIGINT even at 100 TB).
+    // Scale: the corpus-sized stage is ONE map-side-combined token
+    // count; the count-of-counts table is frequency-bounded (≲ √tokens
+    // distinct r values under any Zipfian corpus) and self-joins on
+    // r+1 via broadcast.
+    "text_good_turing" -> QuerySpec(
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("r"))
+        val cc = counts.groupBy("r").agg(count(lit(1)).as("n_r"))
+        val nxt = cc.select((col("r") - 1).as("rj"),
+          col("n_r").as("n_r_next"))
+        val rstar = ((col("r") + 1) * col("n_r_next")).cast("double") /
+          col("n_r").cast("double")
+        cc.join(broadcast(nxt), col("r") === col("rj"))
+          .select(col("r"), col("n_r"), col("n_r_next"),
+            rstar.as("r_star"),
+            (rstar / col("r").cast("double")).as("discount"))
+          .orderBy("r")
+      },
+      s"""WITH c AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS r FROM (
+         |    SELECT unnest($duckToks) AS tok FROM documents)
+         |  GROUP BY tok),
+         |cc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+         |       FROM c GROUP BY r)
+         |SELECT a.r, a.n_r, b.n_r AS n_r_next,
+         |       CAST((a.r + 1) * b.n_r AS DOUBLE) / CAST(a.n_r AS DOUBLE)
+         |         AS r_star,
+         |       CAST((a.r + 1) * b.n_r AS DOUBLE) / CAST(a.n_r AS DOUBLE)
+         |         / CAST(a.r AS DOUBLE) AS discount
+         |FROM cc a JOIN cc b ON b.r = a.r + 1
+         |ORDER BY a.r""".stripMargin),
+
     "text_token_stats" -> QuerySpec(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),

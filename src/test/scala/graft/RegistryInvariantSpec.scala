@@ -337,6 +337,39 @@ class RegistryInvariantSpec extends SparkSpec {
     }
   }
 
+  test("Good-Turing table reconciles and discounts hapaxes") {
+    val r = rows("text_good_turing")
+    assert(r.nonEmpty)
+    val rs = r.map(_.getAs[Long]("r"))
+    assert(rs.toSeq == rs.sorted.toSeq && rs.distinct.length == rs.length)
+    r.foreach { row =>
+      val (freq, nr, nx) = (row.getAs[Long]("r"), row.getAs[Long]("n_r"),
+        row.getAs[Long]("n_r_next"))
+      assert(nr > 0 && nx > 0)
+      // r* and the discount are pure functions of the emitted tallies
+      val rstar = ((freq + 1) * nx).toDouble / nr.toDouble
+      assert(row.getAs[Double]("r_star") == rstar, row)
+      assert(row.getAs[Double]("discount") == rstar / freq.toDouble, row)
+    }
+  }
+
+  test("mutual k-NN pairs are canonical, unique, and cosine-bounded") {
+    val r = rows("similarity_mutual_knn")
+    assert(r.nonEmpty)
+    val pairs = r.map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id")))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+    assert(r.forall { x =>
+      val c = x.getAs[Double]("cos"); c >= -1.0000001 && c <= 1.0000001
+    })
+    // mutuality is strictly more selective than one-directional k-NN:
+    // every mutual pair count is bounded by n·k/2 (each side spends one
+    // of its k slots on the other)
+    val n = rows("similarity_mutual_knn").flatMap(x =>
+      Seq(x.getAs[Long]("a_id"), x.getAs[Long]("b_id"))).distinct.length
+    assert(r.length <= n * 3 / 2 + 1, s"${r.length} pairs for $n ids")
+  }
+
   test("declared output schemas use only hash-safe primitive types") {
     // The driver hash-compares RENDERED values, so a declared output
     // column may only use a type whose rendering is proven identical
