@@ -1606,6 +1606,96 @@ object Analytic {
         |          - 1.0))) AS z_runs
         |FROM agg""".stripMargin),
 
+    // One-way ANOVA of order value across the 5 order priorities — the
+    // k-group mean-difference test (the z-test handles 2 groups; the
+    // rank tests drop the mean entirely; this is the classical
+    // variance-decomposition F). Exactness discipline: per-group
+    // (n_g, Σc, Σc²) are exact — cents terms and their squares fit
+    // BIGINT per term and accumulate through the per-TERM hi/lo 2^20
+    // split into DECIMAL(38,0) (profile_correlation_matrix idiom) —
+    // and every cross-GROUP double sum (ΣS_g, ΣQ_g, ΣS_g²/n_g) runs as
+    // a priority-ORDERED fold over the packed 5-row group table
+    // (Holt-Winters discipline: group-hash iteration order never
+    // touches a double). SSB = Σ S_g²/n_g − S²/N, SSW = Q − Σ S_g²/n_g,
+    // F their df-scaled ratio, one fixed chain both engines. Scale:
+    // ONE map-side-combined keyed agg over orders; everything after
+    // lives on the 5-row (priority-domain-bounded) group table.
+    "stat_anova_oneway" -> QuerySpec(
+      (s, d) => {
+        val c = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+        val g = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("p"), c.as("c"))
+          .groupBy("p").agg(
+            count(lit(1)).as("ng"),
+            sum(expr("c div 1048576").cast("decimal(38,0)")).as("sh"),
+            sum(expr("c % 1048576").cast("decimal(38,0)")).as("sl"),
+            sum(expr("(c * c) div 1048576").cast("decimal(38,0)"))
+              .as("qh"),
+            sum(expr("(c * c) % 1048576").cast("decimal(38,0)"))
+              .as("ql"))
+        def asD(h: String, l: String) =
+          col(h).cast("double") * lit(1048576.0) + col(l).cast("double")
+        val t = g.select(col("p"), col("ng"),
+            asD("sh", "sl").as("sg"), asD("qh", "ql").as("qg"))
+          .withColumn("tt",
+            col("sg") * col("sg") / col("ng").cast("double"))
+        val folded = t.agg(
+            count(lit(1)).as("k_groups"), sum("ng").as("n"),
+            sort_array(collect_list(struct(col("p"), col("tt"),
+              col("sg"), col("qg")))).as("a"))
+          .select(col("k_groups"), col("n"),
+            expr("aggregate(a, 0D, (acc, x) -> acc + x.tt)")
+              .as("ssb_raw"),
+            expr("aggregate(a, 0D, (acc, x) -> acc + x.sg)").as("s"),
+            expr("aggregate(a, 0D, (acc, x) -> acc + x.qg)").as("q"))
+        val nD = col("n").cast("double")
+        val kD = col("k_groups").cast("double")
+        val ssb = col("ssb_raw") - col("s") * col("s") / nD
+        val ssw = col("q") - col("ssb_raw")
+        folded.select(col("k_groups"), col("n"),
+          ssb.as("ss_between"), ssw.as("ss_within"),
+          ((ssb / (kD - lit(1.0))) / (ssw / (nD - kD))).as("f_stat"))
+      },
+      """WITH c AS (SELECT o_orderpriority AS p,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |g AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(CAST(c // 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sh,
+        |    CAST(SUM(CAST(c % 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sl,
+        |    CAST(SUM(CAST((c * c) // 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS qh,
+        |    CAST(SUM(CAST((c * c) % 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS ql
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT p, ng,
+        |    CAST(sh AS DOUBLE) * 1048576.0 + CAST(sl AS DOUBLE) AS sg,
+        |    CAST(qh AS DOUBLE) * 1048576.0 + CAST(ql AS DOUBLE) AS qg
+        |  FROM g),
+        |t2 AS (SELECT p, ng, sg, qg,
+        |              sg * sg / CAST(ng AS DOUBLE) AS tt FROM t),
+        |packed AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    list(tt ORDER BY p) AS lt,
+        |    list(sg ORDER BY p) AS ls,
+        |    list(qg ORDER BY p) AS lq
+        |  FROM t2),
+        |f AS (SELECT k_groups, n,
+        |    list_reduce(list_prepend(0.0, lt), (a, b) -> a + b)
+        |      AS ssb_raw,
+        |    list_reduce(list_prepend(0.0, ls), (a, b) -> a + b) AS s,
+        |    list_reduce(list_prepend(0.0, lq), (a, b) -> a + b) AS q
+        |  FROM packed)
+        |SELECT k_groups, n,
+        |  ssb_raw - s * s / CAST(n AS DOUBLE) AS ss_between,
+        |  q - ssb_raw AS ss_within,
+        |  ((ssb_raw - s * s / CAST(n AS DOUBLE))
+        |     / (CAST(k_groups AS DOUBLE) - 1.0))
+        |  / ((q - ssb_raw)
+        |     / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))) AS f_stat
+        |FROM f""".stripMargin),
+
     // Exact discrete median per group (percentile_disc semantics): the
     // value AT rank ceil(n/2) under a total order — no interpolation, so
     // the result is an actual data value and exactly reproducible in any

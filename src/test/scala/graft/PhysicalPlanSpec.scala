@@ -818,6 +818,13 @@ class PhysicalPlanSpec extends SparkSpec {
     val ts = plan(SparkEntry.registry("stat_theil_sen").fn(spark, sf))
     assert(ts.contains("BroadcastNestedLoopJoin"), ts)
     assert(!ts.contains("CartesianProduct"), ts)
+    // stat_anova_oneway: the corpus collapses through the keyed group
+    // agg and every cross-group double sum is an ordered FOLD over the
+    // packed 5-row table — no Window (a windowed cumsum would
+    // single-partition the fact), no join of any kind.
+    val av = plan(SparkEntry.registry("stat_anova_oneway").fn(spark, sf))
+    assert(!av.contains("Window") && !av.contains("Join"), av)
+    assert(!av.contains("CartesianProduct"), av)
   }
 
   test("Holt-Winters forecast is one keyed agg + bounded fold: no Window") {

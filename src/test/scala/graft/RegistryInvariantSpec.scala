@@ -370,6 +370,18 @@ class RegistryInvariantSpec extends SparkSpec {
     assert(r.length <= n * 3 / 2 + 1, s"${r.length} pairs for $n ids")
   }
 
+  test("ANOVA F reconciles with its own sum-of-squares decomposition") {
+    val Array(r) = rows("stat_anova_oneway")
+    val (k, n) = (r.getAs[Long]("k_groups"), r.getAs[Long]("n"))
+    assert(k == 5 && n > k) // the 5 order priorities
+    val (ssb, ssw) = (r.getAs[Double]("ss_between"),
+      r.getAs[Double]("ss_within"))
+    assert(ssw > 0.0 && ssb > 0.0, r)
+    // F is a pure function of the emitted components — recompute it
+    assert(r.getAs[Double]("f_stat") ==
+      (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble), r)
+  }
+
   test("declared output schemas use only hash-safe primitive types") {
     // The driver hash-compares RENDERED values, so a declared output
     // column may only use a type whose rendering is proven identical
