@@ -1696,6 +1696,191 @@ object Analytic {
         |     / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))) AS f_stat
         |FROM f""".stripMargin),
 
+    // Brown-Forsythe (median-based Levene) test for variance
+    // homogeneity across the 5 order priorities — the validity check a
+    // pipeline runs BEFORE trusting stat_anova_oneway's F (ANOVA
+    // assumes equal group variances; this tests exactly that, robustly,
+    // by running the same F machinery on |x − median_g|). Exact
+    // construction: each group's median is SELECTED at rank
+    // (n_g+1) div 2 (the percentile_disc discipline — the value at a
+    // fixed rank is invariant to tie permutation), deviations
+    // z = |c − med_g| and their squares are exact BIGINTs accumulating
+    // through the per-term hi/lo split, and the cross-group double
+    // sums run as the same priority-ORDERED fold as the ANOVA. Scale:
+    // the median rank window shuffles once on the group key
+    // (percentile_disc_exact precedent); the 5-row median table rides
+    // a broadcast back onto the scan; everything after the second
+    // keyed agg lives on the bounded group table.
+    "stat_levene_brown_forsythe" -> QuerySpec(
+      (s, d) => {
+        val c = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+        val o = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("p"), c.as("c"))
+        val wRank = Window.partitionBy("p").orderBy("c")
+        val med = o
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy("p")))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("p"), col("c").as("med"))
+        val z = o.join(broadcast(med), "p")
+          .select(col("p"), abs(col("c") - col("med")).as("z"))
+        val g = z.groupBy("p").agg(
+          count(lit(1)).as("ng"),
+          sum(expr("z div 1048576").cast("decimal(38,0)")).as("sh"),
+          sum(expr("z % 1048576").cast("decimal(38,0)")).as("sl"),
+          sum(expr("(z * z) div 1048576").cast("decimal(38,0)"))
+            .as("qh"),
+          sum(expr("(z * z) % 1048576").cast("decimal(38,0)")).as("ql"))
+        def asD(h: String, l: String) =
+          col(h).cast("double") * lit(1048576.0) + col(l).cast("double")
+        val t = g.select(col("p"), col("ng"),
+            asD("sh", "sl").as("sg"), asD("qh", "ql").as("qg"))
+          .withColumn("tt",
+            col("sg") * col("sg") / col("ng").cast("double"))
+        val folded = t.agg(
+            count(lit(1)).as("k_groups"), sum("ng").as("n"),
+            sort_array(collect_list(struct(col("p"), col("tt"),
+              col("sg"), col("qg")))).as("a"))
+          .select(col("k_groups"), col("n"),
+            expr("aggregate(a, 0D, (acc, x) -> acc + x.tt)")
+              .as("ssb_raw"),
+            expr("aggregate(a, 0D, (acc, x) -> acc + x.sg)").as("s"),
+            expr("aggregate(a, 0D, (acc, x) -> acc + x.qg)").as("q"))
+        val nD = col("n").cast("double")
+        val kD = col("k_groups").cast("double")
+        val ssb = col("ssb_raw") - col("s") * col("s") / nD
+        val ssw = col("q") - col("ssb_raw")
+        folded.select(col("k_groups"), col("n"),
+          ssb.as("ss_between"), ssw.as("ss_within"),
+          ((ssb / (kD - lit(1.0))) / (ssw / (nD - kD))).as("w_stat"))
+      },
+      """WITH o AS (SELECT o_orderpriority AS p,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |r AS (SELECT p, c,
+        |    row_number() OVER (PARTITION BY p ORDER BY c) AS rn,
+        |    COUNT(*) OVER (PARTITION BY p) AS cnt
+        |  FROM o),
+        |med AS (SELECT p, c AS med FROM r WHERE rn = (cnt + 1) // 2),
+        |z AS (SELECT o.p, abs(o.c - med.med) AS z
+        |      FROM o JOIN med ON o.p = med.p),
+        |g AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(CAST(z // 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sh,
+        |    CAST(SUM(CAST(z % 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sl,
+        |    CAST(SUM(CAST((z * z) // 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS qh,
+        |    CAST(SUM(CAST((z * z) % 1048576 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS ql
+        |  FROM z GROUP BY 1),
+        |t AS (SELECT p, ng,
+        |    CAST(sh AS DOUBLE) * 1048576.0 + CAST(sl AS DOUBLE) AS sg,
+        |    CAST(qh AS DOUBLE) * 1048576.0 + CAST(ql AS DOUBLE) AS qg
+        |  FROM g),
+        |t2 AS (SELECT p, ng, sg, qg,
+        |              sg * sg / CAST(ng AS DOUBLE) AS tt FROM t),
+        |packed AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    list(tt ORDER BY p) AS lt,
+        |    list(sg ORDER BY p) AS ls,
+        |    list(qg ORDER BY p) AS lq
+        |  FROM t2),
+        |f AS (SELECT k_groups, n,
+        |    list_reduce(list_prepend(0.0, lt), (a, b) -> a + b)
+        |      AS ssb_raw,
+        |    list_reduce(list_prepend(0.0, ls), (a, b) -> a + b) AS s,
+        |    list_reduce(list_prepend(0.0, lq), (a, b) -> a + b) AS q
+        |  FROM packed)
+        |SELECT k_groups, n,
+        |  ssb_raw - s * s / CAST(n AS DOUBLE) AS ss_between,
+        |  q - ssb_raw AS ss_within,
+        |  ((ssb_raw - s * s / CAST(n AS DOUBLE))
+        |     / (CAST(k_groups AS DOUBLE) - 1.0))
+        |  / ((q - ssb_raw)
+        |     / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))) AS w_stat
+        |FROM f""".stripMargin),
+
+    // Cramér's V effect size for the market-segment × order-priority
+    // contingency table — the "is this association MATERIAL, not just
+    // detectable" companion to a chi-square screen (at 100 TB any
+    // trivial dependence is significant; V normalizes the statistic to
+    // [0, 1] so a release gate can threshold on effect size). Exact
+    // tallies: cell/margin counts are BIGINTs off ONE keyed agg after
+    // the broadcast customer join; expectations E = R·C/N are formed in
+    // DOUBLE from the exact counts (the R·C product would overflow
+    // BIGINT on a 100 TB corpus — the per-marginal-rate lesson from
+    // stat_cohen_kappa) and the chi-square sum runs as a (seg, prio)-
+    // ORDERED fold over the packed ≤25-cell table, one fixed double
+    // chain both engines. Scale: everything after the first agg lives
+    // on the domain-bounded cell table.
+    "stat_cramers_v" -> QuerySpec(
+      (s, d) => {
+        val cells = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"),
+            col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("o"))
+        val rowT = cells.groupBy("seg").agg(sum("o").as("r"))
+        val colT = cells.groupBy("prio").agg(sum("o").as("cc"))
+        val tot = cells.agg(sum("o").as("n"),
+          countDistinct("seg").as("n_rows"),
+          countDistinct("prio").as("n_cols"))
+        val e = cells
+          .join(broadcast(rowT), "seg")
+          .join(broadcast(colT), "prio")
+          .crossJoin(broadcast(tot))
+          .withColumn("ed", col("r").cast("double") *
+            col("cc").cast("double") / col("n").cast("double"))
+          .withColumn("term",
+            (col("o").cast("double") - col("ed")) *
+              (col("o").cast("double") - col("ed")) / col("ed"))
+        val folded = e.agg(
+            first("n").as("n"), first("n_rows").as("n_rows"),
+            first("n_cols").as("n_cols"),
+            sort_array(collect_list(struct(col("seg"), col("prio"),
+              col("term")))).as("a"))
+          .withColumn("chi2",
+            expr("aggregate(a, 0D, (acc, x) -> acc + x.term)"))
+        folded.select(col("n"), col("n_rows"), col("n_cols"),
+          col("chi2"),
+          sqrt(col("chi2") / (col("n").cast("double") *
+            (least(col("n_rows"), col("n_cols")) - lit(1L))
+              .cast("double"))).as("cramers_v"))
+      },
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+        |         CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS r
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT prio, CAST(SUM(o) AS BIGINT) AS cc
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT prio) AS BIGINT) AS n_cols
+        |  FROM cells),
+        |e AS (SELECT cells.seg, cells.prio,
+        |    (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(cc AS DOUBLE)
+        |       / CAST(n AS DOUBLE))
+        |    * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(cc AS DOUBLE)
+        |       / CAST(n AS DOUBLE))
+        |    / (CAST(r AS DOUBLE) * CAST(cc AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) AS term
+        |  FROM cells JOIN rt USING (seg) JOIN ct USING (prio), tot),
+        |f AS (SELECT
+        |    list_reduce(list_prepend(0.0,
+        |      list(term ORDER BY seg, prio)), (a, b) -> a + b) AS chi2
+        |  FROM e)
+        |SELECT n, n_rows, n_cols, chi2,
+        |       sqrt(chi2 / (CAST(n AS DOUBLE)
+        |         * CAST(LEAST(n_rows, n_cols) - 1 AS DOUBLE)))
+        |         AS cramers_v
+        |FROM f, tot""".stripMargin),
+
     // Exact discrete median per group (percentile_disc semantics): the
     // value AT rank ceil(n/2) under a total order — no interpolation, so
     // the result is an actual data value and exactly reproducible in any

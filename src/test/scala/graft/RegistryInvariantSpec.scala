@@ -382,6 +382,30 @@ class RegistryInvariantSpec extends SparkSpec {
       (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble), r)
   }
 
+  test("Brown-Forsythe W reconciles with its deviation decomposition") {
+    val Array(r) = rows("stat_levene_brown_forsythe")
+    val (k, n) = (r.getAs[Long]("k_groups"), r.getAs[Long]("n"))
+    assert(k == 5 && n > k)
+    val (ssb, ssw) = (r.getAs[Double]("ss_between"),
+      r.getAs[Double]("ss_within"))
+    assert(ssw > 0.0 && ssb > 0.0, r)
+    assert(r.getAs[Double]("w_stat") ==
+      (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble), r)
+  }
+
+  test("Cramér's V reconciles with chi-square and stays in [0, 1]") {
+    val Array(r) = rows("stat_cramers_v")
+    val (nr, nc) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_cols"))
+    assert(nr == 5 && nc == 5) // segment and priority domains
+    val n = r.getAs[Long]("n")
+    val chi2 = r.getAs[Double]("chi2")
+    assert(n > 0 && chi2 >= 0.0, r)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0, v)
+    assert(v == math.sqrt(
+      chi2 / (n.toDouble * (math.min(nr, nc) - 1).toDouble)), r)
+  }
+
   test("declared output schemas use only hash-safe primitive types") {
     // The driver hash-compares RENDERED values, so a declared output
     // column may only use a type whose rendering is proven identical
