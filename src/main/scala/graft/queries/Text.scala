@@ -737,6 +737,85 @@ object Text {
          |       lang, COUNT(*) AS n
          |FROM s GROUP BY 1, 2 ORDER BY pred_lang, lang""".stripMargin),
 
+    // McNemar's paired test between the TWO cheap quality gates
+    // (stat_cohen_kappa's raters: A = length ≥ 40 tokens, B = exact
+    // integer stopword-share st·18 ≥ n) judged against the EXPENSIVE
+    // composite quality score (text_quality_score's formula at a 0.62
+    // cut) — the model-comparison audit a pipeline runs before
+    // replacing the expensive filter with a cheap gate (the UNPAIRED
+    // z-test wastes the per-document pairing; McNemar conditions on
+    // the discordant pairs, which is all the evidence the swap
+    // decision needs; kappa asked "do the gates agree?", this asks
+    // "which gate better matches the reference?"). Agreement cells are
+    // exact BIGINTs off ONE map-side-combined scan; the reference cut
+    // compares a double both engines compute bit-identically (proven
+    // by text_quality_score); the uncorrected statistic (b−c)²/(b+c)
+    // is one fixed double chain, with the discordant counts shipped
+    // alongside so a consumer can apply any correction exactly.
+    "stat_mcnemar_quality_gates" -> QuerySpec(
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val n = size(toks).cast("long")
+        val st = size(filter(toks, t =>
+          Seq("the", "a", "of", "and").map(t === _).reduce(_ || _)))
+          .cast("long")
+        val ref = TextOps.qualityScore(col("text")) >= lit(0.62)
+        val p = Tables.documents(s, d).select(
+          ((n >= 40L) === ref).as("a_ok"),
+          ((st * 18L >= n) === ref).as("b_ok"))
+        val agg = p.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("a_ok") && col("b_ok"), 1L).otherwise(0L))
+            .as("n11"),
+          sum(when(col("a_ok") && !col("b_ok"), 1L).otherwise(0L))
+            .as("n10"),
+          sum(when(!col("a_ok") && col("b_ok"), 1L).otherwise(0L))
+            .as("n01"),
+          sum(when(!col("a_ok") && !col("b_ok"), 1L).otherwise(0L))
+            .as("n00"))
+        val (bD, cD) = (col("n10").cast("double"),
+          col("n01").cast("double"))
+        agg.select(col("n_docs"), col("n11"), col("n10"), col("n01"),
+          col("n00"),
+          ((bD - cD) * (bD - cD) / (bD + cD)).as("mcnemar_chi2"))
+      },
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks
+         |           FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and')))
+         |    AS BIGINT) AS st,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and')))
+         |    AS DOUBLE) / len(toks) AS stopword_ratio,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         |    / length(text) AS punct_ratio,
+         |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+         |    / length(text) AS upper_ratio
+         |  FROM t),
+         |p AS (SELECT
+         |  ((n >= 40) = ref) AS a_ok, ((st * 18 >= n) = ref) AS b_ok
+         |  FROM (SELECT n, st,
+         |    (least(1.0, CAST(n AS DOUBLE) / 100.0) * 0.4
+         |     + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2
+         |     + (1.0 - upper_ratio) * 0.1 >= 0.62) AS ref
+         |    FROM c)),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN a_ok AND b_ok
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |  CAST(SUM(CASE WHEN a_ok AND NOT b_ok
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |  CAST(SUM(CASE WHEN NOT a_ok AND b_ok
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |  CAST(SUM(CASE WHEN NOT a_ok AND NOT b_ok
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |  FROM p)
+         |SELECT n_docs, n11, n10, n01, n00,
+         |  (CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE))
+         |    * (CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE))
+         |    / (CAST(n10 AS DOUBLE) + CAST(n01 AS DOUBLE))
+         |    AS mcnemar_chi2
+         |FROM agg""".stripMargin),
+
     "text_quality_score" -> QuerySpec(
       (s, d) => {
         val c = TextOps.qualityComponents(col("text"))

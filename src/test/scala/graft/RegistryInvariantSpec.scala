@@ -406,6 +406,20 @@ class RegistryInvariantSpec extends SparkSpec {
       chi2 / (n.toDouble * (math.min(nr, nc) - 1).toDouble)), r)
   }
 
+  test("McNemar cells partition the corpus and the statistic reconciles") {
+    val Array(r) = rows("stat_mcnemar_quality_gates")
+    val cells = Seq("n11", "n10", "n01", "n00").map(r.getAs[Long])
+    assert(cells.sum == r.getAs[Long]("n_docs"))
+    val (b, c) = (r.getAs[Long]("n10"), r.getAs[Long]("n01"))
+    // the test is only meaningful with live discordance — the fixture
+    // has it on both sides (gate A over-admits long docs, gate B
+    // over-admits stopword-dense ones)
+    assert(b > 0 && c > 0, cells)
+    val (bD, cD) = (b.toDouble, c.toDouble)
+    assert(r.getAs[Double]("mcnemar_chi2") ==
+      (bD - cD) * (bD - cD) / (bD + cD), r)
+  }
+
   test("declared output schemas use only hash-safe primitive types") {
     // The driver hash-compares RENDERED values, so a declared output
     // column may only use a type whose rendering is proven identical
