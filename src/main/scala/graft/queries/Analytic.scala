@@ -1881,6 +1881,83 @@ object Analytic {
         |         AS cramers_v
         |FROM f, tot""".stripMargin),
 
+    // Q-Q decile table between two segments' order-value distributions
+    // — the distributional drill-down behind a drift verdict (the KS
+    // and rank tests say WHETHER the distributions differ; this table
+    // says WHERE: each row pairs the two segments' exact k-th deciles
+    // and their ratio). Deciles are SELECTED order statistics at rank
+    // ceil(k·n/10) (type-1 quantiles — actual data values, invariant
+    // to tie permutation), located WITHOUT ranking the corpus: the
+    // same banded two-level prefix as stat_mann_whitney_u gives each
+    // distinct value its cumulative range [cum, cum+c), and the 18
+    // (segment, decile) rank targets ride a broadcast join with a
+    // range residual. The oracle is the independent NAIVE
+    // row_number-window formulation, cross-checking the banded
+    // selection itself. Scale: one keyed (seg, v) count agg; the only
+    // unpartitioned window is over the band table (value-domain
+    // bounded); all 9 rows emit from one bounded pivot.
+    "stat_qq_deciles" -> QuerySpec(
+      (s, d) => {
+        val j = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("c_mktsegment").as("seg"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+              .as("v"))
+        val pv = j.groupBy("seg", "v").agg(count(lit(1)).as("c"))
+        val b = pv.withColumn("band", expr("v div 1000000"))
+        val wBand = Window.partitionBy("seg").orderBy(col("band").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bandOff = b.groupBy("seg", "band").agg(sum("c").as("bc"))
+          .select(col("seg"), col("band"),
+            coalesce(sum("bc").over(wBand), lit(0L)).as("off"))
+        val wIn = Window.partitionBy("seg", "band").orderBy(col("v").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = b.join(broadcast(bandOff), Seq("seg", "band"))
+          .select(col("seg"), col("v"), col("c"),
+            (col("off") + coalesce(sum("c").over(wIn), lit(0L)))
+              .as("cum"))
+        val ranks = j.groupBy(col("seg").as("seg2"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("seg2"),
+            explode(array((1 to 9).map(lit): _*)).as("qi"), col("n"))
+          .select(col("seg2"), col("qi").cast("long").as("q"), col("n"))
+          .withColumn("r", expr("(q * n + 9) div 10"))
+        cum.join(broadcast(ranks),
+            col("seg") === col("seg2") &&
+              col("cum") < col("r") && col("r") <= col("cum") + col("c"))
+          .groupBy("q").agg(
+            max(when(col("seg") === "BUILDING", col("v")))
+              .as("building_cents"),
+            max(when(col("seg") === "MACHINERY", col("v")))
+              .as("machinery_cents"))
+          .withColumn("qq_ratio",
+            col("building_cents").cast("double") /
+              col("machinery_cents").cast("double"))
+          .orderBy("q")
+      },
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |r AS (SELECT seg, v,
+        |    row_number() OVER (PARTITION BY seg ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY seg) AS n
+        |  FROM j),
+        |k AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS q),
+        |sel AS (SELECT seg, q, v
+        |        FROM r JOIN k ON rn = (q * n + 9) // 10)
+        |SELECT q,
+        |  MAX(CASE WHEN seg = 'BUILDING' THEN v END) AS building_cents,
+        |  MAX(CASE WHEN seg = 'MACHINERY' THEN v END)
+        |    AS machinery_cents,
+        |  CAST(MAX(CASE WHEN seg = 'BUILDING' THEN v END) AS DOUBLE)
+        |    / CAST(MAX(CASE WHEN seg = 'MACHINERY' THEN v END)
+        |        AS DOUBLE) AS qq_ratio
+        |FROM sel GROUP BY q ORDER BY q""".stripMargin),
+
     // Exact discrete median per group (percentile_disc semantics): the
     // value AT rank ceil(n/2) under a total order — no interpolation, so
     // the result is an actual data value and exactly reproducible in any

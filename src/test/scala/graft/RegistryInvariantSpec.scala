@@ -420,6 +420,24 @@ class RegistryInvariantSpec extends SparkSpec {
       (bD - cD) * (bD - cD) / (bD + cD), r)
   }
 
+  test("Q-Q deciles are monotone order statistics with exact ratios") {
+    val r = rows("stat_qq_deciles")
+    assert(r.length == 9)
+    assert(r.map(_.getAs[Long]("q")).toSeq == (1L to 9L))
+    // each column is a sequence of order statistics at increasing
+    // ranks — monotone by construction
+    val bs = r.map(_.getAs[Long]("building_cents"))
+    val ms = r.map(_.getAs[Long]("machinery_cents"))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a <= b }, bs.toSeq)
+    assert(ms.zip(ms.tail).forall { case (a, b) => a <= b }, ms.toSeq)
+    assert(bs.head > 0 && ms.head > 0)
+    r.foreach { row =>
+      assert(row.getAs[Double]("qq_ratio") ==
+        row.getAs[Long]("building_cents").toDouble /
+          row.getAs[Long]("machinery_cents").toDouble, row)
+    }
+  }
+
   test("declared output schemas use only hash-safe primitive types") {
     // The driver hash-compares RENDERED values, so a declared output
     // column may only use a type whose rendering is proven identical
