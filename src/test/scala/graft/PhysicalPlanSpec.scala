@@ -827,6 +827,36 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(!av.contains("CartesianProduct"), av)
   }
 
+  test("wave-5/7 stat queries keep their scale shapes") {
+    // stat_levene_brown_forsythe: same fold-only contract as the ANOVA
+    // after the median join — the only joins are the 5-row broadcast
+    // median table; no cartesian anywhere.
+    val lv = plan(
+      SparkEntry.registry("stat_levene_brown_forsythe").fn(spark, sf))
+    assert(lv.contains("BroadcastHashJoin"), lv)
+    assert(!lv.contains("CartesianProduct"), lv)
+    // stat_mcnemar_quality_gates: ONE map-side-combined scan — no join,
+    // no window, partial+final aggregate only.
+    val mc = plan(
+      SparkEntry.registry("stat_mcnemar_quality_gates").fn(spark, sf))
+    assert(!mc.contains("Join") && !mc.contains("Window"), mc)
+    assert("HashAggregate".r.findAllIn(mc).length >= 2, mc)
+    // stat_qq_deciles: the fine prefix is partitioned by (seg, band);
+    // the rank targets ride a broadcast; no cartesian.
+    val qq = plan(SparkEntry.registry("stat_qq_deciles").fn(spark, sf))
+    assert(qq.contains("hashpartitioning(seg"), qq)
+    assert(qq.contains("BroadcastHashJoin") ||
+      qq.contains("BroadcastNestedLoopJoin"), qq)
+    assert(!qq.contains("CartesianProduct"), qq)
+    // stat_cramers_v / text_good_turing / similarity_mutual_knn:
+    // domain-bounded tails, join-only pair machinery — no cartesian.
+    Seq("stat_cramers_v", "text_good_turing", "similarity_mutual_knn")
+      .foreach { q =>
+        val p = plan(SparkEntry.registry(q).fn(spark, sf))
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      }
+  }
+
   test("Holt-Winters forecast is one keyed agg + bounded fold: no Window") {
     // events_forecast_holt_winters folds the |days|-length series
     // (bounded by the calendar span, not the event count) through an
