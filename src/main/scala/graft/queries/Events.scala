@@ -2643,6 +2643,150 @@ object Events {
     // curve table itself is bounded by the study span in hours (≤ 720
     // here), NOT by user count — the collect_list, the unpartitioned
     // window, and the O(k²) prefix folds all run on that bounded table.
+    // Log-rank test between the two user-id-parity A/B arms' time-to-
+    // purchase curves — the survival-analysis companion to
+    // events_survival_km (KM DESCRIBES one curve; the log-rank test
+    // DECIDES whether two arms differ, censoring handled correctly —
+    // comparing raw conversion rates would silently discard the
+    // censored users). Same cohort construction as the KM query
+    // (signup → first purchase ≥ t0, censored at tmax, hour
+    // durations); arm = user_id % 2, exactly how real experiment arms
+    // hash users. At each death time τ the hypergeometric terms
+    // E[d_a] = d·n_a/n and Var = d·(n_a/n)·(1−n_a/n)·(n−d)/(n−1) are
+    // doubles from exact BIGINT risk counts, accumulated in a
+    // τ-ORDERED fold (the ANOVA discipline); O_a is an exact integer.
+    // Risk sets come from ONE bounded θ-join of the death-time grid
+    // against the per-arm duration census (calendar² rows — hour
+    // domain, never users), so no per-user window exists anywhere.
+    "events_logrank_ab" -> QuerySpec(
+      (s, d) => {
+        val H = 3600000000000L
+        val ev = Tables.events(s, d)
+        val t0 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("t0"))
+        val tp = ev.filter(col("event_type") === "purchase")
+          .join(t0, "user_id").filter(col("ts") >= col("t0"))
+          .groupBy("user_id").agg(min("ts").as("tp"))
+        val mx = ev.agg(max("ts").as("tmax"))
+        val su = t0.join(tp, Seq("user_id"), "left")
+          .crossJoin(broadcast(mx))
+          .select(expr("user_id % 2").as("grp"),
+            when(col("tp").isNotNull, expr(s"(tp - t0) div $H"))
+              .otherwise(expr(s"(tmax - t0) div $H")).as("dur_h"),
+            col("tp").isNotNull.as("event"))
+        val cens = su.groupBy("grp", "dur_h")
+          .agg(count(lit(1)).as("n_here"),
+            sum(when(col("event"), 1L).otherwise(0L)).as("d"))
+        val tots = su.groupBy("grp").agg(count(lit(1)).as("n_tot"))
+        val grid = cens.groupBy("dur_h").agg(sum("d").as("dt"))
+          .filter(col("dt") > 0).select(col("dur_h").as("tau"))
+        val perArm = grid
+          .crossJoin(broadcast(tots))
+          .join(broadcast(cens.withColumnRenamed("grp", "g2")),
+            col("g2") === col("grp") && col("dur_h") <= col("tau"),
+            "left")
+          .groupBy("tau", "grp", "n_tot").agg(
+            sum(when(col("dur_h") < col("tau"), col("n_here"))
+              .otherwise(0L)).as("lt"),
+            sum(when(col("dur_h") === col("tau"), col("d"))
+              .otherwise(0L)).as("dd"))
+          .select(col("tau"), col("grp"),
+            (col("n_tot") - coalesce(col("lt"), lit(0L))).as("nr"),
+            coalesce(col("dd"), lit(0L)).as("dd"))
+        val byTau = perArm.groupBy("tau").agg(
+          max(when(col("grp") === 0, col("nr"))).as("na"),
+          max(when(col("grp") === 0, col("dd"))).as("da"),
+          max(when(col("grp") === 1, col("nr"))).as("nb"),
+          max(when(col("grp") === 1, col("dd"))).as("db"))
+        val naD = col("na").cast("double")
+        val nD = (col("na") + col("nb")).cast("double")
+        val dD = (col("da") + col("db")).cast("double")
+        val terms = byTau.select(col("tau"), col("da"),
+          (dD * naD / nD).as("te"),
+          when(col("na") + col("nb") > 1,
+            dD * (naD / nD) * (lit(1.0) - naD / nD) *
+              ((col("na") + col("nb")).cast("double") - dD) /
+              ((col("na") + col("nb")).cast("double") - lit(1.0)))
+            .otherwise(lit(0.0)).as("tv"))
+        val folded = terms.agg(
+            sum("da").as("o_a"),
+            sort_array(collect_list(struct(col("tau"), col("te"),
+              col("tv")))).as("a"))
+          .select(col("o_a"),
+            expr("aggregate(a, 0D, (acc, x) -> acc + x.te)").as("e_a"),
+            expr("aggregate(a, 0D, (acc, x) -> acc + x.tv)").as("v_a"))
+        folded.crossJoin(broadcast(tots.groupBy().pivot("grp")
+            .agg(first("n_tot")).withColumnRenamed("0", "n_a")
+            .withColumnRenamed("1", "n_b")))
+          .select(col("n_a"), col("n_b"), col("o_a"), col("e_a"),
+            col("v_a"),
+            ((col("o_a").cast("double") - col("e_a")) *
+              (col("o_a").cast("double") - col("e_a")) / col("v_a"))
+              .as("logrank_chi2"))
+      },
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |            FROM events),
+        |t0 AS (SELECT user_id, MIN(us) AS t0 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |tp AS (SELECT e.user_id, MIN(us) AS tp
+        |       FROM ev e JOIN t0 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us >= t0 GROUP BY 1),
+        |mx AS (SELECT MAX(us) AS tmax FROM ev),
+        |su AS (SELECT t0.user_id % 2 AS grp,
+        |              CASE WHEN tp.tp IS NOT NULL
+        |                   THEN (tp.tp - t0.t0) // 3600000000
+        |                   ELSE (mx.tmax - t0.t0) // 3600000000
+        |              END AS dur_h,
+        |              tp.tp IS NOT NULL AS event
+        |       FROM t0 LEFT JOIN tp USING (user_id), mx),
+        |cens AS (SELECT grp, dur_h, CAST(COUNT(*) AS BIGINT) AS n_here,
+        |      CAST(SUM(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT)
+        |        AS d
+        |    FROM su GROUP BY 1, 2),
+        |tots AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_tot
+        |         FROM su GROUP BY 1),
+        |grid AS (SELECT dur_h AS tau FROM cens
+        |         GROUP BY 1 HAVING SUM(d) > 0),
+        |perarm AS (SELECT tau, tots.grp,
+        |      tots.n_tot - COALESCE(SUM(CASE WHEN cens.dur_h < tau
+        |        THEN cens.n_here ELSE 0 END), 0) AS nr,
+        |      COALESCE(SUM(CASE WHEN cens.dur_h = tau
+        |        THEN cens.d ELSE 0 END), 0) AS dd
+        |    FROM grid CROSS JOIN tots
+        |    LEFT JOIN cens ON cens.grp = tots.grp
+        |      AND cens.dur_h <= tau
+        |    GROUP BY 1, 2, tots.n_tot),
+        |bytau AS (SELECT tau,
+        |      MAX(CASE WHEN grp = 0 THEN nr END) AS na,
+        |      MAX(CASE WHEN grp = 0 THEN dd END) AS da,
+        |      MAX(CASE WHEN grp = 1 THEN nr END) AS nb,
+        |      MAX(CASE WHEN grp = 1 THEN dd END) AS db
+        |    FROM perarm GROUP BY 1),
+        |terms AS (SELECT tau, da,
+        |      CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE)
+        |        / CAST(na + nb AS DOUBLE) AS te,
+        |      CASE WHEN na + nb > 1 THEN
+        |        CAST(da + db AS DOUBLE)
+        |          * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |          * (1.0 - CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |          * (CAST(na + nb AS DOUBLE) - CAST(da + db AS DOUBLE))
+        |          / (CAST(na + nb AS DOUBLE) - 1.0)
+        |      ELSE 0.0 END AS tv
+        |    FROM bytau),
+        |folded AS (SELECT
+        |      CAST(SUM(da) AS BIGINT) AS o_a,
+        |      list_reduce(list_prepend(0.0, list(te ORDER BY tau)),
+        |        (a, b) -> a + b) AS e_a,
+        |      list_reduce(list_prepend(0.0, list(tv ORDER BY tau)),
+        |        (a, b) -> a + b) AS v_a
+        |    FROM terms)
+        |SELECT (SELECT n_tot FROM tots WHERE grp = 0) AS n_a,
+        |       (SELECT n_tot FROM tots WHERE grp = 1) AS n_b,
+        |       o_a, e_a, v_a,
+        |       (CAST(o_a AS DOUBLE) - e_a) * (CAST(o_a AS DOUBLE) - e_a)
+        |         / v_a AS logrank_chi2
+        |FROM folded""".stripMargin),
+
     "events_survival_km" -> QuerySpec(
       (s, d) => {
         val H = 3600000000000L // 1 hour in ns

@@ -438,6 +438,20 @@ class RegistryInvariantSpec extends SparkSpec {
     }
   }
 
+  test("log-rank statistic reconciles with its hypergeometric moments") {
+    val Array(r) = rows("events_logrank_ab")
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(na > 0 && nb > 0)
+    val oa = r.getAs[Long]("o_a")
+    assert(oa >= 0 && oa <= na) // arm A can't see more deaths than users
+    val (ea, va) = (r.getAs[Double]("e_a"), r.getAs[Double]("v_a"))
+    assert(ea > 0.0 && va > 0.0, r)
+    // under any assignment, E[O_a] stays within the total death count
+    assert(ea <= (na + nb).toDouble, r)
+    assert(r.getAs[Double]("logrank_chi2") ==
+      (oa.toDouble - ea) * (oa.toDouble - ea) / va, r)
+  }
+
   test("declared output schemas use only hash-safe primitive types") {
     // The driver hash-compares RENDERED values, so a declared output
     // column may only use a type whose rendering is proven identical
