@@ -816,6 +816,84 @@ object Text {
          |    AS mcnemar_chi2
          |FROM agg""".stripMargin),
 
+    // Cochran's Q across the THREE quality gates (length, exact
+    // stopword share, composite-score cut) on matched documents — the
+    // k-rater generalization of McNemar: "do the gates admit at the
+    // same rate once per-document correlation is accounted for?"
+    // (unpaired rate comparison overstates the difference because the
+    // same easy documents pass every gate). All tallies are exact
+    // BIGINTs off ONE map-side-combined scan: per-gate admit totals
+    // G_j, the grand total T = ΣL_i, and ΣL_i² with L_i ∈ {0..3} the
+    // per-document admit count. Q = (k−1)(kΣG_j² − T²)/(kΣL − ΣL²)
+    // forms the quadratics in DOUBLE from the exact counts (G_j² would
+    // outgrow BIGINT on a 100 TB corpus — the kappa lesson) with the
+    // three-term ΣG_j² written in fixed textual order, one identical
+    // chain both engines.
+    "stat_cochran_q" -> QuerySpec(
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val n = size(toks).cast("long")
+        val st = size(filter(toks, t =>
+          Seq("the", "a", "of", "and").map(t === _).reduce(_ || _)))
+          .cast("long")
+        val ga = when(n >= 40L, 1L).otherwise(0L)
+        val gb = when(st * 18L >= n, 1L).otherwise(0L)
+        val gc = when(TextOps.qualityScore(col("text")) >= lit(0.62), 1L)
+          .otherwise(0L)
+        val agg = Tables.documents(s, d)
+          .select(ga.as("a"), gb.as("b"), gc.as("c"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("a").as("g_len"), sum("b").as("g_stop"),
+            sum("c").as("g_quality"),
+            sum(col("a") + col("b") + col("c")).as("sum_l"),
+            sum((col("a") + col("b") + col("c")) *
+              (col("a") + col("b") + col("c"))).as("sum_l2"))
+        val kD = lit(3.0)
+        def D(c: String) = col(c).cast("double")
+        val sumG2 = D("g_len") * D("g_len") + D("g_stop") * D("g_stop") +
+          D("g_quality") * D("g_quality")
+        agg.select(col("n_docs"), col("g_len"), col("g_stop"),
+          col("g_quality"), col("sum_l"), col("sum_l2"),
+          ((kD - lit(1.0)) * (kD * sumG2 - D("sum_l") * D("sum_l")) /
+            (kD * D("sum_l") - D("sum_l2"))).as("cochran_q"))
+      },
+      s"""WITH t AS (SELECT text, $duckToks AS toks FROM documents),
+         |c AS (SELECT
+         |  CAST(len(toks) AS BIGINT) AS n,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and')))
+         |    AS BIGINT) AS st,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and')))
+         |    AS DOUBLE) / len(toks) AS stopword_ratio,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         |    / length(text) AS punct_ratio,
+         |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+         |    / length(text) AS upper_ratio
+         |  FROM t),
+         |g AS (SELECT
+         |  CASE WHEN n >= 40 THEN 1 ELSE 0 END AS a,
+         |  CASE WHEN st * 18 >= n THEN 1 ELSE 0 END AS b,
+         |  CASE WHEN least(1.0, CAST(n AS DOUBLE) / 100.0) * 0.4
+         |       + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2
+         |       + (1.0 - upper_ratio) * 0.1 >= 0.62
+         |    THEN 1 ELSE 0 END AS c
+         |  FROM c),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(a) AS BIGINT) AS g_len,
+         |  CAST(SUM(b) AS BIGINT) AS g_stop,
+         |  CAST(SUM(c) AS BIGINT) AS g_quality,
+         |  CAST(SUM(a + b + c) AS BIGINT) AS sum_l,
+         |  CAST(SUM((a + b + c) * (a + b + c)) AS BIGINT) AS sum_l2
+         |  FROM g)
+         |SELECT n_docs, g_len, g_stop, g_quality, sum_l, sum_l2,
+         |  (3.0 - 1.0) * (3.0 * (CAST(g_len AS DOUBLE)
+         |      * CAST(g_len AS DOUBLE)
+         |      + CAST(g_stop AS DOUBLE) * CAST(g_stop AS DOUBLE)
+         |      + CAST(g_quality AS DOUBLE) * CAST(g_quality AS DOUBLE))
+         |    - CAST(sum_l AS DOUBLE) * CAST(sum_l AS DOUBLE))
+         |  / (3.0 * CAST(sum_l AS DOUBLE) - CAST(sum_l2 AS DOUBLE))
+         |    AS cochran_q
+         |FROM agg""".stripMargin),
+
     "text_quality_score" -> QuerySpec(
       (s, d) => {
         val c = TextOps.qualityComponents(col("text"))

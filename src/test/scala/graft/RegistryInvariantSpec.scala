@@ -452,6 +452,22 @@ class RegistryInvariantSpec extends SparkSpec {
       (oa.toDouble - ea) * (oa.toDouble - ea) / va, r)
   }
 
+  test("Cochran's Q ledger reconciles and the statistic recomputes") {
+    val Array(r) = rows("stat_cochran_q")
+    val gs = Seq("g_len", "g_stop", "g_quality").map(r.getAs[Long])
+    val (sl, sl2) = (r.getAs[Long]("sum_l"), r.getAs[Long]("sum_l2"))
+    // ΣL_i is exactly the sum of the per-gate admit totals, and with
+    // L ∈ {0..3}: ΣL ≤ ΣL² ≤ 3ΣL
+    assert(gs.sum == sl, s"${gs.sum} != $sl")
+    assert(sl <= sl2 && sl2 <= 3 * sl, (sl, sl2))
+    assert(gs.forall(g => g > 0 && g < r.getAs[Long]("n_docs")), gs)
+    val sumG2 = gs.map(_.toDouble).map(g => g * g)
+    val q = 2.0 * (3.0 * (sumG2(0) + sumG2(1) + sumG2(2)) -
+      sl.toDouble * sl.toDouble) / (3.0 * sl.toDouble - sl2.toDouble)
+    assert(r.getAs[Double]("cochran_q") == q, r)
+    assert(q >= 0.0, q)
+  }
+
   test("declared output schemas use only hash-safe primitive types") {
     // The driver hash-compares RENDERED values, so a declared output
     // column may only use a type whose rendering is proven identical
