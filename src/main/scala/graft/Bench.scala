@@ -80,6 +80,8 @@ object Bench {
         graft.queries.GraphQ.buildSharedLpaStage(spark, sfDir, f)),
       timedStage("text_bpe_shared_train")(f =>
         graft.queries.Text.buildSharedBpeStage(spark, sfDir, f)),
+      timedStage("text_ngram_shared_census")(f =>
+        graft.queries.Text.buildSharedNgramStage(spark, sfDir, f)),
       timedStage("multimodal_png_shared_encode")(f =>
         graft.queries.MultimodalQ.buildSharedPngStage(spark, sfDir, f)),
       timedStage("multimodal_wav_shared_encode")(f =>

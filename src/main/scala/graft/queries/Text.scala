@@ -145,6 +145,54 @@ object Text {
     trainedBpe(s, d); ()
   }
 
+  /** One corpus n-gram census per (session, sf-dir) — the count tables
+    * every bigram-LM consumer re-derived on its own before r10
+    * (`text_lm_plausibility` re-evaluated its tokenize+explode bigram
+    * subtree 3x and was the top bench line; `text_bigram_lm`,
+    * `text_kneser_ney_bigram`, `text_good_turing` each rebuilt
+    * overlapping statistics). The cached artifact is two
+    * localCheckpointed TYPE tables — vocabulary-bounded, orders of
+    * magnitude smaller than the exploded corpus:
+    *   - bigrams `(a, b, n_all, n_sub)` where `n_all` counts the full
+    *     corpus and `n_sub` only the deterministic doc_id % 5 == 0
+    *     training slice the subset consumers score on;
+    *   - unigrams `(tok, r)` over the full corpus.
+    * Both censuses come from ONE pass each (map-side-combined keyed
+    * aggs); at 100 TB this is exactly the n-gram statistics table a
+    * corpus pipeline materializes once per snapshot and joins
+    * everywhere else. */
+  private val ngramCache = new graft.util.SessionScopedCache[
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  private def ngramCensus(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    ngramCache.getOrBuild(s, d) {
+      val toks = TextOps.tokens(col("text"))
+      val pairs = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => struct(get(toks, i).as("a"), get(toks, i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val bi = Tables.documents(s, d)
+        .select((col("doc_id") % 5 === 0).as("insub"), explode(pairs).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_all"),
+          sum(when(col("insub"), lit(1L)).otherwise(lit(0L))).as("n_sub"))
+        .localCheckpoint(true)
+      val uni = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("r"))
+        .localCheckpoint(true)
+      (bi, uni)
+    }
+
+  /** Benchmark hook: build the shared n-gram census NOW so it lands in
+    * its own timing entry instead of whichever consumer runs first. */
+  def buildSharedNgramStage(s: org.apache.spark.sql.SparkSession,
+                            d: String, fresh: Boolean = false): Unit = {
+    if (fresh) ngramCache.evict(s, d)
+    ngramCensus(s, d); ()
+  }
+
   /** The BPE training replay as DuckDB CTEs (no WITH prefix): w0/e0/n0 +
     * per-round p$i (pair counts), t$i (argmax), e$i (rewritten
     * encodings). Shared by both BPE oracles. Every CTE is MATERIALIZED:
@@ -607,9 +655,7 @@ object Text {
     // r+1 via broadcast.
     "text_good_turing" -> QuerySpec(
       (s, d) => {
-        val counts = Tables.documents(s, d)
-          .select(explode(TextOps.tokens(col("text"))).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("r"))
+        val counts = ngramCensus(s, d)._2 // shared unigram census (tok, r)
         val cc = counts.groupBy("r").agg(count(lit(1)).as("n_r"))
         val nxt = cc.select((col("r") - 1).as("rj"),
           col("n_r").as("n_r_next"))
@@ -1291,16 +1337,10 @@ object Text {
     // Ties broken by successor token so both engines pick the same row.
     "text_bigram_lm" -> QuerySpec(
       (s, d) => {
-        val toks = TextOps.tokens(col("text"))
-        val pairs = when(size(toks) >= 2,
-          transform(sequence(lit(0), size(toks) - 2),
-            i => struct(get(toks, i).as("a"), get(toks, i + 1).as("b"))))
-          .otherwise(array().cast("array<struct<a:string,b:string>>"))
-        val counts = Tables.documents(s, d)
-          .filter(col("doc_id") % 5 === 0)
-          .select(explode(pairs).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(count(lit(1)).as("n"))
+        // shared bigram census, restricted to the doc_id % 5 == 0 slice
+        val counts = ngramCensus(s, d)._1
+          .filter(col("n_sub") > 0)
+          .select(col("a"), col("b"), col("n_sub").as("n"))
         val w = org.apache.spark.sql.expressions.Window.partitionBy("a")
         val rankW = w.orderBy(desc("n"), asc("b"))
         counts
@@ -1679,20 +1719,45 @@ object Text {
     "text_lm_plausibility" -> QuerySpec(
       (s, d) => {
         val scale = 1099511627776L // 2^40
+        // Bigram probabilities come off the shared census (one cached
+        // type table), so the exploded per-doc bigram subtree below is
+        // the ONLY corpus-sized stage — pre-r10 this query re-evaluated
+        // it 3x (counts, totals, final join). `na` is sum over n_all,
+        // identical to counting (a, *) occurrences directly.
+        val census = ngramCensus(s, d)._1
+        val totals = census.groupBy("a").agg(sum("n_all").as("na"))
+        val probs = census.join(totals, "a")
+          .select(col("a"), col("b"), col("n_all").as("nab"),
+            (col("n_all").cast("double") / col("na").cast("double")).as("p"))
         val toks = TextOps.tokens(col("text"))
         val pairs = when(size(toks) >= 2,
           transform(sequence(lit(0), size(toks) - 2),
             i => struct(get(toks, i).as("a"), get(toks, i + 1).as("b"))))
           .otherwise(array().cast("array<struct<a:string,b:string>>"))
+        // Staged once (both skew arms scan it): at 100 TB this is the
+        // standard persist-once exploded table; here localCheckpoint.
         val bg = Tables.documents(s, d)
           .select(col("doc_id"), explode(pairs).as("p"))
           .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-        val counts = bg.groupBy("a", "b").agg(count(lit(1)).as("nab"))
-        val totals = bg.groupBy("a").agg(count(lit(1)).as("na"))
-        val probs = counts.join(totals, "a")
-          .select(col("a"), col("b"),
-            (col("nab").cast("double") / col("na").cast("double")).as("p"))
-        bg.join(probs, Seq("a", "b"))
+          .localCheckpoint(true)
+        // Zipfian-key skew split (VERDICT r9 item 3): natural-language
+        // bigram keys concentrate mass in a tiny head — at 100x scale a
+        // single shuffle join on (a, b) funnels the head pairs through
+        // few reducers. Split: the top-K most frequent bigrams' stats
+        // BROADCAST onto the scan (no shuffle for the heavy keys); the
+        // tail — bounded per-key frequency by construction — takes the
+        // ordinary equi-join. head ∪ tail partitions `probs` exactly
+        // (deterministic total tie-break), so the union of the two
+        // inner-join arms is the original join row-for-row.
+        val headK = 1024
+        val head = probs
+          .orderBy(desc("nab"), asc("a"), asc("b")).limit(headK)
+          .select("a", "b", "p")
+        val tail = probs.join(broadcast(head.select("a", "b")),
+            Seq("a", "b"), "left_anti")
+          .select("a", "b", "p")
+        bg.join(broadcast(head), Seq("a", "b"))
+          .unionByName(bg.join(tail, Seq("a", "b")))
           .select(col("doc_id"),
             floor(col("p") * lit(scale.toDouble))
               .cast("decimal(38,0)").as("c"))
@@ -2117,16 +2182,10 @@ object Text {
     // type count broadcasts.
     "text_kneser_ney_bigram" -> QuerySpec(
       (s, d) => {
-        val toks = TextOps.tokens(col("text"))
-        val pairs = when(size(toks) >= 2,
-          transform(sequence(lit(0), size(toks) - 2),
-            i => struct(get(toks, i).as("a"), get(toks, i + 1).as("b"))))
-          .otherwise(array().cast("array<struct<a:string,b:string>>"))
-        val bg = Tables.documents(s, d)
-          .filter(col("doc_id") % 5 === 0)
-          .select(explode(pairs).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(count(lit(1)).as("c12"))
+        // shared bigram census, restricted to the doc_id % 5 == 0 slice
+        val bg = ngramCensus(s, d)._1
+          .filter(col("n_sub") > 0)
+          .select(col("a"), col("b"), col("n_sub").as("c12"))
         val ctx = bg.groupBy("a")
           .agg(sum("c12").as("c1"), count(lit(1)).as("n1fwd"))
         val cont = bg.groupBy("b").agg(count(lit(1)).as("n1back"))

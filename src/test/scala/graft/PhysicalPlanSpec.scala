@@ -872,4 +872,26 @@ class PhysicalPlanSpec extends SparkSpec {
       s"daily series should be a partial+final keyed agg:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("bigram plausibility skew-splits the Zipfian join: broadcast head, equi tail") {
+    // text_lm_plausibility joins the per-doc bigram scan against the
+    // shared census's probabilities on natural-language (a, b) keys —
+    // Zipf-distributed, so at 100x scale one shuffle join funnels the
+    // head pairs through few reducers. The plan must show the split:
+    // the top-K head statistics BROADCAST onto the scan (no shuffle for
+    // the heavy keys) while the bounded-frequency tail takes the
+    // ordinary shuffled equi-join, unioned. Disable the auto-broadcast
+    // threshold so test-scale stats can't silently broadcast the tail
+    // arm too — the explicit head hint must survive on its own.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(SparkEntry.registry("text_lm_plausibility").fn(spark, sf))
+      assert(p.contains("Union"), s"expected head/tail union:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"head arm must broadcast the top-K bigram stats:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"tail arm must be a shuffled equi-join:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
