@@ -109,6 +109,8 @@ object Xlsx {
     * render as dates; fractional serials carry a time-of-day component. */
   private[io] def serialToIso(serial: Double): String = {
     val adjusted = if (serial > 0 && serial < 60) serial + 1 else serial
+    // bound: 1900-system serials span [0, ~2958465] (year 9999), far
+    // inside Long; plusDays rejects out-of-range results loudly.
     val days = math.floor(adjusted).toLong
     val date = java.time.LocalDate.of(1899, 12, 30).plusDays(days)
     val secs = math.round((adjusted - days) * 86400.0)

@@ -29,6 +29,7 @@ object Analytic {
     (0 to 7).map { k =>
       if (k > 0) p /= k
       cdf += p
+      // bound: cdf in (0, 1], so floor(cdf * 2^20) <= 2^20 << 2^63.
       math.floor(cdf * 1048576.0).toLong
     }
   }

@@ -258,14 +258,24 @@ object LearnQ {
         val Cm = Array.ofDim[Double](PcaD + 1, PcaD + 1)
         cov.collect().foreach(r =>
           Cm(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-        def matvec(v: Array[Double]): Array[Double] =
+        def matvec(v: Array[Double]): Array[Double] = {
+          // bound: |Cm(i)(j)| <= 1 (covariance of unit-normalized
+          // coordinates) and |v(j)| <= 1 (unit or sub-unit iterate,
+          // asserted), so each floor(term * 2^40) is < 2^40 and the
+          // PcaD-term Long sum < PcaD * 2^40 << 2^63 — no overflow.
+          require(v.forall(x => math.abs(x) <= 1.0 + 1e-9),
+            "PCA power iterate left the unit ball — the 2^40-scaled " +
+              "Long accumulation bound no longer holds")
           Array.tabulate(PcaD)(i0 =>
             (1 to PcaD).map(j =>
               math.floor(Cm(i0 + 1)(j) * v(j - 1) * Scale.toDouble).toLong)
               .sum.toDouble / Scale.toDouble)
+        }
         var v = Array.fill(PcaD)(0.125)
         for (_ <- 1 to PcaRounds) {
           val y = matvec(v)
+          // bound: |y(i)| <= PcaD * max|Cm| * max|v| <= 16, so each
+          // floor(y^2 * 2^40) < 256 * 2^40 << 2^63.
           val n2 = (0 until PcaD).map(i =>
             math.floor(y(i) * y(i) * Scale.toDouble).toLong)
             .sum.toDouble / Scale.toDouble
@@ -273,6 +283,8 @@ object LearnQ {
           v = y.map(_ / nrm)
         }
         val y6 = matvec(v)
+        // bound: |v(i)| <= 1 and |y6(i)| <= 16 (see matvec), so each
+        // floor(v * y6 * 2^40) < 16 * 2^40 << 2^63.
         val lam = (0 until PcaD).map(i =>
           math.floor(v(i) * y6(i) * Scale.toDouble).toLong)
           .sum.toDouble / Scale.toDouble

@@ -578,4 +578,31 @@ class RegistryInvariantSpec extends SparkSpec {
     }
     assert(problems.isEmpty, problems.mkString("\n"))
   }
+
+  test("every scaled .toLong in main source carries a documented bound") {
+    // floor(x * 2^k).toLong silently clamps at Long.MaxValue once x
+    // escapes its assumed range — the hazard class the round-9 EM fix
+    // (LinkageQ exact-BigInt M-step) removed dynamically. This audit
+    // makes the remaining sites' safety arguments STATIC: every
+    // `math.floor(...).toLong` in non-test source must sit within a few
+    // lines of a `bound:` comment (or a require) proving the scaled
+    // value fits in a Long. A new unbounded site fails here until its
+    // bound is argued in code, the Bradley-Terry census precedent.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).flatMap { p =>
+        val lines = java.nio.file.Files.readAllLines(p).asScala
+        lines.zipWithIndex.collect {
+          case (l, i) if l.contains("math.floor(") && l.contains(".toLong")
+              && !lines.slice(math.max(0, i - 8), i + 1)
+                .exists(c => c.contains("bound:") || c.contains("require(")) =>
+            s"$p:${i + 1}: $l"
+        }
+      }.toSeq
+    assert(offenders.isEmpty,
+      "scaled .toLong without a documented overflow bound (add a " +
+        "`// bound:` comment or a require proving the range):\n" +
+        offenders.mkString("\n"))
+  }
 }
