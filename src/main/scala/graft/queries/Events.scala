@@ -81,15 +81,21 @@ object Events {
     * boundaries — no global single-partition sort — which is the same
     * replay shape a cluster run uses on a 100 TB table. */
   private val slicedDirs = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), String]()
+    (org.apache.spark.sql.SparkSession, String, Int), String]()
+  /** Default 3 slices = the contractual minimum of 3 data micro-batches
+    * (requireMultiBatch): each extra slice re-pays the whole per-batch
+    * fixed cost (batch planning + a state-store commit per store
+    * instance) across all ~17 consumers without proving anything a
+    * third batch doesn't. `events_stream_restart_recovery` alone passes
+    * slices=4 — its contract is 2 pre-stop + >= 2 post-restart batches. */
   private def slicedEventsDir(s: org.apache.spark.sql.SparkSession,
-                              d: String, slices: Int = 4): String =
-    slicedDirs.computeIfAbsent((s, d), _ => {
+                              d: String, slices: Int = 3): String =
+    slicedDirs.computeIfAbsent((s, d, slices), _ => {
       val base =
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
         else System.getProperty("java.io.tmpdir")
       val out = new java.io.File(base,
-        s"graft_events_sliced_${Integer.toHexString(d.hashCode)}")
+        s"graft_events_sliced_${slices}_${Integer.toHexString(d.hashCode)}")
       val stage = new java.io.File(out, ".stage") // dot-prefix: invisible
       Tables.events(s, d)                         // to the file source
         .repartitionByRange(slices, col("ts"), col("event_id"))
@@ -1240,7 +1246,7 @@ object Events {
           .schema(Tables.events(s, d).schema)
           .option("pathGlobFilter", glob)
           .option("maxFilesPerTrigger", "1")
-          .parquet(slicedEventsDir(s, d))
+          .parquet(slicedEventsDir(s, d, slices = 4))
           .filter(col("user_id") < 100)
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"), dsum("value").as("total"))

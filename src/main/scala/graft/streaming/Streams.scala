@@ -300,7 +300,10 @@ object Streams {
     * join: 4 stores per partition) the necessary commit latency:
     *   - shuffle partitions lowered to `partitions` for the lifetime of
     *     the query (pinned into the plan at start; a production job sizes
-    *     this to its state volume the same way);
+    *     this to its state volume the same way). Default 2: the test
+    *     corpus carries KB-scale state, so even 4 stores paid 2× the
+    *     necessary commit fsyncs — and a stream-stream join multiplies
+    *     the count by 4 store instances per partition;
     *   - the checkpoint (offsets/commits/state) placed on tmpfs when the
     *     host has one, so commit fsyncs don't hit rotational/virtio disk.
     *     A durable deployment points this at HDFS/S3 instead — the knob is
@@ -314,7 +317,7 @@ object Streams {
     * advance — event-time TIMEOUTS (flatMapGroupsWithState) and append-
     * mode windowed aggregations only release rows when a later batch
     * moves the watermark past them. */
-  def drained[T](spark: org.apache.spark.sql.SparkSession, partitions: Int = 4,
+  def drained[T](spark: org.apache.spark.sql.SparkSession, partitions: Int = 2,
                  noDataBatches: Boolean = false)
                 (body: String => T): T = {
     val pKey = "spark.sql.shuffle.partitions"
