@@ -42,6 +42,28 @@ object Writers {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Managed table + collected statistics: the CBO landing pattern.
+    * Saves `df` as a managed parquet table and runs `ANALYZE TABLE ...
+    * COMPUTE STATISTICS FOR COLUMNS ...`, giving the cost-based
+    * optimizer a rowCount plus per-column NDV/min/max/null counts. At
+    * 100 TB this is what turns "the filtered dim is small" from a guess
+    * into a broadcast decision: without column stats a Filter's size
+    * estimate equals its child's, so a selective dim filter still
+    * sort-merges the fact side; with stats the estimated post-filter
+    * size drops below the broadcast threshold and the join-reorder rule
+    * can move the most selective join first. Both effects are asserted
+    * in PhysicalPlanSpec ("ANALYZE stats flip the broadcast decision",
+    * "CBO reorders the join chain"). */
+  def statsTable(df: DataFrame, table: String,
+                 statCols: Seq[String] = Nil): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+    s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS" +
+      (if (statCols.nonEmpty) s" FOR COLUMNS ${statCols.mkString(", ")}"
+       else ""))
+  }
+
   /** S4 — JDBC sink: the pluggable interface the reference's
     * `insert_in_table` becomes. `createTableColumnTypes` carries the
     * per-column SQL types (the reference's `dtype={'entity_id':

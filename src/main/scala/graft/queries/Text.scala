@@ -1053,10 +1053,30 @@ object Text {
         val df = docs
           .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
           .groupBy("term").agg(count(lit(1)).as("df"))
+          // landed once: both skew-split arms below consume it, and the
+          // head selection must agree with the tail anti-join exactly
+          .localCheckpoint(true)
+        // Zipfian-key skew split (the text_lm_plausibility precedent):
+        // document-frequency keys are natural-language terms, so the head
+        // (stopword-class terms) carries most of tf's rows — at 100x
+        // scale one shuffle join funnels them through few reducers. The
+        // top-K most-document-frequent terms' df stats BROADCAST onto tf;
+        // the tail (per-term df bounded by construction) takes the
+        // ordinary equi-join. Deterministic total tie-break makes
+        // head ∪ tail an exact partition of df, so the two inner-join
+        // arms union to the original join row-for-row. tf needs no
+        // checkpoint: it sits behind its groupBy Exchange, and both arms
+        // reference the identical subtree, so ReuseExchange computes the
+        // scan once and replays shuffle files for the second probe.
+        val headK = 1024
+        val dfHead = df.orderBy(desc("df"), asc("term")).limit(headK)
+        val dfTail = df.join(broadcast(dfHead.select("term")),
+          Seq("term"), "left_anti")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id")
           .orderBy(desc("tfidf"), asc("term"))
-        tf.join(df, "term")
+        tf.join(broadcast(dfHead), "term")
+          .unionByName(tf.join(dfTail, "term"))
           .select(col("doc_id"), col("term"), col("tf"), col("df"),
             (col("tf").cast("double") * lit(n.toDouble) /
               col("df").cast("double")).as("tfidf"))

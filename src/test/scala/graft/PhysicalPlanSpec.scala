@@ -894,4 +894,107 @@ class PhysicalPlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), p)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("tf-idf skew-splits the Zipfian term join: broadcast head, equi tail") {
+    // Same contract as the bigram split: document-frequency stats for the
+    // top-K (stopword-class) terms broadcast onto the tf scan; the tail
+    // takes the shuffled equi-join; union. Auto-broadcast disabled so the
+    // explicit head hint must carry the plan on its own.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(SparkEntry.registry("text_tf_idf").fn(spark, sf))
+      assert(p.contains("Union"), s"expected head/tail union:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"head arm must broadcast the top-K term stats:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"tail arm must be a shuffled equi-join:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("CBO: ANALYZE stats flip the broadcast decision and reorder the join chain") {
+    // The cost-based path a 100 TB warehouse actually runs: land tables
+    // with collected statistics (Writers.statsTable = saveAsTable +
+    // ANALYZE TABLE ... FOR COLUMNS), then let the optimizer use
+    // rowCount + column NDV/min/max to (a) estimate a selective dim
+    // filter's output small enough to broadcast — without column stats a
+    // Filter's size estimate equals its child's, so the same join
+    // sort-merges — and (b) reorder a 3-table inner-join chain so the
+    // most selective join runs first. Both decisions are asserted from
+    // the SAME tables and the SAME threshold with only the CBO flag
+    // flipped, so the stats are provably what changes the plan.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    for (t <- Seq("li_stats", "ord_stats", "cust_stats")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get("target/spark-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    graft.io.Writers.statsTable(Tables.lineitem(spark, sf), "li_stats",
+      Seq("l_orderkey", "l_quantity"))
+    graft.io.Writers.statsTable(Tables.orders(spark, sf), "ord_stats",
+      Seq("o_orderkey", "o_custkey"))
+    graft.io.Writers.statsTable(Tables.customer(spark, sf), "cust_stats",
+      Seq("c_custkey", "c_mktsegment"))
+    val cboKey = "spark.sql.cbo.enabled"
+    val reoKey = "spark.sql.cbo.joinReorder.enabled"
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    def estSize(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dimFiltered = () => spark.table("cust_stats")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_mktsegment")
+    val joined = () => spark.table("ord_stats")
+      .select("o_orderkey", "o_custkey")
+      .join(dimFiltered(), col("o_custkey") === col("c_custkey"))
+    try {
+      // rowCount is plumbed from ANALYZE through the CBO stats visitor
+      spark.conf.set(cboKey, "true")
+      val rc = spark.table("cust_stats").queryExecution.optimizedPlan
+        .stats.rowCount
+      assert(rc.contains(BigInt(150)), s"catalog rowCount not plumbed: $rc")
+      // With CBO, the equality filter on an analyzed 5-NDV column shrinks
+      // the estimate ~5x; without, the filter estimate equals the raw
+      // table's (catalog totalSize). A threshold strictly between the two
+      // makes the broadcast decision purely stats-driven.
+      val filtEstOn = estSize(dimFiltered())
+      spark.conf.set(cboKey, "false")
+      val fullEstOff = estSize(dimFiltered())
+      assert(filtEstOn < fullEstOff,
+        s"CBO filter estimate $filtEstOn should undercut size-only $fullEstOff")
+      val threshold = (filtEstOn + fullEstOff) / 2
+      spark.conf.set(thrKey, threshold.toString)
+      val offPlan = joined().queryExecution.sparkPlan.toString
+      assert(offPlan.contains("SortMergeJoin") ||
+        offPlan.contains("ShuffledHashJoin"),
+        s"without CBO the filtered dim must not broadcast:\n$offPlan")
+      spark.conf.set(cboKey, "true")
+      val onPlan = joined().queryExecution.sparkPlan.toString
+      assert(onPlan.contains("BroadcastHashJoin"),
+        s"with CBO + column stats the filtered dim must broadcast:\n$onPlan")
+      // Join reorder: written order joins fact x fact first; the DP
+      // reorderer must move the selective dim join innermost.
+      spark.conf.set(reoKey, "true")
+      val chain = spark.table("li_stats").select("l_orderkey", "l_quantity")
+        .join(spark.table("ord_stats").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(dimFiltered(), col("o_custkey") === col("c_custkey"))
+      val joins = chain.queryExecution.optimizedPlan.collect {
+        case j: Join => j
+      }
+      assert(joins.size == 2, s"expected 2 joins, got ${joins.size}")
+      val innermost = joins.last.output.map(_.name)
+      assert(innermost.exists(_.startsWith("c_")) &&
+        !innermost.exists(_.startsWith("l_")),
+        "reorder should join orders x filtered customers first, " +
+          s"innermost output was: ${innermost.mkString(", ")}")
+      assert(chain.collect().nonEmpty)
+    } finally {
+      spark.conf.unset(cboKey); spark.conf.unset(reoKey)
+      spark.conf.unset(thrKey)
+    }
+  }
 }
