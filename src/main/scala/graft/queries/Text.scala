@@ -1050,6 +1050,14 @@ object Text {
         val tf = docs.filter(col("doc_id") % 20 === 0)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          // staged once (the text_lm_plausibility precedent): both
+          // skew-split arms below probe tf, and AQE does NOT stage-cache
+          // the duplicated subtree across union arms (measured: the tail
+          // arm re-ran the scan+aggregate), so land it eagerly — at
+          // scale this is the difference between scanning the sampled
+          // corpus once and twice. Plan-asserted: no parquet scan
+          // survives in either union arm.
+          .localCheckpoint(true)
         val df = docs
           .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
           .groupBy("term").agg(count(lit(1)).as("df"))
@@ -1064,10 +1072,7 @@ object Text {
         // the tail (per-term df bounded by construction) takes the
         // ordinary equi-join. Deterministic total tie-break makes
         // head ∪ tail an exact partition of df, so the two inner-join
-        // arms union to the original join row-for-row. tf needs no
-        // checkpoint: it sits behind its groupBy Exchange, and both arms
-        // reference the identical subtree, so ReuseExchange computes the
-        // scan once and replays shuffle files for the second probe.
+        // arms union to the original join row-for-row.
         val headK = 1024
         val dfHead = df.orderBy(desc("df"), asc("term")).limit(headK)
         val dfTail = df.join(broadcast(dfHead.select("term")),

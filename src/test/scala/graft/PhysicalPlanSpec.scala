@@ -899,7 +899,12 @@ class PhysicalPlanSpec extends SparkSpec {
     // Same contract as the bigram split: document-frequency stats for the
     // top-K (stopword-class) terms broadcast onto the tf scan; the tail
     // takes the shuffled equi-join; union. Auto-broadcast disabled so the
-    // explicit head hint must carry the plan on its own.
+    // explicit head hint must carry the plan on its own. Both arms probe
+    // the same tf aggregation; AQE does NOT stage-cache the duplicated
+    // subtree across union arms (measured — the tail arm re-ran the
+    // scan+aggregate), so tf is eagerly staged (localCheckpoint): the
+    // compute-once evidence is that NO parquet scan survives in the
+    // plan — both arms read the staged RDD.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val p = plan(SparkEntry.registry("text_tf_idf").fn(spark, sf))
@@ -909,6 +914,10 @@ class PhysicalPlanSpec extends SparkSpec {
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         s"tail arm must be a shuffled equi-join:\n$p")
       assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("FileScan"),
+        s"tf and df must probe their staged RDDs, not rescan parquet:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"expected staged-RDD scans for tf/df:\n$p")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
