@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 
@@ -1004,6 +1005,51 @@ class PhysicalPlanSpec extends SparkSpec {
     } finally {
       spark.conf.unset(cboKey); spark.conf.unset(reoKey)
       spark.conf.unset(thrKey)
+    }
+  }
+
+  test("CBO histograms sharpen skewed range-filter estimates over min/max interpolation") {
+    // events.value is right-skewed (exponential-class): the bottom 5% of
+    // the RANGE holds ~27% of the rows. Plain column stats make CBO
+    // interpolate range predicates uniformly between min and max — off
+    // by >4x here; an equi-height histogram (ANALYZE under
+    // spark.sql.statistics.histogram.enabled) carries the shape, so the
+    // estimate lands near the truth. This is the stats story a 100 TB
+    // warehouse needs for selectivity-driven planning on skewed measures
+    // — asserted by comparing both estimates against the true count.
+    spark.sql("DROP TABLE IF EXISTS ev_stats")
+    val p = java.nio.file.Paths.get("target/spark-warehouse", "ev_stats")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
+    val cboKey = "spark.sql.cbo.enabled"
+    val histKey = "spark.sql.statistics.histogram.enabled"
+    def estRows(threshold: Double): BigInt = {
+      spark.catalog.refreshTable("ev_stats")
+      spark.table("ev_stats").filter(col("value") < threshold)
+        .queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(fail("CBO rowCount missing on the filter estimate"))
+    }
+    try {
+      spark.conf.set(cboKey, "true")
+      val Row(mn: Double, mx: Double) = ev.agg(min("value"), max("value")).head()
+      val threshold = mn + 0.05 * (mx - mn)
+      val truth = BigInt(ev.filter(col("value") < threshold).count())
+      spark.conf.set(histKey, "false")
+      graft.io.Writers.statsTable(ev, "ev_stats", Seq("value"))
+      val basic = estRows(threshold)
+      spark.conf.set(histKey, "true")
+      spark.sql("ANALYZE TABLE ev_stats COMPUTE STATISTICS FOR COLUMNS value")
+      val hist = estRows(threshold)
+      assert(hist != basic,
+        s"histogram stats did not change the estimate (basic=$basic)")
+      assert((hist - truth).abs < (basic - truth).abs,
+        s"histogram estimate $hist should beat uniform $basic vs truth $truth")
+    } finally {
+      spark.conf.unset(cboKey); spark.conf.unset(histKey)
     }
   }
 }
