@@ -98,12 +98,11 @@ object Analytic {
     // Market-basket association rules over order contents: for every part
     // pair co-occurring in >= 2 orders, support / confidence(a->b) /
     // lift, top 20 by lift — the classic affinity-mining op behind
-    // "frequently bought together" (and the COUNTED cousin of GraphQ's
-    // distinct co-purchase edges). Scale shape: the basket table
-    // (distinct order x part) self-joins on the ORDER key — the shuffle
-    // is keyed by order, pair cardinality is bounded per order by
-    // (items/order)², never all-parts² — then ONE map-side-combined
-    // keyed agg counts each unordered pair; per-part order counts
+    // "frequently bought together". Scale shape: the pair census IS
+    // GraphQ's shared support-carrying co-purchase stage (one order-key
+    // self-join per session — the shuffle is keyed by order, pair
+    // cardinality bounded per order by (items/order)², never
+    // all-parts²), consumed here as a filter; per-part order counts
     // BROADCAST (|parts| rows) for the rational support/confidence/lift
     // arithmetic; the cut is a TakeOrdered top-20, never a global sort.
     // Lift = n_both·n_orders / (n_a·n_b): integer products, ONE double
@@ -115,12 +114,15 @@ object Analytic {
           .distinct()
         val nOrders = po.agg(countDistinct("ok").as("n_orders"))
         val pc = po.groupBy(col("pk")).agg(count(lit(1)).as("n"))
-        val pairs = po.as("a")
-          .join(po.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-          .agg(count(lit(1)).as("n_both"))
-          .filter(col("n_both") >= 2)
+        // n_both(pa, pb) = distinct orders containing both = the SHARED
+        // co-purchase stage's support column (GraphQ builds it once per
+        // session off the raw lineitem self-join; countDistinct dedups
+        // repeated (order, part) rows exactly like the DISTINCT basket
+        // table here) — keep the canonical pa < pb half.
+        val pairs = GraphQ.coPurchaseSupportEdges(s, d)
+          .filter(col("src") < col("dst") && col("support") >= 2)
+          .select(col("src").as("pa"), col("dst").as("pb"),
+            col("support").as("n_both"))
         pairs
           .join(broadcast(pc.select(col("pk").as("pa"), col("n").as("na"))),
             "pa")
