@@ -1273,12 +1273,14 @@ object LearnQ {
         val nord = li.groupBy("pk").agg(count(lit(1)).as("nord"))
         val seeds = nord.select(col("pk").as("seed"))
           .orderBy("seed").limit(20)
-        val co = li.as("a")
-          .join(broadcast(seeds), col("a.pk") === col("seed"))
-          .join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("b.pk") =!= col("seed"))
-          .groupBy(col("seed"), col("b.pk").as("item"))
-          .agg(count(lit(1)).as("support"))
+        // co-occurrence counts per (seed, item) = the SHARED co-purchase
+        // support stage (distinct co-occurring orders per directed pair)
+        // restricted to src ∈ seeds — a broadcast semi-filter over the
+        // materialized table, not another order-key self-join
+        val co = GraphQ.coPurchaseSupportEdges(s, d)
+          .join(broadcast(seeds), col("src") === col("seed"))
+          .select(col("seed"), col("dst").as("item"),
+            col("support"))
         val ns = nord.select(col("pk").as("seed"), col("nord").as("n_seed"))
         val ni = nord.select(col("pk").as("item"), col("nord").as("n_item"))
         val w = org.apache.spark.sql.expressions.Window
@@ -1587,9 +1589,9 @@ object LearnQ {
     "learn_cf_eval_topk" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        // li feeds four DAG arms (evalB, ctx, both sides of co) and evalB
-        // three — checkpoint both so the distinct scan and the
-        // group/sort/limit run once, not per consumer
+        // li feeds evalB and ctx, and evalB three arms — checkpoint both
+        // so the distinct scan and the group/sort/limit run once, not
+        // per consumer (the pair census itself rides the shared stage)
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
@@ -1603,12 +1605,15 @@ object LearnQ {
         val ctx = li.join(broadcast(evalB), col("ok") === col("eok"))
           .filter(col("pk") =!= col("held"))
           .select(col("eok"), col("pk").as("ctx_pk"))
-        val co = li.as("a")
-          .join(broadcast(ctx), col("a.pk") === col("ctx_pk"))
-          .join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("b.pk") =!= col("a.pk"))
-          .groupBy(col("eok"), col("b.pk").as("cand"))
-          .agg(count(lit(1)).as("s_global"))
+        // s_global(eok, cand) = Σ_{p ∈ ctx(eok)} |orders with p and cand|
+        // — the SHARED co-purchase support stage summed over the eval
+        // basket's context parts (broadcast), replacing the 3-way
+        // order-key self-join with one keyed agg over the materialized
+        // pair table (src ≠ dst is inherent in the edge stage).
+        val co = GraphQ.coPurchaseSupportEdges(s, d)
+          .join(broadcast(ctx), col("src") === col("ctx_pk"))
+          .groupBy(col("eok"), col("dst").as("cand"))
+          .agg(sum("support").as("s_global"))
         val sc = co
           .join(broadcast(ctx.withColumnRenamed("ctx_pk", "cand")),
             Seq("eok", "cand"), "left_anti")
