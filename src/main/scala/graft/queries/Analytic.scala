@@ -512,10 +512,18 @@ object Analytic {
         val banded = c.select(col("id"), col("name"),
           posexplode(array((0 until 3).map(k =>
             substring(col("name"), 13 + 2 * k, 2)): _*)).as(Seq("band", "bv")))
-        val kept = banded
-          .withColumn("bsz",
-            count(lit(1)).over(Window.partitionBy("band", "bv")))
+        // Hot-bucket suppression via a DOMAIN-BOUNDED census (band values
+        // are 2-char substrings, so |bands|x|values| is tiny) broadcast
+        // back as a semi-filter — not a corpus-wide window, which would
+        // exchange AND sort every banded row just to count its bucket.
+        // kept is probed by BOTH self-join sides, so land it once
+        // (AQE does not stage-cache duplicated subtrees across the join).
+        val census = banded.groupBy("band", "bv")
+          .agg(count(lit(1)).as("bsz"))
           .filter(col("bsz") <= cap)
+        val kept = banded
+          .join(broadcast(census.select("band", "bv")), Seq("band", "bv"))
+          .localCheckpoint(true)
         // Verify BEFORE dedup: the levenshtein filter shrinks the set far
         // more than a candidate-level DISTINCT would, so the (mandatory)
         // dedup of pairs matched by two bands shuffles narrow rows only.
