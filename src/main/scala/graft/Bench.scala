@@ -89,7 +89,9 @@ object Bench {
       timedStage("learn_logreg_shared_train")(f =>
         graft.queries.LearnQ.buildSharedLogregStage(spark, sfDir, f)),
       timedStage("linkage_candidates_shared_stage")(f =>
-        graft.queries.LinkageQ.buildSharedLinkageStage(spark, sfDir, f)))
+        graft.queries.LinkageQ.buildSharedLinkageStage(spark, sfDir, f)),
+      timedStage("events_sliced_fixture")(f =>
+        graft.queries.Events.buildSlicedFixtures(spark, sfDir, f)))
 
     // noop sink forces FULL evaluation of every column (a bare .count()
     // would let Catalyst prune projection work and under-measure

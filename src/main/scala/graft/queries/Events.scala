@@ -118,6 +118,17 @@ object Events {
       out.getPath
     })
 
+  /** Benchmark hook: build both sliced replay fixtures (the 3-slice dir
+    * every stream query reads and restart-recovery's 4-slice dir) NOW so
+    * the build lands in its own timing entry instead of whichever stream
+    * query runs first — the same fairness contract as the other shared
+    * stages. */
+  def buildSlicedFixtures(s: org.apache.spark.sql.SparkSession,
+                          d: String, fresh: Boolean = false): Unit = {
+    if (fresh) slicedDirs.keySet.removeIf(k => (k._1 eq s) && k._2 == d)
+    slicedEventsDir(s, d); slicedEventsDir(s, d, slices = 4); ()
+  }
+
   /** ≥ 3 observed data micro-batches, or the multi-batch claim is hollow —
     * fail loudly rather than silently degrade to a one-shot drain. */
   private def requireMultiBatch(
