@@ -58,6 +58,17 @@ object Writers {
                  statCols: Seq[String] = Nil): Unit = {
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS $table")
+    // A previously-failed run can orphan the managed location on disk
+    // (DROP TABLE on a table the catalog no longer knows leaves the dir)
+    val warehouse = s.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(warehouse, table)
+    if (java.nio.file.Files.exists(loc)) {
+      val walk = java.nio.file.Files.walk(loc)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+      finally walk.close()
+    }
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
     s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS" +
       (if (statCols.nonEmpty) s" FOR COLUMNS ${statCols.mkString(", ")}"

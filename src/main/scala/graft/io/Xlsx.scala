@@ -113,6 +113,8 @@ object Xlsx {
     // inside Long; plusDays rejects out-of-range results loudly.
     val days = math.floor(adjusted).toLong
     val date = java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+    // bound: (adjusted - days) ∈ [0, 1), so the rounded value is in
+    // [0, 86400] — trivially inside Long.
     val secs = math.round((adjusted - days) * 86400.0)
     if (secs == 0) date.toString
     else java.time.LocalDateTime.of(date, java.time.LocalTime.MIDNIGHT)

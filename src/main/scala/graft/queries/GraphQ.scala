@@ -642,10 +642,14 @@ object GraphQ {
     "graph_connected_components" -> QuerySpec(
       (s, d) => {
         // backbone = a filter over the SHARED support-carrying edge
-        // stage (already materialized) — no second corpus self-join
+        // stage (already materialized) — no second corpus self-join.
+        // Landed once: the label loop references edges 7 times (init +
+        // 6 rounds), and the backbone is far smaller than the full
+        // support table it filters.
         val edges = coPurchaseSupportEdges(s, d)
           .filter(col("support") >= 3)
           .select(col("src"), col("dst"))
+          .localCheckpoint(true)
         var labels = edges.select(col("src").as("node")).distinct()
           .select(col("node"), col("node").as("label"))
           .localCheckpoint(true)

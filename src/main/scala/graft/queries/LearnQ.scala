@@ -260,31 +260,42 @@ object LearnQ {
           Cm(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
         def matvec(v: Array[Double]): Array[Double] = {
           // bound: |Cm(i)(j)| <= 1 (covariance of unit-normalized
-          // coordinates) and |v(j)| <= 1 (unit or sub-unit iterate,
-          // asserted), so each floor(term * 2^40) is < 2^40 and the
-          // PcaD-term Long sum < PcaD * 2^40 << 2^63 — no overflow.
-          require(v.forall(x => math.abs(x) <= 1.0 + 1e-9),
-            "PCA power iterate left the unit ball — the 2^40-scaled " +
+          // coordinates) and |v(j)| <= 2 (asserted; the quantized
+          // normalization below divides by sqrt(sum(floor(y^2*2^40))/2^40)
+          // <= ||y||, so a component can exceed 1 by up to ~8/(2^40*n2) —
+          // data-dependent, but nowhere near 2 unless n2 underflows,
+          // which the nrm guard rejects first). Each floor(term * 2^40)
+          // is then < 2^41 and the PcaD-term Long sum < PcaD * 2^41
+          // << 2^63 — no overflow.
+          require(v.forall(x => math.abs(x) <= 2.0),
+            "PCA power iterate left the 2-ball — the 2^40-scaled " +
               "Long accumulation bound no longer holds")
           Array.tabulate(PcaD)(i0 =>
             (1 to PcaD).map(j =>
+              // bound: |Cm|·|v| <= 2 per the 2-ball require above
               math.floor(Cm(i0 + 1)(j) * v(j - 1) * Scale.toDouble).toLong)
               .sum.toDouble / Scale.toDouble)
         }
         var v = Array.fill(PcaD)(0.125)
         for (_ <- 1 to PcaRounds) {
           val y = matvec(v)
-          // bound: |y(i)| <= PcaD * max|Cm| * max|v| <= 16, so each
-          // floor(y^2 * 2^40) < 256 * 2^40 << 2^63.
+          // bound: |y(i)| <= PcaD * max|Cm| * max|v| <= 32, so each
+          // floor(y^2 * 2^40) < 1024 * 2^40 << 2^63.
           val n2 = (0 until PcaD).map(i =>
             math.floor(y(i) * y(i) * Scale.toDouble).toLong)
             .sum.toDouble / Scale.toDouble
           val nrm = math.sqrt(n2)
+          // degenerate spectrum (every y_i^2 < 2^-40): fail loudly with
+          // the real cause instead of propagating Infinity/NaN into
+          // matvec's ball check
+          require(nrm > 0.0,
+            "PCA power iteration collapsed: quantized norm underflowed " +
+              "(top eigenvalue too small for the 2^40 grid)")
           v = y.map(_ / nrm)
         }
         val y6 = matvec(v)
-        // bound: |v(i)| <= 1 and |y6(i)| <= 16 (see matvec), so each
-        // floor(v * y6 * 2^40) < 16 * 2^40 << 2^63.
+        // bound: |v(i)| <= 2 and |y6(i)| <= 32 (see matvec), so each
+        // floor(v * y6 * 2^40) < 64 * 2^40 << 2^63.
         val lam = (0 until PcaD).map(i =>
           math.floor(v(i) * y6(i) * Scale.toDouble).toLong)
           .sum.toDouble / Scale.toDouble

@@ -164,14 +164,22 @@ object Text {
   private val ngramCache = new graft.util.SessionScopedCache[
     (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
 
+  /** Adjacent-token bigram pairs of `text` as array<struct<a,b>> — the
+    * ONE definition shared by the census build and the per-doc
+    * plausibility scan, so the corpus statistics and the scored pairs
+    * cannot silently diverge. */
+  private def bigramPairs: org.apache.spark.sql.Column = {
+    val toks = TextOps.tokens(col("text"))
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => struct(get(toks, i).as("a"), get(toks, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+  }
+
   private def ngramCensus(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
     ngramCache.getOrBuild(s, d) {
-      val toks = TextOps.tokens(col("text"))
-      val pairs = when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2),
-          i => struct(get(toks, i).as("a"), get(toks, i + 1).as("b"))))
-        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val pairs = bigramPairs
       val bi = Tables.documents(s, d)
         .select((col("doc_id") % 5 === 0).as("insub"), explode(pairs).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
@@ -1751,18 +1759,19 @@ object Text {
         // identical to counting (a, *) occurrences directly.
         val census = ngramCensus(s, d)._1
         val totals = census.groupBy("a").agg(sum("n_all").as("na"))
+        // Landed once: probs feeds the head TakeOrdered, the tail
+        // anti-join, and the tail equi-join — and the exact head/tail
+        // partition must not rest on the recompute determinism of
+        // independent TakeOrdered runs (the tf-idf df rationale).
         val probs = census.join(totals, "a")
           .select(col("a"), col("b"), col("n_all").as("nab"),
             (col("n_all").cast("double") / col("na").cast("double")).as("p"))
-        val toks = TextOps.tokens(col("text"))
-        val pairs = when(size(toks) >= 2,
-          transform(sequence(lit(0), size(toks) - 2),
-            i => struct(get(toks, i).as("a"), get(toks, i + 1).as("b"))))
-          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+          .localCheckpoint(true)
         // Staged once (both skew arms scan it): at 100 TB this is the
         // standard persist-once exploded table; here localCheckpoint.
+        // bigramPairs is the SAME definition the census was built from.
         val bg = Tables.documents(s, d)
-          .select(col("doc_id"), explode(pairs).as("p"))
+          .select(col("doc_id"), explode(bigramPairs).as("p"))
           .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
           .localCheckpoint(true)
         // Zipfian-key skew split (VERDICT r9 item 3): natural-language

@@ -934,15 +934,7 @@ class PhysicalPlanSpec extends SparkSpec {
     // the SAME tables and the SAME threshold with only the CBO flag
     // flipped, so the stats are provably what changes the plan.
     import org.apache.spark.sql.catalyst.plans.logical.Join
-    for (t <- Seq("li_stats", "ord_stats", "cust_stats")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val p = java.nio.file.Paths.get("target/spark-warehouse", t)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-    }
+    // orphaned managed locations are handled inside statsTable
     graft.io.Writers.statsTable(Tables.lineitem(spark, sf), "li_stats",
       Seq("l_orderkey", "l_quantity"))
     graft.io.Writers.statsTable(Tables.orders(spark, sf), "ord_stats",
@@ -1017,13 +1009,6 @@ class PhysicalPlanSpec extends SparkSpec {
     // estimate lands near the truth. This is the stats story a 100 TB
     // warehouse needs for selectivity-driven planning on skewed measures
     // — asserted by comparing both estimates against the true count.
-    spark.sql("DROP TABLE IF EXISTS ev_stats")
-    val p = java.nio.file.Paths.get("target/spark-warehouse", "ev_stats")
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
     val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
     val cboKey = "spark.sql.cbo.enabled"
     val histKey = "spark.sql.statistics.histogram.enabled"

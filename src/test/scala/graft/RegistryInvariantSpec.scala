@@ -580,29 +580,36 @@ class RegistryInvariantSpec extends SparkSpec {
   }
 
   test("every scaled .toLong in main source carries a documented bound") {
-    // floor(x * 2^k).toLong silently clamps at Long.MaxValue once x
-    // escapes its assumed range — the hazard class the round-9 EM fix
-    // (LinkageQ exact-BigInt M-step) removed dynamically. This audit
-    // makes the remaining sites' safety arguments STATIC: every
-    // `math.floor(...).toLong` in non-test source must sit within a few
-    // lines of a `bound:` comment (or a require) proving the scaled
-    // value fits in a Long. A new unbounded site fails here until its
-    // bound is argued in code, the Bradley-Terry census precedent.
+    // floor(x * 2^k).toLong (and math.round, which also lands in Long)
+    // silently clamp at Long.MaxValue once x escapes its assumed range —
+    // the hazard class the round-9 EM fix (LinkageQ exact-BigInt M-step)
+    // removed dynamically. This audit makes the remaining sites' safety
+    // arguments STATIC: every driver-side `math.floor(...).toLong` /
+    // `math.round(...)` in non-test source must sit within a few lines
+    // of an explicit `bound:` marker proving the scaled value fits in a
+    // Long — a marker, not any nearby require, so an unrelated assertion
+    // cannot satisfy the audit by accident. The window is widened and
+    // `.toLong` may land on the FOLLOWING line (wrapped expressions).
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala")
     val offenders = java.nio.file.Files.walk(root).iterator().asScala
       .filter(_.toString.endsWith(".scala")).flatMap { p =>
         val lines = java.nio.file.Files.readAllLines(p).asScala
         lines.zipWithIndex.collect {
-          case (l, i) if l.contains("math.floor(") && l.contains(".toLong")
-              && !lines.slice(math.max(0, i - 8), i + 1)
-                .exists(c => c.contains("bound:") || c.contains("require(")) =>
-            s"$p:${i + 1}: $l"
+          case (l, i) if {
+            val nextTwo = lines.slice(i, math.min(lines.size, i + 2))
+              .mkString(" ")
+            val isSite =
+              (l.contains("math.floor(") && nextTwo.contains(".toLong")) ||
+                l.contains("math.round(")
+            isSite && !lines.slice(math.max(0, i - 12), i + 1)
+              .exists(_.contains("bound:"))
+          } => s"$p:${i + 1}: ${l.trim}"
         }
       }.toSeq
     assert(offenders.isEmpty,
-      "scaled .toLong without a documented overflow bound (add a " +
-        "`// bound:` comment or a require proving the range):\n" +
+      "scaled Long-producing site without a documented overflow bound " +
+        "(add a `// bound:` comment proving the range):\n" +
         offenders.mkString("\n"))
   }
 }
