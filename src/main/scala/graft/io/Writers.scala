@@ -57,18 +57,28 @@ object Writers {
   def statsTable(df: DataFrame, table: String,
                  statCols: Seq[String] = Nil): Unit = {
     val s = df.sparkSession
+    // The managed-location derivation below is <warehouse>/<table>,
+    // which is only the catalog's layout for the default database
+    // (elsewhere it is <warehouse>/<db>.db/<table>) — refuse rather
+    // than clean the wrong directory.
+    require(s.catalog.currentDatabase == "default",
+      s"statsTable assumes the default database; current is " +
+        s"'${s.catalog.currentDatabase}'")
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"statsTable table name must be a bare identifier: '$table'")
     s.sql(s"DROP TABLE IF EXISTS $table")
     // A previously-failed run can orphan the managed location on disk
-    // (DROP TABLE on a table the catalog no longer knows leaves the dir)
-    val warehouse = s.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val loc = java.nio.file.Paths.get(warehouse, table)
-    if (java.nio.file.Files.exists(loc)) {
-      val walk = java.nio.file.Files.walk(loc)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { java.nio.file.Files.delete(p); () })
-      finally walk.close()
-    }
+    // (DROP TABLE on a table the catalog no longer knows leaves the
+    // dir). Resolve it via Hadoop Path/FileSystem on the warehouse URI
+    // — not string math on the conf value — so file: schemes, URI
+    // encoding, and non-local filesystems all resolve correctly; the
+    // catalog lowercases the identifier for the directory name.
+    val whPath = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val tblPath = new org.apache.hadoop.fs.Path(
+      whPath, table.toLowerCase(java.util.Locale.ROOT))
+    val fs = tblPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(tblPath)) { fs.delete(tblPath, true); () }
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
     s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS" +
       (if (statCols.nonEmpty) s" FOR COLUMNS ${statCols.mkString(", ")}"

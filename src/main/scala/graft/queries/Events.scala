@@ -82,6 +82,16 @@ object Events {
     * replay shape a cluster run uses on a 100 TB table. */
   private val slicedDirs = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, Int), String]()
+  /** Monotonic build id: every (re)build lands in a FRESH directory, so
+    * a `fresh=true` rebuild (or a second session in the same JVM) can
+    * never rewrite slice files in place under a stream/checkpoint that
+    * still references the earlier path. */
+  private val sliceBuildId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
   /** Default 3 slices = the contractual minimum of 3 data micro-batches
     * (requireMultiBatch): each extra slice re-pays the whole per-batch
     * fixed cost (batch planning + a state-store commit per store
@@ -94,8 +104,23 @@ object Events {
       val base =
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
         else System.getProperty("java.io.tmpdir")
+      val prefix =
+        s"graft_events_sliced_${slices}_${Integer.toHexString(d.hashCode)}"
+      // Session+build-unique directory: prefix identifies the fixture,
+      // the session identity hash scopes it to this session, and the
+      // monotonic build id makes every rebuild a new path (never a
+      // rewrite-in-place under a live reader). Stale dirs from THIS
+      // session's earlier builds — and the old unsuffixed naming scheme
+      // — are deleted here; other live sessions' dirs (different
+      // session token) are left alone.
+      val sessTok = Integer.toHexString(System.identityHashCode(s))
+      Option(new java.io.File(base).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName == prefix ||
+          f.getName.startsWith(s"${prefix}_${sessTok}_"))
+        .foreach(deleteRecursively)
       val out = new java.io.File(base,
-        s"graft_events_sliced_${slices}_${Integer.toHexString(d.hashCode)}")
+        s"${prefix}_${sessTok}_${sliceBuildId.incrementAndGet()}")
       val stage = new java.io.File(out, ".stage") // dot-prefix: invisible
       Tables.events(s, d)                         // to the file source
         .repartitionByRange(slices, col("ts"), col("event_id"))
@@ -104,8 +129,6 @@ object Events {
       // part-file names sort in range order; publish them as slice-NNN
       // with 1s-spaced mtimes so oldest-first processing is unambiguous
       // on any filesystem timestamp resolution.
-      Option(out.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("slice-")).foreach(_.delete())
       val parts = Option(stage.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       val t0 = System.currentTimeMillis()

@@ -954,10 +954,13 @@ class PhysicalPlanSpec extends SparkSpec {
       .join(dimFiltered(), col("o_custkey") === col("c_custkey"))
     try {
       // rowCount is plumbed from ANALYZE through the CBO stats visitor
+      // (expected value derived from the fixture itself, not hard-coded,
+      // so a fixture-scale change cannot silently break the assertion)
       spark.conf.set(cboKey, "true")
+      val nCust = Tables.customer(spark, sf).count()
       val rc = spark.table("cust_stats").queryExecution.optimizedPlan
         .stats.rowCount
-      assert(rc.contains(BigInt(150)), s"catalog rowCount not plumbed: $rc")
+      assert(rc.contains(BigInt(nCust)), s"catalog rowCount not plumbed: $rc")
       // With CBO, the equality filter on an analyzed 5-NDV column shrinks
       // the estimate ~5x; without, the filter estimate equals the raw
       // table's (catalog totalSize). A threshold strictly between the two
@@ -997,6 +1000,10 @@ class PhysicalPlanSpec extends SparkSpec {
     } finally {
       spark.conf.unset(cboKey); spark.conf.unset(reoKey)
       spark.conf.unset(thrKey)
+      // drop the managed stats tables — the shared warehouse must not
+      // accumulate per-test leftovers across suites (r10 advice)
+      Seq("li_stats", "ord_stats", "cust_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
@@ -1035,6 +1042,7 @@ class PhysicalPlanSpec extends SparkSpec {
         s"histogram estimate $hist should beat uniform $basic vs truth $truth")
     } finally {
       spark.conf.unset(cboKey); spark.conf.unset(histKey)
+      spark.sql("DROP TABLE IF EXISTS ev_stats")
     }
   }
 }

@@ -585,25 +585,43 @@ class RegistryInvariantSpec extends SparkSpec {
     // the hazard class the round-9 EM fix (LinkageQ exact-BigInt M-step)
     // removed dynamically. This audit makes the remaining sites' safety
     // arguments STATIC: every driver-side `math.floor(...).toLong` /
-    // `math.round(...)` in non-test source must sit within a few lines
-    // of an explicit `bound:` marker proving the scaled value fits in a
-    // Long — a marker, not any nearby require, so an unrelated assertion
-    // cannot satisfy the audit by accident. The window is widened and
-    // `.toLong` may land on the FOLLOWING line (wrapped expressions).
+    // `math.round(...)` in non-test source must carry an explicit
+    // `bound:` marker proving the scaled value fits in a Long — and the
+    // marker must be the NEAREST comment block above the site (or
+    // inline on the site's own statement), so an unrelated bound
+    // comment a few lines up cannot satisfy a newly added unbounded
+    // site by accident (r10 advice). `.toLong` is matched on the
+    // 4-line joined statement, so a wrapped floor whose cast lands two
+    // or three lines later no longer escapes detection.
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala")
+    def isCommentLine(s: String): Boolean = {
+      val t = s.trim
+      t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
+    }
     val offenders = java.nio.file.Files.walk(root).iterator().asScala
       .filter(_.toString.endsWith(".scala")).flatMap { p =>
         val lines = java.nio.file.Files.readAllLines(p).asScala
+        // the nearest comment block above line i (skipping at most 8
+        // code lines of wrapped statement) contains a `bound:` marker
+        def boundAdjacent(i: Int): Boolean = {
+          if (lines(i).contains("bound:")) return true
+          var j = i - 1
+          val lo = math.max(0, i - 8)
+          while (j >= lo && !isCommentLine(lines(j))) j -= 1
+          if (j < lo || j < 0) return false
+          var k = j
+          while (k - 1 >= 0 && isCommentLine(lines(k - 1))) k -= 1
+          lines.slice(k, j + 1).exists(_.contains("bound:"))
+        }
         lines.zipWithIndex.collect {
           case (l, i) if {
-            val nextTwo = lines.slice(i, math.min(lines.size, i + 2))
+            val joined = lines.slice(i, math.min(lines.size, i + 4))
               .mkString(" ")
             val isSite =
-              (l.contains("math.floor(") && nextTwo.contains(".toLong")) ||
+              (l.contains("math.floor(") && joined.contains(".toLong")) ||
                 l.contains("math.round(")
-            isSite && !lines.slice(math.max(0, i - 12), i + 1)
-              .exists(_.contains("bound:"))
+            isSite && !boundAdjacent(i)
           } => s"$p:${i + 1}: ${l.trim}"
         }
       }.toSeq
