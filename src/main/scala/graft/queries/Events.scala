@@ -114,9 +114,11 @@ object Events {
       // — are deleted here; other live sessions' dirs (different
       // session token) are left alone.
       val sessTok = Integer.toHexString(System.identityHashCode(s))
+      val preR10 = // the r9 scheme carried no slices segment at all
+        s"graft_events_sliced_${Integer.toHexString(d.hashCode)}"
       Option(new java.io.File(base).listFiles())
         .getOrElse(Array.empty)
-        .filter(f => f.getName == prefix ||
+        .filter(f => f.getName == prefix || f.getName == preR10 ||
           f.getName.startsWith(s"${prefix}_${sessTok}_"))
         .foreach(deleteRecursively)
       val out = new java.io.File(base,
