@@ -919,6 +919,79 @@ object Analytic {
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin),
 
+    // The CBO catalog-statistics path run FOR REAL, not just as spec
+    // evidence (r10 directive #5): the three inputs land as ANALYZE'd
+    // managed tables (Writers.statsTable: rowCount + per-column
+    // NDV/min/max), cost-based optimization and DP join reorder run ON
+    // for this plan, and the body plan-asserts the two decisions the
+    // statistics earn — (a) the DP reorderer moves the selective
+    // mktsegment dim join innermost although the WRITTEN order joins
+    // the two fact tables first, and (b) the filtered dim's
+    // stats-estimated size lands under the 1 MiB broadcast threshold so
+    // the dim join is a BroadcastHashJoin. This is the exact decision
+    // chain a 100 TB warehouse leans on: without column stats a
+    // filter's size estimate equals its child's and the selective dim
+    // neither reorders nor broadcasts (proven with the same tables and
+    // threshold in PhysicalPlanSpec's CBO case). CBO only PICKS the
+    // plan — values are stats-independent — so the DuckDB oracle is the
+    // plain 3-table join over the raw parquet. Confs are
+    // saved/restored so the session's other plans are untouched.
+    "sql_frontend_cbo_stats_chain" -> QuerySpec(
+      (s, d) => {
+        graft.io.Writers.statsTable(
+          Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+          "cbo_li", Seq("l_orderkey", "l_quantity"))
+        graft.io.Writers.statsTable(
+          Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          "cbo_ord", Seq("o_orderkey", "o_custkey"))
+        graft.io.Writers.statsTable(
+          Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+          "cbo_cust", Seq("c_custkey", "c_mktsegment"))
+        val confs = Seq(
+          "spark.sql.cbo.enabled" -> "true",
+          "spark.sql.cbo.joinReorder.enabled" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> (1024 * 1024).toString)
+        val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val df = s.sql("""
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+            FROM cbo_li JOIN cbo_ord ON l_orderkey = o_orderkey
+                        JOIN cbo_cust ON o_custkey = c_custkey
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment""")
+          // Forcing these inside the conf window pins the CBO plan: the
+          // returned DataFrame reuses this QueryExecution's lazy vals.
+          val joins = df.queryExecution.optimizedPlan.collect {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+          }
+          require(joins.size == 2, s"expected 2 joins, got ${joins.size}")
+          val innermost = joins.last.output.map(_.name)
+          require(innermost.exists(_.startsWith("c_")) &&
+            !innermost.exists(_.startsWith("l_")),
+            "CBO join reorder should run orders x filtered customers " +
+              s"innermost; innermost output: ${innermost.mkString(", ")}")
+          val phys = df.queryExecution.sparkPlan.toString
+          require(phys.contains("BroadcastHashJoin"),
+            s"stats-estimated dim should broadcast under 1 MiB:\n$phys")
+          df
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None)    => s.conf.unset(k)
+        }
+      },
+      """SELECT c_mktsegment,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |              JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin),
+
     // TPC-H Q6 (forecast-revenue change) through the SQL frontend: the
     // canonical scan-dominated query — one tight filter over the fact
     // table, one unconditional agg, zero joins. The plan to demand at

@@ -1045,4 +1045,60 @@ class PhysicalPlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ev_stats")
     }
   }
+
+  test("AQE skew-join splits the hot partition at runtime (OptimizeSkewedJoin)") {
+    // The X34 manual head/tail splits are the STATIC answer to skew —
+    // they avoid shuffling the hot keys at all by broadcasting the head.
+    // A 100x cluster also leans on AQE's RUNTIME answer for skew nobody
+    // predicted: OptimizeSkewedJoin splits a shuffle partition whose
+    // size exceeds max(threshold, factor x median) into advisory-sized
+    // slices and replicates the matching partition on the other side.
+    // This case builds a 90%-one-key join, forces a sort-merge (both
+    // static and ADAPTIVE broadcast thresholds off), executes, and
+    // asserts the finalized plan marked the join skew-handled. When to
+    // prefer the manual split (PERF.md r11): when the hot keys are KNOWN
+    // (Zipf heads), the broadcast head arm skips the skewed exchange
+    // entirely, while AQE still shuffles every hot row — AQE is the
+    // safety net, the static split is the plan.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "131072",
+      // keep BOTH broadcast paths off so the join stays sort-merge and
+      // the skew handling — not a runtime BHJ conversion — is what fires
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val skewed = spark.range(0, 200000L).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        lpad(col("id").cast("string"), 64, "x").as("pad"))
+      val dim = spark.range(0, 2000L).select(
+        (col("id") % 1000L).as("k"), col("id").as("v"))
+      // max(pad) keeps the wide column alive through pruning so the hot
+      // partition's shuffle bytes are realistic; the agg is GLOBAL (no
+      // keys) because a keyed agg on the join key would REQUIRE the
+      // join's hash distribution downstream and veto the skew split
+      // (OptimizeSkewedJoin refuses to break a reusable partitioning
+      // unless forceOptimizeSkewedJoin is on — itself a fact worth
+      // pinning here). collect() executes THIS DataFrame's
+      // QueryExecution (count() would plan a separate one), letting AQE
+      // finalize the inspected plan from runtime stats.
+      val j = skewed.join(dim, "k")
+        .agg(count(lit(1)).as("n"), max(col("pad")).as("p"))
+      assert(j.collect().nonEmpty)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to mark the sort-merge join:\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"broadcast must stay off for this evidence:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
