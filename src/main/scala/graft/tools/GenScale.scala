@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixture scale-up by TILING: `tiles` shifted copies of a
+  * base scale-factor directory, written as a new parquet fixture. Every
+  * surrogate key is offset per tile by (tile x base-table cardinality
+  * bound) so keys stay unique and referential integrity holds tile-wise;
+  * value marginals (dates, prices, segments, event types) are preserved
+  * exactly, so every literal filter in the registry still selects the
+  * same fraction. Group-size distributions (items/order, events/user)
+  * are preserved per tile, which is precisely what a stress probe wants:
+  * 10x the keys, 10x the rows, same shape. Document text gets a short
+  * per-tile suffix (tile 0 is byte-identical to the base) so near-dup
+  * and fingerprint pipelines see 10x corpora rather than 10 exact copies
+  * of one corpus; embeddings get a tiny deterministic per-tile
+  * perturbation on one coordinate for the same reason. No RNG anywhere —
+  * rerunning produces byte-identical data.
+  *
+  * This is a dev/stress TOOL (the r10 verdict's "one-off deeper-scale
+  * stress sweep"), not part of the query surface: the driver's
+  * correctness gates stay pinned to the read-only /root/testdata
+  * fixtures. Usage:
+  *   runMain graft.tools.GenScale <baseDir> <outDir> [tiles=10]
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val base = args(0)
+    val out = args(1)
+    val tiles = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-genscale")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try generate(spark, base, out, tiles)
+    finally spark.stop()
+  }
+
+  def generate(spark: SparkSession, base: String, out: String,
+               tiles: Int): Unit = {
+    def rd(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
+    def wr(df: DataFrame, t: String, parts: Int): Unit = {
+      df.repartition(parts)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[genscale] wrote $t x$tiles")
+    }
+    // Per-tile key offset = (max key + 1): collect() is a 1-row bound.
+    def keyBound(t: String, c: String): Long =
+      rd(t).agg(max(col(c))).head.getLong(0) + 1L
+    val tile = spark.range(0, tiles).withColumnRenamed("id", "tile")
+    def tiled(t: String): DataFrame = rd(t).crossJoin(broadcast(tile))
+    def shift(c: String, bound: Long) =
+      (col(c) + col("tile") * lit(bound)).as(c)
+
+    // dimension tables the registry never keys on by surrogate growth
+    rd("region").write.mode("overwrite").parquet(s"$out/region.parquet")
+    rd("nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
+
+    val custB = keyBound("customer", "c_custkey")
+    val suppB = keyBound("supplier", "s_suppkey")
+    val partB = keyBound("part", "p_partkey")
+    val ordB = keyBound("orders", "o_orderkey")
+    val evtB = keyBound("events", "event_id")
+    val userB = keyBound("events", "user_id")
+    val docB = keyBound("documents", "doc_id")
+    val vecB = keyBound("embeddings", "vec_id")
+
+    wr(tiled("customer").select(shift("c_custkey", custB), col("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+      "customer", math.max(2, tiles / 2))
+    wr(tiled("supplier").select(shift("s_suppkey", suppB), col("s_name"),
+      col("s_nationkey"), col("s_acctbal")), "supplier", 2)
+    wr(tiled("part").select(shift("p_partkey", partB), col("p_name"),
+      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
+      "part", math.max(2, tiles / 2))
+    wr(tiled("orders").select(shift("o_orderkey", ordB),
+      shift("o_custkey", custB), col("o_orderstatus"), col("o_totalprice"),
+      col("o_orderdate"), col("o_orderpriority")), "orders", tiles)
+    wr(tiled("lineitem").select(shift("l_orderkey", ordB),
+      shift("l_partkey", partB), shift("l_suppkey", suppB),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate")), "lineitem", 2 * tiles)
+    wr(tiled("events").select(shift("event_id", evtB), col("ts"),
+      shift("user_id", userB), col("event_type"), col("value"),
+      col("props")), "events", tiles)
+    // tile 0 keeps the base text byte-identical; other tiles append a
+    // 3-5 char marker so MinHash/SimHash/winnowing see near-dups across
+    // tiles, not exact copies; n_chars stays = length(text)
+    val docText = when(col("tile") === 0, col("text"))
+      .otherwise(concat(col("text"), lit(" t"), col("tile")))
+    wr(tiled("documents").select(shift("doc_id", docB),
+      docText.as("text"), col("lang"), col("source"),
+      length(docText).cast("long").as("n_chars")), "documents",
+      math.max(2, tiles / 2))
+    // perturb coordinate 0 by tile * 1e-4 — deterministic, small enough
+    // to keep cluster structure, large enough to break exact ties
+    wr(tiled("embeddings").select(shift("vec_id", vecB),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x + col("tile").cast("float") * lit(1e-4f))
+          .otherwise(x)).as("embedding"),
+      col("label")), "embeddings", math.max(2, tiles / 2))
+  }
+}
