@@ -229,6 +229,58 @@ class StreamsSpec extends SparkSpec {
     assert(landed.select("batch_id").distinct().count() == 2)
   }
 
+  test("file source maxFilesPerTrigger bounds per-batch intake to one file") {
+    // The replay fixtures lean on maxFilesPerTrigger=1 for their
+    // ">= 3 real micro-batches" contract; this pins the rate-limit
+    // semantics itself: with 4 published files, AvailableNow drains in
+    // EXACTLY 4 data batches and each batch's numInputRows equals one
+    // file's row count — the bounded-intake guarantee a backlogged
+    // 100 TB landing zone relies on to size state-store commits.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ratelim")
+    try {
+      val ev = Tables.eventsWithTs(spark, sf)
+        .select("event_id", "user_id", "event_type", "value", "ts_utc")
+      val stage = dir.resolve(".stage").toString
+      ev.repartitionByRange(4, col("ts_utc"), col("event_id"))
+        .write.mode("overwrite").parquet(stage)
+      val parts = new java.io.File(stage).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      assert(parts.length == 4)
+      val t0 = System.currentTimeMillis()
+      val perFile = parts.zipWithIndex.map { case (p, i) =>
+        val dst = new java.io.File(dir.toFile, f"slice-$i%03d.parquet")
+        java.nio.file.Files.move(p.toPath, dst.toPath)
+        dst.setLastModified(t0 + i * 1000L)
+        spark.read.parquet(dst.getPath).count()
+      }
+      val stream = spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "slice-*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-ratelim-ckpt").toString
+      val q = stream.writeStream.outputMode("complete")
+        .format("memory").queryName("ratelim_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val intake = q.recentProgress.map(_.numInputRows).filter(_ > 0L)
+      assert(intake.length == 4,
+        s"expected 4 data batches, got ${intake.mkString(",")}")
+      assert(intake.sorted.toSeq == perFile.sorted.toSeq,
+        s"per-batch intake ${intake.mkString(",")} != per-file rows " +
+          s"${perFile.mkString(",")}")
+      val total = spark.table("ratelim_out").agg(sum("n")).head.getLong(0)
+      assert(total == perFile.sum)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("stateful running totals per user match batch groupBy") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
