@@ -947,13 +947,24 @@ object Analytic {
         graft.io.Writers.statsTable(
           Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
           "cbo_cust", Seq("c_custkey", "c_mktsegment"))
-        val confs = Seq(
+        val cboConfs = Seq(
           "spark.sql.cbo.enabled" -> "true",
-          "spark.sql.cbo.joinReorder.enabled" -> "true",
-          "spark.sql.autoBroadcastJoinThreshold" -> (1024 * 1024).toString)
-        val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-        confs.foreach { case (k, v) => s.conf.set(k, v) }
+          "spark.sql.cbo.joinReorder.enabled" -> "true")
+        val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+        val prev = (cboConfs.map(_._1) :+ thrKey)
+          .map(k => k -> s.conf.getOption(k))
+        cboConfs.foreach { case (k, v) => s.conf.set(k, v) }
         try {
+          // The broadcast threshold is derived from the dim's OWN
+          // stats-based estimate (2x headroom) so the assertion is
+          // scale-proof — a fixed byte threshold fails once the fixture
+          // grows (the sf1 stress sweep lesson). The stats-vs-no-stats
+          // FLIP at one threshold is PhysicalPlanSpec's job; here the
+          // contract is that catalog stats DRIVE the decision at any sf.
+          val dimEst = s.table("cbo_cust")
+            .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            .queryExecution.optimizedPlan.stats.sizeInBytes
+          s.conf.set(thrKey, (dimEst * 2).toString)
           val df = s.sql("""
             SELECT c_mktsegment,
                    CAST(COUNT(*) AS BIGINT) AS n_lines,
@@ -976,11 +987,23 @@ object Analytic {
               s"innermost; innermost output: ${innermost.mkString(", ")}")
           val phys = df.queryExecution.sparkPlan.toString
           require(phys.contains("BroadcastHashJoin"),
-            s"stats-estimated dim should broadcast under 1 MiB:\n$phys")
-          df
-        } finally prev.foreach {
-          case (k, Some(v)) => s.conf.set(k, v)
-          case (k, None)    => s.conf.unset(k)
+            "stats-estimated dim should broadcast under 2x its own " +
+              s"estimate ($dimEst B):\n$phys")
+          // Materialize NOW (2-row result): the managed tables are
+          // dropped below, and DROP deletes a managed table's files —
+          // a lazily-executed plan over them would read deleted paths.
+          // The final orderBy re-states the result's total order above
+          // the checkpoint scan (2 rows; the ORDER-BY audit is static).
+          df.localCheckpoint(true).orderBy("c_mktsegment")
+        } finally {
+          prev.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None)    => s.conf.unset(k)
+          }
+          // No warehouse leftovers (the r10-advice hygiene rule the
+          // spec cleanups follow): these are per-run scratch tables.
+          Seq("cbo_li", "cbo_ord", "cbo_cust")
+            .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
         }
       },
       """SELECT c_mktsegment,

@@ -84,9 +84,22 @@ object Events {
     (org.apache.spark.sql.SparkSession, String, Int), String]()
   /** Monotonic build id: every (re)build lands in a FRESH directory, so
     * a `fresh=true` rebuild (or a second session in the same JVM) can
-    * never rewrite slice files in place under a stream/checkpoint that
-    * still references the earlier path. */
+    * never rewrite OR delete slice files under a stream/checkpoint that
+    * still references the earlier path — earlier builds stay on disk
+    * for the life of the JVM and are removed by the shutdown hook
+    * below (crashed JVMs' leftovers by the age-based sweep at the next
+    * build). */
   private val sliceBuildId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Every directory this JVM built, deleted at (clean) JVM exit so
+    * repeated bench/verify/test runs cannot leak RAM-backed tmpfs. */
+  private val builtDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      builtDirs.forEach(d => deleteRecursively(d))
+    }, "graft-sliced-fixture-cleanup"))
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
@@ -108,21 +121,27 @@ object Events {
         s"graft_events_sliced_${slices}_${Integer.toHexString(d.hashCode)}"
       // Session+build-unique directory: prefix identifies the fixture,
       // the session identity hash scopes it to this session, and the
-      // monotonic build id makes every rebuild a new path (never a
-      // rewrite-in-place under a live reader). Stale dirs from THIS
-      // session's earlier builds — and the old unsuffixed naming scheme
-      // — are deleted here; other live sessions' dirs (different
-      // session token) are left alone.
+      // monotonic build id makes every rebuild a new path — earlier
+      // builds are NEVER deleted mid-JVM (a stream or checkpoint may
+      // still reference them); the shutdown hook removes this JVM's
+      // dirs at exit. Leftovers from crashed JVMs (any session token)
+      // and the pre-r10 naming schemes are swept here when stale:
+      // 30 minutes is far beyond any single bench/verify run, and the
+      // sbt project lock keeps concurrent JVMs out of the same repo.
       val sessTok = Integer.toHexString(System.identityHashCode(s))
       val preR10 = // the r9 scheme carried no slices segment at all
         s"graft_events_sliced_${Integer.toHexString(d.hashCode)}"
+      val staleMs = 30L * 60 * 1000
+      val now = System.currentTimeMillis()
       Option(new java.io.File(base).listFiles())
         .getOrElse(Array.empty)
-        .filter(f => f.getName == prefix || f.getName == preR10 ||
-          f.getName.startsWith(s"${prefix}_${sessTok}_"))
+        .filter(f => (f.getName == prefix || f.getName == preR10 ||
+            f.getName.startsWith(s"${prefix}_")) &&
+          now - f.lastModified() > staleMs)
         .foreach(deleteRecursively)
       val out = new java.io.File(base,
         s"${prefix}_${sessTok}_${sliceBuildId.incrementAndGet()}")
+      builtDirs.add(out)
       val stage = new java.io.File(out, ".stage") // dot-prefix: invisible
       Tables.events(s, d)                         // to the file source
         .repartitionByRange(slices, col("ts"), col("event_id"))

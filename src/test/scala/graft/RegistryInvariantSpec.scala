@@ -603,12 +603,27 @@ class RegistryInvariantSpec extends SparkSpec {
       .filter(_.toString.endsWith(".scala")).flatMap { p =>
         val lines = java.nio.file.Files.readAllLines(p).asScala
         // the nearest comment block above line i (skipping at most 8
-        // code lines of wrapped statement) contains a `bound:` marker
+        // code lines of wrapped statement) contains a `bound:` marker;
+        // an inline marker anywhere on the site's own 4-line joined
+        // statement also counts. A code line holding ANOTHER
+        // floor/round site between this site and the comment block
+        // breaks adjacency — the block proves THAT site, and stacked
+        // unbounded sites must not inherit a neighbor's marker.
+        def isSiteLine(s: String): Boolean =
+          s.contains("math.floor(") || s.contains("math.round(")
         def boundAdjacent(i: Int): Boolean = {
-          if (lines(i).contains("bound:")) return true
+          // forward: inline trailing marker on the wrapped statement's
+          // own code lines only — a PURE comment line ends the
+          // statement and belongs to whatever follows it
+          val fwd = lines.slice(i, math.min(lines.size, i + 4))
+            .takeWhile(!isCommentLine(_))
+          if (fwd.exists(_.contains("bound:"))) return true
           var j = i - 1
           val lo = math.max(0, i - 8)
-          while (j >= lo && !isCommentLine(lines(j))) j -= 1
+          while (j >= lo && !isCommentLine(lines(j))) {
+            if (isSiteLine(lines(j))) return false
+            j -= 1
+          }
           if (j < lo || j < 0) return false
           var k = j
           while (k - 1 >= 0 && isCommentLine(lines(k - 1))) k -= 1

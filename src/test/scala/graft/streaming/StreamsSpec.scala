@@ -237,6 +237,8 @@ class StreamsSpec extends SparkSpec {
     // file's row count — the bounded-intake guarantee a backlogged
     // 100 TB landing zone relies on to size state-store commits.
     val dir = java.nio.file.Files.createTempDirectory("graft-ratelim")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ratelim-ckpt")
     try {
       val ev = Tables.eventsWithTs(spark, sf)
         .select("event_id", "user_id", "event_type", "value", "ts_utc")
@@ -258,11 +260,9 @@ class StreamsSpec extends SparkSpec {
         .option("maxFilesPerTrigger", "1")
         .parquet(dir.toString)
         .groupBy("event_type").agg(count(lit(1)).as("n"))
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-ratelim-ckpt").toString
       val q = stream.writeStream.outputMode("complete")
         .format("memory").queryName("ratelim_out")
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", ckpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -276,8 +276,10 @@ class StreamsSpec extends SparkSpec {
       assert(total == perFile.sum)
     } finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+      Seq(dir, ckpt).foreach { p =>
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
     }
   }
 
