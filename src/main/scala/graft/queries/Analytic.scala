@@ -506,9 +506,19 @@ object Analytic {
     // levenshtein. The oracle mirrors the identical blocking.
     "fuzzy_match_levenshtein" -> QuerySpec(
       (s, d) => {
-        val cap = 400
         val c = Tables.customer(s, d)
           .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        // The hot-bucket cap SCALES with the corpus (r11, sf1 sweep
+        // lesson): a fixed 400 suppressed nearly every band at 150k
+        // names, silently collapsing recall. cap = max(400, 2n/75)
+        // keeps the cap at exactly 400 on every driver fixture
+        // (n = 1.5k/15k at sf0.01/0.1 — results unchanged) and grows it
+        // proportionally past that (4000 at the sf1 probe), so the
+        // suppressed fraction of buckets — the documented recall
+        // tradeoff — stays roughly constant as the corpus grows. One
+        // scalar count() action, driver-bounded. Oracle mirrors the
+        // same greatest() arithmetic.
+        val cap = math.max(400L, c.count() * 2 / 75)
         val banded = c.select(col("id"), col("name"),
           posexplode(array((0 until 3).map(k =>
             substring(col("name"), 13 + 2 * k, 2)): _*)).as(Seq("band", "bv")))
@@ -552,7 +562,7 @@ object Analytic {
         |kept AS (SELECT * FROM (
         |    SELECT id, name, k, bv,
         |           COUNT(*) OVER (PARTITION BY k, bv) AS bsz FROM b)
-        |  WHERE bsz <= 400)
+        |  WHERE bsz <= greatest(400, (SELECT COUNT(*) * 2 // 75 FROM c)))
         |SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
         |       CAST(levenshtein(substring(a.name, 10, 9),
         |                        substring(b2.name, 10, 9)) AS INT) AS dist

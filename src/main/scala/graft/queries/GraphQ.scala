@@ -193,39 +193,49 @@ object GraphQ {
     // graph-dedup / community pipeline runs to strip hangers-on before
     // clustering. Five peel rounds, k = 8; like connectedComponents and
     // the PageRank loop this is a STATIC unrolled dataflow (no driver
-    // convergence test on the hot path). Per round: one keyed degree agg
-    // + one semi-join of the edge scan against the surviving-node set
-    // (broadcast at these node counts, co-partitioned shuffle join at
-    // web scale) — localCheckpointed so each round reads a materialized
-    // narrow table. 5 rounds is a BUDGET, not the semantics: like
-    // Dedup.connectedComponents' verifyConverged, a scalar fixpoint
-    // assertion (round-5 edge set == round-4 edge set; counts suffice
-    // since each round's edges are a subset of the previous round's)
-    // turns a too-deep graph into a loud failure instead of a silent
+    // convergence test on the hot path). The peel state is the
+    // SURVIVING-NODE SET, not a re-materialized edge list (r11: the sf1
+    // stress sweep showed 5 full-edge localCheckpoints going disk-bound
+    // at 24M edges — 53 s; the node-set recursion is identical set
+    // algebra, edges_i = E0 ∩ (kept_i x kept_i), but per round only
+    // scans the ONE materialized shared edge stage and checkpoints a
+    // narrow node list). Per round: two broadcast semi-joins of the
+    // edge scan against the kept set (co-partitioned shuffle join at
+    // web scale) + one keyed degree agg. 5 rounds is a BUDGET, not the
+    // semantics: like Dedup.connectedComponents' verifyConverged, a
+    // scalar fixpoint assertion (round-5 kept set == round-4 kept set;
+    // counts suffice since each round's kept set is a subset of the
+    // previous round's, and edges_i changes iff kept_i does) turns a
+    // too-deep graph into a loud failure instead of a silent
     // not-quite-core (retained nodes with degree < k).
     "graph_kcore" -> QuerySpec(
       (s, d) => {
         val K = 8
-        var edges = coPurchaseEdges(s, d)
-        var prevEdges = edges
+        val e0 = coPurchaseEdges(s, d)
+        def restrict(kept: org.apache.spark.sql.DataFrame) = e0
+          .join(broadcast(kept.withColumnRenamed("node", "kn")),
+            e0("src") === col("kn"), "left_semi")
+          .join(broadcast(kept.withColumnRenamed("node", "kn")),
+            e0("dst") === col("kn"), "left_semi")
+        var kept = e0.select(col("src").as("node")).distinct()
+          .localCheckpoint(true)
+        var prevKept = kept
         for (_ <- 1 to 5) {
-          prevEdges = edges
-          val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          prevKept = kept
+          kept = restrict(kept)
+            .groupBy("src").agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= K)
             .select(col("src").as("node"))
-          edges = edges
-            .join(broadcast(keep), edges("src") === keep("node"), "left_semi")
-            .join(broadcast(keep), edges("dst") === keep("node"), "left_semi")
             .localCheckpoint(true)
         }
-        // Loud truncation guard: if the last peel still removed edges,
+        // Loud truncation guard: if the last peel still removed nodes,
         // the 5-round unroll has NOT reached the true k-core.
-        val (nPrev, nLast) = (prevEdges.count(), edges.count())
+        val (nPrev, nLast) = (prevKept.count(), kept.count())
         require(nLast == nPrev,
           s"graph_kcore: peeling not converged after 5 rounds " +
-            s"($nPrev -> $nLast edges in the final round) — raise the " +
+            s"($nPrev -> $nLast nodes in the final round) — raise the " +
             "round budget (graph peels deeper than the unroll)")
-        edges.groupBy(col("src").as("node"))
+        restrict(kept).groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("core_deg"))
           .orderBy(desc("core_deg"), asc("node"))
           .limit(20)
