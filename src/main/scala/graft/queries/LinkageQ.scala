@@ -122,10 +122,31 @@ object LinkageQ {
       val byName = srcA.join(srcB, col("a_name") === col("b_name"))
         .select(col("a_id"), col("b_id"),
           lit(0).as("in_conj"), lit(1).as("in_name"))
-      val cand = byConj.unionAll(byName)
+      // Residency is a SCALE DIAL: this is the session's largest shared
+      // artifact (pair cardinality grows quadratically with block
+      // density — 615k rows at sf0.1 but 61M at the sf1 probe, where
+      // its in-memory blocks sat in the PROTECTED half of the unified
+      // pool and starved the downstream hash-agg into
+      // SparkOutOfMemoryError). Below the threshold the stage keeps the
+      // fast in-memory checkpoint (fixture medians unchanged: 0.6 s
+      // fellegi at sf0.1); above it the candidates land DISK_ONLY —
+      // written once, re-scanned sequentially by each consumer, the
+      // access pattern disk serves fine — so execution memory stays
+      // whole. 50k source rows ≈ >10M pairs at this corpus's measured
+      // block density, the point where the artifact stops being "small
+      // versus the pool". Same fix shape as the streaming state
+      // right-sizing: size residency to role, not "RAM by default".
+      val candPlan = byConj.unionAll(byName)
         .groupBy("a_id", "b_id")
         .agg(max("in_conj").as("in_conj"), max("in_name").as("in_name"))
-        .localCheckpoint(true)
+      val cand =
+        if (c.count() <= 50000L) candPlan.localCheckpoint(true)
+        else {
+          val p = candPlan
+            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          p.count() // materialize now: the stage bills to its own entry
+          p
+        }
       (srcA, srcB, cand)
     }
 
