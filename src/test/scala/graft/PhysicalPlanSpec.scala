@@ -1046,6 +1046,26 @@ class PhysicalPlanSpec extends SparkSpec {
     }
   }
 
+  test("LPA family rides the materialized affinity backbone, never rescanning parquet") {
+    // r11: graph_label_propagation / graph_lpa_modularity /
+    // graph_community_conductance moved onto the shared support->=2
+    // backbone (a filter over the materialized co-purchase support
+    // stage, checkpointed once). The compute-once evidence, same as the
+    // tf-idf census assertion: with both shared stages built, each
+    // consumer's physical plan reads ONLY staged RDDs — any FileScan
+    // would mean the query re-ran the order-key self-join or the
+    // backbone filter from parquet.
+    graft.queries.GraphQ.buildSharedEdgeStage(spark, sf)
+    graft.queries.GraphQ.buildSharedLpaStage(spark, sf)
+    for (q <- Seq("graph_label_propagation", "graph_lpa_modularity",
+        "graph_community_conductance")) {
+      val p = plan(SparkEntry.registry(q).fn(spark, sf))
+      assert(!p.contains("FileScan"),
+        s"$q must read the staged backbone/labels, not parquet:\n$p")
+      assert(p.contains("Scan ExistingRDD"), s"$q:\n$p")
+    }
+  }
+
   test("AQE skew-join splits the hot partition at runtime (OptimizeSkewedJoin)") {
     // The X34 manual head/tail splits are the STATIC answer to skew —
     // they avoid shuffling the hot keys at all by broadcasting the head.
