@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The tiled fixture scale-up is library surface (the deep-scale stress
+  * probes run against its output), so its contract is pinned:
+  * cardinalities scale by the tile count, surrogate keys stay unique,
+  * referential integrity holds, value marginals are preserved exactly,
+  * tile 0 is byte-identical to the base corpus, and the whole build is
+  * deterministic (no RNG anywhere). */
+class GenScaleSpec extends SparkSpec {
+
+  private val base = "/root/testdata/sf0.001"
+  private val tiles = 2
+
+  private lazy val out: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-genscale-spec").toString
+    GenScale.generate(spark, base, dir, tiles)
+    dir
+  }
+
+  private def rd(d: String, t: String) =
+    spark.read.parquet(s"$d/$t.parquet")
+
+  test("every scaled table's cardinality is tiles x base; dims copied") {
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings")) {
+      assert(rd(out, t).count() == tiles * rd(base, t).count(), t)
+    }
+    for (t <- Seq("region", "nation"))
+      assert(rd(out, t).count() == rd(base, t).count(), t)
+  }
+
+  test("surrogate keys stay unique and referential integrity holds") {
+    for ((t, k) <- Seq("customer" -> "c_custkey", "orders" -> "o_orderkey",
+        "part" -> "p_partkey", "events" -> "event_id",
+        "documents" -> "doc_id", "embeddings" -> "vec_id")) {
+      val df = rd(out, t)
+      assert(df.count() == df.select(k).distinct().count(),
+        s"$t.$k not unique after tiling")
+    }
+    val orphans = rd(out, "lineitem").as("l")
+      .join(rd(out, "orders").as("o"),
+        col("l.l_orderkey") === col("o.o_orderkey"), "left_anti")
+      .count()
+    assert(orphans == 0, s"$orphans lineitem rows lost their order")
+    val partOrphans = rd(out, "lineitem").as("l")
+      .join(rd(out, "part").as("p"),
+        col("l.l_partkey") === col("p.p_partkey"), "left_anti")
+      .count()
+    assert(partOrphans == 0, s"$partOrphans lineitem rows lost their part")
+  }
+
+  test("value marginals are preserved exactly (every literal filter still selects the same fraction)") {
+    val b = rd(base, "orders").groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s = rd(out, "orders").groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s == b.map { case (k, v) => k -> v * tiles })
+    // per-order group sizes (items/order) are preserved per tile
+    val gb = rd(base, "lineitem").groupBy("l_orderkey").count()
+      .groupBy("count").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gs = rd(out, "lineitem").groupBy("l_orderkey").count()
+      .groupBy("count").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gs == gb.map { case (k, v) => k -> v * tiles })
+  }
+
+  test("tile 0 documents are byte-identical; other tiles are near-dups with consistent n_chars") {
+    val baseTexts = rd(base, "documents").select("doc_id", "text")
+    val maxBase = baseTexts.agg(max("doc_id")).head.getLong(0)
+    val tile0 = rd(out, "documents")
+      .filter(col("doc_id") <= maxBase) // tile-0 keys = base keys
+      .select("doc_id", "text")
+    // tile-0 ids equal base ids, so an exact anti-join must be empty
+    val diff = tile0.except(baseTexts).count() +
+      baseTexts.except(tile0).count()
+    assert(diff == 0, "tile 0 must be byte-identical to the base corpus")
+    val badLen = rd(out, "documents")
+      .filter(length(col("text")).cast("long") =!= col("n_chars")).count()
+    assert(badLen == 0, "n_chars must equal length(text) on every tile")
+  }
+
+  test("the build is deterministic: a second generation produces identical data") {
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-genscale-spec2").toString
+    GenScale.generate(spark, base, dir2, tiles)
+    for (t <- Seq("lineitem", "documents", "embeddings")) {
+      val a = rd(out, t)
+      val b = rd(dir2, t)
+      assert(a.except(b).count() == 0 && b.except(a).count() == 0,
+        s"$t differs between two identical generations")
+    }
+  }
+}
