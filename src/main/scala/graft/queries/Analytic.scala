@@ -531,8 +531,17 @@ object Analytic {
         val census = banded.groupBy("band", "bv")
           .agg(count(lit(1)).as("bsz"))
           .filter(col("bsz") <= cap)
+        // The compared 9-char suffix is precomputed PER ROW before the
+        // checkpoint (r11): leaving substring(name) in the post-join
+        // select re-evaluates it per PAIR inside the join's emit loop —
+        // 2x per candidate instead of once per banded row (the
+        // deferred-evaluation hazard the AhashProbe pattern measures) —
+        // and the checkpoint gets narrower too (9 chars vs the full
+        // name).
         val kept = banded
           .join(broadcast(census.select("band", "bv")), Seq("band", "bv"))
+          .select(col("id"), col("band"), col("bv"),
+            substring(col("name"), 10, 9).as("sfx"))
           .localCheckpoint(true)
         // Verify BEFORE dedup: the levenshtein filter shrinks the set far
         // more than a candidate-level DISTINCT would, so the (mandatory)
@@ -550,8 +559,7 @@ object Analytic {
             col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
               col("a.id") < col("b.id"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-            levenshtein(substring(col("a.name"), 10, 9),
-              substring(col("b.name"), 10, 9), 1).as("dist"))
+            levenshtein(col("a.sfx"), col("b.sfx"), 1).as("dist"))
           .filter(col("dist") >= 0)
           .distinct()
           .orderBy("id_a", "id_b")
