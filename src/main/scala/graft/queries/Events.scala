@@ -137,7 +137,12 @@ object Events {
         .getOrElse(Array.empty)
         .filter(f => (f.getName == prefix || f.getName == preR10 ||
             f.getName.startsWith(s"${prefix}_")) &&
-          now - f.lastModified() > staleMs)
+          now - f.lastModified() > staleMs &&
+          // never sweep THIS JVM's own builds — in a session older than
+          // the stale window, a rebuild would otherwise delete an earlier
+          // build a live stream / restart checkpoint still references,
+          // breaking the never-delete-mid-JVM invariant above
+          !builtDirs.contains(f))
         .foreach(deleteRecursively)
       val out = new java.io.File(base,
         s"${prefix}_${sessTok}_${sliceBuildId.incrementAndGet()}")

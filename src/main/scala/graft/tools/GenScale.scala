@@ -18,18 +18,32 @@ import org.apache.spark.sql.functions._
   * perturbation on one coordinate for the same reason. No RNG anywhere —
   * rerunning produces byte-identical data.
   *
+  * `--skew` flips the growth law from uniform to Zipfian-ish: a fact
+  * row in tile t keeps its tile-shifted FOREIGN key with probability
+  * t/(t+1) and FOLDS back to the tile-0 (= base) key with probability
+  * 1/(t+1), hash-derived so the build stays deterministic. Hot entities
+  * (base customers / parts / suppliers / users) then accumulate
+  * ~H(tiles) x their base traffic — group sizes grow superlinearly on
+  * the head while the tail thins, which is how real 100 TB corpora
+  * grow. Primary keys never fold (uniqueness holds) and every folded FK
+  * still resolves (its tile-0 target exists by construction), so
+  * referential integrity is preserved in both modes.
+  *
   * This is a dev/stress TOOL (the r10 verdict's "one-off deeper-scale
   * stress sweep"), not part of the query surface: the driver's
   * correctness gates stay pinned to the read-only /root/testdata
   * fixtures. Usage:
-  *   runMain graft.tools.GenScale <baseDir> <outDir> [tiles=10]
+  *   runMain graft.tools.GenScale <baseDir> <outDir> [tiles=10] [--skew]
   */
 object GenScale {
 
   def main(args: Array[String]): Unit = {
     val base = args(0)
     val out = args(1)
-    val tiles = if (args.length > 2) args(2).toInt else 10
+    val rest = args.drop(2)
+    val skew = rest.contains("--skew")
+    val tiles = rest.filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,25 +52,40 @@ object GenScale {
       .appName("graft-genscale")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, base, out, tiles)
+    try generate(spark, base, out, tiles, skew)
     finally spark.stop()
   }
 
   def generate(spark: SparkSession, base: String, out: String,
-               tiles: Int): Unit = {
+               tiles: Int, skew: Boolean = false): Unit = {
     def rd(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
     def wr(df: DataFrame, t: String, parts: Int): Unit = {
       df.repartition(parts)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[genscale] wrote $t x$tiles")
+      println(s"[genscale] wrote $t x$tiles" + (if (skew) " (skew)" else ""))
     }
     // Per-tile key offset = (max key + 1): collect() is a 1-row bound.
-    def keyBound(t: String, c: String): Long =
-      rd(t).agg(max(col(c))).head.getLong(0) + 1L
+    // Read defensively: an empty base table or a non-long key column is
+    // a contract error this library-surface tool should name, not an
+    // opaque NPE/ClassCastException.
+    def keyBound(t: String, c: String): Long = {
+      val r = rd(t).agg(max(col(c)).cast("long")).head
+      require(!r.isNullAt(0), s"[genscale] base table $t is empty — " +
+        s"cannot derive a key bound for $c")
+      r.getLong(0) + 1L
+    }
     val tile = spark.range(0, tiles).withColumnRenamed("id", "tile")
     def tiled(t: String): DataFrame = rd(t).crossJoin(broadcast(tile))
     def shift(c: String, bound: Long) =
       (col(c) + col("tile") * lit(bound)).as(c)
+    // FOREIGN keys only: in --skew mode tile t's row folds back to the
+    // tile-0 key with P = 1/(t+1) (pmod of a per-(key,tile) hash — no
+    // RNG, byte-identical reruns). Never applied to primary keys.
+    def fkShift(c: String, bound: Long) =
+      if (!skew) shift(c, bound)
+      else when(pmod(xxhash64(col(c), col("tile"), lit("skewfold")),
+          col("tile") + lit(1L)) === 0L, col(c))
+        .otherwise(col(c) + col("tile") * lit(bound)).as(c)
 
     // dimension tables the registry never keys on by surrogate growth
     rd("region").write.mode("overwrite").parquet(s"$out/region.parquet")
@@ -67,7 +96,6 @@ object GenScale {
     val partB = keyBound("part", "p_partkey")
     val ordB = keyBound("orders", "o_orderkey")
     val evtB = keyBound("events", "event_id")
-    val userB = keyBound("events", "user_id")
     val docB = keyBound("documents", "doc_id")
     val vecB = keyBound("embeddings", "vec_id")
 
@@ -80,15 +108,20 @@ object GenScale {
       col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
       "part", math.max(2, tiles / 2))
     wr(tiled("orders").select(shift("o_orderkey", ordB),
-      shift("o_custkey", custB), col("o_orderstatus"), col("o_totalprice"),
+      fkShift("o_custkey", custB), col("o_orderstatus"), col("o_totalprice"),
       col("o_orderdate"), col("o_orderpriority")), "orders", tiles)
     wr(tiled("lineitem").select(shift("l_orderkey", ordB),
-      shift("l_partkey", partB), shift("l_suppkey", suppB),
+      fkShift("l_partkey", partB), fkShift("l_suppkey", suppB),
       col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
       col("l_discount"), col("l_tax"), col("l_returnflag"),
       col("l_linestatus"), col("l_shipdate")), "lineitem", 2 * tiles)
+    // user_id is a FOREIGN key into customer (events_stream_enrich joins
+    // user_id = c_custkey), so it shifts by the CUSTOMER key bound —
+    // shifting by the events-derived max(user_id) bound would point tile
+    // t's events at other tiles' customers once tiles exceed
+    // custB / max(user_id), silently dropping enrichment rows.
     wr(tiled("events").select(shift("event_id", evtB), col("ts"),
-      shift("user_id", userB), col("event_type"), col("value"),
+      fkShift("user_id", custB), col("event_type"), col("value"),
       col("props")), "events", tiles)
     // tile 0 keeps the base text byte-identical; other tiles append a
     // 3-5 char marker so MinHash/SimHash/winnowing see near-dups across

@@ -51,6 +51,14 @@ class GenScaleSpec extends SparkSpec {
         col("l.l_partkey") === col("p.p_partkey"), "left_anti")
       .count()
     assert(partOrphans == 0, s"$partOrphans lineitem rows lost their part")
+    // user_id is a FK into customer (events_stream_enrich joins
+    // user_id = c_custkey): tile t's events must reference tile t's
+    // customers, not drift out of key range
+    val userOrphans = rd(out, "events").as("e")
+      .join(rd(out, "customer").as("c"),
+        col("e.user_id") === col("c.c_custkey"), "left_anti")
+      .count()
+    assert(userOrphans == 0, s"$userOrphans events lost their customer")
   }
 
   test("value marginals are preserved exactly (every literal filter still selects the same fraction)") {
@@ -82,6 +90,47 @@ class GenScaleSpec extends SparkSpec {
     val badLen = rd(out, "documents")
       .filter(length(col("text")).cast("long") =!= col("n_chars")).count()
     assert(badLen == 0, "n_chars must equal length(text) on every tile")
+  }
+
+  test("--skew preserves cardinality, PK uniqueness, and referential integrity while growing hot keys superlinearly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-genscale-skew").toString
+    GenScale.generate(spark, base, dir, tiles, skew = true)
+    // same row counts as uniform tiling — skew moves references, not rows
+    for (t <- Seq("orders", "lineitem", "events"))
+      assert(rd(dir, t).count() == tiles * rd(base, t).count(), t)
+    // primary keys never fold
+    for ((t, k) <- Seq("orders" -> "o_orderkey", "events" -> "event_id")) {
+      val df = rd(dir, t)
+      assert(df.count() == df.select(k).distinct().count(),
+        s"$t.$k not unique under --skew")
+    }
+    // every folded FK still resolves (its tile-0 target exists)
+    for ((ft, fk, dt, dk) <- Seq(
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("events", "user_id", "customer", "c_custkey"))) {
+      val orphans = rd(dir, ft).as("f")
+        .join(rd(dir, dt).as("d"),
+          col(s"f.$fk") === col(s"d.$dk"), "left_anti").count()
+      assert(orphans == 0, s"$orphans $ft rows lost their $dt under --skew")
+    }
+    // the head actually grows: tile-0 (= base-key) customers receive
+    // MORE orders than the base corpus gave them (folded references),
+    // whereas the uniform tiling keeps their count exactly at base
+    val custB = rd(base, "customer")
+      .agg(max("c_custkey")).head.getLong(0) + 1L
+    val baseOrders = rd(base, "orders").count()
+    val hotOrders = rd(dir, "orders")
+      .filter(col("o_custkey") < custB).count()
+    assert(hotOrders > baseOrders,
+      s"skew mode must fold orders onto tile-0 customers " +
+        s"(hot=$hotOrders base=$baseOrders)")
+    val hotUniform = rd(out, "orders")
+      .filter(col("o_custkey") < custB).count()
+    assert(hotUniform == baseOrders,
+      "uniform tiling must keep tile-0 reference counts at base")
   }
 
   test("the build is deterministic: a second generation produces identical data") {
