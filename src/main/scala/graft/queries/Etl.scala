@@ -140,6 +140,69 @@ object Etl {
         |FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Dynamic partition pruning on the oracle-checked path (the r11
+    // directive: the other runtime-pruning pillar next to the CBO
+    // chain, run FOR REAL in a registry query, not just as spec
+    // evidence). The fact table lands Hive-partitioned by status; the
+    // partition predicate arrives only through a JOIN against a
+    // filtered dimension, so which partitions survive is unknowable at
+    // compile time — Spark must inject a dynamicpruning subquery into
+    // the fact scan, and the body asserts it did. At 100 TB this is
+    // the difference between reading one status directory and reading
+    // all of them just to throw the rows away at the join.
+    // useStats=false (saved/restored) makes the tiny fixture take the
+    // same fallback-ratio decision a TB-scale plan takes from real
+    // stats — the PhysicalPlanSpec DPP case proves the flip; here the
+    // whole decision chain runs inside an oracle-checked query at
+    // every SF. Values are pruning-independent, so the oracle is the
+    // plain filtered join over raw parquet.
+    "partitioned_dpp_join_prune" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_dpp_orders_${Integer.toHexString(d.hashCode)}").getPath
+        Tables.orders(s, d)
+          .withColumn("status", col("o_orderstatus"))
+          .write.mode("overwrite").partitionBy("status").parquet(dir)
+        // the dim must be a SCANNED relation — a LocalRelation has no
+        // scan for the DPP benefit heuristic to estimate against
+        val dimDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_dpp_dim_${Integer.toHexString(d.hashCode)}").getPath
+        Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+          .toDF("status_key", "label")
+          .write.mode("overwrite").parquet(dimDir)
+        val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+        val prev = s.conf.getOption(key)
+        try {
+          s.conf.set(key, "false")
+          val df = s.read.parquet(dir)
+            .join(s.read.parquet(dimDir)
+              .filter(col("label") === "finished"),
+              col("status") === col("status_key"))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(25,2)"))
+                .cast("double").as("revenue"))
+            .orderBy("o_orderpriority")
+          // Forced inside the conf window so the returned DataFrame's
+          // QueryExecution pins this plan (the CBO-chain precedent).
+          val scan = df.queryExecution.executedPlan.collectLeaves()
+            .map(_.toString).find(_.contains("PartitionFilters"))
+            .getOrElse("")
+          require(scan.contains("dynamicpruning"),
+            "expected a dynamic pruning subquery in the partitioned " +
+              s"fact scan:\n$scan")
+          df
+        } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+      },
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
     // JSONL source (the LLM-corpus interchange format) on the
     // oracle-checked path: region round-trips through newline-delimited
     // JSON read back with an explicit schema — no inference scan.

@@ -613,29 +613,45 @@ object LearnQ {
          |ORDER BY doc_id""".stripMargin),
 
     // kNN classification over the embedding space: the same 1-in-5
-    // held-out split as learn_rocchio_langid, but predicting by
-    // majority vote of the 5 nearest TRAIN embeddings (cosine) instead
-    // of nearest centroid — the lazy-learner baseline every embedding
-    // pipeline evaluates against, reported as the full confusion
-    // matrix. Determinism: neighbor rank ties break on vec_id, vote
-    // ties on the lexicographically smallest language; cosine folds are
-    // the established bit-parity kernel. Plan shape: the test vectors
-    // BROADCAST against the train scan (never an all-pairs shuffle; at
-    // production scale this arm swaps for the IVF/LSH candidate join —
-    // similarity_lsh_recall_audit measures exactly what that swap
-    // costs), then two keyed aggs on the (query, label) grain, both
-    // map-side combinable.
+    // held-out split as learn_rocchio_langid, predicting by majority
+    // vote of the 5 nearest TRAIN embeddings (cosine) — reported as the
+    // full confusion matrix. r12: candidates come from the PRODUCTION
+    // arm — 8-plane sign-LSH with Hamming-1 multi-probe (9 buckets per
+    // query), an equi-join on bucket, never an all-pairs scan; the
+    // r11 sf1 probe showed the brute-force fan-out was the one heavy
+    // tail whose quadratic was NOT the point of the query (85 s,
+    // CPU-bound). The index's honesty is audited IN the result rows:
+    // `coverage` = fraction of held-out queries that got any
+    // prediction, `recall5_sampled` = neighbor recall@5 vs the exact
+    // brute force on a deterministic 1-in-10 query sample (the
+    // similarity_ivf_recall_curve pattern — brute force confined to
+    // the audit). Determinism: neighbor rank ties break on vec_id,
+    // vote ties on the smallest language; cosine folds are the
+    // established bit-parity kernel; buckets come from the literal ±1
+    // hyperplanes both engines embed. Plan shape: probes (test × 9)
+    // BROADCAST against the bucketed train scan; the banded top-5
+    // table is landed once (localCheckpoint) and reused by the vote,
+    // coverage, and recall arms — the AQE union-arm lesson.
     "learn_knn_langid" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val lab = Tables.embeddings(s, d)
           .join(Tables.documents(s, d)
             .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+          .withColumn("bucket",
+            graft.ext.Similarity.hyperplaneBucket(col("embedding"), 8))
         val test = lab.filter(col("vec_id") % 5 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-            col("lang").as("true_lang"))
+            col("lang").as("true_lang"), col("bucket").as("qb"))
         val train = lab.filter(col("vec_id") % 5 =!= 0)
-        val knn = train.crossJoin(broadcast(test))
+        val flips = lit(0L) +: (0 until 8).map(j => lit(1L << j))
+        val probes = test
+          .withColumn("f", explode(array(flips: _*)))
+          .select(col("q_id"), col("qv"), col("true_lang"),
+            col("qb").bitwiseXOR(col("f")).as("bucket"))
+        // a train vector lives in ONE bucket and the 9 probe buckets
+        // per query are distinct, so (q, t) pairs join at most once
+        val knn = train.join(broadcast(probes), "bucket")
           .select(col("q_id"), col("true_lang"), col("vec_id"),
             col("lang"),
             graft.ext.Similarity.cosine(col("embedding"), col("qv"))
@@ -643,6 +659,7 @@ object LearnQ {
           .withColumn("rn", row_number().over(Window.partitionBy("q_id")
             .orderBy(desc("cos"), asc("vec_id"))))
           .filter(col("rn") <= 5)
+          .localCheckpoint(true) // ≤ 5·|test| rows; 3 consumers below
         val votes = knn.groupBy("q_id", "true_lang", "lang")
           .agg(count(lit(1)).as("votes"))
           .withColumn("vr", row_number().over(Window.partitionBy("q_id")
@@ -650,8 +667,33 @@ object LearnQ {
           .filter(col("vr") === 1)
           .select(col("q_id"), col("true_lang"),
             col("lang").as("pred_lang"))
-        votes.groupBy("true_lang", "pred_lang")
+        val conf = votes.groupBy("true_lang", "pred_lang")
           .agg(count(lit(1)).as("n"))
+        val nTest = test.agg(count(lit(1)).as("n_test"))
+        val nPred = votes.agg(count(lit(1)).as("n_pred"))
+        val sample = test.filter(col("q_id") % 50 === 0)
+        val bf5 = train.crossJoin(broadcast(sample))
+          .select(col("q_id"), col("vec_id"),
+            graft.ext.Similarity.cosine(col("embedding"), col("qv"))
+              .as("cos"))
+          .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+            .orderBy(desc("cos"), asc("vec_id"))))
+          .filter(col("rn") <= 5)
+          .select("q_id", "vec_id")
+        val hits = knn.filter(col("q_id") % 50 === 0)
+          .select("q_id", "vec_id")
+          .join(bf5, Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hit"))
+        val nSamp = sample.agg(count(lit(1)).as("n_samp"))
+        conf
+          .crossJoin(broadcast(nPred)).crossJoin(broadcast(nTest))
+          .crossJoin(broadcast(hits)).crossJoin(broadcast(nSamp))
+          .select(col("true_lang"), col("pred_lang"), col("n"),
+            (col("n_pred").cast("double") / col("n_test").cast("double"))
+              .as("coverage"),
+            (col("n_hit").cast("double") /
+              (lit(5.0) * col("n_samp").cast("double")))
+              .as("recall5_sampled"))
           .orderBy("true_lang", "pred_lang")
       },
       {
@@ -659,28 +701,67 @@ object LearnQ {
           s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
              |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
              |  (x, y) -> x + y)""".stripMargin
-        val cos = s"(${dot("t.embedding", "q.qv")}) / " +
+        def cosOf(q: String) = s"(${dot("t.embedding", q)}) / " +
           s"(sqrt(${dot("t.embedding", "t.embedding")}) * " +
-          s"sqrt(${dot("q.qv", "q.qv")}))"
-        s"""WITH lab AS (SELECT vec_id, embedding, lang
+          s"sqrt(${dot(q, q)}))"
+        // the same literal ±1 hyperplanes Similarity.hyperplaneBucket
+        // embeds (constants from planeWeights, so no engine drift)
+        val ws = graft.ext.Similarity.planeWeights(8, 64, table = 0)
+        val bucket = (0 until 8).map { j =>
+          val wlist = ws(j).map(w => if (w > 0) "1.0" else "-1.0")
+            .mkString("[", ", ", "]")
+          s"""CASE WHEN list_reduce(list_prepend(0.0,
+             |  list_transform(range(1, 65),
+             |  i -> CAST(embedding[i] AS DOUBLE) * ($wlist)[i])),
+             |  (x, y) -> x + y) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+        }.mkString(" + ")
+        val flips = (Seq(0L) ++ (0 until 8).map(j => 1L << j))
+          .mkString("[", ", ", "]")
+        s"""WITH lab AS (SELECT vec_id, embedding, lang, $bucket AS bucket
            |             FROM embeddings e JOIN documents dd
            |               ON e.vec_id = dd.doc_id),
-           |q AS (SELECT vec_id AS q_id, embedding AS qv, lang AS true_lang
+           |q AS (SELECT vec_id AS q_id, embedding AS qv,
+           |             lang AS true_lang, bucket AS qb
            |      FROM lab WHERE vec_id % 5 = 0),
            |t2 AS (SELECT * FROM lab WHERE vec_id % 5 <> 0),
-           |knn AS (SELECT q_id, true_lang, lang FROM (
-           |          SELECT q.q_id, q.true_lang, t.vec_id, t.lang,
-           |                 row_number() OVER (PARTITION BY q.q_id
-           |                   ORDER BY $cos DESC, t.vec_id) AS rn
-           |          FROM t2 t CROSS JOIN q) WHERE rn <= 5),
+           |probes AS (SELECT q_id, qv, true_lang, xor(qb, f) AS bucket
+           |           FROM q, (SELECT unnest($flips) AS f)),
+           |knn AS MATERIALIZED (SELECT q_id, true_lang, vec_id, lang
+           |        FROM (
+           |          SELECT p.q_id, p.true_lang, t.vec_id, t.lang,
+           |                 row_number() OVER (PARTITION BY p.q_id
+           |                   ORDER BY ${cosOf("p.qv")} DESC, t.vec_id)
+           |                   AS rn
+           |          FROM t2 t JOIN probes p USING (bucket))
+           |        WHERE rn <= 5),
            |votes AS (SELECT q_id, true_lang, lang,
            |            COUNT(*) AS votes FROM knn GROUP BY 1, 2, 3),
            |pred AS (SELECT q_id, true_lang, lang AS pred_lang FROM (
            |           SELECT *, row_number() OVER (PARTITION BY q_id
            |             ORDER BY votes DESC, lang) AS vr FROM votes)
-           |         WHERE vr = 1)
-           |SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
-           |FROM pred GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
+           |         WHERE vr = 1),
+           |conf AS (SELECT true_lang, pred_lang,
+           |           CAST(COUNT(*) AS BIGINT) AS n
+           |         FROM pred GROUP BY 1, 2),
+           |bf AS (SELECT q_id, vec_id FROM (
+           |         SELECT q.q_id, t.vec_id,
+           |                row_number() OVER (PARTITION BY q.q_id
+           |                  ORDER BY ${cosOf("q.qv")} DESC, t.vec_id)
+           |                  AS rn
+           |         FROM t2 t CROSS JOIN q WHERE q.q_id % 50 = 0)
+           |       WHERE rn <= 5),
+           |cov AS (SELECT CAST((SELECT COUNT(*) FROM pred) AS DOUBLE) /
+           |          CAST((SELECT COUNT(*) FROM q) AS DOUBLE) AS coverage),
+           |rec AS (SELECT CAST((SELECT COUNT(*)
+           |            FROM (SELECT q_id, vec_id FROM knn
+           |                  WHERE q_id % 50 = 0) a
+           |            JOIN bf USING (q_id, vec_id)) AS DOUBLE) /
+           |          (5.0 * CAST((SELECT COUNT(*) FROM q
+           |                       WHERE q_id % 50 = 0) AS DOUBLE))
+           |          AS recall5_sampled)
+           |SELECT true_lang, pred_lang, n, coverage, recall5_sampled
+           |FROM conf, cov, rec
+           |ORDER BY true_lang, pred_lang""".stripMargin
       }),
 
     // CART split search as a decision-stump quality CURVE — the inner
