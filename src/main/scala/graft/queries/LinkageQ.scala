@@ -294,8 +294,21 @@ object LinkageQ {
           .agg(count(lit(1)).as("n"))
           .collect() // <= 8 rows by construction (2^3 patterns)
           .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
-        val S = Scale.toDouble
-        val nTot = pat.map(_._4).sum.toDouble
+        val nTotL = pat.map(_._4).sum
+        // ADAPTIVE exact scale (r12 sf1 oracle finding): at 2^40 fixed,
+        // the M-step sums reach nTot·S ≈ 2^66 on the 61M-pair sf1
+        // census — still exact in BigInt/DECIMAL(38,0), but the final
+        // integer→double conversion of a >2^63 value is the one step
+        // whose rounding the two engines don't share (measured last-ulp
+        // drift from iteration 2). Sizing S so nTot·S < 2^62 keeps
+        // every sum in int64 range, where BOTH engines convert with the
+        // same correctly-rounded hardware instruction. 2^40 is
+        // unchanged for any census up to 2^22 pairs (every driver
+        // fixture); the oracle derives the identical S from SUM(n)'s
+        // binary length.
+        val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(nTotL)
+        val S = (1L << math.min(40, 62 - bitlen)).toDouble
+        val nTot = nTotL.toDouble
         var p = 0.1
         var m = Array(0.8, 0.8, 0.8)
         var u = Array(0.2, 0.2, 0.2)
@@ -315,10 +328,10 @@ object LinkageQ {
           // DECIMAL(38,0) in the oracle — same floor terms). All terms
           // are materialized under the CURRENT params before any update.
           // floor() of a double is an integral double, so the
-          // BigDecimal→BigInt conversion is exact at ANY magnitude —
-          // unlike .toLong, which would clamp at 2^63 once a census
-          // cell passes ~2^23 pairs while DuckDB's DECIMAL(38,0) side
-          // kept going (the silent-divergence hazard this avoids).
+          // BigDecimal→BigInt conversion is exact at ANY magnitude; the
+          // adaptive S above guarantees the SUMS fit int64, so the
+          // .toLong.toDouble reads below are the hardware-rounded
+          // conversion DuckDB's CAST(... AS BIGINT) path also takes.
           val terms = pat.map { g =>
             val wg = w(g)
             def exactFloor(x: Double): BigInt = BigDecimal(x).toBigInt
@@ -329,13 +342,13 @@ object LinkageQ {
           val su = terms.map(_._3).sum
           def sel(g: (Int, Int, Int, Long), f: Int): Int =
             f match { case 0 => g._1; case 1 => g._2; case _ => g._3 }
-          p = sw.toDouble / S / nTot
+          p = sw.toLong.toDouble / S / nTot
           m = Array.tabulate(3)(f =>
-            terms.filter(x => sel(x._1, f) == 1).map(_._2).sum.toDouble /
-              sw.toDouble)
+            terms.filter(x => sel(x._1, f) == 1).map(_._2).sum.toLong
+              .toDouble / sw.toLong.toDouble)
           u = Array.tabulate(3)(f =>
-            terms.filter(x => sel(x._1, f) == 1).map(_._3).sum.toDouble /
-              su.toDouble)
+            terms.filter(x => sel(x._1, f) == 1).map(_._3).sum.toLong
+              .toDouble / su.toLong.toDouble)
           (it.toLong, p, m(0), m(1), m(2), u(0), u(1), u(2))
         }
         traj.toDF("iteration", "p_match", "m_name", "m_seg", "m_band",
@@ -343,7 +356,11 @@ object LinkageQ {
           .orderBy("iteration")
       },
       {
-        val S = "1099511627776.0"
+        // the same adaptive scale the Spark side computes: 2^min(40,
+        // 62 - bitlen(SUM(n))) — binary length is integer-exact on
+        // both engines, and the resulting sums fit BIGINT so the
+        // int→double conversions are hardware-rounded on both
+        val S = "(SELECT s FROM scl)"
         def estep(prev: String): String =
           s"""SELECT g1, g2, g3, n,
              |  CAST(FLOOR(pm / (pm + pu) * CAST(n AS DOUBLE) * $S)
@@ -366,22 +383,23 @@ object LinkageQ {
              |      * (CASE WHEN g3 = 1 THEN q.u_band
              |              ELSE 1.0 - q.u_band END) AS pu
              |  FROM pat, $prev q) x""".stripMargin
+        def d(x: String) = s"CAST(CAST($x AS BIGINT) AS DOUBLE)"
         def mstep(i: Int, prev: String): String =
           s"""it$i AS MATERIALIZED (SELECT
-             |  CAST(SUM(t) AS DOUBLE) / $S
+             |  ${d("SUM(t)")} / $S
              |    / CAST(SUM(n) AS DOUBLE) AS p_match,
-             |  CAST(SUM(CASE WHEN g1 = 1 THEN t ELSE 0 END) AS DOUBLE)
-             |    / CAST(SUM(t) AS DOUBLE) AS m_name,
-             |  CAST(SUM(CASE WHEN g2 = 1 THEN t ELSE 0 END) AS DOUBLE)
-             |    / CAST(SUM(t) AS DOUBLE) AS m_seg,
-             |  CAST(SUM(CASE WHEN g3 = 1 THEN t ELSE 0 END) AS DOUBLE)
-             |    / CAST(SUM(t) AS DOUBLE) AS m_band,
-             |  CAST(SUM(CASE WHEN g1 = 1 THEN tu ELSE 0 END) AS DOUBLE)
-             |    / CAST(SUM(tu) AS DOUBLE) AS u_name,
-             |  CAST(SUM(CASE WHEN g2 = 1 THEN tu ELSE 0 END) AS DOUBLE)
-             |    / CAST(SUM(tu) AS DOUBLE) AS u_seg,
-             |  CAST(SUM(CASE WHEN g3 = 1 THEN tu ELSE 0 END) AS DOUBLE)
-             |    / CAST(SUM(tu) AS DOUBLE) AS u_band
+             |  ${d("SUM(CASE WHEN g1 = 1 THEN t ELSE 0 END)")}
+             |    / ${d("SUM(t)")} AS m_name,
+             |  ${d("SUM(CASE WHEN g2 = 1 THEN t ELSE 0 END)")}
+             |    / ${d("SUM(t)")} AS m_seg,
+             |  ${d("SUM(CASE WHEN g3 = 1 THEN t ELSE 0 END)")}
+             |    / ${d("SUM(t)")} AS m_band,
+             |  ${d("SUM(CASE WHEN g1 = 1 THEN tu ELSE 0 END)")}
+             |    / ${d("SUM(tu)")} AS u_name,
+             |  ${d("SUM(CASE WHEN g2 = 1 THEN tu ELSE 0 END)")}
+             |    / ${d("SUM(tu)")} AS u_seg,
+             |  ${d("SUM(CASE WHEN g3 = 1 THEN tu ELSE 0 END)")}
+             |    / ${d("SUM(tu)")} AS u_band
              |FROM (${estep(prev)}) e)""".stripMargin
         s"""WITH $duckLinkCtes,
            |pat AS MATERIALIZED (SELECT
@@ -392,6 +410,10 @@ object LinkageQ {
            |  FROM cand c JOIN srca a ON c.a_id = a.a_id
            |              JOIN srcb b ON c.b_id = b.b_id
            |  GROUP BY 1, 2, 3),
+           |scl AS (SELECT CAST(CAST(1 AS BIGINT) << LEAST(40,
+           |    62 - length(format('{:b}',
+           |      CAST((SELECT SUM(n) FROM pat) AS BIGINT))))
+           |    AS DOUBLE) AS s),
            |it0 AS (SELECT CAST(0.1 AS DOUBLE) AS p_match,
            |  CAST(0.8 AS DOUBLE) AS m_name, CAST(0.8 AS DOUBLE) AS m_seg,
            |  CAST(0.8 AS DOUBLE) AS m_band,
