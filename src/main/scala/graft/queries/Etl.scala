@@ -13,6 +13,44 @@ import graft.etl.{Conform, Identity, Phone, Relations}
   */
 object Etl {
 
+  // partitioned_dpp_join_prune's Hive-partitioned fixture, built ONCE
+  // per (session, data dir) — the fact rewrite is GBs at sf1 and must
+  // not be billed to every timed run / registry-wide spec (the
+  // Events.slicedDirs precedent). The JVM deletes its own builds on
+  // exit; a stale dir from a dead JVM is simply overwritten by this
+  // JVM's first build (mode overwrite).
+  private val dppDirs = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (String, String)]()
+  private val dppBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  sys.addShutdownHook {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    dppBuilt.forEach(d => rm(d))
+  }
+
+  private def dppFixture(s: org.apache.spark.sql.SparkSession,
+                         d: String): (String, String) =
+    dppDirs.computeIfAbsent((s, d), _ => {
+      import s.implicits._
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_dpp_orders_${Integer.toHexString(d.hashCode)}")
+      Tables.orders(s, d)
+        .withColumn("status", col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("status").parquet(dir.getPath)
+      // the dim must be a SCANNED relation — a LocalRelation has no
+      // scan for the DPP benefit heuristic to estimate against
+      val dimDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_dpp_dim_${Integer.toHexString(d.hashCode)}")
+      Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+        .toDF("status_key", "label")
+        .write.mode("overwrite").parquet(dimDir.getPath)
+      dppBuilt.add(dir); dppBuilt.add(dimDir)
+      (dir.getPath, dimDir.getPath)
+    })
+
   val registry: Map[String, QuerySpec] = Map(
 
     // S1 — the `;`-CSV source on the oracle-checked path: nation is
@@ -158,19 +196,7 @@ object Etl {
     // plain filtered join over raw parquet.
     "partitioned_dpp_join_prune" -> QuerySpec(
       (s, d) => {
-        import s.implicits._
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_dpp_orders_${Integer.toHexString(d.hashCode)}").getPath
-        Tables.orders(s, d)
-          .withColumn("status", col("o_orderstatus"))
-          .write.mode("overwrite").partitionBy("status").parquet(dir)
-        // the dim must be a SCANNED relation — a LocalRelation has no
-        // scan for the DPP benefit heuristic to estimate against
-        val dimDir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_dpp_dim_${Integer.toHexString(d.hashCode)}").getPath
-        Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
-          .toDF("status_key", "label")
-          .write.mode("overwrite").parquet(dimDir)
+        val (dir, dimDir) = dppFixture(s, d)
         val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
         val prev = s.conf.getOption(key)
         try {

@@ -41,9 +41,14 @@ object GenScale {
     val base = args(0)
     val out = args(1)
     val rest = args.drop(2)
-    val skew = rest.contains("--skew")
-    val tiles = rest.filterNot(_.startsWith("--"))
-      .headOption.map(_.toInt).getOrElse(10)
+    val (flags, positional) = rest.partition(_.startsWith("--"))
+    // a typo'd flag must fail loudly, not silently build a uniform
+    // fixture the caller believes is skewed
+    require(flags.forall(_ == "--skew"),
+      s"[genscale] unknown flag(s): ${flags.filterNot(_ == "--skew")
+        .mkString(", ")} (only --skew is recognized)")
+    val skew = flags.contains("--skew")
+    val tiles = positional.headOption.map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -132,9 +137,21 @@ object GenScale {
       docText.as("text"), col("lang"), col("source"),
       length(docText).cast("long").as("n_chars")), "documents",
       math.max(2, tiles / 2))
+    // vec_id is simultaneously the embeddings PK and an FK into
+    // documents (every embedding query joins vec_id = doc_id), so it
+    // must shift by the DOCUMENT key bound — shifting by the
+    // embeddings-derived max(vec_id) bound points tile t's embeddings
+    // at tile-0 documents whenever the base has fewer embeddings than
+    // documents (sf0.1: vecB=2000 vs docB=5000), silently scrambling
+    // every embedding<->document association. Uniqueness still holds:
+    // embeddings are a subset of documents, so docB >= vecB and the
+    // per-tile ranges [t*docB, t*docB + vecB) stay disjoint. Never
+    // fkShift: a fold would collide the PK.
+    require(docB >= vecB, s"[genscale] embeddings must be a subset of " +
+      s"documents (vecB=$vecB > docB=$docB)")
     // perturb coordinate 0 by tile * 1e-4 — deterministic, small enough
     // to keep cluster structure, large enough to break exact ties
-    wr(tiled("embeddings").select(shift("vec_id", vecB),
+    wr(tiled("embeddings").select(shift("vec_id", docB),
       transform(col("embedding"), (x, i) =>
         when(i === 0, x + col("tile").cast("float") * lit(1e-4f))
           .otherwise(x)).as("embedding"),

@@ -59,6 +59,15 @@ class GenScaleSpec extends SparkSpec {
         col("e.user_id") === col("c.c_custkey"), "left_anti")
       .count()
     assert(userOrphans == 0, s"$userOrphans events lost their customer")
+    // vec_id is an FK into documents (every embedding query joins
+    // vec_id = doc_id): tile t's embeddings must reference tile t's
+    // documents — the base has fewer embeddings than documents, so a
+    // vecB-shifted build would scramble this association
+    val vecOrphans = rd(out, "embeddings").as("v")
+      .join(rd(out, "documents").as("dd"),
+        col("v.vec_id") === col("dd.doc_id"), "left_anti")
+      .count()
+    assert(vecOrphans == 0, s"$vecOrphans embeddings lost their document")
   }
 
   test("value marginals are preserved exactly (every literal filter still selects the same fraction)") {
@@ -110,7 +119,8 @@ class GenScaleSpec extends SparkSpec {
         ("orders", "o_custkey", "customer", "c_custkey"),
         ("lineitem", "l_orderkey", "orders", "o_orderkey"),
         ("lineitem", "l_partkey", "part", "p_partkey"),
-        ("events", "user_id", "customer", "c_custkey"))) {
+        ("events", "user_id", "customer", "c_custkey"),
+        ("embeddings", "vec_id", "documents", "doc_id"))) {
       val orphans = rd(dir, ft).as("f")
         .join(rd(dir, dt).as("d"),
           col(s"f.$fk") === col(s"d.$dk"), "left_anti").count()
