@@ -325,7 +325,13 @@ object Events {
 
     // Session windows (30-minute gap) per user — the batch session_window
     // operator; oracle replicates gap-based sessionization with
-    // lag + cumulative-sum labeling.
+    // lag + cumulative-sum labeling. The labeling runs on the DISTINCT
+    // (user_id, ts) grain and joins back for the per-event measures: with
+    // duplicate timestamps (the skew-sf1 finding), lag over tied rows is
+    // order-dependent — the twin sorted before the flag-carrier lands in
+    // the PREVIOUS session — while the distinct grain has no ties, which
+    // is also exactly Spark's session_window semantics (simultaneous
+    // events share one window).
     "events_session_window" -> QuerySpec(
       (s, d) => Tables.eventsWithTs(s, d)
         .filter(col("user_id") < 20)
@@ -336,23 +342,28 @@ object Events {
           date_format(col("w.start"), fmt).as("session_start"),
           col("n"), col("total"))
         .orderBy("user_id", "session_start"),
-      """WITH t AS (
-        |  SELECT user_id, ts, value,
+      """WITH dgrain AS (
+        |  SELECT DISTINCT user_id, ts FROM events WHERE user_id < 20
+        |), t AS (
+        |  SELECT user_id, ts,
         |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
         |                (PARTITION BY user_id ORDER BY ts) >= 1800000000
         |              THEN 1 ELSE 0 END AS new_session
-        |  FROM events WHERE user_id < 20
+        |  FROM dgrain
         |), s AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts,
         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM t
+        |), j AS (
+        |  SELECT e.user_id, e.ts, e.value, s.sid
+        |  FROM events e JOIN s USING (user_id, ts)
         |)
         |SELECT user_id,
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |       COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
-        |FROM s GROUP BY user_id, sid
+        |FROM j GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin),
 
     // The SAME tumbling aggregation executed by the Structured Streaming
@@ -633,12 +644,14 @@ object Events {
           .groupBy("user_a", "user_b").agg(count(lit(1)).as("n_overlaps"))
           .orderBy("user_a", "user_b")
       },
-      """WITH t AS (
+      """WITH dgrain AS (
+        |  SELECT DISTINCT user_id, ts FROM events WHERE user_id < 20
+        |), t AS (
         |  SELECT user_id, ts,
         |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
         |                (PARTITION BY user_id ORDER BY ts) >= 1800000000
         |              THEN 1 ELSE 0 END AS new_session
-        |  FROM events WHERE user_id < 20
+        |  FROM dgrain
         |), s AS (
         |  SELECT user_id, ts,
         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -1177,9 +1190,10 @@ object Events {
             col("n"))
           .orderBy("user_id", "session_start")
       },
-      """WITH e AS (
+      """WITH eraw AS (
         |  SELECT user_id, ts, epoch_ms(ts) AS ms FROM events
         |  WHERE user_id < 50),
+        |e AS (SELECT DISTINCT user_id, ts, ms FROM eraw),
         |t AS (
         |  SELECT user_id, ts, ms,
         |         CASE WHEN ms - lag(ms) OVER
@@ -1191,10 +1205,13 @@ object Events {
         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM t),
+        |j AS (
+        |  SELECT r.user_id, r.ts, r.ms, s.sid
+        |  FROM eraw r JOIN s USING (user_id, ts)),
         |sess AS (
         |  SELECT user_id, sid, MIN(ts) AS st, MAX(ms) AS last_ms,
         |         CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM s GROUP BY 1, 2),
+        |  FROM j GROUP BY 1, 2),
         |wm AS (SELECT MAX(ms) - 600000 AS w FROM e),
         |last_sid AS (SELECT user_id, MAX(sid) AS maxsid FROM sess GROUP BY 1)
         |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start, n
@@ -1263,9 +1280,10 @@ object Events {
             col("n"))
           .orderBy("user_id", "session_start")
       },
-      """WITH e AS (
+      """WITH eraw AS (
         |  SELECT user_id, ts, epoch_us(ts) AS us FROM events
         |  WHERE user_id < 50),
+        |e AS (SELECT DISTINCT user_id, ts, us FROM eraw),
         |t AS (
         |  SELECT user_id, ts, us,
         |         CASE WHEN us - lag(us) OVER
@@ -1277,10 +1295,13 @@ object Events {
         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM t),
+        |j AS (
+        |  SELECT r.user_id, r.ts, r.us, s.sid
+        |  FROM eraw r JOIN s USING (user_id, ts)),
         |sess AS (
         |  SELECT user_id, sid, MIN(ts) AS st, MAX(us) AS last_us,
         |         CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM s GROUP BY 1, 2),
+        |  FROM j GROUP BY 1, 2),
         |wm AS (SELECT ((MAX(us) // 1000) - 600000) * 1000 AS w FROM e)
         |SELECT user_id, strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start, n
         |FROM sess CROSS JOIN wm
@@ -2194,12 +2215,13 @@ object Events {
             "is_consistent", "avg_concurrency", "span_hours",
             "lambda_per_hour", "w_hours_little", "w_hours_measured")
       },
-      """WITH t0 AS (
+      """WITH dgrain AS (SELECT DISTINCT user_id, ts FROM events),
+        |t0 AS (
         |  SELECT user_id, ts,
         |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
         |                (PARTITION BY user_id ORDER BY ts) >= 1800000000
         |              THEN 1 ELSE 0 END AS new_session
-        |  FROM events),
+        |  FROM dgrain),
         |s AS (
         |  SELECT user_id, ts,
         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -2426,12 +2448,13 @@ object Events {
             count(lit(1)).as("n_bounds"))
           .orderBy("band")
       },
-      """WITH t0 AS (
+      """WITH dgrain AS (SELECT DISTINCT user_id, ts FROM events),
+        |t0 AS (
         |  SELECT user_id, ts,
         |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
         |                (PARTITION BY user_id ORDER BY ts) >= 1800000000
         |              THEN 1 ELSE 0 END AS new_session
-        |  FROM events),
+        |  FROM dgrain),
         |s AS (
         |  SELECT user_id, ts,
         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts

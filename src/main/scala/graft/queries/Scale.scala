@@ -39,12 +39,18 @@ object Scale {
               .otherwise(col("o_orderkey") % 10))
         val dim = s.createDataFrame((0L to 9L).map(k => (k, s"seg_$k")))
           .toDF("skew_key", "segment")
+        // Revenue exits as integer CENTS in a BIGINT, not a double: the
+        // skew-sf1 sweep caught DuckDB's decimal->double cast double-
+        // rounding once the scaled sum passes 2^53 (3.0e17 u-units on the
+        // 1.2M-row hot segment -> ...287.50006 vs Spark's correctly
+        // rounded ...287.5). Same exit-conversion class as the linkage EM
+        // finding; BIGINT renders exactly on both engines to 2^63.
         Skew.saltedJoin(fact, dim, Seq("skew_key"),
             saltSource = col("o_orderkey"), buckets = 8)
           .groupBy("segment")
           .agg(count(lit(1)).as("n"),
-            sum(col("o_totalprice").cast("decimal(25,6)"))
-              .cast("double").as("revenue"))
+            sum(floor(col("o_totalprice") * 100 + lit(0.5))
+              .cast("decimal(38,0)")).cast("long").as("revenue_cents"))
           .orderBy("segment")
       },
       """WITH fact AS (
@@ -55,7 +61,8 @@ object Scale {
         |dim AS (SELECT k AS skew_key, 'seg_' || k AS segment
         |        FROM range(0, 10) t(k))
         |SELECT segment, COUNT(*) AS n,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+        |                     AS DECIMAL(38,0))) AS BIGINT) AS revenue_cents
         |FROM fact JOIN dim USING (skew_key)
         |GROUP BY segment ORDER BY segment""".stripMargin),
 
