@@ -92,11 +92,20 @@ object Tables {
     }
     val readSchema = StructType(eventsNsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = physical) else f))
-    normalizeTs(
-      s.readStream.schema(readSchema)
-        .option("pathGlobFilter", "events.parquet") // file source needs a dir
-        .parquet(d),
-      kind)
+    // Two physical layouts: driver fixtures store events.parquet as a
+    // single FILE inside the sf dir (the file source needs a directory
+    // path, so glob-filter the sibling tables away); Spark-written
+    // fixtures (GenScale sf1) store it as a DIRECTORY of part files —
+    // stream the directory itself, or the glob matches no FILES and the
+    // source silently drains zero rows (the sf1 sweep finding).
+    val src =
+      if (new java.io.File(path).isDirectory)
+        s.readStream.schema(readSchema).parquet(path)
+      else
+        s.readStream.schema(readSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+    normalizeTs(src, kind)
   }
 
   def events(s: SparkSession, d: String): DataFrame = {
