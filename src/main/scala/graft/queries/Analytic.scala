@@ -3116,6 +3116,11 @@ object Analytic {
     // the hand-written expression; contrast with a black-box UDF). The
     // oracle inlines the identical arithmetic; per-row double products
     // are IEEE-identical, and the sum is exact-decimal on both sides.
+    // The EXIT is split-integer (whole dollars + µ-dollar remainder,
+    // both BIGINT): the sf1 sweep caught the old DOUBLE exit off by one
+    // ulp — the group sum is 1.05e17 µ-units > 2^53, where DuckDB's
+    // two-step decimal→double conversion double-rounds. The split stays
+    // exact to 2^63 whole dollars on both engines at ANY corpus size.
     "sql_udf_margin" -> QuerySpec(
       (s, d) => {
         s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_margin(
@@ -3125,16 +3130,26 @@ object Analytic {
         Tables.lineitem(s, d).createOrReplaceTempView("v_li_udf")
         s.sql("""
           SELECT l_returnflag,
-                 CAST(SUM(CAST(graft_margin(l_extendedprice, l_discount, l_tax)
-                               AS DECIMAL(25,6))) AS DOUBLE) AS margin_total,
-                 COUNT(*) AS n
-          FROM v_li_udf GROUP BY l_returnflag ORDER BY l_returnflag""")
+                 CAST(FLOOR(s) AS BIGINT) AS margin_whole,
+                 CAST((s - FLOOR(s)) * 1000000 AS BIGINT) AS margin_micros,
+                 n
+          FROM (SELECT l_returnflag,
+                       SUM(CAST(graft_margin(l_extendedprice, l_discount,
+                                             l_tax) AS DECIMAL(25,6))) AS s,
+                       COUNT(*) AS n
+                FROM v_li_udf GROUP BY l_returnflag)
+          ORDER BY l_returnflag""")
       },
       """SELECT l_returnflag,
-        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
-        |                     AS DECIMAL(25,6))) AS DOUBLE) AS margin_total,
-        |       COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+        |       CAST(FLOOR(s) AS BIGINT) AS margin_whole,
+        |       CAST((s - FLOOR(s)) * 1000000 AS BIGINT) AS margin_micros,
+        |       n
+        |FROM (SELECT l_returnflag,
+        |             SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                      * (1.0 + l_tax) AS DECIMAL(25,6))) AS s,
+        |             COUNT(*) AS n
+        |      FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin),
 
     // Collation-aware grouping (Spark 4 collated string type): group a
     // mixed-case column under UNICODE_CI so casings fold into one key —
