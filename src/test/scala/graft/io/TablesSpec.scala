@@ -128,6 +128,34 @@ class TablesSpec extends SparkSpec {
     assert(ts === Array(baseUs * 1000, (baseUs + 5) * 1000))
   }
 
+  test("eventsStreamSource streams directory-layout fixtures (Spark-written events.parquet)") {
+    // The sf1 sweep regression: on fixtures where events.parquet is a
+    // DIRECTORY of part files (any Spark-written corpus) the old
+    // pathGlobFilter matched no FILES and the source silently drained
+    // zero rows. The stream must yield exactly the batch loader's rows
+    // on both physical layouts.
+    val dir = freshDir()
+    writeTimestampEvents(dir, Seq(baseUs, baseUs + 5, baseUs + 9))
+    // re-publish as a directory: move the single file INTO events.parquet/
+    val f = new java.io.File(s"$dir/events.parquet")
+    val sub = new java.io.File(f, "part-00000.parquet")
+    val tmp = new java.io.File(s"$dir/.hold")
+    java.nio.file.Files.move(f.toPath, tmp.toPath)
+    assert(f.mkdirs())
+    java.nio.file.Files.move(tmp.toPath, sub.toPath)
+    val q = Tables.eventsStreamSource(spark, dir)
+      .writeStream.format("memory").queryName("tables_spec_dir_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_tables_spec_ckpt2").toFile.getPath)
+      .start()
+    q.awaitTermination()
+    val ts = spark.table("tables_spec_dir_stream")
+      .select("ts").collect().map(_.getLong(0)).sorted
+    assert(ts === Array(baseUs * 1000, (baseUs + 5) * 1000,
+      (baseUs + 9) * 1000))
+  }
+
   test("timestamps outside years [2000, 2100) fail loudly, not silently") {
     val dir = freshDir()
     // the classic drift symptom: ns decoded as if µs → January 1970
