@@ -242,7 +242,8 @@ object Analytic {
         .orderBy("flag", "status"),
       """SELECT coalesce(l_returnflag, '(all)') AS flag,
         |       coalesce(l_linestatus, '(all)') AS status,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+        |            AS VARCHAR) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin),
@@ -2772,7 +2773,8 @@ object Analytic {
           Map("minprice" -> 300000.0, "from_date" -> "1997-01-01"))
       },
       """SELECT o_orderpriority, COUNT(*) AS n,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+        |            AS VARCHAR) AS DOUBLE) AS total
         |FROM orders
         |WHERE o_totalprice > 300000.0
         |  AND o_orderdate >= CAST('1997-01-01' AS TIMESTAMP)
@@ -2799,7 +2801,8 @@ object Analytic {
           Map("tbl" -> "v_orders", "metric" -> "o_totalprice"))
       },
       """SELECT o_orderstatus, COUNT(*) AS n,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+        |            AS VARCHAR) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin),

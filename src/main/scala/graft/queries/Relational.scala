@@ -126,7 +126,8 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus"),
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+        |            AS VARCHAR) AS DOUBLE) AS sum_base_price,
         |       CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
         |       COUNT(*) AS count_order
         |FROM lineitem

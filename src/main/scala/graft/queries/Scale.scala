@@ -154,7 +154,8 @@ object Scale {
           .orderBy("c_mktsegment")
       },
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+        |            AS VARCHAR) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin),
 

@@ -254,13 +254,13 @@ object Warehouse {
         |  FROM orders GROUP BY 1, 2),
         |fr AS (
         |  SELECT month, CAST(SUM(n) AS BIGINT) AS n_rollup,
-        |         CAST(SUM(rev) AS DOUBLE) AS rev_rollup
+        |         CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS rev_rollup
         |  FROM daily GROUP BY 1),
         |di AS (
         |  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month,
         |         CAST(COUNT(*) AS BIGINT) AS n_direct,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
-        |           AS DOUBLE) AS rev_direct
+        |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+        |           AS VARCHAR) AS DOUBLE) AS rev_direct
         |  FROM orders GROUP BY 1)
         |SELECT CAST(di.month AS BIGINT) AS month, n_direct, n_rollup,
         |       rev_direct, rev_rollup,
@@ -549,8 +549,8 @@ object Warehouse {
         |  SELECT cohort_year,
         |         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
         |         CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
-        |           AS revenue
+        |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+        |           AS VARCHAR) AS DOUBLE) AS revenue
         |  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
         |  GROUP BY 1)
         |SELECT cohort_year, n_customers, n_orders, revenue,
@@ -942,8 +942,8 @@ object Warehouse {
           .orderBy("o_orderpriority")
       },
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
-        |         AS revenue
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+        |            AS VARCHAR) AS DOUBLE) AS revenue
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
 
