@@ -98,8 +98,18 @@ object Tables {
     // fixtures (GenScale sf1) store it as a DIRECTORY of part files —
     // stream the directory itself, or the glob matches no FILES and the
     // source silently drains zero rows (the sf1 sweep finding).
+    // Resolved through Hadoop's FileSystem, NOT java.io.File: a
+    // URI-style or remote path (file:/, hdfs://, s3a://) is invisible to
+    // java.io.File, which would misclassify a remote DIRECTORY as a file
+    // and silently reintroduce the zero-rows drain via the glob branch.
+    val isDir = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+      try fs.getFileStatus(hp).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    }
     val src =
-      if (new java.io.File(path).isDirectory)
+      if (isDir)
         s.readStream.schema(readSchema).parquet(path)
       else
         s.readStream.schema(readSchema)

@@ -302,7 +302,8 @@ object Analytic {
           .orderBy("r_name")
       },
       """SELECT r_name, COUNT(*) AS n_customers,
-        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
+        |       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6)))
+        |            AS VARCHAR) AS DOUBLE) AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -1053,7 +1054,8 @@ object Analytic {
             AND l_discount BETWEEN 0.05 AND 0.07
             AND l_quantity < 24""")
       },
-      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
+        |            AS VARCHAR) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1130,10 +1132,10 @@ object Analytic {
       },
       """SELECT n_name AS nation,
         |       CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
         |           AS DECIMAL(25,6))
         |         - CAST(l_quantity * p_retailprice * 0.9
-        |           AS DECIMAL(25,6))) AS DOUBLE) AS profit,
+        |           AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS profit,
         |       COUNT(*) AS n_lines
         |FROM lineitem
         |JOIN part ON p_partkey = l_partkey
@@ -2137,7 +2139,8 @@ object Analytic {
           ORDER BY revenue DESC, n_name""")
       },
       """SELECT n_name,
-        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |            AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM region JOIN nation ON n_regionkey = r_regionkey
         |            JOIN customer ON c_nationkey = n_nationkey
         |            JOIN orders ON o_custkey = c_custkey
@@ -2533,7 +2536,8 @@ object Analytic {
              OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
                  AND l_quantity BETWEEN 20 AND 30)""")
       },
-      """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |            AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n_lines
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -2745,8 +2749,8 @@ object Analytic {
           |> ORDER BY l_returnflag""")
       },
       """SELECT l_returnflag, COUNT(*) AS n,
-        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-        |         AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |         AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'

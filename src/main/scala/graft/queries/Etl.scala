@@ -14,41 +14,32 @@ import graft.etl.{Conform, Identity, Phone, Relations}
 object Etl {
 
   // partitioned_dpp_join_prune's Hive-partitioned fixture, built ONCE
-  // per (session, data dir) — the fact rewrite is GBs at sf1 and must
-  // not be billed to every timed run / registry-wide spec (the
-  // Events.slicedDirs precedent). The JVM deletes its own builds on
-  // exit; a stale dir from a dead JVM is simply overwritten by this
-  // JVM's first build (mode overwrite).
-  private val dppDirs = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), (String, String)]()
-  private val dppBuilt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
-  sys.addShutdownHook {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    dppBuilt.forEach(d => rm(d))
-  }
+  // per (JVM, data dir) — the fact rewrite is GBs at sf1 and must not be
+  // billed to every timed run / registry-wide spec (the Events.slicedDirs
+  // precedent). The content is a pure function of the data dir, so the
+  // cache keys on the dir alone: every session in this JVM shares the
+  // build (computeIfAbsent serializes racing builders) and NO session
+  // reference is retained — a stopped session costs nothing. Paths embed
+  // the PID (Scratch.jvmDir), so concurrent JVMs own disjoint fixtures
+  // and Scratch's null-guarded shutdown hook deletes only this JVM's.
+  private val dppDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   private def dppFixture(s: org.apache.spark.sql.SparkSession,
                          d: String): (String, String) =
-    dppDirs.computeIfAbsent((s, d), _ => {
+    dppDirs.computeIfAbsent(d, _ => {
       import s.implicits._
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_dpp_orders_${Integer.toHexString(d.hashCode)}")
+      val dir = graft.util.Scratch.jvmDir("dpp_orders", d)
       Tables.orders(s, d)
         .withColumn("status", col("o_orderstatus"))
-        .write.mode("overwrite").partitionBy("status").parquet(dir.getPath)
+        .write.mode("overwrite").partitionBy("status").parquet(dir)
       // the dim must be a SCANNED relation — a LocalRelation has no
       // scan for the DPP benefit heuristic to estimate against
-      val dimDir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_dpp_dim_${Integer.toHexString(d.hashCode)}")
+      val dimDir = graft.util.Scratch.jvmDir("dpp_dim", d)
       Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
         .toDF("status_key", "label")
-        .write.mode("overwrite").parquet(dimDir.getPath)
-      dppBuilt.add(dir); dppBuilt.add(dimDir)
-      (dir.getPath, dimDir.getPath)
+        .write.mode("overwrite").parquet(dimDir)
+      (dir, dimDir)
     })
 
   val registry: Map[String, QuerySpec] = Map(
@@ -61,8 +52,7 @@ object Etl {
     // both sides agree row-for-row.
     "csv_roundtrip_scan" -> QuerySpec(
       (s, d) => {
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_csv_nation_${Integer.toHexString(d.hashCode)}").getPath
+        val dir = graft.util.Scratch.sessionDir(s, "csv_nation", d)
         Tables.nation(s, d).coalesce(1)
           .write.mode("overwrite")
           .option("sep", ";").option("header", "true")
@@ -94,8 +84,7 @@ object Etl {
     // codegen'd — no UDF.
     "fixed_width_roundtrip_scan" -> QuerySpec(
       (s, d) => {
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_fw_customer_${Integer.toHexString(d.hashCode)}").getPath
+        val dir = graft.util.Scratch.sessionDir(s, "fw_customer", d)
         Tables.customer(s, d)
           .select(format_string("%010d%05d%012d%-12s",
             col("c_custkey"), col("c_nationkey"),
@@ -124,8 +113,7 @@ object Etl {
     // both sides agree row-for-row.
     "xlsx_roundtrip_scan" -> QuerySpec(
       (s, d) => {
-        val path = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_nation_${Integer.toHexString(d.hashCode)}.xlsx").getPath
+        val path = graft.util.Scratch.sessionDir(s, "xlsx_nation", d)
         graft.io.Xlsx.write(Tables.nation(s, d), path)
         graft.io.Xlsx.read(s, path)
           .select(col("n_nationkey").cast("int").as("n_nationkey"),
@@ -144,7 +132,9 @@ object Etl {
     "jdbc_roundtrip_scan" -> QuerySpec(
       (s, d) => {
         graft.io.GraftDerbyDialect.register()
-        val url = s"jdbc:derby:memory:graft_${Integer.toHexString(d.hashCode)};create=true"
+        val url = s"jdbc:derby:memory:graft_${Integer.toHexString(d.hashCode)}" +
+          s"_${graft.util.Scratch.jvmTag}_${graft.util.Scratch.sessionTag(s)}" +
+          ";create=true"
         val props = new java.util.Properties()
         props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         graft.io.Writers.jdbc(Tables.region(s, d), url, "region_rt",
@@ -164,8 +154,7 @@ object Etl {
     // layout round trip).
     "partitioned_write_prune_scan" -> QuerySpec(
       (s, d) => {
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_part_orders_${Integer.toHexString(d.hashCode)}").getPath
+        val dir = graft.util.Scratch.sessionDir(s, "part_orders", d)
         Tables.orders(s, d)
           .withColumn("status", col("o_orderstatus"))
           .write.mode("overwrite").partitionBy("status").parquet(dir)
@@ -234,8 +223,7 @@ object Etl {
     // JSON read back with an explicit schema — no inference scan.
     "jsonl_roundtrip_scan" -> QuerySpec(
       (s, d) => {
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_jsonl_region_${Integer.toHexString(d.hashCode)}").getPath
+        val dir = graft.util.Scratch.sessionDir(s, "jsonl_region", d)
         Tables.region(s, d).coalesce(1)
           .write.mode("overwrite").json(dir)
         val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -252,8 +240,7 @@ object Etl {
     // vectorized reader; same pushdown story as parquet).
     "orc_roundtrip_scan" -> QuerySpec(
       (s, d) => {
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_orc_supplier_${Integer.toHexString(d.hashCode)}").getPath
+        val dir = graft.util.Scratch.sessionDir(s, "orc_supplier", d)
         Tables.supplier(s, d).coalesce(1)
           .write.mode("overwrite").orc(dir)
         graft.io.Readers.orc(s, dir)
@@ -273,8 +260,7 @@ object Etl {
     // agree row-for-row.
     "xml_roundtrip_scan" -> QuerySpec(
       (s, d) => {
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_xml_supplier_${Integer.toHexString(d.hashCode)}").getPath
+        val dir = graft.util.Scratch.sessionDir(s, "xml_supplier", d)
         Tables.supplier(s, d).coalesce(1)
           .write.mode("overwrite")
           .option("rootTag", "suppliers").option("rowTag", "supplier")
@@ -303,8 +289,7 @@ object Etl {
     // the same frontier from the key split.
     "schema_evolution_merge_scan" -> QuerySpec(
       (s, d) => {
-        val dir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_evo_${Integer.toHexString(d.hashCode)}").getPath
+        val dir = graft.util.Scratch.sessionDir(s, "evo", d)
         Tables.nation(s, d).filter(col("n_nationkey") < 13)
           .select("n_nationkey", "n_name")
           .write.mode("overwrite").parquet(s"$dir/v1")

@@ -1092,16 +1092,15 @@ object Events {
     // layout is asserted in code (>= 3 data batches), not hashed.
     "events_stream_batch_sink" -> QuerySpec(
       (s, d) => {
-        val base =
-          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-          else System.getProperty("java.io.tmpdir")
-        // Deterministic landing dir per sf-dir, CLEARED before each drain:
-        // the checkpoint is fresh every call, so batch ids restart at 0
-        // and appending over a previous run's files would double-count —
-        // clearing at start (not after: the returned plan reads lazily)
-        // keeps repeated bench sweeps correct and bounds tmpfs litter.
-        val outF = new java.io.File(base,
-          s"graft_fbsink_${Integer.toHexString(d.hashCode)}")
+        // Deterministic landing dir per (session, sf-dir), CLEARED before
+        // each drain: the checkpoint is fresh every call, so batch ids
+        // restart at 0 and appending over a previous run's files would
+        // double-count — clearing at start (not after: the returned plan
+        // reads lazily) keeps repeated bench sweeps correct and bounds
+        // tmpfs litter. Session-scoped (Scratch.sessionDir) so a second
+        // concurrent session cannot clear THIS session's landing mid-read.
+        val outF = new java.io.File(
+          graft.util.Scratch.sessionDir(s, "fbsink", d))
         if (outF.isDirectory) {
           val walk = java.nio.file.Files.walk(outF.toPath)
           try walk.sorted(java.util.Comparator.reverseOrder())
@@ -1311,11 +1310,9 @@ object Events {
     "events_stream_restart_recovery" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
-        val base =
-          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-          else System.getProperty("java.io.tmpdir")
-        val outF = new java.io.File(base,
-          s"graft_restart_${Integer.toHexString(d.hashCode)}")
+        // Session-scoped landing (see the fbsink note above).
+        val outF = new java.io.File(
+          graft.util.Scratch.sessionDir(s, "restart", d))
         if (outF.isDirectory) {
           val walk = java.nio.file.Files.walk(outF.toPath)
           try walk.sorted(java.util.Comparator.reverseOrder())

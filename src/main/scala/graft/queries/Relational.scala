@@ -187,10 +187,10 @@ object Relational {
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate <  TIMESTAMP '1996-02-01'),
         |a AS (
-        |  SELECT CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN rev
-        |                       ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
-        |           AS economy_rev,
-        |         CAST(SUM(rev) AS DOUBLE) AS total_rev
+        |  SELECT CAST(CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN rev
+        |                       ELSE CAST(0 AS DECIMAL(25,6)) END)
+        |              AS VARCHAR) AS DOUBLE) AS economy_rev,
+        |         CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS total_rev
         |  FROM j)
         |SELECT economy_rev, total_rev,
         |       economy_rev / total_rev AS economy_share FROM a""".stripMargin)

@@ -817,8 +817,8 @@ object Warehouse {
         |         AS BIGINT) AS n_lo,
         |       CAST(SUM(CASE WHEN c_acctbal > p95 THEN 1 ELSE 0 END)
         |         AS BIGINT) AS n_hi,
-        |       CAST(SUM(CAST(LEAST(GREATEST(c_acctbal, p05), p95)
-        |         AS DECIMAL(25,6))) AS DOUBLE) AS wsum
+        |       CAST(CAST(SUM(CAST(LEAST(GREATEST(c_acctbal, p05), p95)
+        |         AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS wsum
         |FROM b JOIN cuts USING (c_mktsegment)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
@@ -1097,7 +1097,8 @@ object Warehouse {
           .toDF("n_rows", "sum_qty", "n_high_discount", "n_null_shipdate")
       },
       """SELECT COUNT(*) AS n_rows,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
+        |            AS VARCHAR) AS DOUBLE) AS sum_qty,
         |       CAST(COUNT(CASE WHEN l_discount > 0.07 THEN 1 END) AS BIGINT)
         |         AS n_high_discount,
         |       CAST(COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT)

@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
   * still resolves (its tile-0 target exists by construction), so
   * referential integrity is preserved in both modes.
   *
+  * `--hot=<permille>` (requires `--skew`) steepens the head into a
+  * SINGLE dominating key per dimension: in tiles > 0, a fact FK first
+  * draws (per (key, tile), hash-derived) with probability permille/1000
+  * and, on a hit, maps to the dimension's MINIMUM base key — the
+  * "celebrity" entity. At `--hot=120` over 20 tiles the head key
+  * carries ~11-12% of the whole fact table, the regime where one
+  * reducer would receive an nth of the shuffle and AQE skew splits +
+  * salting stop being optional. The head key exists in tile 0 by
+  * construction, so referential integrity still holds; PKs still never
+  * fold.
+  *
   * This is a dev/stress TOOL (the r10 verdict's "one-off deeper-scale
   * stress sweep"), not part of the query surface: the driver's
   * correctness gates stay pinned to the read-only /root/testdata
@@ -44,10 +55,15 @@ object GenScale {
     val (flags, positional) = rest.partition(_.startsWith("--"))
     // a typo'd flag must fail loudly, not silently build a uniform
     // fixture the caller believes is skewed
-    require(flags.forall(_ == "--skew"),
-      s"[genscale] unknown flag(s): ${flags.filterNot(_ == "--skew")
-        .mkString(", ")} (only --skew is recognized)")
+    val hotRe = "--hot=(\\d{1,3})".r
+    require(flags.forall(f => f == "--skew" || hotRe.matches(f)),
+      s"[genscale] unknown flag(s): ${flags.filterNot(f =>
+        f == "--skew" || hotRe.matches(f))
+        .mkString(", ")} (only --skew and --hot=<permille> are recognized)")
     val skew = flags.contains("--skew")
+    val hot = flags.collectFirst { case hotRe(n) => n.toInt }.getOrElse(0)
+    require(hot == 0 || skew,
+      "[genscale] --hot=<permille> requires --skew")
     val tiles = positional.headOption.map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -57,17 +73,23 @@ object GenScale {
       .appName("graft-genscale")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, base, out, tiles, skew)
+    try generate(spark, base, out, tiles, skew, hot)
     finally spark.stop()
   }
 
   def generate(spark: SparkSession, base: String, out: String,
-               tiles: Int, skew: Boolean = false): Unit = {
+               tiles: Int, skew: Boolean = false,
+               hotPermille: Int = 0): Unit = {
+    require(hotPermille >= 0 && hotPermille <= 1000,
+      s"[genscale] hotPermille out of [0,1000]: $hotPermille")
+    require(hotPermille == 0 || skew,
+      "[genscale] hotPermille requires skew mode")
     def rd(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
     def wr(df: DataFrame, t: String, parts: Int): Unit = {
       df.repartition(parts)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[genscale] wrote $t x$tiles" + (if (skew) " (skew)" else ""))
+      println(s"[genscale] wrote $t x$tiles" + (if (skew) " (skew)" else "") +
+        (if (hotPermille > 0) s" (hot=$hotPermille)" else ""))
     }
     // Per-tile key offset = (max key + 1): collect() is a 1-row bound.
     // Read defensively: an empty base table or a non-long key column is
@@ -79,18 +101,41 @@ object GenScale {
         s"cannot derive a key bound for $c")
       r.getLong(0) + 1L
     }
+    // the --hot celebrity key: the dimension's minimum base key (exists
+    // in tile 0, so folding onto it cannot orphan a fact row)
+    def keyMin(t: String, c: String): Long = {
+      val r = rd(t).agg(min(col(c)).cast("long")).head()
+      require(!r.isNullAt(0), s"[genscale] base table $t is empty — " +
+        s"cannot derive a head key for $c")
+      r.getLong(0)
+    }
     val tile = spark.range(0, tiles).withColumnRenamed("id", "tile")
     def tiled(t: String): DataFrame = rd(t).crossJoin(broadcast(tile))
     def shift(c: String, bound: Long) =
       (col(c) + col("tile") * lit(bound)).as(c)
     // FOREIGN keys only: in --skew mode tile t's row folds back to the
     // tile-0 key with P = 1/(t+1) (pmod of a per-(key,tile) hash — no
-    // RNG, byte-identical reruns). Never applied to primary keys.
-    def fkShift(c: String, bound: Long) =
+    // RNG, byte-identical reruns); with --hot, a per-(key,tile) draw at
+    // permille/1000 FIRST routes the FK to the dimension's head key.
+    // Never applied to primary keys.
+    def fkShift(c: String, bound: Long, headKey: Long = Long.MinValue) = {
       if (!skew) shift(c, bound)
-      else when(pmod(xxhash64(col(c), col("tile"), lit("skewfold")),
-          col("tile") + lit(1L)) === 0L, col(c))
-        .otherwise(col(c) + col("tile") * lit(bound)).as(c)
+      else {
+        val folded = when(
+          pmod(xxhash64(col(c), col("tile"), lit("skewfold")),
+            col("tile") + lit(1L)) === 0L, col(c))
+          .otherwise(col(c) + col("tile") * lit(bound))
+        if (hotPermille == 0) folded.as(c)
+        else {
+          require(headKey != Long.MinValue,
+            s"[genscale] --hot needs a head key for $c")
+          when(col("tile") > 0 &&
+              pmod(xxhash64(col(c), col("tile"), lit("hothead")),
+                lit(1000L)) < lit(hotPermille.toLong), lit(headKey))
+            .otherwise(folded).as(c)
+        }
+      }
+    }
 
     // dimension tables the registry never keys on by surrogate growth
     rd("region").write.mode("overwrite").parquet(s"$out/region.parquet")
@@ -99,6 +144,9 @@ object GenScale {
     val custB = keyBound("customer", "c_custkey")
     val suppB = keyBound("supplier", "s_suppkey")
     val partB = keyBound("part", "p_partkey")
+    val custH = if (hotPermille > 0) keyMin("customer", "c_custkey") else Long.MinValue
+    val suppH = if (hotPermille > 0) keyMin("supplier", "s_suppkey") else Long.MinValue
+    val partH = if (hotPermille > 0) keyMin("part", "p_partkey") else Long.MinValue
     val ordB = keyBound("orders", "o_orderkey")
     val evtB = keyBound("events", "event_id")
     val docB = keyBound("documents", "doc_id")
@@ -113,10 +161,10 @@ object GenScale {
       col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
       "part", math.max(2, tiles / 2))
     wr(tiled("orders").select(shift("o_orderkey", ordB),
-      fkShift("o_custkey", custB), col("o_orderstatus"), col("o_totalprice"),
+      fkShift("o_custkey", custB, custH), col("o_orderstatus"), col("o_totalprice"),
       col("o_orderdate"), col("o_orderpriority")), "orders", tiles)
     wr(tiled("lineitem").select(shift("l_orderkey", ordB),
-      fkShift("l_partkey", partB), fkShift("l_suppkey", suppB),
+      fkShift("l_partkey", partB, partH), fkShift("l_suppkey", suppB, suppH),
       col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
       col("l_discount"), col("l_tax"), col("l_returnflag"),
       col("l_linestatus"), col("l_shipdate")), "lineitem", 2 * tiles)
@@ -126,7 +174,7 @@ object GenScale {
     // t's events at other tiles' customers once tiles exceed
     // custB / max(user_id), silently dropping enrichment rows.
     wr(tiled("events").select(shift("event_id", evtB), col("ts"),
-      fkShift("user_id", custB), col("event_type"), col("value"),
+      fkShift("user_id", custB, custH), col("event_type"), col("value"),
       col("props")), "events", tiles)
     // tile 0 keeps the base text byte-identical; other tiles append a
     // 3-5 char marker so MinHash/SimHash/winnowing see near-dups across

@@ -579,6 +579,108 @@ class RegistryInvariantSpec extends SparkSpec {
     assert(problems.isEmpty, problems.mkString("\n"))
   }
 
+  test("no oracle exits a summed DECIMAL directly as DOUBLE without headroom proof") {
+    // The r12 exit-conversion class, promoted from a one-time audit to a
+    // standing gate: DuckDB v1.0.0's direct DECIMAL→DOUBLE cast
+    // double-rounds ~25% of values whose scaled magnitude passes 2^53
+    // (scripts/canary_exits.py pins the measurement), so a summed-money
+    // exit `CAST(SUM(..DECIMAL..) AS DOUBLE)` hash-drifts from Spark as
+    // soon as the corpus grows the sum past 2^53 scaled units. Safe
+    // exits: integer cents BIGINT (preferred), split-integer, or
+    // via-VARCHAR (`CAST(CAST(x AS VARCHAR) AS DOUBLE)` — a single
+    // correctly-rounded conversion on both engines). This walk finds
+    // every CAST(expr AS DOUBLE) in every oracle whose expr sums a
+    // MONEY/fact-value DECIMAL without a VARCHAR hop — the sums that
+    // grow with the corpus. Two shapes are excluded by construction:
+    // floor(x·2^k) scaled-integer sums (their safety is the
+    // constructive scale rule — the scale is chosen so the SUM cannot
+    // cross 2^53, audited by the `bound:` walk below and, for the
+    // adaptive cases, derived from the census size on both engines),
+    // and sums over non-fact columns (counts, ranks, weights), which
+    // are bounded by their own domains. Each remaining hit must sit in
+    // the explicit allowlist, which exists only for exits with a
+    // MEASURED magnitude bound under 2^53 at the deep-scale fixture.
+    val moneyCols = Seq("o_totalprice", "l_extendedprice", "c_acctbal",
+      "l_quantity", "l_discount", "value", "volume", "rev", "s_acctbal",
+      "p_retailprice")
+    val asDouble = "(?i)AS\\s+DOUBLE\\s*\\)".r
+    def hits(sql: String): Seq[String] = {
+      asDouble.findAllMatchIn(sql).toSeq.flatMap { m =>
+        // scan backward from the AS-DOUBLE keyword to the CAST's opening
+        // paren (depth −1), capturing the cast's inner expression
+        var depth = 0
+        var i = m.start - 1
+        while (i >= 0 && depth >= 0) {
+          sql(i) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1
+            case _ =>
+          }
+          i -= 1
+        }
+        val expr = sql.substring(i + 2, m.start).toLowerCase
+        if (expr.contains("sum(") && expr.contains("decimal") &&
+            !expr.contains("as varchar") && !expr.contains("floor(") &&
+            moneyCols.exists(expr.contains))
+          Some(expr.replaceAll("\\s+", " ").trim.take(90))
+        else None
+      }
+    }
+    // Allowlisted exits: measured at the .sf1 deep-scale fixture
+    // (max |double output column| x 10^scale vs 2^53 ≈ 9.0e15) with
+    // >= 100x headroom — i.e. safe past ~sf100 on a linear growth law,
+    // and most are per-group/per-window sums that grow far slower.
+    // Every OTHER summed-DECIMAL money exit must convert (the r13 walk
+    // found nine below the bar and hardened them via VARCHAR, including
+    // sql_pipe_syntax at 0.6x — already past 2^53 at sf1, green only by
+    // DuckDB's 75%-per-value luck). A new query that trips this gate:
+    // measure its exit at .sf1 (scripts: the canary method), then either
+    // convert the exit or add an entry HERE with the measured number.
+    val allowlist: Map[String, String] = Map(
+      "agg_pricing_summary" -> "sum_qty 655x (sum_base_price via VARCHAR)",
+      "customer_rfm_segments" -> "per-customer sums, 1637x",
+      "events_attribution_last_touch" -> "per-user value sums, 4235x",
+      "events_gap_fill" -> "per-day sums, 4.5e7x",
+      "events_ses_forecast" -> "per-day sums, 5096x",
+      "events_session_window" -> "per-session sums, 2.7e7x",
+      "events_sliding_hour" -> "per-window sums, 89051x",
+      "events_stream_append_windows" -> "per-window sums, 259288x",
+      "events_stream_attribution" -> "per-user sums, 4235x",
+      "events_stream_batch_sink" -> "per-type sums, 898x",
+      "events_stream_restart_recovery" -> "per-window sums, 2.1e6x",
+      "events_stream_sliding_windows" -> "per-window sums, 259288x",
+      "events_tumbling_hour" -> "per-window sums, 259288x",
+      "events_tumbling_streaming" -> "per-window sums, 259288x",
+      "events_window_range_1h" -> "per-row range window, 2.7e7x",
+      "feature_scale_per_segment" -> "normalized output, 9.0e5x",
+      "feature_target_encode_loo" -> "per-segment LOO means, 9.0e5x",
+      "partitioned_dpp_join_prune" ->
+        "DECIMAL(25,2): scale x100 not x1e6 -> 3588x",
+      "salted_aggregation" -> "per-flag quantity sums, 176x",
+      "scalar_subquery_ratio" -> "ratio output, 3.2e9x",
+      "sql_frontend_cbo_stats_chain" -> "per-flag quantity sums, 290x",
+      "sql_frontend_group_order_all" -> "per-group quantity sums, 352x",
+      "sql_frontend_q10" -> "per-customer revenue, 17181x",
+      "sql_frontend_q17" -> "brand-filtered sums, 324x",
+      "sql_frontend_q18" -> "per-order quantity sums, 18019x",
+      "sql_frontend_q22" -> "per-prefix balance sums, 3842x",
+      "sql_frontend_q3" -> "per-order revenue, 9798x",
+      "sql_frontend_q7" -> "nation-pair-year revenue, 117x",
+      "sql_frontend_q8" -> "market-share ratio, 2.4e11x",
+      "stat_bootstrap_ci" -> "resample means, 35972x",
+      "window_running_sum" -> "per-supplier running sums, 570871x")
+    val offenders = SparkEntry.registry.toSeq.sortBy(_._1).flatMap {
+      case (name, spec) => spec.oracle.toSeq.flatMap(hits).flatMap { h =>
+        if (allowlist.contains(name)) None
+        else Some(s"$name: $h")
+      }
+    }
+    assert(offenders.isEmpty,
+      "summed-DECIMAL exits cast directly to DOUBLE (convert to " +
+        "cents-BIGINT / split-integer / via-VARCHAR, or allowlist with " +
+        "a measured headroom bound):\n" + offenders.mkString("\n"))
+  }
+
   test("every scaled .toLong in main source carries a documented bound") {
     // floor(x * 2^k).toLong (and math.round, which also lands in Long)
     // silently clamp at Long.MaxValue once x escapes its assumed range —

@@ -143,6 +143,45 @@ class GenScaleSpec extends SparkSpec {
       "uniform tiling must keep tile-0 reference counts at base")
   }
 
+  test("--hot concentrates a dominating head key while keeping every FK resolvable") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-genscale-hot").toString
+    GenScale.generate(spark, base, dir, tiles, skew = true,
+      hotPermille = 300)
+    // rows and PKs are untouched — --hot only re-routes references
+    for (t <- Seq("orders", "lineitem", "events"))
+      assert(rd(dir, t).count() == tiles * rd(base, t).count(), t)
+    for ((t, k) <- Seq("orders" -> "o_orderkey", "events" -> "event_id")) {
+      val df = rd(dir, t)
+      assert(df.count() == df.select(k).distinct().count(),
+        s"$t.$k not unique under --hot")
+    }
+    // referential integrity still holds (the head key exists in tile 0)
+    for ((ft, fk, dt, dk) <- Seq(
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("events", "user_id", "customer", "c_custkey"))) {
+      val orphans = rd(dir, ft).as("f")
+        .join(rd(dir, dt).as("d"),
+          col(s"f.$fk") === col(s"d.$dk"), "left_anti").count()
+      assert(orphans == 0, s"$orphans $ft rows lost their $dt under --hot")
+    }
+    // the head key dominates: at permille=300 over 2 tiles the minimum
+    // base customer should carry ~15% of all orders (300/1000 of the
+    // single non-zero tile) — demand >10%, the AQE-mandatory regime,
+    // and demand it EXCEEDS every other customer's count
+    val custH = rd(base, "customer").agg(min("c_custkey")).head.getLong(0)
+    val total = rd(dir, "orders").count()
+    val byCust = rd(dir, "orders").groupBy("o_custkey").count()
+    val headN = byCust.filter(col("o_custkey") === custH)
+      .head.getLong(1)
+    assert(headN.toDouble / total > 0.10,
+      s"head key carries only ${headN.toDouble / total} of orders")
+    val maxN = byCust.agg(max("count")).head.getLong(0)
+    assert(maxN == headN, "the --hot head key must be the hottest key")
+  }
+
   test("the build is deterministic: a second generation produces identical data") {
     val dir2 = java.nio.file.Files
       .createTempDirectory("graft-genscale-spec2").toString
