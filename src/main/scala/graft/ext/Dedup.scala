@@ -334,10 +334,19 @@ object Dedup {
     *     cross-set hash collision perturbs a count with probability
     *     ~n²/2^61: irrelevant, and mirrored exactly by the oracle);
     *  2. PREFIX FILTERING generates candidates: a pair with containment
-    *     ≥ t must share an element within A's first |A|-⌈t·|A|⌉+1 sorted
-    *     elements (pigeonhole — if B misses the whole prefix, fewer than
-    *     t·|A| elements remain), so only that prefix of A explodes into
-    *     the index, and the candidate join is equi on a LONG;
+    *     ≥ t must share an element within A's first |A|-⌈t·|A|⌉+1
+    *     elements under ANY fixed global total order (pigeonhole — if B
+    *     misses the whole prefix, fewer than t·|A| elements remain). The
+    *     order is (document frequency, hash) — rarest first — so each
+    *     set's prefix holds its most DISCRIMINATIVE elements: candidate
+    *     volume is Σ_A Σ_{t∈prefix(A)} df(t), which a hash (random)
+    *     order lets common elements dominate. The .sf2hot sweep made
+    *     this concrete: this corpus's trigram vocabulary saturates at
+    *     ~45k shingles (mean df 118 at 100k docs), and the hash-ordered
+    *     prefix emitted ~3e8 candidate rows — OOM — where the
+    *     df-ordered prefix rides group-unique shingles (df ≈ tile
+    *     count) instead. The df table is one cheap keyed count over the
+    *     exploded sets, computed from the same corpus — deterministic;
     *  3. candidates are DISTINCT'd on bare id pairs, then ONE sorted-merge
     *     intersect per pair ([[graft.expressions.SortedIntersectSize]])
     *     computes the exact count partition-locally — the per-common-
@@ -354,9 +363,20 @@ object Dedup {
       .localCheckpoint(true) // reused by the index AND both verify sides
     val prefixLen =
       (col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
+    // rarest-first prefix: rank each set's elements under the global
+    // (df, hash) total order and keep the first prefixLen (see scaladoc
+    // point 2 — exact for any fixed order; this one minimizes fan-out).
+    // The rank window partitions by id: ~|set| rows per partition key.
+    val dfTab = sets.select(explode(col("s")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("t"))
     val invA = sets
-      .select(col("id"), col("sz"),
-        explode(slice(col("s"), lit(1), prefixLen)).as("t"))
+      .select(col("id"), prefixLen.as("plen"), explode(col("s")).as("t"))
+      .join(dfTab, "t")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("plen"))
+      .select(col("id"), col("t"))
     val invB = sets.select(col("id"), explode(col("s")).as("t"))
     val cand = invA.as("a").join(invB.as("b"),
         col("a.t") === col("b.t") && col("a.id") =!= col("b.id"))

@@ -31,12 +31,18 @@ object GraphQ {
   private val Rounds = 5
   private val HitsRounds = 3
   private val WalkSteps = 4
-  /** HITS uses a SMALLER scale than PageRank's 2^48 deliberately: with
-    * h0 = 1 and degrees ~200, 2^48-scaled squared-score sums exceed 2^53,
-    * where the two engines' big-decimal→double conversions can differ in
-    * the last ulp (observed: 1-ulp drift at round 3). At 2^30 every
-    * scaled sum stays under 2^53, so every decimal→double conversion is
-    * EXACT, not merely correctly-rounded — parity by construction. */
+  /** HITS quantization scale. Only NORMALIZED scores (∈ [0,1]) are ever
+    * floored at this scale, so the quantized contribution is < 2^31 —
+    * Spark's floor(double)→long can never clamp and the integer is exact
+    * on both engines at ANY skew. The L2 norm squares the accumulated
+    * integer mass (rs² as decimal/HUGEINT, exact) rather than flooring
+    * s²·2^30: the .sf2hot celebrity sweep caught the old design's
+    * floor(9.4e10²·2^30) silently CLAMPING at 2^63 on Spark while
+    * DuckDB floored in double — the per-round normalization contracted
+    * the divergence down to a 1e-13 residue, which is exactly what made
+    * it invisible at every milder fixture. One VARCHAR-exit conversion
+    * per norm keeps the decimal→double step correctly rounded at any
+    * magnitude. */
   private val HitsScale = 1073741824L // 2^30
   private val Scale = 281474976710656L // 2^48: exact scale/unscale
 
@@ -789,9 +795,8 @@ object GraphQ {
     // point at many of them). Three mutual-reinforcement rounds, each
     // one exactly PageRank's shape: the score vector BROADCASTs against
     // the edge scan, mass lands via a map-side-combined keyed agg of
-    // 2^30-scaled floor()ed decimal contributions (order-free, exact;
-    // 2^30 — not 2^48 — keeps every scaled sum under 2^53, see
-    // HitsScale),
+    // 2^30-scaled quantized-integer contributions (order-free, exact at
+    // any skew — see HitsScale for why the norm squares the integers),
     // and the L2 normalization is one scalar (sqrt of a scaled decimal
     // sum) applied via a 1-row broadcast — the edge list never
     // reshuffles. The oracle replays every round CTE-by-CTE in lockstep
@@ -805,30 +810,41 @@ object GraphQ {
         val deg = e.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("deg"))
         val o = orientEdges(e, deg).localCheckpoint(true)
-        def unscale(c: org.apache.spark.sql.Column) =
-          sum(c).cast("double") / lit(S)
-        def contrib(c: org.apache.spark.sql.Column) =
-          floor(c * lit(S)).cast("decimal(38,0)")
-        def normalize(raw: org.apache.spark.sql.DataFrame)
+        // Quantize the NORMALIZED score (∈ [0,1], so ·2^30 < 2^31 —
+        // floor's long result can never clamp), accumulate raw mass as
+        // exact 2^-30-unit LONGs, and square THOSE integers for the L2
+        // norm — never floor(s²·2^30): at celebrity skew that double
+        // reaches ~1e20 and Spark's floor→long silently CLAMPS at 2^63
+        // while DuckDB's floor stays double (the .sf2hot finding; the
+        // per-round normalization hid it down at the 1e-13 residue).
+        // bound: rs ≤ maxdeg·2^30 (~3.3e14 at .sf2hot) < 2^53, exact in
+        // long and double; rs² ≤ ~1.1e29 exact in decimal(38,0).
+        def quant(c: org.apache.spark.sql.Column) = floor(c * lit(S))
+        def normalizeScaled(raw: org.apache.spark.sql.DataFrame)
             : org.apache.spark.sql.DataFrame = {
-          val nrm = raw.agg(
-            sqrt(unscale(contrib(col("s") * col("s")))).as("nrm"))
-          raw.crossJoin(broadcast(nrm))
-            .select(col("node"), (col("s") / col("nrm")).as("s"))
+          val n2 = raw.agg(
+            sum(col("rs").cast("decimal(19,0)") *
+              col("rs").cast("decimal(19,0)")).as("n2"))
+          // one correctly rounded decimal→double conversion, then IEEE
+          // sqrt/divide — bit-identical on both engines at any skew
+          raw.crossJoin(broadcast(
+              n2.select(sqrt(col("n2").cast("double")).as("nrm"))))
+            .select(col("node"),
+              (col("rs").cast("double") / col("nrm")).as("s"))
         }
         var h = o.select(col("src").as("node")).distinct()
           .select(col("node"), lit(1.0).as("s")).localCheckpoint(true)
         var a: org.apache.spark.sql.DataFrame = null
         for (_ <- 1 to HitsRounds) {
-          a = normalize(
+          a = normalizeScaled(
             o.join(broadcast(h), o("src") === h("node"))
               .groupBy(o("dst").as("node"))
-              .agg(unscale(contrib(col("s"))).as("s")))
+              .agg(sum(quant(col("s"))).as("rs")))
             .localCheckpoint(true)
-          h = normalize(
+          h = normalizeScaled(
             o.join(broadcast(a), o("dst") === a("node"))
               .groupBy(o("src").as("node"))
-              .agg(unscale(contrib(col("s"))).as("s")))
+              .agg(sum(quant(col("s"))).as("rs")))
             .localCheckpoint(true)
         }
         a.orderBy(desc("s"), asc("node")).limit(10)
@@ -842,25 +858,34 @@ object GraphQ {
       },
       {
         val S = "1073741824.0"
+        // Lockstep replay of the scaled-integer design: quantized
+        // contributions are BIGINTs (h.s ∈ [0,1] ⇒ floor(h.s·2^30) <
+        // 2^31, no clamp on either engine), raw mass rs is an exact
+        // integer sum, the L2 norm squares the INTEGERS in HUGEINT
+        // (Spark: decimal(38,0)) and exits ONCE via VARCHAR — the
+        // correctly rounded conversion matching Spark's
+        // BigDecimal.doubleValue at any magnitude (rs² ~1e29 at
+        // .sf2hot's celebrity head). sqrt and the final divide are
+        // IEEE-identical given identical inputs.
         def round(i: Int): String =
           s"""ar$i AS MATERIALIZED (SELECT o.dst AS node,
-             |    CAST(SUM(CAST(FLOOR(h.s * $S) AS DECIMAL(38,0)))
-             |      AS DOUBLE) / $S AS s
+             |    SUM(CAST(FLOOR(h.s * $S) AS BIGINT)) AS rs
              |  FROM o JOIN h${i - 1} h ON o.src = h.node GROUP BY 1),
-             |an$i AS MATERIALIZED (SELECT sqrt(
-             |    CAST(SUM(CAST(FLOOR(s * s * $S) AS DECIMAL(38,0)))
-             |      AS DOUBLE) / $S) AS nrm FROM ar$i),
+             |an$i AS MATERIALIZED (SELECT sqrt(CAST(CAST(
+             |    SUM(CAST(rs AS HUGEINT) * CAST(rs AS HUGEINT))
+             |      AS VARCHAR) AS DOUBLE)) AS nrm FROM ar$i),
              |a$i AS MATERIALIZED (SELECT node,
-             |    s / (SELECT nrm FROM an$i) AS s FROM ar$i),
+             |    CAST(rs AS DOUBLE) / (SELECT nrm FROM an$i) AS s
+             |  FROM ar$i),
              |hr$i AS MATERIALIZED (SELECT o.src AS node,
-             |    CAST(SUM(CAST(FLOOR(a.s * $S) AS DECIMAL(38,0)))
-             |      AS DOUBLE) / $S AS s
+             |    SUM(CAST(FLOOR(a.s * $S) AS BIGINT)) AS rs
              |  FROM o JOIN a$i a ON o.dst = a.node GROUP BY 1),
-             |hn$i AS MATERIALIZED (SELECT sqrt(
-             |    CAST(SUM(CAST(FLOOR(s * s * $S) AS DECIMAL(38,0)))
-             |      AS DOUBLE) / $S) AS nrm FROM hr$i),
+             |hn$i AS MATERIALIZED (SELECT sqrt(CAST(CAST(
+             |    SUM(CAST(rs AS HUGEINT) * CAST(rs AS HUGEINT))
+             |      AS VARCHAR) AS DOUBLE)) AS nrm FROM hr$i),
              |h$i AS MATERIALIZED (SELECT node,
-             |    s / (SELECT nrm FROM hn$i) AS s FROM hr$i)""".stripMargin
+             |    CAST(rs AS DOUBLE) / (SELECT nrm FROM hn$i) AS s
+             |  FROM hr$i)""".stripMargin
         s"""WITH $duckEdgeCtes,
            |deg AS MATERIALIZED (SELECT src AS node,
            |         CAST(COUNT(*) AS BIGINT) AS deg
