@@ -184,27 +184,37 @@ object Analytic {
     // an exact decimal accumulator for hash-stable doubles.
     "window_running_sum" -> QuerySpec(
       (s, d) => {
+        // The WINDOW order carries (l_partkey, l_quantity) tiebreakers:
+        // the synthetic lineitem holds duplicate (l_orderkey,
+        // l_linenumber, l_shipdate) rows distinguished only by supplier
+        // — separate partitions at every uniform fixture, but the
+        // .sf2hot celebrity fold lands both twins in the HOT partition,
+        // where an untied window order makes the running prefix an
+        // engine coin flip (caught by the full .sf2hot sweep: a
+        // quantity-18 row on either side of the probe). With the
+        // tiebreak, equal-in-all-keys twins are value-identical rows —
+        // either order emits the same multiset.
         val w = Window.partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber",
+            "l_partkey", "l_quantity")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.lineitem(s, d)
           .filter(col("l_suppkey") < 10)
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             sum(col("l_quantity").cast("decimal(25,6)")).over(w)
               .cast("double").as("running_qty"))
-          // running_qty is the final tiebreaker: the synthetic lineitem
-          // does NOT have a unique (l_orderkey, l_linenumber) — rows
-          // duplicating it differ by l_shipdate and so carry DISTINCT
-          // running sums (quantities >= 1 make the prefix sum strictly
-          // increasing within a partition), which would otherwise be an
-          // engine-order coin flip in the emitted row order.
+          // running_qty is the final OUTPUT tiebreaker: rows duplicating
+          // (l_orderkey, l_linenumber) differ by l_shipdate and so carry
+          // DISTINCT running sums (quantities >= 1 make the prefix sum
+          // strictly increasing within a partition).
           .orderBy("l_suppkey", "l_orderkey", "l_linenumber",
             "running_qty")
       },
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
         |         PARTITION BY l_suppkey
-        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |                  l_partkey, l_quantity
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |         AS running_qty
         |FROM lineitem WHERE l_suppkey < 10
@@ -3064,11 +3074,31 @@ object Analytic {
     // O(log10 N) iterations, each a keyed equi-join — the same shape
     // scales to a billion-row hierarchy as log10 joins, no driver state.
     // FLOOR(x / 10.0) over doubles is exact for keys < 2^52, so one SQL
-    // text serves both engines.
+    // text serves both engines. Spark's recursion-row safety valve
+    // (spark.sql.cteRecursionRowLimit, default 1e6) is sized FROM THE
+    // DATA: total recursion rows are exactly Σ digit-chain lengths ≤
+    // n·(decimal digits of the max key + 1), so the valve is set to
+    // that bound (never lower than the default) and the query executes
+    // eagerly INSIDE the conf window (the limit is enforced at runtime,
+    // not plan time — the DPP conf-window precedent, with an eager
+    // localCheckpoint of the ~20-row result standing in for the plan
+    // pin). The .sf2hot sweep caught the default valve: 231k customers
+    // × ~7-digit chains = 1.6M rows, a silent hard-stop at any fixture
+    // past ~140k hierarchy members.
     "recursive_cte_hierarchy" -> QuerySpec(
       (s, d) => {
         Tables.customer(s, d).createOrReplaceTempView("v_cust_rec")
-        s.sql(recursiveHierarchySql("v_cust_rec"))
+        val stats = Tables.customer(s, d)
+          .agg(count(lit(1)), max(col("c_custkey")).cast("long")).head()
+        val (n, maxKey) = (stats.getLong(0), stats.getLong(1))
+        // bound: n·(digits+1) ≤ n·20 < 2^63 for any real dimension
+        val rows = n * (maxKey.toString.length + 1L)
+        val key = "spark.sql.cteRecursionRowLimit"
+        val prev = s.conf.getOption(key)
+        try {
+          s.conf.set(key, math.max(1000000L, rows).toString)
+          s.sql(recursiveHierarchySql("v_cust_rec")).localCheckpoint(true)
+        } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
       },
       recursiveHierarchySql("customer")),
 
@@ -3304,8 +3334,8 @@ object Analytic {
          |          t -> t <= u)) AS BIGINT) AS w
          |      FROM d),
          |reps AS (SELECT b,
-         |           CAST(SUM(CAST(w * o_totalprice AS DECIMAL(25,6)))
-         |             AS DOUBLE)
+         |           CAST(CAST(SUM(CAST(w * o_totalprice AS DECIMAL(25,6)))
+         |             AS VARCHAR) AS DOUBLE)
          |           / CAST(SUM(w) AS DOUBLE) AS m
          |         FROM w GROUP BY b),
          |rk AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk
@@ -3318,7 +3348,8 @@ object Analytic {
          |             / CAST(COUNT(*) AS DOUBLE) AS boot_mean
          |         FROM reps),
          |pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+         |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+         |           AS VARCHAR) AS DOUBLE)
          |           / CAST(COUNT(*) AS DOUBLE) AS point_mean
          |       FROM o)
          |SELECT n_orders, point_mean, n_resamples, boot_mean,

@@ -1000,9 +1000,9 @@ object Warehouse {
       },
       """WITH s AS (
         |  SELECT c_custkey, c_mktsegment, c_acctbal,
-        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6)))
+        |         CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6)))
         |                OVER (PARTITION BY c_mktsegment)
-        |              - CAST(c_acctbal AS DECIMAL(25,6)) AS DOUBLE) /
+        |              - CAST(c_acctbal AS DECIMAL(25,6)) AS VARCHAR) AS DOUBLE) /
         |           CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) - 1
         |                AS DOUBLE) AS seg_loo_mean
         |  FROM customer)

@@ -542,6 +542,16 @@ class RegistryInvariantSpec extends SparkSpec {
         val ids = df.collect().map(_.getAs[Long]("user_id"))
         assert(ids.zip(ids.tail).forall { case (a, b) => a < b },
           s"$name must emit strictly increasing unique user_id")
+      } else if (name == "recursive_cte_hierarchy") {
+        // Same localCheckpoint truncation (the recursion-row conf must
+        // be live at execution, so the query runs eagerly inside its
+        // conf window): attest directly — max_depth is the GROUP BY
+        // key of the final ORDER BY max_depth, so the emitted rows
+        // must strictly increase on it (unique ⇒ total order).
+        val ds = df.collect().map(_.getAs[Int]("max_depth"))
+        assert(ds.nonEmpty && ds.zip(ds.tail).forall {
+          case (a, b) => a < b },
+          s"$name must emit strictly increasing unique max_depth")
       } else peel(body, Nil) match {
         case (s: Sort, projs) =>
           val childPlan =
@@ -600,6 +610,11 @@ class RegistryInvariantSpec extends SparkSpec {
     // are bounded by their own domains. Each remaining hit must sit in
     // the explicit allowlist, which exists only for exits with a
     // MEASURED magnitude bound under 2^53 at the deep-scale fixture.
+    // Measure the CONVERSION SITE, not the output column: a mean-shaped
+    // oracle (`CAST(SUM(..) AS DOUBLE) / n`) converts the SUM before
+    // dividing, so its site magnitude is output x n — the .sf2hot sweep
+    // caught stat_bootstrap_ci drifting through exactly this gap (output
+    // 2.5e5 looked 36000x safe; the sum site was 7.5e17, past 2^53).
     val moneyCols = Seq("o_totalprice", "l_extendedprice", "c_acctbal",
       "l_quantity", "l_discount", "value", "volume", "rev", "s_acctbal",
       "p_retailprice")
@@ -652,8 +667,9 @@ class RegistryInvariantSpec extends SparkSpec {
       "events_tumbling_hour" -> "per-window sums, 259288x",
       "events_tumbling_streaming" -> "per-window sums, 259288x",
       "events_window_range_1h" -> "per-row range window, 2.7e7x",
-      "feature_scale_per_segment" -> "normalized output, 9.0e5x",
-      "feature_target_encode_loo" -> "per-segment LOO means, 9.0e5x",
+      "feature_scale_per_segment" ->
+        ("exits via exact-BIGINT u-units: int64->double is correctly " +
+          "rounded on both engines to 2^63"),
       "partitioned_dpp_join_prune" ->
         "DECIMAL(25,2): scale x100 not x1e6 -> 3588x",
       "salted_aggregation" -> "per-flag quantity sums, 176x",
@@ -667,7 +683,6 @@ class RegistryInvariantSpec extends SparkSpec {
       "sql_frontend_q3" -> "per-order revenue, 9798x",
       "sql_frontend_q7" -> "nation-pair-year revenue, 117x",
       "sql_frontend_q8" -> "market-share ratio, 2.4e11x",
-      "stat_bootstrap_ci" -> "resample means, 35972x",
       "window_running_sum" -> "per-supplier running sums, 570871x")
     val offenders = SparkEntry.registry.toSeq.sortBy(_._1).flatMap {
       case (name, spec) => spec.oracle.toSeq.flatMap(hits).flatMap { h =>
