@@ -25,6 +25,12 @@ cd "$(dirname "$0")/.."
 sbt -batch compile Test/compile < /dev/null
 echo "preflight OK: main + test sources compile"
 
+# Registry-index freshness (r13 directive #6): ARCHITECTURE.md's generated
+# 362-row index must match the registry — it drifts on every line shift in
+# queries/*.scala, and a stale committed index misleads the next context.
+python3 scripts/gen_registry_index.py --check
+echo "preflight OK: registry index fresh"
+
 if [[ "${1:-}" == "--full-sf" ]]; then
   out=$(mktemp -d /tmp/preflight_sf01.XXXX)
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $out" < /dev/null \

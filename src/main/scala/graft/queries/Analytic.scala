@@ -12,6 +12,13 @@ import graft.io.Tables
   */
 object Analytic {
 
+  /** Per-session monitors serializing the recursive-CTE valve window
+    * (weak keys: a discarded session must not be pinned by its lock). */
+  private[queries] val cteValveLocks:
+      java.util.Map[org.apache.spark.sql.SparkSession, Object] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Object])
+
   private def dsum(c: String) =
     sum(col(c).cast("decimal(25,6)")).cast("double")
 
@@ -3094,11 +3101,23 @@ object Analytic {
         // bound: n·(digits+1) ≤ n·20 < 2^63 for any real dimension
         val rows = n * (maxKey.toString.length + 1L)
         val key = "spark.sql.cteRecursionRowLimit"
-        val prev = s.conf.getOption(key)
-        try {
-          s.conf.set(key, math.max(1000000L, rows).toString)
-          s.sql(recursiveHierarchySql("v_cust_rec")).localCheckpoint(true)
-        } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+        // Single-flight per SESSION (r13 advice): the set/execute/restore
+        // window mutates the session-global RuntimeConfig, and a second
+        // concurrent run of this query ON THE SAME SESSION could observe
+        // the restore mid-execution and hard-stop at the default valve
+        // (or leak the raised value into its own window). Serialize the
+        // window on a per-session monitor — cross-session needs nothing
+        // (newSession() gets its own SQLConf), and no other registry
+        // query reads this conf.
+        val lock = Analytic.cteValveLocks
+          .computeIfAbsent(s, _ => new Object)
+        lock.synchronized {
+          val prev = s.conf.getOption(key)
+          try {
+            s.conf.set(key, math.max(1000000L, rows).toString)
+            s.sql(recursiveHierarchySql("v_cust_rec")).localCheckpoint(true)
+          } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+        }
       },
       recursiveHierarchySql("customer")),
 

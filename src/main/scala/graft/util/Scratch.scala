@@ -47,11 +47,55 @@ object Scratch {
     f.delete(): Unit
   }
 
-  /** tmpfs when available (fixture IO off the bench's critical path),
-    * else the JVM tmpdir. */
-  def base: String =
+  /** tmpfs when available — for the SMALL per-run landings only (source
+    * round trips, streaming sinks): fixture IO off the bench's critical
+    * path, bounded MBs per entry. */
+  def shmBase: String =
     if (new File("/dev/shm").isDirectory) "/dev/shm"
     else System.getProperty("java.io.tmpdir")
+
+  /** Disk tmpdir — for the build-once GB-scale layouts (the DPP fact
+    * rewrite, compacted/bucketed warehouses). Routing those to tmpfs
+    * would let repeated or SIGKILLed sweeps (whose shutdown hook never
+    * ran) exhaust RAM; disk pressure is visible and bounded instead. */
+  def diskBase: String = System.getProperty("java.io.tmpdir")
+
+  /** Reclaim dirs leaked by crashed JVMs: a SIGKILL skips the shutdown
+    * hook, and the next JVM's fresh PID means its fixed-name overwrite
+    * no longer lands on the orphan. Any `graft_*_p<pid>[_s*]` dir whose
+    * PID is no longer alive is fair game — PID reuse by an unrelated
+    * process merely defers cleanup to a later sweep (never deletes a
+    * live owner's data: a live graft JVM's dirs embed its live PID).
+    * Runs once per JVM at first Scratch use; races between concurrent
+    * sweepers are safe (deleteRecursively tolerates vanishing files). */
+  private val orphanRe = "graft_.*_p([0-9a-f]+?)(?:_s[0-9a-f]+)?".r
+  private[graft] def sweepOrphans(bases: Seq[String]): Int = {
+    var n = 0
+    bases.distinct.foreach { b =>
+      Option(new File(b).listFiles()).getOrElse(Array.empty[File]).foreach {
+        f =>
+          f.getName match {
+            case orphanRe(pidHex) =>
+              val dead = try {
+                val pid = java.lang.Long.parseLong(pidHex, 16)
+                pid != ProcessHandle.current().pid() &&
+                  !ProcessHandle.of(pid).isPresent
+              } catch { case _: Exception => false }
+              if (dead) {
+                try { deleteRecursively(f); n += 1 }
+                catch { case _: Exception => () }
+              }
+            case _ => ()
+          }
+      }
+    }
+    n
+  }
+  locally {
+    val n = sweepOrphans(Seq(shmBase, diskBase))
+    if (n > 0) System.err.println(s"[scratch] reclaimed $n orphaned " +
+      "fixture dir(s) left by dead JVMs")
+  }
 
   /** Session token: identity hash, the stable in-JVM discriminator for a
     * SparkSession (sessions sharing one JVM share one SparkContext, so
@@ -59,7 +103,7 @@ object Scratch {
   def sessionTag(s: SparkSession): String =
     Integer.toHexString(System.identityHashCode(s))
 
-  private def make(name: String): String = {
+  private def make(base: String, name: String): String = {
     val f = new File(base, name)
     registered.add(f)
     f.getPath
@@ -67,14 +111,15 @@ object Scratch {
 
   /** JVM-scoped path for build-once fixtures whose content is a pure
     * function of the data dir (the DPP fact, compacted layouts): all
-    * sessions in this JVM share it; other JVMs get their own. */
+    * sessions in this JVM share it; other JVMs get their own. On DISK —
+    * these are the GB-scale layouts that must not pin tmpfs RAM. */
   def jvmDir(tag: String, d: String): String =
-    make(s"graft_${tag}_${Integer.toHexString(d.hashCode)}_p$jvmTag")
+    make(diskBase, s"graft_${tag}_${Integer.toHexString(d.hashCode)}_p$jvmTag")
 
   /** Session-scoped path for per-run rewrite fixtures (the source
     * round trips, streaming sink landings): no two sessions — let alone
-    * two JVMs — ever share one. */
+    * two JVMs — ever share one. On tmpfs — small and rewritten per run. */
   def sessionDir(s: SparkSession, tag: String, d: String): String =
-    make(s"graft_${tag}_${Integer.toHexString(d.hashCode)}" +
+    make(shmBase, s"graft_${tag}_${Integer.toHexString(d.hashCode)}" +
       s"_p${jvmTag}_s${sessionTag(s)}")
 }

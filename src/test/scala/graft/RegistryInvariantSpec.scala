@@ -619,6 +619,30 @@ class RegistryInvariantSpec extends SparkSpec {
       "l_quantity", "l_discount", "value", "volume", "rev", "s_acctbal",
       "p_retailprice")
     val asDouble = "(?i)AS\\s+DOUBLE\\s*\\)".r
+    // The argument span of every SUM( in `e` that is NOT floor-shaped.
+    // Floor-shaped means the sum's argument, after an optional cast
+    // wrapper, is floor(...) — the constructive scaled-integer rule
+    // (scale chosen so the SUM cannot cross 2^53, audited by the
+    // `bound:` walk below). r13-advice tightening: a floor() ANYWHERE in
+    // the cast expr used to exempt the whole site, so a money sum merely
+    // COMBINED with an unrelated floor() bypassed the gate; now only the
+    // floor-wrapping-the-sum shape is exempt, judged per sum span.
+    def bareSumSpans(e: String): Seq[String] =
+      "sum\\s*\\(".r.findAllMatchIn(e).toSeq.flatMap { sm =>
+        var depth = 1
+        var i = sm.end
+        while (i < e.length && depth > 0) {
+          e(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        val arg = e.substring(sm.end, math.max(sm.end, i - 1)).trim
+        if (arg.matches("(?s)(cast\\s*\\(\\s*)?floor\\s*\\(.*")) None
+        else Some(arg)
+      }
     def hits(sql: String): Seq[String] = {
       asDouble.findAllMatchIn(sql).toSeq.flatMap { m =>
         // scan backward from the AS-DOUBLE keyword to the CAST's opening
@@ -634,10 +658,10 @@ class RegistryInvariantSpec extends SparkSpec {
           i -= 1
         }
         val expr = sql.substring(i + 2, m.start).toLowerCase
-        if (expr.contains("sum(") && expr.contains("decimal") &&
-            !expr.contains("as varchar") && !expr.contains("floor(") &&
-            moneyCols.exists(expr.contains))
-          Some(expr.replaceAll("\\s+", " ").trim.take(90))
+        val unsafe = !expr.contains("as varchar") &&
+          bareSumSpans(expr).exists(a =>
+            a.contains("decimal") && moneyCols.exists(a.contains))
+        if (unsafe) Some(expr.replaceAll("\\s+", " ").trim.take(90))
         else None
       }
     }
@@ -651,42 +675,61 @@ class RegistryInvariantSpec extends SparkSpec {
     // DuckDB's 75%-per-value luck). A new query that trips this gate:
     // measure its exit at .sf1 (scripts: the canary method), then either
     // convert the exit or add an entry HERE with the measured number.
-    val allowlist: Map[String, String] = Map(
-      "agg_pricing_summary" -> "sum_qty 655x (sum_base_price via VARCHAR)",
-      "customer_rfm_segments" -> "per-customer sums, 1637x",
-      "events_attribution_last_touch" -> "per-user value sums, 4235x",
-      "events_gap_fill" -> "per-day sums, 4.5e7x",
-      "events_ses_forecast" -> "per-day sums, 5096x",
-      "events_session_window" -> "per-session sums, 2.7e7x",
-      "events_sliding_hour" -> "per-window sums, 89051x",
-      "events_stream_append_windows" -> "per-window sums, 259288x",
-      "events_stream_attribution" -> "per-user sums, 4235x",
-      "events_stream_batch_sink" -> "per-type sums, 898x",
-      "events_stream_restart_recovery" -> "per-window sums, 2.1e6x",
-      "events_stream_sliding_windows" -> "per-window sums, 259288x",
-      "events_tumbling_hour" -> "per-window sums, 259288x",
-      "events_tumbling_streaming" -> "per-window sums, 259288x",
-      "events_window_range_1h" -> "per-row range window, 2.7e7x",
+    // r13-advice tightening: the headroom is a NUMBER the gate checks
+    // (>= 100x), not free prose, and a stale entry — one whose query no
+    // longer trips the detector — fails the gate too, so the list can
+    // only ever name live, measured exits. Infinity = an exit that is
+    // exact by construction (integer BIGINT units: int64->double is a
+    // single correctly-rounded conversion on both engines up to 2^63).
+    val allowlist: Map[String, (Double, String)] = Map(
+      "agg_pricing_summary" ->
+        (655d, "sum_qty at .sf1 (sum_base_price via VARCHAR)"),
+      "customer_rfm_segments" -> (1637d, "per-customer sums at .sf1"),
+      "events_attribution_last_touch" ->
+        (4235d, "per-user value sums at .sf1"),
+      "events_gap_fill" -> (4.5e7, "per-day sums at .sf1"),
+      "events_ses_forecast" -> (5096d, "per-day sums at .sf1"),
+      "events_session_window" -> (2.7e7, "per-session sums at .sf1"),
+      "events_sliding_hour" -> (89051d, "per-window sums at .sf1"),
+      "events_stream_append_windows" ->
+        (259288d, "per-window sums at .sf1"),
+      "events_stream_attribution" -> (4235d, "per-user sums at .sf1"),
+      "events_stream_batch_sink" -> (898d, "per-type sums at .sf1"),
+      "events_stream_restart_recovery" ->
+        (2.1e6, "per-window sums at .sf1"),
+      "events_stream_sliding_windows" ->
+        (259288d, "per-window sums at .sf1"),
+      "events_tumbling_hour" -> (259288d, "per-window sums at .sf1"),
+      "events_tumbling_streaming" -> (259288d, "per-window sums at .sf1"),
+      "events_window_range_1h" ->
+        (2.7e7, "per-row range window at .sf1"),
       "feature_scale_per_segment" ->
-        ("exits via exact-BIGINT u-units: int64->double is correctly " +
-          "rounded on both engines to 2^63"),
+        (Double.PositiveInfinity,
+          "exits via exact-BIGINT u-units, exact to 2^63"),
       "partitioned_dpp_join_prune" ->
-        "DECIMAL(25,2): scale x100 not x1e6 -> 3588x",
-      "salted_aggregation" -> "per-flag quantity sums, 176x",
-      "scalar_subquery_ratio" -> "ratio output, 3.2e9x",
-      "sql_frontend_cbo_stats_chain" -> "per-flag quantity sums, 290x",
-      "sql_frontend_group_order_all" -> "per-group quantity sums, 352x",
-      "sql_frontend_q10" -> "per-customer revenue, 17181x",
-      "sql_frontend_q17" -> "brand-filtered sums, 324x",
-      "sql_frontend_q18" -> "per-order quantity sums, 18019x",
-      "sql_frontend_q22" -> "per-prefix balance sums, 3842x",
-      "sql_frontend_q3" -> "per-order revenue, 9798x",
-      "sql_frontend_q7" -> "nation-pair-year revenue, 117x",
-      "sql_frontend_q8" -> "market-share ratio, 2.4e11x",
-      "window_running_sum" -> "per-supplier running sums, 570871x")
+        (3588d, "DECIMAL(25,2): scale x100 not x1e6, at .sf1"),
+      "salted_aggregation" -> (176d, "per-flag quantity sums at .sf1"),
+      "scalar_subquery_ratio" -> (3.2e9, "ratio output at .sf1"),
+      "sql_frontend_cbo_stats_chain" ->
+        (290d, "per-flag quantity sums at .sf1"),
+      "sql_frontend_group_order_all" ->
+        (352d, "per-group quantity sums at .sf1"),
+      "sql_frontend_q10" -> (17181d, "per-customer revenue at .sf1"),
+      "sql_frontend_q17" -> (324d, "brand-filtered sums at .sf1"),
+      "sql_frontend_q18" -> (18019d, "per-order quantity sums at .sf1"),
+      "sql_frontend_q22" -> (3842d, "per-prefix balance sums at .sf1"),
+      "sql_frontend_q3" -> (9798d, "per-order revenue at .sf1"),
+      "sql_frontend_q7" -> (117d, "nation-pair-year revenue at .sf1"),
+      "sql_frontend_q8" -> (2.4e11, "market-share ratio at .sf1"),
+      "window_running_sum" ->
+        (570871d, "per-supplier running sums at .sf1"))
+    val thin = allowlist.filter(_._2._1 < 100).keys.toSeq.sorted
+    assert(thin.isEmpty, "allowlisted exits below the 100x headroom " +
+      "bar (convert them instead): " + thin.mkString(", "))
+    val tripped = scala.collection.mutable.Set[String]()
     val offenders = SparkEntry.registry.toSeq.sortBy(_._1).flatMap {
       case (name, spec) => spec.oracle.toSeq.flatMap(hits).flatMap { h =>
-        if (allowlist.contains(name)) None
+        if (allowlist.contains(name)) { tripped += name; None }
         else Some(s"$name: $h")
       }
     }
@@ -694,6 +737,10 @@ class RegistryInvariantSpec extends SparkSpec {
       "summed-DECIMAL exits cast directly to DOUBLE (convert to " +
         "cents-BIGINT / split-integer / via-VARCHAR, or allowlist with " +
         "a measured headroom bound):\n" + offenders.mkString("\n"))
+    val stale = (allowlist.keySet -- tripped).toSeq.sorted
+    assert(stale.isEmpty, "allowlist entries whose query no longer " +
+      "trips the detector (remove them — a dead entry could silently " +
+      "cover a future regression): " + stale.mkString(", "))
   }
 
   test("every scaled .toLong in main source carries a documented bound") {
