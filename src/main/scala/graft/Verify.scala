@@ -32,9 +32,32 @@ object Verify {
     }
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
+    // SPARK_GRAFT_METRICS=1: per-query shuffle-spill attribution for the
+    // constrained-heap gate (r14) — a cumulative task-metrics listener,
+    // snapshotted around each query (queries run sequentially, so the
+    // delta is the query's own). Memory spills are APPROXIMATE credit
+    // (in-memory size of spilled blocks); disk spills are real bytes.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    if (sys.env.get("SPARK_GRAFT_METRICS").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            Option(t.taskMetrics).foreach { m =>
+              spillMem.addAndGet(m.memoryBytesSpilled)
+              spillDisk.addAndGet(m.diskBytesSpilled): Unit
+            }
+        })
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val (m0, d0) = (spillMem.get(), spillDisk.get())
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (sys.env.get("SPARK_GRAFT_METRICS").contains("1"))
+          println(s"[metrics] $name spill_mem=${spillMem.get() - m0} " +
+            s"spill_disk=${spillDisk.get() - d0}")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -249,18 +249,23 @@ object Similarity {
     val scale = 281474976710656L // 2^48
     val h = sha2(col("vec_id").cast("string"), 256)
     val seedW = Window.orderBy(col("h"), col("vec_id"))
-    var cents = embeddings
-      .filter(h < lit(seedBound))
+    // Sample-then-rank with an exactness-preserving fallback: when the
+    // hex-prefix sample holds < k rows (a degenerate or tiny corpus — at
+    // real fixtures the sample is ~n/16), rank the FULL corpus instead:
+    // same global k-lowest draw, just without the sampling speedup. A
+    // corpus with fewer than k rows yields that many centroids (k' =
+    // |corpus| — standard k-means degenerate semantics; the oracle's
+    // rk <= k cap agrees), and an empty corpus yields zero centroids so
+    // every downstream assignment/search is well-defined empty.
+    val sampled = embeddings.filter(h < lit(seedBound))
+    val seedSrc = if (sampled.count() >= k) sampled else embeddings
+    var cents = seedSrc
       .withColumn("h", h)
       .withColumn("rk", row_number().over(seedW))
       .filter(col("rk") <= k)
       .select((col("rk") - 1).cast("long").as("cent_id"),
         transform(col("embedding"), _.cast("double")).as("cvec"))
       .localCheckpoint(true)
-    require(cents.count() == k,
-      s"k-means seeding: sha2 < '$seedBound' sampled fewer than k=$k rows; " +
-        "widen seedBound (the sample must hold at least k rows for the " +
-        "sample-then-rank draw to equal the global k-lowest draw)")
     for (_ <- 1 to rounds) {
       val assigned = nearestBy(embeddings, cents, l2sq)
       val means = assigned

@@ -128,7 +128,10 @@ object Tables {
     // so drift yields one loud error line, not hundreds of hash mismatches.
     val (lo, hi) = tsRange.getOrBuild(s, path) {
       val r = df.agg(min("ts"), max("ts")).head()
-      (r.getLong(0), r.getLong(1))
+      // empty table: nothing to drift-check (degenerate fixtures are a
+      // legal input — every consumer must still return a defined result)
+      if (r.isNullAt(0)) (946684800000000000L, 946684800000000000L)
+      else (r.getLong(0), r.getLong(1))
     }
     require(lo >= 946684800000000000L && hi < 4102444800000000000L,
       s"events.ts outside years [2000, 2100) as epoch-ns (min=$lo max=$hi) " +

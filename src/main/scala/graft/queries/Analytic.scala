@@ -22,6 +22,16 @@ object Analytic {
   private def dsum(c: String) =
     sum(col(c).cast("decimal(25,6)")).cast("double")
 
+  /** SQL-NULL division: x/0 → NULL, matching DuckDB (and disarming
+    * Spark's ANSI DIVIDE_BY_ZERO on degenerate inputs — a zero variance
+    * or empty group is a legal input, not a crash). Identical to plain
+    * division whenever the divisor is nonzero, so real-fixture hashes
+    * are untouched. */
+  private[queries] def safeDiv(num: org.apache.spark.sql.Column,
+                               den: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(den =!= lit(0.0), num / den)
+
   private val BootB = 64
 
   /** floor(2^20 · CDF_Poisson(1)(j)) for j = 0..7 — the inverse-CDF grid
@@ -98,7 +108,10 @@ object Analytic {
           .cast("decimal(25,6)")).as("s"),
         sum("w").as("n"))
       .select(col("b"),
-        (col("s").cast("double") / col("n").cast("double")).as("m"))
+        // safeDiv: a degenerate corpus can give a replicate all-zero
+        // Poisson weights (sum(w)=0) — its mean is SQL-NULL, as the
+        // oracle's x/0 evaluates, not an ANSI error
+        safeDiv(col("s").cast("double"), col("n").cast("double")).as("m"))
 
   val registry: Map[String, QuerySpec] = Map(
 
@@ -263,6 +276,7 @@ object Analytic {
         |            AS VARCHAR) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |HAVING COUNT(*) > 0
         |ORDER BY flag, status""".stripMargin),
 
     // CUBE — all grouping-set combinations.
@@ -279,6 +293,7 @@ object Analytic {
         |       coalesce(o_orderpriority, '(all)') AS priority,
         |       COUNT(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |HAVING COUNT(*) > 0
         |ORDER BY status, priority""".stripMargin),
 
     // INTERSECT / EXCEPT set semantics (distinct, like SQL).
@@ -888,6 +903,7 @@ object Analytic {
         |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |HAVING COUNT(*) > 0
         |ORDER BY status, priority""".stripMargin),
 
     // Correlated scalar subquery through the SQL front-end: each order's
@@ -1295,9 +1311,19 @@ object Analytic {
     // crosstab is only for LOW-cardinality pairs by contract (the
     // general keyed rollup is agg_pricing_summary).
     "stat_crosstab" -> QuerySpec(
-      (s, d) => Tables.lineitem(s, d)
-        .stat.crosstab("l_returnflag", "l_linestatus")
-        .orderBy("l_returnflag_l_linestatus"),
+      (s, d) => {
+        // pin the pivot schema to the column's full domain {F, O}: the
+        // output CONTRACT must not depend on which values the fixture
+        // happens to contain (a degenerate slice with only 'O' rows must
+        // still emit the F column, as the oracle does)
+        val ct = Tables.lineitem(s, d)
+          .stat.crosstab("l_returnflag", "l_linestatus")
+        val pinned = Seq("F", "O").foldLeft(ct)((df, c) =>
+          if (df.columns.contains(c)) df else df.withColumn(c, lit(0L)))
+        pinned.select(col("l_returnflag_l_linestatus"),
+            col("F").cast("long").as("F"), col("O").cast("long").as("O"))
+          .orderBy("l_returnflag_l_linestatus")
+      },
       """SELECT l_returnflag AS l_returnflag_l_linestatus,
         |       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
         |         AS BIGINT) AS F,
@@ -1562,7 +1588,7 @@ object Analytic {
         val sxD = col("s_x").cast("double")
         val syD = col("s_y").cast("double")
         agg.select(col("n"), col("s_x"), col("s_y"),
-          ((nD * asD("hxy", "lxy") - sxD * syD) /
+          safeDiv(nD * asD("hxy", "lxy") - sxD * syD,
             sqrt((nD * asD("hxx", "lxx") - sxD * sxD) *
               (nD * asD("hyy", "lyy") - syD * syD))).as("rho_spearman"))
       },
@@ -1799,7 +1825,8 @@ object Analytic {
         val ssw = col("q") - col("ssb_raw")
         folded.select(col("k_groups"), col("n"),
           ssb.as("ss_between"), ssw.as("ss_within"),
-          ((ssb / (kD - lit(1.0))) / (ssw / (nD - kD))).as("f_stat"))
+          safeDiv(safeDiv(ssb, kD - lit(1.0)),
+            safeDiv(ssw, nD - kD)).as("f_stat"))
       },
       """WITH c AS (SELECT o_orderpriority AS p,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
@@ -1898,7 +1925,8 @@ object Analytic {
         val ssw = col("q") - col("ssb_raw")
         folded.select(col("k_groups"), col("n"),
           ssb.as("ss_between"), ssw.as("ss_within"),
-          ((ssb / (kD - lit(1.0))) / (ssw / (nD - kD))).as("w_stat"))
+          safeDiv(safeDiv(ssb, kD - lit(1.0)),
+            safeDiv(ssw, nD - kD)).as("w_stat"))
       },
       """WITH o AS (SELECT o_orderpriority AS p,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
@@ -1982,16 +2010,19 @@ object Analytic {
           .withColumn("term",
             (col("o").cast("double") - col("ed")) *
               (col("o").cast("double") - col("ed")) / col("ed"))
+        // n / n_rows / n_cols come from `tot`, NOT first() over `e`: an
+        // empty contingency table (degenerate fixture whose single order
+        // matches no customer) must still report tot's 0-counts like the
+        // oracle, not first-over-empty NULLs
         val folded = e.agg(
-            first("n").as("n"), first("n_rows").as("n_rows"),
-            first("n_cols").as("n_cols"),
             sort_array(collect_list(struct(col("seg"), col("prio"),
               col("term")))).as("a"))
           .withColumn("chi2",
             expr("aggregate(a, 0D, (acc, x) -> acc + x.term)"))
+          .crossJoin(broadcast(tot))
         folded.select(col("n"), col("n_rows"), col("n_cols"),
           col("chi2"),
-          sqrt(col("chi2") / (col("n").cast("double") *
+          sqrt(safeDiv(col("chi2"), col("n").cast("double") *
             (least(col("n_rows"), col("n_cols")) - lit(1L))
               .cast("double"))).as("cramers_v"))
       },
@@ -3097,7 +3128,10 @@ object Analytic {
         Tables.customer(s, d).createOrReplaceTempView("v_cust_rec")
         val stats = Tables.customer(s, d)
           .agg(count(lit(1)), max(col("c_custkey")).cast("long")).head()
-        val (n, maxKey) = (stats.getLong(0), stats.getLong(1))
+        // empty dimension: recursion over zero anchors yields zero rows;
+        // the valve only needs the (then-irrelevant) default
+        val (n, maxKey) = (stats.getLong(0),
+          if (stats.isNullAt(1)) 0L else stats.getLong(1))
         // bound: n·(digits+1) ≤ n·20 < 2^63 for any real dimension
         val rows = n * (maxKey.toString.length + 1L)
         val key = "spark.sql.cteRecursionRowLimit"
@@ -3320,12 +3354,17 @@ object Analytic {
         // consumers (rank window, CI picks, bias check) don't re-run
         // the expansion.
         val reps = bootstrapReplicates(o).localCheckpoint(true)
+        // NULLS LAST to match DuckDB's default (Spark defaults NULLS
+        // FIRST asc) — only observable when a replicate's mean is NULL
+        // (degenerate fixtures); real fixtures have no null means
         val ranked = reps.withColumn("rk", row_number().over(
-          Window.orderBy("m", "b")))
+          Window.orderBy(col("m").asc_nulls_last, col("b"))))
+        // scalar-subquery shape (always exactly one row, NULL when the
+        // rank is absent — the empty-fixture case), matching the oracle
         val lo = ranked.filter(col("rk") === 2)
-          .select(col("m").as("ci_lo"))
+          .agg(min(col("m")).as("ci_lo"))
         val hi = ranked.filter(col("rk") === BootB - 1)
-          .select(col("m").as("ci_hi"))
+          .agg(min(col("m")).as("ci_hi"))
         val boot = reps.agg(count(lit(1)).as("n_resamples"),
           (dsum("m") / count(lit(1)).cast("double")).as("boot_mean"))
         val point = o.agg(count(lit(1)).as("n_orders"),

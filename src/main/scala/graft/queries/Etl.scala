@@ -22,14 +22,18 @@ object Etl {
   // reference is retained — a stopped session costs nothing. Paths embed
   // the PID (Scratch.jvmDir), so concurrent JVMs own disjoint fixtures
   // and Scratch's null-guarded shutdown hook deletes only this JVM's.
-  private val dppDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val dppDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, Boolean)]()
 
   private def dppFixture(s: org.apache.spark.sql.SparkSession,
-                         d: String): (String, String) =
+                         d: String): (String, String, Boolean) =
     dppDirs.computeIfAbsent(d, _ => {
       import s.implicits._
       val dir = graft.util.Scratch.jvmDir("dpp_orders", d)
+      // recorded so the consumer can (a) supply the read schema when an
+      // EMPTY fixture wrote no footers and (b) skip the pruning-proof
+      // assertion, which is vacuous with zero partitions
+      val nonEmpty = !Tables.orders(s, d).isEmpty
       Tables.orders(s, d)
         .withColumn("status", col("o_orderstatus"))
         .write.mode("overwrite").partitionBy("status").parquet(dir)
@@ -39,7 +43,7 @@ object Etl {
       Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
         .toDF("status_key", "label")
         .write.mode("overwrite").parquet(dimDir)
-      (dir, dimDir)
+      (dir, dimDir, nonEmpty)
     })
 
   val registry: Map[String, QuerySpec] = Map(
@@ -155,10 +159,12 @@ object Etl {
     "partitioned_write_prune_scan" -> QuerySpec(
       (s, d) => {
         val dir = graft.util.Scratch.sessionDir(s, "part_orders", d)
-        Tables.orders(s, d)
+        val part = Tables.orders(s, d)
           .withColumn("status", col("o_orderstatus"))
-          .write.mode("overwrite").partitionBy("status").parquet(dir)
-        s.read.parquet(dir)
+        part.write.mode("overwrite").partitionBy("status").parquet(dir)
+        // explicit schema: an empty fixture writes no footers to infer
+        // from (status becomes a regular column of the supplied schema)
+        s.read.schema(part.schema).parquet(dir)
           .filter(col("status") === "F")
           .select(col("o_orderkey"), col("o_totalprice"), col("status"))
           .orderBy("o_orderkey")
@@ -185,12 +191,14 @@ object Etl {
     // plain filtered join over raw parquet.
     "partitioned_dpp_join_prune" -> QuerySpec(
       (s, d) => {
-        val (dir, dimDir) = dppFixture(s, d)
+        val (dir, dimDir, nonEmpty) = dppFixture(s, d)
+        val factSchema = Tables.orders(s, d)
+          .withColumn("status", col("o_orderstatus")).schema
         val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
         val prev = s.conf.getOption(key)
         try {
           s.conf.set(key, "false")
-          val df = s.read.parquet(dir)
+          val df = s.read.schema(factSchema).parquet(dir)
             .join(s.read.parquet(dimDir)
               .filter(col("label") === "finished"),
               col("status") === col("status_key"))
@@ -204,7 +212,10 @@ object Etl {
           val scan = df.queryExecution.executedPlan.collectLeaves()
             .map(_.toString).find(_.contains("PartitionFilters"))
             .getOrElse("")
-          require(scan.contains("dynamicpruning"),
+          // the pruning-benefit heuristic legitimately declines on an
+          // EMPTY fact (nothing to prune) — the proof only binds when
+          // the fixture has partitions
+          if (nonEmpty) require(scan.contains("dynamicpruning"),
             "expected a dynamic pruning subquery in the partitioned " +
               s"fact scan:\n$scan")
           df

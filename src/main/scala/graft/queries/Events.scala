@@ -91,6 +91,13 @@ object Events {
     * build). */
   private val sliceBuildId = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** slice dir → number of NON-EMPTY slice files written (empty range
+    * partitions produce no part file). The multi-batch invariant below
+    * is gated on this: it is provable only when the fixture filled
+    * every slice. */
+  private val slicePartCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
   /** Every directory this JVM built, deleted at (clean) JVM exit so
     * repeated bench/verify/test runs cannot leak RAM-backed tmpfs. */
   private val builtDirs =
@@ -157,6 +164,7 @@ object Events {
       // on any filesystem timestamp resolution.
       val parts = Option(stage.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      slicePartCounts.put(out.getPath, parts.length)
       val t0 = System.currentTimeMillis()
       parts.zipWithIndex.foreach { case (p, i) =>
         val dst = new java.io.File(out, f"slice-$i%03d.parquet")
@@ -179,11 +187,21 @@ object Events {
   }
 
   /** ≥ 3 observed data micro-batches, or the multi-batch claim is hollow —
-    * fail loudly rather than silently degrade to a one-shot drain. */
+    * fail loudly rather than silently degrade to a one-shot drain
+    * (the r12 silent-zero-source class). The invariant is a property of
+    * REPLAY over a populated fixture, so it is enforced only when the
+    * fixture filled all its slices (`dir`'s recorded non-empty slice
+    * count ≥ 3 — true at every real fixture, where each slice holds
+    * hundreds of rows of every event type). On a degenerate fixture
+    * (empty / single-row events) the batch count is content-dependent —
+    * a filtered source may legitimately ingest zero rows — and the
+    * contract is only that the drain terminates with a defined result. */
   private def requireMultiBatch(
-      q: org.apache.spark.sql.streaming.StreamingQuery, name: String): Unit = {
+      q: org.apache.spark.sql.streaming.StreamingQuery, name: String,
+      dir: String): Unit = {
     val n = q.recentProgress.count(_.numInputRows > 0)
-    require(n >= 3, s"$name drained in $n data batches, want >= 3")
+    if (slicePartCounts.getOrDefault(dir, 3) >= 3)
+      require(n >= 3, s"$name drained in $n data batches, want >= 3")
   }
 
   /** Ordered funnel view -> click -> purchase, each step the FIRST
@@ -210,8 +228,10 @@ object Events {
       sum(col("t3") - col("t1")).as("sum_us"))
     a1.crossJoin(a2).crossJoin(a3)
       .select(col("n_view"), col("n_click"), col("n_purchase"),
-        (col("n_click").cast("double") / col("n_view").cast("double"))
-          .as("view_to_click_rate"),
+        // n_view=0 (degenerate slice): rate is SQL-NULL like the
+        // oracle's x/0, not an ANSI error
+        graft.queries.Analytic.safeDiv(col("n_click").cast("double"),
+          col("n_view").cast("double")).as("view_to_click_rate"),
         when(col("n_click") > 0,
           col("n_purchase").cast("double") /
             col("n_click").cast("double")).as("click_to_purchase_rate"),
@@ -561,7 +581,7 @@ object Events {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-          requireMultiBatch(q, "events_stream_funnel")
+          requireMultiBatch(q, "events_stream_funnel", slicedEventsDir(s, d))
         }
         val fin = s.table(sinkName)
           .groupBy("user_id")
@@ -569,15 +589,22 @@ object Events {
             .as("m"))
           .select(col("m.t1").as("t1"), col("m.t2").as("t2"),
             col("m.t3").as("t3"))
+        // coalesce(…, 0): an empty stream (degenerate fixture drains no
+        // rows into the sink) must report zero COUNTS like the oracle's
+        // COUNT(*) — sum-over-empty is NULL, counts are not
         fin.agg(
-            sum(when(col("t1") >= 0, 1L).otherwise(0L)).as("n_view"),
-            sum(when(col("t2") >= 0, 1L).otherwise(0L)).as("n_click"),
-            sum(when(col("t3") >= 0, 1L).otherwise(0L)).as("n_purchase"),
+            coalesce(sum(when(col("t1") >= 0, 1L).otherwise(0L)), lit(0L))
+              .as("n_view"),
+            coalesce(sum(when(col("t2") >= 0, 1L).otherwise(0L)), lit(0L))
+              .as("n_click"),
+            coalesce(sum(when(col("t3") >= 0, 1L).otherwise(0L)), lit(0L))
+              .as("n_purchase"),
             sum(when(col("t3") >= 0, col("t3") - col("t1"))).as("sum_us"))
           .select(col("n_view"), col("n_click"), col("n_purchase"),
-            (col("n_click").cast("double") / col("n_view").cast("double"))
-              .as("view_to_click_rate"),
-            when(col("n_click") > 0,
+            // n_view=0 (degenerate slice): SQL-NULL rate like the oracle
+            graft.queries.Analytic.safeDiv(col("n_click").cast("double"),
+              col("n_view").cast("double")).as("view_to_click_rate"),
+            when(col("n_click") > lit(0L),
               col("n_purchase").cast("double") /
                 col("n_click").cast("double")).as("click_to_purchase_rate"),
             when(col("n_purchase") > 0,
@@ -751,7 +778,7 @@ object Events {
           // duplicates sit within one minute of each other, while the
           // watermark trails the previous slice's max by 10 minutes — so
           // a later slice's duplicate always finds the key still in state.
-          requireMultiBatch(q, "events_stream_dedup")
+          requireMultiBatch(q, "events_stream_dedup", slicedEventsDir(s, d))
         }
         s.table(sinkName).orderBy("user_id", "event_type", "minute")
       },
@@ -792,7 +819,7 @@ object Events {
           // must still be in state when its click arrives in slice k+1
           // (watermark trails the click's slice by 10 min, so eviction at
           // p_ts + 30min + delay can never precede the matching click).
-          requireMultiBatch(q, "events_stream_join")
+          requireMultiBatch(q, "events_stream_join", slicedEventsDir(s, d))
         }
         s.table(sinkName).orderBy("c_event", "p_event")
       },
@@ -838,7 +865,7 @@ object Events {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-          requireMultiBatch(q, "events_stream_left_outer_join")
+          requireMultiBatch(q, "events_stream_left_outer_join", slicedEventsDir(s, d))
         }
         s.table(sinkName)
           .orderBy(col("c_event"), coalesce(col("p_event"), lit(-1L)))
@@ -904,7 +931,7 @@ object Events {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-          requireMultiBatch(q, "events_stream_full_outer_join")
+          requireMultiBatch(q, "events_stream_full_outer_join", slicedEventsDir(s, d))
         }
         s.table(sinkName)
           .orderBy(coalesce(col("c_event"), lit(-1L)),
@@ -979,7 +1006,7 @@ object Events {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-          requireMultiBatch(q, "events_stream_enrich")
+          requireMultiBatch(q, "events_stream_enrich", slicedEventsDir(s, d))
         }
         s.table(sinkName).orderBy("event_id")
       },
@@ -1018,7 +1045,7 @@ object Events {
           q.awaitTermination()
           // Per-user counts accumulate across batches; max(n) below reads
           // the final state, so the fold must have carried across slices.
-          requireMultiBatch(q, "events_stream_running_totals")
+          requireMultiBatch(q, "events_stream_running_totals", slicedEventsDir(s, d))
         }
         // one state row per user per batch; max(n) = the final state
         s.table(sinkName)
@@ -1060,7 +1087,7 @@ object Events {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-          requireMultiBatch(q, "events_stream_state_inspection")
+          requireMultiBatch(q, "events_stream_state_inspection", slicedEventsDir(s, d))
           val st = s.read.format("statestore").option("path", ckpt).load()
           val vals = st.select(col("key.user_id").as("user_id"),
             col("value.*"))
@@ -1119,12 +1146,23 @@ object Events {
             .startForeachBatchParquet(stream, out, ckpt)
           q.processAllAvailable()
           q.stop()
-          requireMultiBatch(q, "events_stream_batch_sink")
+          requireMultiBatch(q, "events_stream_batch_sink", slicedEventsDir(s, d))
         }
-        val sunk = s.read.parquet(out)
+        // an empty fixture lands zero batches — the sink dir then has no
+        // footers to infer from, so supply the landing schema explicitly
+        // (the foreachBatch writer appends batch_id to the selected cols)
+        val sunk = s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("batch_id",
+              org.apache.spark.sql.types.LongType))))
+          .parquet(out)
         val nBatches = sunk.select("batch_id").distinct().count()
-        require(nBatches >= 3,
-          s"foreachBatch sink landed $nBatches batches, want >= 3")
+        if (slicePartCounts.getOrDefault(slicedEventsDir(s, d), 3) >= 3)
+          require(nBatches >= 3,
+            s"foreachBatch sink landed $nBatches batches, want >= 3")
         sunk.groupBy("event_type")
           .agg(count(lit(1)).as("n"), dsum("value").as("total"))
           .orderBy("event_type")
@@ -1181,7 +1219,7 @@ object Events {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-          requireMultiBatch(q, "events_stream_sessions")
+          requireMultiBatch(q, "events_stream_sessions", slicedEventsDir(s, d))
         }
         s.table(sinkName)
           .select(col("user_id"),
@@ -1271,7 +1309,7 @@ object Events {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-          requireMultiBatch(q, "events_stream_session_window")
+          requireMultiBatch(q, "events_stream_session_window", slicedEventsDir(s, d))
         }
         s.table(sinkName)
           .select(col("user_id"),
@@ -1345,15 +1383,30 @@ object Events {
         graft.streaming.Streams.drained(s) { ckpt =>
           val n1 = run("slice-00[01].parquet", ckpt)
           val n2 = run("slice-*.parquet", ckpt)
-          require(n1 >= 2 && n2 >= 2,
-            s"restart recovery saw $n1 pre-stop + $n2 post-restart data " +
-              "batches, want >= 2 each (state must be recovered, not rebuilt)")
+          // provable only when the fixture filled all 4 slices (real
+          // fixtures); degenerate fixtures land however much data exists
+          if (slicePartCounts.getOrDefault(
+              slicedEventsDir(s, d, slices = 4), 4) >= 4)
+            require(n1 >= 2 && n2 >= 2,
+              s"restart recovery saw $n1 pre-stop + $n2 post-restart data " +
+                "batches, want >= 2 each (state must be recovered, not rebuilt)")
         }
         // partition discovery yields the bid column; last emission per
-        // user = final recovered state
+        // user = final recovered state. Schema supplied explicitly: an
+        // empty fixture lands zero bid= partitions, leaving nothing to
+        // infer from (bid is the partition column).
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy(col("bid").desc)
-        s.read.parquet(out)
+        s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_events",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("total",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("bid",
+              org.apache.spark.sql.types.LongType))))
+          .parquet(out)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select("user_id", "n_events", "total")
@@ -1404,7 +1457,7 @@ object Events {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-          requireMultiBatch(q, "events_stream_tws_running_stats")
+          requireMultiBatch(q, "events_stream_tws_running_stats", slicedEventsDir(s, d))
         } finally prev match {
           case Some(v) => s.conf.set(pcKey, v)
           case None    => s.conf.unset(pcKey)
@@ -1733,7 +1786,10 @@ object Events {
       (s, d) => {
         val S = 1073741824.0 // 2^30
         val ev = Tables.events(s, d)
-        val refUs = ev.agg(max(expr("ts div 1000"))).head().getLong(0)
+        val refRow = ev.agg(max(expr("ts div 1000"))).head()
+        // empty fixture: no rows evaluate the decay expression, so the
+        // reference instant is never read by an output row
+        val refUs = if (refRow.isNullAt(0)) 0L else refRow.getLong(0)
         ev.select(col("user_id"), col("value"),
             least(expr(s"(($refUs - (ts div 1000)) div 86400000000) div 7"),
               lit(62L)).as("h"))
@@ -1836,7 +1892,10 @@ object Events {
         val cd = daily.crossJoin(broadcast(st))
           .select(col("day_idx"), col("t_days"),
             (col("t_days") * col("n") - col("s_tot")).as("c"))
-        val denom = cd.agg(sum(col("c") * col("c")).as("den")).head().getLong(0)
+        val denomRow = cd.agg(sum(col("c") * col("c")).as("den")).head()
+        // empty fixture: the lag-join below emits no pairs; 0 keeps the
+        // expression well-typed without ever reaching an output row
+        val denom = if (denomRow.isNullAt(0)) 0L else denomRow.getLong(0)
         val ks = cd.select(col("day_idx"), col("c"),
           explode(array((1 to 7).map(lit): _*)).as("k"))
         ks.join(cd.select(col("day_idx").as("rhs_day"), col("c").as("c2")),
@@ -1996,7 +2055,7 @@ object Events {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-          requireMultiBatch(q, "events_stream_attribution")
+          requireMultiBatch(q, "events_stream_attribution", slicedEventsDir(s, d))
         }
         s.table(sinkName)
           .dropDuplicates("event_id")
@@ -2053,8 +2112,10 @@ object Events {
               .as("num"),
             sum(when(col("t") < col("tmax"), col("n_active"))
               .otherwise(0L)).as("den"))
-          .select((col("num").cast("double") / col("den").cast("double"))
-            .as("b_hat"))
+          // a 1-week fixture has no pre-tmax mass (den=0): b_hat is
+          // SQL-NULL like the oracle's x/0, not an ANSI error
+          .select(graft.queries.Analytic.safeDiv(col("num").cast("double"),
+            col("den").cast("double")).as("b_hat"))
         val n0 = curve.filter(col("t") === 0)
           .select(col("n_active").cast("double").as("n0"))
         curve.crossJoin(broadcast(bhat)).crossJoin(broadcast(n0))
@@ -2677,14 +2738,20 @@ object Events {
             cnt(!col("va")).as("n_b"),
             sum(when(col("va"), col("conv")).otherwise(0L)).as("x_a"),
             sum(when(!col("va"), col("conv")).otherwise(0L)).as("x_b"))
-          .withColumn("p_a", dbl(col("x_a")) / dbl(col("n_a")))
-          .withColumn("p_b", dbl(col("x_b")) / dbl(col("n_b")))
+          // safeDiv throughout: an empty arm (degenerate slice) yields
+          // SQL-NULL rates like the oracle's x/0, not an ANSI error
+          .withColumn("p_a",
+            graft.queries.Analytic.safeDiv(dbl(col("x_a")), dbl(col("n_a"))))
+          .withColumn("p_b",
+            graft.queries.Analytic.safeDiv(dbl(col("x_b")), dbl(col("n_b"))))
           .withColumn("lift", col("p_a") - col("p_b"))
           .withColumn("p_pool",
-            dbl(col("x_a") + col("x_b")) / dbl(col("n_a") + col("n_b")))
-          .withColumn("z", col("lift") /
+            graft.queries.Analytic.safeDiv(dbl(col("x_a") + col("x_b")),
+              dbl(col("n_a") + col("n_b"))))
+          .withColumn("z", graft.queries.Analytic.safeDiv(col("lift"),
             sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
-              (lit(1.0) / dbl(col("n_a")) + lit(1.0) / dbl(col("n_b")))))
+              (graft.queries.Analytic.safeDiv(lit(1.0), dbl(col("n_a"))) +
+                graft.queries.Analytic.safeDiv(lit(1.0), dbl(col("n_b")))))))
           .select("n_a", "n_b", "x_a", "x_b", "p_a", "p_b", "lift",
             "p_pool", "z")
       },
@@ -2801,13 +2868,19 @@ object Events {
           .select(col("o_a"),
             expr("aggregate(a, 0D, (acc, x) -> acc + x.te)").as("e_a"),
             expr("aggregate(a, 0D, (acc, x) -> acc + x.tv)").as("v_a"))
-        folded.crossJoin(broadcast(tots.groupBy().pivot("grp")
+        // pivot values PINNED to the arm domain {0,1}: the output schema
+        // must not depend on which arms the fixture happens to populate
+        // (and the explicit list skips pivot's extra distinct pass);
+        // safeDiv: v_a=0 on a degenerate grid → SQL-NULL like the oracle
+        folded.crossJoin(broadcast(tots.groupBy()
+            .pivot("grp", Seq(0, 1))
             .agg(first("n_tot")).withColumnRenamed("0", "n_a")
             .withColumnRenamed("1", "n_b")))
           .select(col("n_a"), col("n_b"), col("o_a"), col("e_a"),
             col("v_a"),
-            ((col("o_a").cast("double") - col("e_a")) *
-              (col("o_a").cast("double") - col("e_a")) / col("v_a"))
+            graft.queries.Analytic.safeDiv(
+              (col("o_a").cast("double") - col("e_a")) *
+                (col("o_a").cast("double") - col("e_a")), col("v_a"))
               .as("logrank_chi2"))
       },
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
@@ -3123,6 +3196,10 @@ object Events {
           .agg(sort_array(collect_list(struct(col("day"), col("y"))))
             .as("a"))
           .select(transform(col("a"), e => e.getField("y")).as("ys"))
+          // empty fixture: a NULL series (not an empty array) so every
+          // derived stat propagates SQL-NULL exactly like the oracle's
+          // list() over zero rows
+          .withColumn("ys", when(size(col("ys")) > 0, col("ys")))
           .withColumn("lvl0",
             expr("aggregate(slice(ys, 1, 7), 0D, (a, x) -> a + x) / 7.0D"))
           .withColumn("tr0", expr(
@@ -3130,16 +3207,20 @@ object Events {
               " - lvl0) / 7.0D"))
         val upd = hwUpdate(k => s"element_at(acc, $k)", "yv", c => c + "D")
         val zero = "array(lvl0, tr0, " +
-          (1 to 7).map(i => s"element_at(ys, $i) - lvl0")
+          (1 to 7).map(i => s"try_element_at(ys, $i) - lvl0")
             .mkString(", ") + ", 0D, 0D)"
+        // greatest(...,0): a sub-8-day series folds zero days instead of
+        // passing slice() a negative length
         val st = init.select(col("ys"),
-          expr(s"""aggregate(slice(ys, 8, size(ys) - 7), $zero,
+          expr(s"""aggregate(slice(ys, 8, greatest(size(ys) - 7, 0)), $zero,
                   (acc, yv) -> array(${upd.mkString(", ")}))""").as("st"))
         val outCols = Seq(
           size(col("ys")).cast("long").as("n_days"),
           expr("element_at(st, 1)").as("level"),
           expr("element_at(st, 2)").as("trend"),
-          expr("element_at(st, 10) / element_at(st, 11)")
+          // safeDiv-shaped: zero folded days -> SQL-NULL MAE
+          expr("CASE WHEN element_at(st, 11) <> 0D THEN " +
+            "element_at(st, 10) / element_at(st, 11) END")
             .as("mae_one_step")) ++
           (1 to 7).map(h => expr(
             s"element_at(st, 1) + ${h}.0D * element_at(st, 2)" +
@@ -3157,10 +3238,15 @@ object Events {
            |        FROM cal LEFT JOIN dd USING (day)),
            |arr AS (SELECT list(y ORDER BY day) AS ys FROM ser),
            |ini AS (SELECT ys,
-           |          list_reduce(ys[1:7], (a, x) -> a + x) / 7.0 AS lvl0,
-           |          (list_reduce(ys[8:14], (a, x) -> a + x) / 7.0
-           |            - list_reduce(ys[1:7], (a, x) -> a + x) / 7.0)
-           |            / 7.0 AS tr0
+           |          CASE WHEN ys IS NULL THEN NULL ELSE
+           |            list_reduce(list_prepend(0.0, ys[1:7]),
+           |              (a, x) -> a + x) / 7.0 END AS lvl0,
+           |          CASE WHEN ys IS NULL THEN NULL ELSE
+           |            (list_reduce(list_prepend(0.0, ys[8:14]),
+           |               (a, x) -> a + x) / 7.0
+           |              - list_reduce(list_prepend(0.0, ys[1:7]),
+           |               (a, x) -> a + x) / 7.0)
+           |              / 7.0 END AS tr0
            |        FROM arr),
            |st AS (SELECT ys, list_reduce(
            |          list_prepend(
@@ -3173,7 +3259,8 @@ object Events {
            |        FROM ini)
            |SELECT CAST(len(ys) AS BIGINT) AS n_days,
            |       st[1] AS level, st[2] AS trend,
-           |       st[10] / st[11] AS mae_one_step,
+           |       CASE WHEN st[11] <> 0.0
+           |            THEN st[10] / st[11] END AS mae_one_step,
            |       ${(1 to 7).map(h =>
                       s"st[1] + $h.0 * st[2] + st[${2 + h}] AS f$h")
                       .mkString(",\n       ")}
@@ -3213,7 +3300,7 @@ object Events {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-          requireMultiBatch(q, "events_stream_pattern_match")
+          requireMultiBatch(q, "events_stream_pattern_match", slicedEventsDir(s, d))
         }
         s.table(sinkName).groupBy("user_id")
           .agg(max(struct(col("folded"), col("n_events"),

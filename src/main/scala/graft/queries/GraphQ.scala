@@ -168,11 +168,14 @@ object GraphQ {
         val nodes = e0.select(col("src").as("node")).distinct()
           .localCheckpoint(true)
         val n = nodes.count()
-        require(n > 0, "pagerank: empty co-purchase graph")
-        var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+        // empty graph (degenerate fixture): zero nodes in, zero rank
+        // rows out — 1.0/max(n,1) keeps the literal finite; it scales
+        // zero rows either way
+        var ranks = nodes
+          .select(col("node"), lit(1.0 / math.max(n, 1L)).as("pr"))
           .localCheckpoint(true)
         for (_ <- 1 to Rounds)
-          ranks = pagerankRound(edges, nodes, ranks, 0.15 / n)
+          ranks = pagerankRound(edges, nodes, ranks, 0.15 / math.max(n, 1L))
             .localCheckpoint(true)
         ranks.orderBy(desc("pr"), asc("node")).limit(20)
       },
@@ -288,10 +291,15 @@ object GraphQ {
       (s, d) => {
         val edges = coPurchaseEdges(s, d)
         // One scalar action for the seed (smallest node id): cheap,
-        // deterministic, and keeps the unrolled plan static.
-        val seed = edges.agg(min(col("src"))).head().getLong(0)
+        // deterministic, and keeps the unrolled plan static. An empty
+        // graph seeds a NULL node — the oracle's recursive anchor does
+        // the same, so hop 0 reports (n=1, NULL bounds) on both engines.
+        val seedRow = edges.agg(min(col("src"))).head()
+        val seedCol =
+          if (seedRow.isNullAt(0)) lit(null).cast("long")
+          else lit(seedRow.getLong(0))
         var visited = s.range(1)
-          .select(lit(seed).as("node"), lit(0L).as("hops"))
+          .select(seedCol.as("node"), lit(0L).as("hops"))
           .localCheckpoint(true)
         var frontier = visited.select("node")
         for (i <- 1 to 4) {

@@ -84,6 +84,13 @@ object LearnQ {
     lit(w(0)) * col("x1") + lit(w(1)) * col("x2") +
       lit(w(2)) * col("x3") + lit(w(3))
 
+  /** Weight literal for OUTPUT columns: a NaN weight (the empty-corpus
+    * 0/0 gradient) is emitted as SQL-NULL, matching the oracle's
+    * NULL-propagating weight CTEs — a driver double cannot carry NULL,
+    * so NaN is the in-band marker and this is its exit conversion. */
+  private def wlit(v: Double): Column =
+    if (v.isNaN) lit(null).cast("double") else lit(v)
+
   /** Softsign sigmoid surrogate (no exp() — cross-engine exact). */
   private def softsign(z: Column): Column =
     lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
@@ -122,9 +129,13 @@ object LearnQ {
             .cast("double") / nt / lit(10.0)).as("x3"))
         .localCheckpoint(true)
       val n = ft.count().toDouble
-      require(n > 0, "trainedLogreg: empty corpus")
-      var w = Array(0.0, 0.0, 0.0, 0.0) // w1, w2, w3, bias
-      for (_ <- 1 to LogregRounds) {
+      // empty corpus: the gradient is 0/0 — weights are NaN, which every
+      // consumer emits as SQL-NULL (wlit), exactly the oracle's
+      // NULL-propagating sum chain; no GD round runs (nothing to scan)
+      var w =
+        if (n == 0) Array.fill(4)(Double.NaN)
+        else Array(0.0, 0.0, 0.0, 0.0) // w1, w2, w3, bias
+      if (n > 0) for (_ <- 1 to LogregRounds) {
         val row = gradientAgg(ft, w).head()
         val g = (0 to 3).map(i =>
           (row.getDecimal(i).doubleValue() / Scale.toDouble) / n)
@@ -231,7 +242,20 @@ object LearnQ {
         val emb = Tables.embeddings(s, d).select(col("embedding"))
           .localCheckpoint(true)
         val nd = emb.count().toDouble
-        require(nd > 0, "learn_pca_power_iteration: empty embeddings")
+        // degenerate corpus (empty, or zero variance so the quantized
+        // power-iterate norm underflows): the oracle's NULL-propagating
+        // division chain emits 64 (dim, NULL, NULL, NULL) rows — mirror
+        // that instead of crashing
+        def nullRows = {
+          val e = Option.empty[Double]
+          (1 to PcaD).map(i => (i.toLong, e, e, e))
+            .toDF("dim", "loading", "eigenvalue", "var_share")
+            .orderBy("dim")
+        }
+        // EMPTY corpus: the oracle's CTE chain joins against an empty
+        // per-dim table and emits ZERO rows (the 64 NULL rows appear only
+        // for a nonempty corpus whose spectrum collapses)
+        if (nd == 0) nullRows.limit(0) else {
         def unscale(c: Column): Column =
           c.cast("double") / lit(Scale.toDouble)
         val firsts = emb
@@ -277,7 +301,11 @@ object LearnQ {
               .sum.toDouble / Scale.toDouble)
         }
         var v = Array.fill(PcaD)(0.125)
-        for (_ <- 1 to PcaRounds) {
+        // degenerate spectrum (every y_i^2 < 2^-40, e.g. a zero-variance
+        // single-point corpus): collapse to the oracle's NULL rows
+        // instead of propagating Infinity/NaN into matvec's ball check
+        var collapsed = false
+        for (_ <- 1 to PcaRounds if !collapsed) {
           val y = matvec(v)
           // bound: |y(i)| <= PcaD * max|Cm| * max|v| <= 32, so each
           // floor(y^2 * 2^40) < 1024 * 2^40 << 2^63.
@@ -285,14 +313,9 @@ object LearnQ {
             math.floor(y(i) * y(i) * Scale.toDouble).toLong)
             .sum.toDouble / Scale.toDouble
           val nrm = math.sqrt(n2)
-          // degenerate spectrum (every y_i^2 < 2^-40): fail loudly with
-          // the real cause instead of propagating Infinity/NaN into
-          // matvec's ball check
-          require(nrm > 0.0,
-            "PCA power iteration collapsed: quantized norm underflowed " +
-              "(top eigenvalue too small for the 2^40 grid)")
-          v = y.map(_ / nrm)
+          if (nrm > 0.0) v = y.map(_ / nrm) else collapsed = true
         }
+        if (collapsed) nullRows else {
         val y6 = matvec(v)
         // bound: |v(i)| <= 2 and |y6(i)| <= 32 (see matvec), so each
         // floor(v * y6 * 2^40) < 64 * 2^40 << 2^63.
@@ -304,6 +327,7 @@ object LearnQ {
           .map { case (l, i0) => ((i0 + 1).toLong, l, lam, share) }
           .toSeq.toDF("dim", "loading", "eigenvalue", "var_share")
           .orderBy("dim")
+        }}
       },
       s"""WITH emb AS MATERIALIZED (SELECT embedding FROM embeddings),
          |n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd
@@ -371,10 +395,11 @@ object LearnQ {
             cnt(pred === 0 && yi === 1).as("fn"),
             cnt(pred === 0 && yi === 0).as("tn"))
           .select(
-            lit(w(0)).as("w_tokens"), lit(w(1)).as("w_ttr"),
-            lit(w(2)).as("w_toklen"), lit(w(3)).as("bias"),
+            wlit(w(0)).as("w_tokens"), wlit(w(1)).as("w_ttr"),
+            wlit(w(2)).as("w_toklen"), wlit(w(3)).as("bias"),
             col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
-            ((col("tp") + col("tn")).cast("double") / lit(n)).as("accuracy"))
+            Analytic.safeDiv((col("tp") + col("tn")).cast("double"),
+              lit(n)).as("accuracy"))
       },
       s"""WITH $duckLogregCtes,
          |conf AS (SELECT COUNT(*) AS n_docs,
@@ -484,12 +509,14 @@ object LearnQ {
           .select(col("quartile"),
             (col("qf").cast("double") / lit(1000000.0)).as("threshold"),
             col("n_kept"), col("n_pos_kept"),
-            (col("n_kept").cast("double") / col("n_docs").cast("double"))
-              .as("keep_frac"),
-            (col("n_pos_kept").cast("double") / col("n_kept").cast("double"))
-              .as("precision_en"),
-            (col("n_pos_kept").cast("double") / col("n_pos").cast("double"))
-              .as("recall_en"))
+            // safeDiv: a corpus with zero positives has SQL-NULL recall
+            // (oracle agrees), not an ANSI error
+            Analytic.safeDiv(col("n_kept").cast("double"),
+              col("n_docs").cast("double")).as("keep_frac"),
+            Analytic.safeDiv(col("n_pos_kept").cast("double"),
+              col("n_kept").cast("double")).as("precision_en"),
+            Analytic.safeDiv(col("n_pos_kept").cast("double"),
+              col("n_pos").cast("double")).as("recall_en"))
           .orderBy("quartile")
       },
       s"""WITH $duckLogregCtes,
@@ -876,8 +903,13 @@ object LearnQ {
         val legs = fracs.map { f =>
           val sub = ftAll.filter(col("hb") < f)
           val n = sub.count().toDouble
-          var w = Array(0.0, 0.0, 0.0, 0.0)
-          for (_ <- 1 to LogregRounds) {
+          // empty training leg (degenerate slice): weights are the 0/0
+          // gradient's NaN, scored below as a SQL-NULL z so the
+          // CASE-shaped prediction matches the oracle (NULL -> pred 0)
+          var w =
+            if (n == 0) Array.fill(4)(Double.NaN)
+            else Array(0.0, 0.0, 0.0, 0.0)
+          if (n > 0) for (_ <- 1 to LogregRounds) {
             val r = softsign(zOf(w)) - col("y")
             val row = sub.agg(dsum(r * col("x1")), dsum(r * col("x2")),
               dsum(r * col("x3")), dsum(r * lit(1.0))).head()
@@ -885,13 +917,15 @@ object LearnQ {
               (row.getDecimal(i).doubleValue() / Scale.toDouble) / n)
             w = Array.tabulate(4)(i => w(i) - LogregLr * g(i))
           }
-          val pred = (zOf(w) >= lit(0.0)).cast("long")
+          val z =
+            if (w.exists(_.isNaN)) lit(null).cast("double") else zOf(w)
+          val pred = when(z >= lit(0.0), 1L).otherwise(0L)
           val yi = col("y").cast("long")
           ftAll.agg(count(lit(1)).as("n_eval"),
               sum(when(pred === yi, 1L).otherwise(0L)).as("n_correct"))
             .select(lit(f.toLong).as("train_pct"),
               lit(n.toLong).as("n_train"), col("n_eval"), col("n_correct"),
-              (col("n_correct").cast("double") /
+              Analytic.safeDiv(col("n_correct").cast("double"),
                 col("n_eval").cast("double")).as("accuracy"))
         }
         legs.reduce(_ unionAll _).orderBy("train_pct")
@@ -1207,8 +1241,12 @@ object LearnQ {
       (s, d) => {
         val (ft, _, n) = trainedLogreg(s, d)
         def ys = lit(2.0) * col("y") - lit(1.0)
-        var w = Array(0.0, 0.0, 0.0, 0.0) // w1, w2, w3, bias
-        for (_ <- 1 to SvmRounds) {
+        // empty corpus: subgradient is 0/0 — NaN weights, emitted as
+        // SQL-NULL below (wlit), matching the oracle's NULL chain
+        var w =
+          if (n == 0) Array.fill(4)(Double.NaN)
+          else Array(0.0, 0.0, 0.0, 0.0) // w1, w2, w3, bias
+        if (n > 0) for (_ <- 1 to SvmRounds) {
           val m = when(ys * zOf(w) < lit(1.0), ys).otherwise(lit(0.0))
           val row = ft.agg(dsum(m * col("x1")), dsum(m * col("x2")),
             dsum(m * col("x3")), dsum(m)).head()
@@ -1228,10 +1266,11 @@ object LearnQ {
               lit(Scale.toDouble)).as("hinge_loss"),
             cnt((z >= lit(0.0)) === (ys > lit(0.0))).as("n_correct"))
           .select(
-            lit(w(0)).as("w_tokens"), lit(w(1)).as("w_ttr"),
-            lit(w(2)).as("w_toklen"), lit(w(3)).as("bias"),
+            wlit(w(0)).as("w_tokens"), wlit(w(1)).as("w_ttr"),
+            wlit(w(2)).as("w_toklen"), wlit(w(3)).as("bias"),
             col("n_violations"), col("hinge_loss"), col("n_correct"),
-            (col("n_correct").cast("double") / lit(n)).as("accuracy"))
+            Analytic.safeDiv(col("n_correct").cast("double"), lit(n))
+              .as("accuracy"))
       },
       s"""WITH $duckFtCtes,
          |v0 AS MATERIALIZED (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
@@ -1537,6 +1576,10 @@ object LearnQ {
           .select(lit(nCal).as("n_cal"), col("n_test"),
             lit(kRank).as("k_rank"), col("q_units"), col("coverage"),
             (col("coverage") >= 0.85).as("within_slack"))
+          // the oracle's grouped aggregate emits NO row for an empty
+          // test split (degenerate fixture); a global agg always emits
+          // one — align on the grouped semantics
+          .filter(col("n_test") > 0)
       },
       {
         val k = "CAST(doc_id AS VARCHAR)"
@@ -1605,13 +1648,22 @@ object LearnQ {
         def audit(w: Array[Long]) = perceptronAudit(ft, w).head()
         var w = Array(0L, 0L, 0L, 0L)
         var prev = audit(w)
-        val rows = (1 to PerceptronRounds).map { r =>
-          val nMis = prev.getLong(4)
-          w = Array(w(0) + prev.getLong(0), w(1) + prev.getLong(1),
-            w(2) + prev.getLong(2), w(3) + prev.getLong(3))
-          prev = audit(w) // n_mis for the NEXT round, holdout for THIS one
-          (r.toLong, nMis, w(0), w(1), w(2), w(3), prev.getLong(5))
-        }
+        // empty corpus: every audit sum is SQL-NULL and the oracle's
+        // weight chain is NULL from round 1 — emit the same NULL rows
+        // (round numbers intact) instead of crashing on getLong(null)
+        val rows: Seq[(Long, Option[Long], Option[Long], Option[Long],
+            Option[Long], Option[Long], Option[Long])] =
+          if (prev.isNullAt(0))
+            (1 to PerceptronRounds).map(r => (r.toLong, None, None,
+              None, None, None, None))
+          else (1 to PerceptronRounds).map { r =>
+            val nMis = prev.getLong(4)
+            w = Array(w(0) + prev.getLong(0), w(1) + prev.getLong(1),
+              w(2) + prev.getLong(2), w(3) + prev.getLong(3))
+            prev = audit(w) // n_mis for the NEXT round, holdout for THIS
+            (r.toLong, Some(nMis), Some(w(0)), Some(w(1)), Some(w(2)),
+              Some(w(3)), Some(prev.getLong(5)))
+          }
         import s.implicits._
         rows.toDF("round", "n_mis", "w1", "w2", "w3", "b",
           "holdout_correct").orderBy("round")

@@ -216,9 +216,13 @@ object LinkageQ {
           .agg(count(lit(1)).as("n_pairs"), sum("is_match").as("n_match"))
         val tot = pat.agg(sum("n_match").as("tm"),
           sum(col("n_pairs") - col("n_match")).as("tn"))
-        val m = col("n_match").cast("double") / col("tm").cast("double")
-        val u = (col("n_pairs") - col("n_match")).cast("double") /
-          col("tn").cast("double")
+        // safeDiv: a degenerate census with zero matches (or zero
+        // non-matches) yields SQL-NULL probabilities like the oracle
+        val m = graft.queries.Analytic.safeDiv(
+          col("n_match").cast("double"), col("tm").cast("double"))
+        val u = graft.queries.Analytic.safeDiv(
+          (col("n_pairs") - col("n_match")).cast("double"),
+          col("tn").cast("double"))
         val lr = m / nullif(u, lit(0.0))
         pat.crossJoin(broadcast(tot))
           .select(col("name_eq"), col("seg_eq"), col("band_eq"),
@@ -464,11 +468,13 @@ object LinkageQ {
           .select(col("n_a"), col("n_b"),
             (col("n_a") * col("n_b")).as("total_pairs"),
             col("cand_pairs"), col("conj_pairs"), col("name_pairs"),
-            (lit(1.0) - col("cand_pairs").cast("double") /
-              (col("n_a") * col("n_b")).cast("double"))
+            (lit(1.0) - graft.queries.Analytic.safeDiv(
+              col("cand_pairs").cast("double"),
+              (col("n_a") * col("n_b")).cast("double")))
               .as("reduction_ratio"),
             col("n_true_matches"), col("matches_in_cand"),
-            (col("matches_in_cand").cast("double") /
+            graft.queries.Analytic.safeDiv(
+              col("matches_in_cand").cast("double"),
               col("n_true_matches").cast("double"))
               .as("pair_completeness"),
             col("max_block_pairs"))

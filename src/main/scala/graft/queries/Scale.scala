@@ -119,7 +119,7 @@ object Scale {
             sum(col("event_id")).cast("long").as("id_sum"))
       },
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |       CAST(4 AS BIGINT) AS n_files,
+        |       CAST(LEAST(4, COUNT(*)) AS BIGINT) AS n_files,
         |       CAST(SUM(event_id) AS BIGINT) AS id_sum
         |FROM events""".stripMargin),
 
@@ -238,8 +238,12 @@ object Scale {
               col("fle") >= col("p") - lit(0.01)).as("within_bound"))
           .orderBy("p")
       },
+      // bound-verdict oracle; the verdict rows exist only when there is
+      // data to bound (approx_percentile of an empty input has no value,
+      // so the Spark side legitimately emits zero rows)
       """SELECT p, TRUE AS within_bound
-        |FROM (VALUES (0.25), (0.5), (0.95)) t(p) ORDER BY p""".stripMargin),
+        |FROM (VALUES (0.25), (0.5), (0.95)) t(p)
+        |WHERE (SELECT COUNT(*) FROM orders) > 0 ORDER BY p""".stripMargin),
 
     // Count-min sketch, FULLY oracle-checked: unlike HLL/t-digest the CMS
     // estimate is a deterministic function of the data and the hash family
@@ -483,7 +487,10 @@ object Scale {
             col("c").as("n_shared_samples"),
             est.as("est_intersection"),
             col("exact_intersection"),
-            (abs(est - col("exact_intersection").cast("double")) /
+            // empty true intersection (degenerate slice): rel_err is
+            // SQL-NULL like the oracle's x/0, not an ANSI error
+            graft.queries.Analytic.safeDiv(
+              abs(est - col("exact_intersection").cast("double")),
               col("exact_intersection").cast("double")).as("rel_err"))
           .withColumn("within_bound", col("rel_err") <= lit(0.15))
       },

@@ -74,11 +74,17 @@ object SimilarityQ {
     val sb = new StringBuilder
     sb ++= s"""ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               |       FROM embeddings),
+              |c0smp AS (SELECT vec_id, v FROM ev
+              |          WHERE sha256(CAST(vec_id AS VARCHAR)) < '$seedBound'),
+              |c0src AS (SELECT vec_id, v FROM c0smp
+              |          WHERE (SELECT COUNT(*) FROM c0smp) >= $k
+              |          UNION ALL
+              |          SELECT vec_id, v FROM ev
+              |          WHERE (SELECT COUNT(*) FROM c0smp) < $k),
               |c0 AS (SELECT CAST(rk - 1 AS BIGINT) AS cent_id, v AS cvec FROM (
               |         SELECT v, row_number() OVER (
               |           ORDER BY sha256(CAST(vec_id AS VARCHAR)), vec_id) AS rk
-              |         FROM ev
-              |         WHERE sha256(CAST(vec_id AS VARCHAR)) < '$seedBound')
+              |         FROM c0src)
               |       WHERE rk <= $k)""".stripMargin
     for (r <- 1 to rounds) {
       sb ++= s""",
@@ -569,6 +575,10 @@ object SimilarityQ {
               sqrt(Similarity.l2sq(col("embedding"), c.getField("cvec")))
                 .as("dd"),
               c.getField("cent_id").as("cent_id")))))
+          // a silhouette needs a SECOND-nearest cell: with fewer than 2
+          // trained centroids (degenerate corpus) no row qualifies —
+          // the same zero rows the oracle's rn=2 join produces
+          .filter(size(col("ds")) >= 2)
           .select(
             col("ds")(0).getField("cent_id").as("cell"),
             col("ds")(0).getField("dd").as("da"),

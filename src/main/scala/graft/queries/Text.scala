@@ -27,7 +27,11 @@ object Text {
     val st = toks.agg(count(lit(1)).as("n"),
       sum(size(col("ts")).cast("long")).as("tot")).head()
     val n = st.getLong(0)
-    val avgdl = st.getLong(1).toDouble / n.toDouble
+    // empty corpus: no tf rows exist downstream, so avgdl is never read
+    // by any surviving row — any finite placeholder is equivalent
+    val avgdl =
+      if (n == 0L || st.isNullAt(1)) 1.0
+      else st.getLong(1).toDouble / n.toDouble
     val tf = toks
       .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
         explode(col("ts")).as("term"))
@@ -90,13 +94,19 @@ object Text {
     * localCheckpointed distinct-word table (tiny); rules are plain
     * driver values. Entries evict when their session stops. */
   private val bpeCache = new graft.util.SessionScopedCache[
-    (Seq[(Long, String, Long, Long)], org.apache.spark.sql.DataFrame)]()
+    (Seq[(Long, Option[String], Option[Long], Option[Long])],
+      org.apache.spark.sql.DataFrame)]()
 
   /** 5-round BPE merge training over the distinct-word table; returns
     * (rules as (round, merged, freq, n_symbols_after), final encodings
-    * (w, c, enc)). See text_bpe_merges for the full contract. */
+    * (w, c, enc)). See text_bpe_merges for the full contract. Rule
+    * fields are Options: a corpus too small to offer any pair (empty or
+    * single-char vocabulary) yields NULL rule rows — the same NULLs the
+    * oracle's scalar subqueries produce — rather than a head()-of-empty
+    * crash. */
   private def trainedBpe(s: org.apache.spark.sql.SparkSession, d: String)
-      : (Seq[(Long, String, Long, Long)], org.apache.spark.sql.DataFrame) =
+      : (Seq[(Long, Option[String], Option[Long], Option[Long])],
+        org.apache.spark.sql.DataFrame) =
     bpeCache.getOrBuild(s, d) {
       val words = Tables.documents(s, d)
         .select(explode(TextOps.tokens(col("text"))).as("w"))
@@ -111,10 +121,14 @@ object Text {
       // counts (q,q) twice) while leftmost non-overlapping replace
       // merges it once, so the subtract-f invariant is wrong whenever
       // an a==b merge wins a round.
-      def weightedSymbols(df: org.apache.spark.sql.DataFrame): Long = df
-        .agg(sum(size(split(trim(col("enc")), "  ")).cast("long") * col("c"))
-          .as("n"))
-        .head().getLong(0)
+      def weightedSymbols(df: org.apache.spark.sql.DataFrame)
+          : Option[Long] = {
+        val r = df
+          .agg(sum(size(split(trim(col("enc")), "  ")).cast("long") *
+            col("c")).as("n"))
+          .head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
       var enc = words
       val rules = (1 to 5).map { r =>
         val sy = split(trim(col("enc")), "  ")
@@ -127,12 +141,18 @@ object Text {
           .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
           .agg(sum(col("c")).as("f"))
           .orderBy(desc("f"), asc("a"), asc("b"))
-          .limit(1).head()
-        val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
-        enc = enc.withColumn("enc", replace(col("enc"),
-            lit(s" $a  $b "), lit(s" $a$b ")))
-          .localCheckpoint(true)
-        (r.toLong, a + b, f, weightedSymbols(enc))
+          .limit(1).collect().headOption
+        top match {
+          case Some(t) =>
+            val (a, b, f) = (t.getString(0), t.getString(1), t.getLong(2))
+            enc = enc.withColumn("enc", replace(col("enc"),
+                lit(s" $a  $b "), lit(s" $a$b ")))
+              .localCheckpoint(true)
+            (r.toLong, Some(a + b), Some(f), weightedSymbols(enc))
+          case None => // no mergeable pair: NULL rule row, enc unchanged
+            (r.toLong, Option.empty[String], Option.empty[Long],
+              weightedSymbols(enc))
+        }
       }
       (rules, enc)
     }
@@ -331,10 +351,13 @@ object Text {
           .select(((col("r1") - col("r2")) * (col("r1") - col("r2")))
             .as("d2"))
           .agg(count(lit(1)).as("n"), sum("d2").as("sum_d2"))
+          // n=1 (single-doc corpus): n(n²−1)=0 → rho is SQL-NULL on
+          // both engines, not an ANSI error
           .withColumn("spearman_rho", lit(1.0) -
-            (lit(6.0) * col("sum_d2").cast("double")) /
-            (col("n").cast("double") *
-              (col("n") * col("n") - 1).cast("double")))
+            graft.queries.Analytic.safeDiv(
+              lit(6.0) * col("sum_d2").cast("double"),
+              col("n").cast("double") *
+                (col("n") * col("n") - 1).cast("double")))
           .withColumn("decorrelated", abs(col("spearman_rho")) <= lit(0.1))
           .select("n", "sum_d2", "spearman_rho", "decorrelated")
       },
@@ -452,17 +475,23 @@ object Text {
           .select((col("rin") + col("cbase")).as("r"), col("tk"))
         val tot = g.agg(count(lit(1)).as("n"), sum("tk").as("sx"),
           sum(col("r") * col("tk")).as("srx"))
+        // global agg + crossJoin (not groupBy on tot's columns): an
+        // EMPTY corpus must still emit the oracle's one NULL row;
+        // safeDiv: n=0 divisions are SQL-NULL, not ANSI errors
         g.crossJoin(broadcast(tot))
-          .groupBy("n", "sx", "srx")
           .agg(sum(when(col("r") > col("n") - expr("n div 10"),
             col("tk")).otherwise(0L)).as("top_decile_tokens"))
+          .crossJoin(broadcast(tot))
           .select(col("n").as("n_docs"), col("sx").as("total_tokens"),
-            ((lit(2.0) * col("srx").cast("double")) /
-              (col("n").cast("double") * col("sx").cast("double")) -
-              (col("n") + 1).cast("double") / col("n").cast("double"))
+            (graft.queries.Analytic.safeDiv(
+              lit(2.0) * col("srx").cast("double"),
+              col("n").cast("double") * col("sx").cast("double")) -
+              graft.queries.Analytic.safeDiv(
+                (col("n") + 1).cast("double"), col("n").cast("double")))
               .as("gini"),
             col("top_decile_tokens"),
-            (col("top_decile_tokens").cast("double") /
+            graft.queries.Analytic.safeDiv(
+              col("top_decile_tokens").cast("double"),
               col("sx").cast("double")).as("top_decile_share"))
       },
       s"""WITH dt AS (
@@ -741,8 +770,10 @@ object Text {
               ((col("n10") + col("n00")).cast("double") / nd))
           .select(col("n_docs"), col("n11"), col("n10"), col("n01"),
             col("n00"), col("po"), col("pe"),
-            ((col("po") - col("pe")) / (lit(1.0) - col("pe")))
-              .as("kappa"))
+            // pe = 1 (all docs in one agreement cell): kappa is SQL-NULL
+            // on both engines, not an ANSI error
+            graft.queries.Analytic.safeDiv(col("po") - col("pe"),
+              lit(1.0) - col("pe")).as("kappa"))
       },
       s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
          |m AS (SELECT len(toks) AS n,
@@ -831,7 +862,10 @@ object Text {
           col("n01").cast("double"))
         agg.select(col("n_docs"), col("n11"), col("n10"), col("n01"),
           col("n00"),
-          ((bD - cD) * (bD - cD) / (bD + cD)).as("mcnemar_chi2"))
+          // zero discordant pairs (degenerate slice): SQL-NULL, like the
+          // oracle's x/0 — not an ANSI error
+          graft.queries.Analytic.safeDiv((bD - cD) * (bD - cD), bD + cD)
+            .as("mcnemar_chi2"))
       },
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks
          |           FROM documents),
@@ -908,8 +942,9 @@ object Text {
           D("g_quality") * D("g_quality")
         agg.select(col("n_docs"), col("g_len"), col("g_stop"),
           col("g_quality"), col("sum_l"), col("sum_l2"),
-          ((kD - lit(1.0)) * (kD * sumG2 - D("sum_l") * D("sum_l")) /
-            (kD * D("sum_l") - D("sum_l2"))).as("cochran_q"))
+          graft.queries.Analytic.safeDiv(
+            (kD - lit(1.0)) * (kD * sumG2 - D("sum_l") * D("sum_l")),
+            kD * D("sum_l") - D("sum_l2")).as("cochran_q"))
       },
       s"""WITH t AS (SELECT text, $duckToks AS toks FROM documents),
          |c AS (SELECT
@@ -1004,7 +1039,10 @@ object Text {
         val st = tok.agg(
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
           count(lit(1)).as("ns")).head()
-        val (nt, ns) = (st.getLong(0), st.getLong(1))
+        // empty corpus: no tok rows survive downstream, so the scalar is
+        // never read by an output row — 0 is a safe placeholder
+        val (nt, ns) = (if (st.isNullAt(0)) 0L else st.getLong(0),
+          st.getLong(1))
         val ratio = tok.groupBy("b").agg(
             count(lit(1)).as("sc"),
             sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
@@ -1836,7 +1874,10 @@ object Text {
         import org.apache.spark.sql.expressions.Window
         val B = 20
         val docs = Tables.documents(s, d)
-        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val maxIdRow = docs.agg(max("doc_id")).head()
+        // empty corpus: every bucket expression below maps zero rows —
+        // the placeholder never reaches an output row
+        val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
         val bucketOf = (id: org.apache.spark.sql.Column) =>
           least(floor(id * B / (maxId + 1)).cast("int"), lit(B - 1))
         val toks = docs.select(bucketOf(col("doc_id")).as("bucket"),
@@ -2323,7 +2364,9 @@ object Text {
           .groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
         val srcTot = st.groupBy("source").agg(sum("c_st").as("n_s"))
         val corpus = st.groupBy("tok").agg(sum("c_st").as("c_t"))
-        val bigN = corpus.agg(sum("c_t")).head().getLong(0)
+        val bigNRow = corpus.agg(sum("c_t")).head()
+        // empty corpus: the per-term table is empty, placeholder unread
+        val bigN = if (bigNRow.isNullAt(0)) 0L else bigNRow.getLong(0)
         val ps = col("c_st").cast("double") / col("n_s").cast("double")
         val pc = col("c_t").cast("double") / lit(bigN.toDouble)
         st.join(corpus, Seq("tok"))

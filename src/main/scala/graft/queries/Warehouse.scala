@@ -50,19 +50,23 @@ object Warehouse {
       count(lit(1)).as("n_values"))
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts
+    // global agg (not groupBy on tot's columns) so an EMPTY input still
+    // yields the oracle's one NULL row; safeDiv so a one-sided split
+    // (tb=0) is SQL-NULL, not an ANSI error
+    val ks = counts
       .select(sum("na").over(w).as("ca"), sum("nb").over(w).as("cb"))
       .crossJoin(broadcast(tot))
-      .select(col("ta"), col("tb"), col("n_values"),
-        abs(col("ca").cast("double") / col("ta").cast("double") -
-          col("cb").cast("double") / col("tb").cast("double"))
-          .as("gap"))
-      .groupBy("ta", "tb", "n_values")
+      .select(abs(
+        Analytic.safeDiv(col("ca").cast("double"), col("ta").cast("double")) -
+        Analytic.safeDiv(col("cb").cast("double"), col("tb").cast("double")))
+        .as("gap"))
       .agg(max("gap").as("ks_stat"))
+    ks.crossJoin(broadcast(tot))
       .select(col("ta").as("n_a"), col("tb").as("n_b"),
         col("n_values"), col("ks_stat"),
-        (lit(1.36) * sqrt(lit(1.0) / col("ta").cast("double") +
-          lit(1.0) / col("tb").cast("double"))).as("ks_critical_05"))
+        (lit(1.36) * sqrt(Analytic.safeDiv(lit(1.0), col("ta").cast("double")) +
+          Analytic.safeDiv(lit(1.0), col("tb").cast("double"))))
+          .as("ks_critical_05"))
       .withColumn("reject_same_dist",
         col("ks_stat") > col("ks_critical_05"))
   }
@@ -418,7 +422,8 @@ object Warehouse {
               countDistinct("k").as("n_orphan_keys")))
             .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
               col("n_orphan_keys"),
-              (col("n_orphans").cast("double") /
+              // empty child table: rate is SQL-NULL like the oracle
+              Analytic.safeDiv(col("n_orphans").cast("double"),
                 col("n_child").cast("double")).as("orphan_rate"))
         }
         val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
@@ -653,8 +658,11 @@ object Warehouse {
             sum(col("c") * col("c")).as("sc2"))
           .withColumn("gini", lit(1.0) - col("sc2").cast("double") /
             (col("n").cast("double") * col("n").cast("double")))
+          // k=1 (single-category degenerate slice) → k/(k-1) is SQL
+          // NULL, matching the oracle, not an ANSI error
           .withColumn("gini_norm", col("gini") *
-            (col("k").cast("double") / (col("k") - 1).cast("double")))
+            Analytic.safeDiv(col("k").cast("double"),
+              (col("k") - 1).cast("double")))
           .select("col_name", "k", "n", "gini", "gini_norm")
           .orderBy("col_name")
       },
@@ -840,13 +848,16 @@ object Warehouse {
           .cast("decimal(25,6)")).over(w))
         val n = count(lit(1)).over(w).cast("double")
         val mean = sumd / n
-        val variance = (sumsq - sumd * sumd / n) / (n - lit(1.0))
         val mn = min("c_acctbal").over(w)
         val mx = max("c_acctbal").over(w)
+        // safeDiv: a 1-customer segment has variance NULL-shaped (n-1=0)
+        // and mx=mn — SQL-NULL z/minmax on both engines, not ANSI errors
         Tables.customer(s, d)
           .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-            ((col("c_acctbal") - mean) / sqrt(variance)).as("z"),
-            ((col("c_acctbal") - mn) / (mx - mn)).as("minmax"))
+            Analytic.safeDiv(col("c_acctbal") - mean, sqrt(
+              Analytic.safeDiv(sumsq - sumd * sumd / n, n - lit(1.0))))
+              .as("z"),
+            Analytic.safeDiv(col("c_acctbal") - mn, mx - mn).as("minmax"))
           .filter(col("c_custkey") < 500)
           .orderBy("c_custkey")
       },
@@ -994,7 +1005,9 @@ object Warehouse {
         val looN = (count(lit(1)).over(w) - lit(1)).cast("double")
         Tables.customer(s, d)
           .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-            (looSum / looN).as("seg_loo_mean"))
+            // a 1-member segment has no leave-one-out peers: NULL, like
+            // the oracle's x/0, not an ANSI error
+            Analytic.safeDiv(looSum, looN).as("seg_loo_mean"))
           .filter(col("c_custkey") < 500)
           .orderBy("c_custkey")
       },
@@ -1090,8 +1103,12 @@ object Warehouse {
           .write.format("noop").mode("overwrite").save()
         val m = obs.get
         import s.implicits._
+        // sum over an EMPTY table arrives as SQL-NULL (a null metric
+        // value), which must stay NULL in the emitted row — the oracle's
+        // SUM does the same
         Seq((m("n_rows").asInstanceOf[Long],
-          m("sum_qty").asInstanceOf[java.math.BigDecimal].doubleValue(),
+          Option(m("sum_qty").asInstanceOf[java.math.BigDecimal])
+            .map(_.doubleValue()),
           m("n_high_discount").asInstanceOf[Long],
           m("n_null_shipdate").asInstanceOf[Long]))
           .toDF("n_rows", "sum_qty", "n_high_discount", "n_null_shipdate")
@@ -1319,8 +1336,13 @@ object Warehouse {
             sum(when(!col("g"), 1L).otherwise(0L)).as("nb"))
         val tot = counts.agg(sum("na").as("ta"), sum("nb").as("tb"))
         counts.crossJoin(broadcast(tot))
-          .select(abs(col("na").cast("double") / col("ta").cast("double") -
-            col("nb").cast("double") / col("tb").cast("double")).as("gap"))
+          // safeDiv: a degenerate slice can put ALL rows in one split
+          // (the other total is 0) — gap is then SQL-NULL like the oracle
+          .select(abs(
+            Analytic.safeDiv(col("na").cast("double"),
+              col("ta").cast("double")) -
+            Analytic.safeDiv(col("nb").cast("double"),
+              col("tb").cast("double"))).as("gap"))
           .agg(count(lit(1)).as("n_buckets"),
             (unscale(dsum40(col("gap"))) * lit(0.5)).as("tv_distance"),
             max(col("gap")).as("max_bucket_gap"))
@@ -1444,11 +1466,15 @@ object Warehouse {
         val m3 = s3 / nd - lit(3.0) * m * (s2 / nd) + lit(2.0) * m * m * m
         val m4 = s4 / nd - lit(4.0) * m * (s3 / nd) +
           lit(6.0) * m * m * (s2 / nd) - lit(3.0) * m * m * m * m
-        val slope = (nd * sxy - s1 * sy) / (nd * s2 - s1 * s1)
+        // safeDiv on every variance-denominated ratio: a single-row
+        // group has m2 = 0 and a zero OLS denominator — SQL-NULL on
+        // both engines, not an ANSI error
+        val slope = Analytic.safeDiv(nd * sxy - s1 * sy,
+          nd * s2 - s1 * s1)
         g.select(col("l_returnflag"), col("n"),
-            (m3 / (m2 * sqrt(m2))).as("skew_qty"),
-            (m4 / (m2 * m2) - lit(3.0)).as("kurt_qty"),
-            ((nd * sxy - s1 * sy) /
+            Analytic.safeDiv(m3, m2 * sqrt(m2)).as("skew_qty"),
+            (Analytic.safeDiv(m4, m2 * m2) - lit(3.0)).as("kurt_qty"),
+            Analytic.safeDiv(nd * sxy - s1 * sy,
               sqrt((nd * s2 - s1 * s1) * (nd * sy2 - sy * sy)))
               .as("corr_qty_price"),
             slope.as("slope"),
@@ -1536,10 +1562,13 @@ object Warehouse {
         val nd = col("n_obs").cast("double")
         val td = col("n_total").cast("double")
         val diff = nd - td * col("p_exp")
+        // safeDiv: an empty corpus has n_total=0 — per-digit terms are
+        // SQL-NULL like the oracle, not ANSI errors
         val e = j.crossJoin(broadcast(tot))
           .select(col("digit"), col("n_obs"), col("p_exp"),
-            (nd / td).as("p_obs"),
-            (diff * diff / (td * col("p_exp"))).as("chi2_term"))
+            Analytic.safeDiv(nd, td).as("p_obs"),
+            Analytic.safeDiv(diff * diff, td * col("p_exp"))
+              .as("chi2_term"))
         val chi2 = e.agg((sum(floor(col("chi2_term") * lit(1048576.0))
             .cast("decimal(38,0)")).cast("double") / lit(1048576.0))
           .as("chi2_total"))
@@ -1850,10 +1879,12 @@ object Warehouse {
         def sd(n: String) = col(n).cast("double")
         def sp(a: String, b: String) =
           sd(s"h_${a}_$b") * lit(1048576.0) + sd(s"l_${a}_$b")
+        // safeDiv: a single-row table has zero variance in every column
+        // — each correlation is SQL-NULL (oracle agrees), not an error
         def corr2(a: String, b: String) =
-          (nd * sp(a, b) - sd(s"s_$a") * sd(s"s_$b")) /
+          Analytic.safeDiv(nd * sp(a, b) - sd(s"s_$a") * sd(s"s_$b"),
             sqrt((nd * sp(a, a) - sd(s"s_$a") * sd(s"s_$a")) *
-              (nd * sp(b, b) - sd(s"s_$b") * sd(s"s_$b")))
+              (nd * sp(b, b) - sd(s"s_$b") * sd(s"s_$b"))))
         g.select(col("n_rows"),
           corr2("q", "ep").as("corr_qty_price"),
           corr2("q", "dc").as("corr_qty_discount"),
