@@ -12,6 +12,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Superseded per-round broadcasts/checkpoints of the iterative
+      // queries are reclaimed by the ContextCleaner only AFTER a driver
+      // GC; a 383-query sweep under a constrained heap can starve
+      // execution memory on dead blocks long before the JVM bothers to
+      // collect. One driver GC a minute keeps the cleaner fed (no-op
+      // cost when memory is ample).
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

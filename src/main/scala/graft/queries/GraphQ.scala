@@ -104,8 +104,17 @@ object GraphQ {
   private[graft] def pagerankRound(edges: org.apache.spark.sql.DataFrame,
                                    nodes: org.apache.spark.sql.DataFrame,
                                    ranks: org.apache.spark.sql.DataFrame,
-                                   teleport: Double): org.apache.spark.sql.DataFrame = {
-    val mass = edges.join(broadcast(ranks), edges("src") === ranks("node"))
+                                   teleport: Double,
+                                   hintBroadcast: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    // hintBroadcast=false on LARGE graphs (the caller knows |nodes|):
+    // a multi-million-row rank vector must ride a shuffle join, not a
+    // per-round broadcast hash table — the constrained-heap .sf1 gate
+    // measured the broadcast path starving execution memory at
+    // 0.75 GB/core (the web-scale co-partitioned form the design always
+    // named; AQE still picks broadcast when the vector is small).
+    val rside = if (hintBroadcast) broadcast(ranks) else ranks
+    val mass = edges.join(rside, edges("src") === ranks("node"))
       .select(col("dst"),
         floor(col("pr") / col("deg").cast("double") *
           lit(Scale.toDouble)).cast("decimal(38,0)").as("c"))
@@ -175,7 +184,8 @@ object GraphQ {
           .select(col("node"), lit(1.0 / math.max(n, 1L)).as("pr"))
           .localCheckpoint(true)
         for (_ <- 1 to Rounds)
-          ranks = pagerankRound(edges, nodes, ranks, 0.15 / math.max(n, 1L))
+          ranks = pagerankRound(edges, nodes, ranks,
+            0.15 / math.max(n, 1L), hintBroadcast = n <= 1000000L)
             .localCheckpoint(true)
         ranks.orderBy(desc("pr"), asc("node")).limit(20)
       },
@@ -221,11 +231,17 @@ object GraphQ {
       (s, d) => {
         val K = 8
         val e0 = coPurchaseEdges(s, d)
-        def restrict(kept: org.apache.spark.sql.DataFrame) = e0
-          .join(broadcast(kept.withColumnRenamed("node", "kn")),
-            e0("src") === col("kn"), "left_semi")
-          .join(broadcast(kept.withColumnRenamed("node", "kn")),
-            e0("dst") === col("kn"), "left_semi")
+        // ONE broadcast per round, not two: both semi-joins probe the
+        // SAME subtree (one shared val → same expr ids → ReuseExchange
+        // dedupes the broadcast). Two structurally-distinct renames
+        // built two ~nodes-sized broadcast hash tables per round — at
+        // .sf1 under a 0.75 GB/core heap the five rounds' dead tables
+        // (reclaimed only after a driver GC) starved execution memory.
+        def restrict(kept: org.apache.spark.sql.DataFrame) = {
+          val kn = kept.withColumnRenamed("node", "kn")
+          e0.join(broadcast(kn), e0("src") === kn("kn"), "left_semi")
+            .join(broadcast(kn), e0("dst") === kn("kn"), "left_semi")
+        }
         var kept = e0.select(col("src").as("node")).distinct()
           .localCheckpoint(true)
         var prevKept = kept
