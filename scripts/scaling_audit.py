@@ -74,23 +74,32 @@ def main():
         a = fit_alpha(pts)
         if a is None:
             continue
-        rows.append((a, name, pts))
+        # top-segment exponent: the global fit is diluted by the flat
+        # fixed-overhead small-SF points; the largest ladder step is the
+        # signal for "would the NEXT 10x survive"
+        (n0, t0), (n1, t1) = pts[-2], pts[-1]
+        a_top = (math.log(t1 / t0) / math.log(n1 / n0)
+                 if t0 > 0 and n1 > n0 else None)
+        rows.append((max(a, a_top or a), a, a_top, name, pts))
     rows.sort(reverse=True)
     flagged = [r for r in rows if r[0] > ALPHA_FLAG]
     with open(out_md, "w") as f:
         f.write("# Scaling-exponent audit (t ~ c*n^alpha)\n\n")
         f.write(f"Fixtures: {', '.join(f'{s[0]} (n={s[1]:,})' for s in series)}\n\n")
-        f.write(f"{len(rows)} fittable entries; flag threshold alpha > "
-                f"{ALPHA_FLAG}; {len(flagged)} flagged.\n\n")
-        f.write("| alpha | entry | t per fixture (s) |\n|---|---|---|\n")
-        for a, name, pts in rows[:40]:
+        f.write(f"{len(rows)} fittable entries; flag threshold "
+                f"max(alpha_fit, alpha_top_segment) > {ALPHA_FLAG}; "
+                f"{len(flagged)} flagged.\n\n")
+        f.write("| alpha_fit | alpha_top | entry | t per fixture (s) |\n"
+                "|---|---|---|---|\n")
+        for mx, a, a_top, name, pts in rows[:40]:
             ts = " / ".join(f"{t:.2f}" for _, t in pts)
-            mark = " **FLAG**" if a > ALPHA_FLAG else ""
-            f.write(f"| {a:.2f}{mark} | {name} | {ts} |\n")
+            mark = " **FLAG**" if mx > ALPHA_FLAG else ""
+            at = f"{a_top:.2f}" if a_top is not None else "-"
+            f.write(f"| {a:.2f} | {at}{mark} | {name} | {ts} |\n")
     print(f"wrote {out_md}: {len(rows)} fitted, {len(flagged)} flagged "
-          f"(alpha > {ALPHA_FLAG})")
-    for a, name, _ in flagged:
-        print(f"  FLAG {name}: alpha={a:.2f}")
+          f"(max(alpha) > {ALPHA_FLAG})")
+    for mx, a, a_top, name, _ in flagged:
+        print(f"  FLAG {name}: alpha_fit={a:.2f} alpha_top={a_top:.2f}")
 
 
 if __name__ == "__main__":
