@@ -80,8 +80,9 @@ def main():
         (n0, t0), (n1, t1) = pts[-2], pts[-1]
         a_top = (math.log(t1 / t0) / math.log(n1 / n0)
                  if t0 > 0 and n1 > n0 else None)
-        rows.append((max(a, a_top or a), a, a_top, name, pts))
-    rows.sort(reverse=True)
+        rows.append((max(a, a_top if a_top is not None else a),
+                     name, a, a_top, pts))
+    rows.sort(key=lambda r: (-r[0], r[1]))
     flagged = [r for r in rows if r[0] > ALPHA_FLAG]
     with open(out_md, "w") as f:
         f.write("# Scaling-exponent audit (t ~ c*n^alpha)\n\n")
@@ -91,15 +92,16 @@ def main():
                 f"{len(flagged)} flagged.\n\n")
         f.write("| alpha_fit | alpha_top | entry | t per fixture (s) |\n"
                 "|---|---|---|---|\n")
-        for mx, a, a_top, name, pts in rows[:40]:
+        for mx, name, a, a_top, pts in rows[:40]:
             ts = " / ".join(f"{t:.2f}" for _, t in pts)
             mark = " **FLAG**" if mx > ALPHA_FLAG else ""
             at = f"{a_top:.2f}" if a_top is not None else "-"
             f.write(f"| {a:.2f} | {at}{mark} | {name} | {ts} |\n")
     print(f"wrote {out_md}: {len(rows)} fitted, {len(flagged)} flagged "
           f"(max(alpha) > {ALPHA_FLAG})")
-    for mx, a, a_top, name, _ in flagged:
-        print(f"  FLAG {name}: alpha_fit={a:.2f} alpha_top={a_top:.2f}")
+    for mx, name, a, a_top, _ in flagged:
+        at = f"{a_top:.2f}" if a_top is not None else "-"
+        print(f"  FLAG {name}: alpha_fit={a:.2f} alpha_top={at}")
 
 
 if __name__ == "__main__":

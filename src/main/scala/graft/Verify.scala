@@ -44,6 +44,9 @@ object Verify {
     // snapshotted around each query (queries run sequentially, so the
     // delta is the query's own). Memory spills are APPROXIMATE credit
     // (in-memory size of spilled blocks); disk spills are real bytes.
+    // The listener bus is asynchronous, so a straggler task's spill can
+    // bleed into the NEXT query's delta — fine for the gate's GB-scale
+    // findings, not a per-query accounting ledger.
     val spillMem = new java.util.concurrent.atomic.AtomicLong
     val spillDisk = new java.util.concurrent.atomic.AtomicLong
     if (sys.env.get("SPARK_GRAFT_METRICS").contains("1"))

@@ -249,23 +249,25 @@ object Similarity {
     val scale = 281474976710656L // 2^48
     val h = sha2(col("vec_id").cast("string"), 256)
     val seedW = Window.orderBy(col("h"), col("vec_id"))
-    // Sample-then-rank with an exactness-preserving fallback: when the
-    // hex-prefix sample holds < k rows (a degenerate or tiny corpus — at
-    // real fixtures the sample is ~n/16), rank the FULL corpus instead:
-    // same global k-lowest draw, just without the sampling speedup. A
-    // corpus with fewer than k rows yields that many centroids (k' =
-    // |corpus| — standard k-means degenerate semantics; the oracle's
-    // rk <= k cap agrees), and an empty corpus yields zero centroids so
-    // every downstream assignment/search is well-defined empty.
-    val sampled = embeddings.filter(h < lit(seedBound))
-    val seedSrc = if (sampled.count() >= k) sampled else embeddings
-    var cents = seedSrc
+    // Sample-then-rank with an exactness-preserving fallback: rank the
+    // sample first (one pass, as before — counting the tiny ranked
+    // result costs what the old require() cost); only when it holds
+    // < k rows (a degenerate or tiny corpus — at real fixtures the
+    // sample is ~n/16) re-rank the FULL corpus: same global k-lowest
+    // draw, just without the sampling speedup. A corpus with fewer
+    // than k rows yields that many centroids (k' = |corpus| — standard
+    // k-means degenerate semantics; the oracle's rk <= k cap agrees),
+    // and an empty corpus yields zero centroids so every downstream
+    // assignment/search is well-defined empty.
+    def rankSeeds(src: DataFrame): DataFrame = src
       .withColumn("h", h)
       .withColumn("rk", row_number().over(seedW))
       .filter(col("rk") <= k)
       .select((col("rk") - 1).cast("long").as("cent_id"),
         transform(col("embedding"), _.cast("double")).as("cvec"))
       .localCheckpoint(true)
+    var cents = rankSeeds(embeddings.filter(h < lit(seedBound)))
+    if (cents.count() < k) cents = rankSeeds(embeddings)
     for (_ <- 1 to rounds) {
       val assigned = nearestBy(embeddings, cents, l2sq)
       val means = assigned

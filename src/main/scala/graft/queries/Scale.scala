@@ -110,6 +110,14 @@ object Scale {
           s.read.parquet(s"$dir/small").repartition(4)
             .write.mode("overwrite").parquet(s"$dir/compact")
         }
+        // The physical file count is a BOUND VERDICT (the sketch-oracle
+        // pattern), not an exact oracle value: round-robin repartition
+        // starts each input partition at a seeded random offset, so a
+        // small-but-nonempty table can legally land on fewer than 4
+        // files (review r14: 2..63 rows collapse onto one). The claim a
+        // compaction pass must honor is exactly what production needs —
+        // nonempty data lands in 1..4 files, empty data in none — and
+        // the Spark side computes the real verdict from the scan.
         s.read.parquet(s"$dir/compact")
           // nondeterministic exprs can't sit inside an aggregate — bind
           // the file name as a column first
@@ -117,9 +125,14 @@ object Scale {
           .agg(count(lit(1)).as("n_rows"),
             countDistinct(col("f")).cast("long").as("n_files"),
             sum(col("event_id")).cast("long").as("id_sum"))
+          .select(col("n_rows"),
+            ((col("n_rows") === 0 && col("n_files") === 0) ||
+              (col("n_rows") > 0 && col("n_files").between(1, 4)))
+              .as("files_in_bound"),
+            col("id_sum"))
       },
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |       CAST(LEAST(4, COUNT(*)) AS BIGINT) AS n_files,
+        |       TRUE AS files_in_bound,
         |       CAST(SUM(event_id) AS BIGINT) AS id_sum
         |FROM events""".stripMargin),
 

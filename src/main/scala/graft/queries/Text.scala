@@ -238,11 +238,13 @@ object Text {
          |                    FROM e${i - 1}))
          |        GROUP BY 1, 2),
          |t$i AS MATERIALIZED (SELECT a, b, f FROM p$i ORDER BY f DESC, a, b LIMIT 1),
-         |e$i AS MATERIALIZED (SELECT w, c, replace(enc,
+         |e$i AS MATERIALIZED (SELECT w, c,
+         |        CASE WHEN (SELECT a FROM t$i) IS NULL THEN enc
+         |        ELSE replace(enc,
          |          ' ' || (SELECT a FROM t$i) || '  ' ||
          |            (SELECT b FROM t$i) || ' ',
          |          ' ' || (SELECT a FROM t$i) ||
-         |            (SELECT b FROM t$i) || ' ') AS enc
+         |            (SELECT b FROM t$i) || ' ') END AS enc
          |        FROM e${i - 1})""".stripMargin
     s"""w0 AS MATERIALIZED (SELECT w, COUNT(*) AS c FROM (
        |         SELECT unnest(string_split(trim(text), ' ')) AS w

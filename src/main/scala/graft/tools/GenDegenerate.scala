@@ -54,9 +54,14 @@ object GenDegenerate {
                mode: String): Unit =
     tables.foreach { case (t, pk) =>
       val df = spark.read.parquet(s"$base/$t.parquet")
+      // total order: the pk alone is not unique for lineitem (l_orderkey
+      // repeats per line), so tie-break by every remaining column — two
+      // regenerations must emit byte-identical fixtures
+      val order = (pk +: df.columns.filterNot(_ == pk).toSeq)
+        .map(org.apache.spark.sql.functions.col)
       val slice =
         if (mode == "empty") df.limit(0)
-        else df.orderBy(pk).limit(1)
+        else df.orderBy(order: _*).limit(1)
       // one part file per table: both engines read a deterministic layout
       slice.coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[gendegenerate] wrote $t ($mode)")

@@ -627,6 +627,30 @@ class RegistryInvariantSpec extends SparkSpec {
     // the cast expr used to exempt the whole site, so a money sum merely
     // COMBINED with an unrelated floor() bypassed the gate; now only the
     // floor-wrapping-the-sum shape is exempt, judged per sum span.
+    // floor-shaped = the WHOLE argument is floor(...) or
+    // cast(floor(...) as <type>) — paren-matched, not prefix-matched:
+    // a prefix test would also exempt SUM(floor(x) + <money>), the
+    // exact bypass class this gate exists for (r14 review finding)
+    def floorShaped(arg0: String): Boolean = {
+      val arg = arg0.trim
+      "^(cast\\s*\\(\\s*)?floor\\s*\\(".r.findPrefixMatchOf(arg) match {
+        case None => false
+        case Some(pm) =>
+          var depth = 1
+          var i = pm.end
+          while (i < arg.length && depth > 0) {
+            arg(i) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+            }
+            i += 1
+          }
+          val tail = arg.substring(i).trim
+          if (pm.group(1) == null) tail.isEmpty
+          else tail.matches("(?s)as\\s+\\w+\\s*(\\([^)]*\\))?\\s*\\)")
+      }
+    }
     def bareSumSpans(e: String): Seq[String] =
       "sum\\s*\\(".r.findAllMatchIn(e).toSeq.flatMap { sm =>
         var depth = 1
@@ -640,8 +664,7 @@ class RegistryInvariantSpec extends SparkSpec {
           i += 1
         }
         val arg = e.substring(sm.end, math.max(sm.end, i - 1)).trim
-        if (arg.matches("(?s)(cast\\s*\\(\\s*)?floor\\s*\\(.*")) None
-        else Some(arg)
+        if (floorShaped(arg)) None else Some(arg)
       }
     def hits(sql: String): Seq[String] = {
       asDouble.findAllMatchIn(sql).toSeq.flatMap { m =>
