@@ -38,3 +38,20 @@ if [[ "${1:-}" == "--full-sf" ]]; then
   python3 scripts/check.py "$out" /root/testdata/sf0.1
   echo "preflight OK: full sf0.1 verify sweep green"
 fi
+
+# --closing: the end-of-round closing-bench gate (r14 verdict #2 — a 31%
+# total regression went unrecorded because no ritual demanded a final-tree
+# bench statement). Requires a FRESH BENCH_DETAIL.json in the tree; diffs
+# it against the previous round snapshot's committed detail and verifies
+# PERF.md cites the fresh total and names every >1.5x mover.
+if [[ "${1:-}" == "--closing" ]]; then
+  prev_commit=$(git log --format=%H -1 --grep='^round .*: verdict')
+  if [[ -z "$prev_commit" ]]; then
+    echo "closing gate: no previous round snapshot found - skipping diff" >&2
+  else
+    git show "$prev_commit:BENCH_DETAIL.json" > /tmp/prev_bench_detail.json
+    python3 scripts/closing_bench.py BENCH_DETAIL.json \
+      /tmp/prev_bench_detail.json --check PERF.md
+    echo "preflight OK: closing-bench narrative present in PERF.md"
+  fi
+fi
