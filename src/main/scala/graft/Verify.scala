@@ -7,8 +7,23 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — used by the
+    // multi-process proof (local-cluster[N,c,mem] / a standalone master
+    // URL), where serialization, locality and executor-loss semantics
+    // actually cross a process boundary. The driver never sets it.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // Multi-process extras (only meaningful under a non-local master):
+    // executor JVMs need the application classes on their own classpath
+    // (local[*] shares the driver's), their heap sizing, and the JDK17
+    // --add-opens set the driver gets from build.sbt.
+    val execConfs = Seq(
+      "spark.executor.extraClassPath" -> "SPARK_GRAFT_EXEC_CLASSPATH",
+      "spark.executor.memory" -> "SPARK_GRAFT_EXEC_MEM",
+      "spark.executor.extraJavaOptions" -> "SPARK_GRAFT_EXEC_JAVAOPTS")
+    val spark = execConfs.foldLeft(
+      SparkSession.builder()
+      .master(master))((b, kv) =>
+        sys.env.get(kv._2).fold(b)(v => b.config(kv._1, v)))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -266,8 +266,17 @@ object Similarity {
       .select((col("rk") - 1).cast("long").as("cent_id"),
         transform(col("embedding"), _.cast("double")).as("cvec"))
       .localCheckpoint(true)
-    var cents = rankSeeds(embeddings.filter(h < lit(seedBound)))
-    if (cents.count() < k) cents = rankSeeds(embeddings)
+    // Decide the seed SOURCE with a count-only pass first: the filter
+    // touches nothing but vec_id (column-pruned scan, no embedding IO,
+    // no sort), so settling sample-vs-full before ranking is cheaper
+    // than the old rank-then-count — which, on a shortfall, had already
+    // eagerly checkpointed the discarded sample ranking and left it
+    // pinned until the periodic-GC sweep (r14 ADVICE). The checkpointed
+    // seed set is now built exactly once, from the chosen source.
+    val sampleN = embeddings.filter(h < lit(seedBound)).count()
+    var cents = rankSeeds(
+      if (sampleN < k) embeddings
+      else embeddings.filter(h < lit(seedBound)))
     for (_ <- 1 to rounds) {
       val assigned = nearestBy(embeddings, cents, l2sq)
       val means = assigned
@@ -459,6 +468,33 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
       .orderBy("q_id", "vec_id")
+  }
+
+  /** Data-sized sign-LSH plane count: the smallest `planes` whose
+    * 2^planes buckets hold ~`target` vectors each, clamped to
+    * [lo, hi] — the production dial that keeps in-bucket candidate
+    * volume LINEAR in corpus size (fixed planes make it quadratic:
+    * n²/2^planes grows as n² once buckets saturate; sizing planes ≈
+    * log2(n/target) pins bucket population, so candidates ≈ n·target).
+    *
+    * Integer-exact on purpose: ceil(log2(m)) is computed as the binary
+    * length of m−1 (the [[graft.queries.LinkageQ]] adaptive-scale
+    * pattern), never via floating log2 — at an exact power-of-two
+    * boundary a last-ulp libm difference between engines would flip
+    * the ceil and silently desynchronize the bucketing. The oracle
+    * derives the identical count from COUNT(*) with
+    * length(format('{:b}', …)).
+    *
+    * At the `hi` clamp (2^16 buckets) per-bucket population resumes
+    * linear growth; past that a production index ORs multiple plane
+    * TABLES (the `table` parameter of [[hyperplaneBucket]]) rather
+    * than deepening one — more planes than ~16 makes recall collapse
+    * faster than candidates shrink. */
+  def adaptivePlanes(n: Long, target: Long = 128L, lo: Int = 4,
+                     hi: Int = 16): Int = {
+    val mMinus1 = math.max((n + target - 1L) / target - 1L, 0L)
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(mMinus1)
+    math.min(hi, math.max(lo, bitlen))
   }
 
   /** Mutual k-NN pairs within LSH buckets: emit (a, b) once (a < b)

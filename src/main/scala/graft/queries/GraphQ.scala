@@ -712,9 +712,15 @@ object GraphQ {
         var labels = edges.select(col("src").as("node")).distinct()
           .select(col("node"), col("node").as("label"))
           .localCheckpoint(true)
+        // size-aware per-round residency bound, same dial as
+        // pagerankRound/lpaRound: a label vector past ~1M nodes rides
+        // a shuffle join instead of six broadcast hash tables
+        val nNodes = labels.count()
         for (_ <- 1 to 6) {
+          val lside =
+            if (nNodes <= 1000000L) broadcast(labels) else labels
           val minIn = edges
-            .join(broadcast(labels), edges("src") === labels("node"))
+            .join(lside, edges("src") === labels("node"))
             .groupBy(col("dst")).agg(min("label").as("minl"))
           labels = labels.join(minIn, labels("node") === minIn("dst"), "left")
             .select(col("node"),
@@ -757,12 +763,15 @@ object GraphQ {
     // to sorted-neighbor index md5-hash(v, t) mod deg(v) — a
     // hash-derandomized uniform pick both engines replay bit-identically
     // (the same no-rand() discipline as every sampler here). Output:
-    // top-20 most-visited nodes. Scale shape: the adjacency-list table
-    // (the standard walk input, built once) BROADCASTs against the walk
-    // frontier each step — at billions of walks the frontier join flips
-    // to co-partitioned on cur, same plan; 4 static steps, no driver
-    // loop decisions. Walk corpora feed skip-gram embedding trainers;
-    // this is the exact extraction they run.
+    // top-20 most-visited nodes. Scale shape: the WALK FRONTIER
+    // (bounded at |seeds| rows by construction) BROADCASTs against the
+    // distributed adjacency scan each step — the adjacency table is
+    // node-count-sized with neighbor ARRAYS, the one side that must
+    // never ride a per-step broadcast (the r14 residency class found in
+    // kcore/pagerank); at billions of walks the frontier join flips to
+    // co-partitioned on cur, same plan. 4 static steps, no driver loop
+    // decisions. Walk corpora feed skip-gram embedding trainers; this
+    // is the exact extraction they run.
     "graph_walk_visit_census" -> QuerySpec(
       (s, d) => {
         val e = coPurchaseEdges(s, d)
@@ -775,7 +784,7 @@ object GraphQ {
         var walk = seeds.select(col("seed"), col("seed").as("cur"))
         var visits: org.apache.spark.sql.DataFrame = null
         for (t <- 1 to WalkSteps) {
-          walk = walk.join(broadcast(adj), walk("cur") === adj("node"))
+          walk = adj.join(broadcast(walk), walk("cur") === adj("node"))
             .select(col("seed"), element_at(col("nbrs"),
               (graft.ext.TextOps.hash64(
                 concat_ws(":", col("cur"), lit(t))) % col("deg") + 1)
@@ -1029,14 +1038,22 @@ object GraphQ {
     * total order, so no per-partition sort ever runs (the same
     * sort-avoidance as the IVF assignment's array_min fold). */
   private[graft] def lpaRound(edges: org.apache.spark.sql.DataFrame,
-                              labels: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    edges.join(broadcast(labels), edges("src") === labels("node"))
+                              labels: org.apache.spark.sql.DataFrame,
+                              hintBroadcast: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    // Same size-aware residency bound as pagerankRound (r14 found the
+    // unbounded form starving execution memory at 0.75 GB/core): a
+    // label vector past ~1M nodes rides a shuffle join instead of a
+    // per-round broadcast hash table. AQE still picks broadcast when
+    // the vector is small, so sandbox-scale plans are unchanged.
+    val lside = if (hintBroadcast) broadcast(labels) else labels
+    edges.join(lside, edges("src") === labels("node"))
       .groupBy(col("dst"), col("label"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("dst"))
       .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
       .select(col("dst").as("node"), (-col("m.nl")).as("label"))
+  }
 
   /** The AFFINITY BACKBONE: co-purchase pairs supported by >= 2
     * distinct orders — the statistically meaningful affinity edges
@@ -1085,10 +1102,13 @@ object GraphQ {
       var labels = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
         .localCheckpoint(true)
+      // checkpointed: the count reads materialized blocks, no recompute
+      val n = labels.count()
       var prev = labels
       for (_ <- 1 to 3) {
         prev = labels
-        labels = lpaRound(edges, labels).localCheckpoint(true)
+        labels = lpaRound(edges, labels, hintBroadcast = n <= 1000000L)
+          .localCheckpoint(true)
       }
       val nChanged = labels
         .join(prev.withColumnRenamed("label", "prev_label"), "node")

@@ -55,6 +55,37 @@ object SimilarityQ {
     }.mkString(" + ")
   }
 
+  /** DuckDB: sign-LSH bucket with a DATA-DERIVED plane count (the
+    * [[Similarity.adaptivePlanes]] dial). All `maxPlanes` literal
+    * hyperplanes are embedded — a prefix-consistent superset of
+    * [[duckBucket]]'s, since [[Similarity.planeWeights]] depends only on
+    * (plane index, dim, table) — and bit j participates only when
+    * `j < plExpr`, so the oracle's bucket equals the Spark side's for
+    * ANY runtime plane count up to `maxPlanes`. */
+  private def duckBucketDyn(v: String, maxPlanes: Int, plExpr: String,
+                            table: Int = 0): String = {
+    val ws = Similarity.planeWeights(maxPlanes, 64, table)
+    (0 until maxPlanes).map { j =>
+      val wlist = ws(j).map(w => if (w > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"""CASE WHEN $j < $plExpr AND
+         |  list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+         |  i -> CAST($v[i] AS DOUBLE) * ($wlist)[i])),
+         |  (x, y) -> x + y) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+  }
+
+  /** DuckDB: the [[Similarity.adaptivePlanes]] formula as a one-row CTE —
+    * LEAST(hi, GREATEST(lo, bitlen(ceil(COUNT(*)/target) − 1))), with
+    * bitlen via binary-format length (integer-exact, matching the Scala
+    * numberOfLeadingZeros derivation bit for bit; both floor at lo when
+    * the count is degenerate). */
+  private def duckAdaptivePlanes(tbl: String, target: Int = 128,
+                                 lo: Int = 4, hi: Int = 16): String =
+    s"""(SELECT LEAST($hi, GREATEST($lo, length(format('{:b}',
+       |  GREATEST((COUNT(*) + ${target - 1}) // $target - 1, 0)))))
+       | FROM $tbl)""".stripMargin
+
   /** DuckDB: sequential-fold L2² between two double lists (same op order
     * as [[Similarity.l2sq]]). */
   private def duckL2(a: String, b: String) =
@@ -909,12 +940,27 @@ object SimilarityQ {
     // generation as similarity_knn_join; the mutuality check is one
     // equi-join of the ranked list against its own reverse, and each
     // surviving pair is emitted once in canonical (a < b) order.
+    //
+    // The plane count is DATA-SIZED on both engines (the r14 scaling
+    // audit's alpha_top=1.69 flag was exactly this dial left fixed at 4:
+    // in-bucket candidate volume grows n²/2^planes once 16 buckets
+    // saturate). planes = clamp(4..16, ceil(log2(n/128))) via exact
+    // binary length — Similarity.adaptivePlanes on the Spark side, the
+    // identical integer formula over COUNT(*) in the plcnt CTE — so the
+    // candidate volume stays ~128·n at any corpus size. The count scan
+    // that feeds the dial is parquet-metadata cheap; a 100 TB deployment
+    // reads it from table stats instead.
     "similarity_mutual_knn" -> QuerySpec(
-      (s, d) => Similarity.mutualKnnLsh(Tables.embeddings(s, d),
-        k = 3, planes = 4),
-      s"""WITH b AS (SELECT vec_id, embedding,
-         |             ${duckBucket("embedding", 4)} AS bucket
-         |           FROM embeddings),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.mutualKnnLsh(emb, k = 3,
+          planes = Similarity.adaptivePlanes(emb.count()))
+      },
+      s"""WITH plcnt AS (SELECT ${duckAdaptivePlanes("embeddings")} AS pl),
+         |b AS (SELECT vec_id, embedding,
+         |        ${duckBucketDyn("embedding", 16, "(SELECT pl FROM plcnt)")}
+         |          AS bucket
+         |      FROM embeddings),
          |cand AS (
          |  SELECT a.vec_id AS a_id, c.vec_id AS b_id,
          |         ${duckCos("a.embedding", "c.embedding")} AS cos

@@ -69,8 +69,16 @@ object Scratch {
     * Runs once per JVM at first Scratch use; races between concurrent
     * sweepers are safe (deleteRecursively tolerates vanishing files). */
   private val orphanRe = "graft_.*_p([0-9a-f]+?)(?:_s[0-9a-f]+)?".r
+  /** Legacy pre-PID naming schemes (graft-bucketed, graft_fbsink_<hash>,
+    * the old events-slice names): no owner token to test for liveness, so
+    * they are reclaimed only when far older than any single run. Every
+    * CURRENT writer embeds `_p<pid>` (handled above), so a live JVM never
+    * owns a legacy-named dir; the age guard additionally protects a
+    * concurrent old-build JVM's fixtures mid-run. */
+  private val legacyStaleMs = 6L * 60 * 60 * 1000
   private[graft] def sweepOrphans(bases: Seq[String]): Int = {
     var n = 0
+    val now = System.currentTimeMillis()
     bases.distinct.foreach { b =>
       Option(new File(b).listFiles()).getOrElse(Array.empty[File]).foreach {
         f =>
@@ -85,6 +93,10 @@ object Scratch {
                 try { deleteRecursively(f); n += 1 }
                 catch { case _: Exception => () }
               }
+            case name if name.startsWith("graft") &&
+                now - f.lastModified() > legacyStaleMs =>
+              try { deleteRecursively(f); n += 1 }
+              catch { case _: Exception => () }
             case _ => ()
           }
       }
