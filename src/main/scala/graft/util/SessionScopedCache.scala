@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
   * references to dead DataFrames.
   */
 final class SessionScopedCache[V] {
+  SessionScopedCache.register(this)
   private val cache = new ConcurrentHashMap[(SparkSession, String), V]()
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
 
@@ -48,4 +49,23 @@ final class SessionScopedCache[V] {
     case p: Product => p.productIterator.foreach(release)
     case _ => ()
   }
+}
+
+object SessionScopedCache {
+  private val all =
+    ConcurrentHashMap.newKeySet[SessionScopedCache[_]]()
+  private def register(c: SessionScopedCache[_]): Unit = { all.add(c); () }
+
+  /** Executor-loss recovery hook: `localCheckpoint` blocks are
+    * deliberately NOT fault-tolerant (the sandbox tradeoff every shared
+    * stage takes — a reliable checkpoint dir would pay a DFS round trip
+    * per artifact), so a lost executor invalidates any cached artifact
+    * whose blocks it held, and every consumer of that artifact fails
+    * with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND until the entry is dropped.
+    * Evicting every registered cache for (session, dir) lets the next
+    * access REBUILD from source — the semantics a production pipeline
+    * wants from a lost ephemeral artifact (proven by the local-cluster
+    * executor-SIGKILL probe, r15). */
+  def evictAll(s: SparkSession, dir: String): Unit =
+    all.forEach(_.evict(s, dir))
 }
