@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact double dot-product: zip, multiply in double, sequential fold. */
+  /** Exact double dot-product: multiply in double, sequential fold.
+    * r15: native codegen expression (graft.expressions.VecFold) replacing
+    * the interpreted aggregate(zip_with(...)) chain — identical IEEE op
+    * order and null semantics, so every consumer hash is unchanged
+    * (bit-parity property-tested in VecFoldSpec). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc: Column, x: Column) => acc + x)
+    graft.expressions.VecFold.dot_fold(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -80,9 +83,9 @@ object Similarity {
     val ws = planeWeights(planes, dim, table)
     val bits = (0 until planes).map { j =>
       val wlit = array(ws(j).map(lit(_)): _*)
-      val proj = aggregate(
-        zip_with(v, wlit, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc: Column, x: Column) => acc + x)
+      // native fold (VecFold): same IEEE order as the zip_with chain,
+      // same null-on-length-mismatch backstop behind the size() guard
+      val proj = graft.expressions.VecFold.dot_fold(v, wlit)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }
     when(size(v) === dim, bits.reduce(_ + _))
@@ -108,8 +111,7 @@ object Similarity {
     val ws = planeWeights(outDim, dim, table = 9)
     array((0 until outDim).map { p =>
       val wlit = array(ws(p).map(lit(_)): _*)
-      aggregate(zip_with(v, wlit, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc: Column, x: Column) => acc + x) * lit(inv)
+      graft.expressions.VecFold.dot_fold(v, wlit) * lit(inv)
     }: _*)
   }
 
@@ -527,13 +529,11 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
-  /** Squared L2 between two (sub)vectors: zip, diff², sequential fold —
-    * deterministic double order, like [[dot]]. */
+  /** Squared L2 between two (sub)vectors: diff², sequential fold —
+    * deterministic double order, like [[dot]] (native VecFold since r15,
+    * bit-identical to the previous zip_with chain). */
   def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b,
-        (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc: Column, x: Column) => acc + x)
+    graft.expressions.VecFold.l2sq_fold(a, b)
 
   /** Product-quantization top-k with Asymmetric Distance Computation —
     * the memory-bound ANN workhorse (IVF-PQ's second stage): vectors are
