@@ -100,9 +100,14 @@ object Analytic {
           conv(substring(col("h"), 17, 15), 16, 10).cast("long")
             % lit(1048576L))).as(Seq("half", "u")))
       .withColumn("b", col("g") + lit(BootB / 2) * col("half"))
+      // r15: count-of-thresholds-below as a codegen sum of comparisons —
+      // identical to size(filter(thresholds, t <= u)) (thresholds are a
+      // static 9-element list; the HOF filter evaluated its lambda
+      // interpreted on every one of the B·|orders| expanded rows)
       .withColumn("w",
-        size(filter(typedLit(PoissonThresholds), t => t <= col("u")))
-          .cast("long"))
+        PoissonThresholds.map(t =>
+            when(lit(t) <= col("u"), 1L).otherwise(0L))
+          .reduce(_ + _))
       .groupBy("b")
       .agg(sum((col("w").cast("double") * col("o_totalprice"))
           .cast("decimal(25,6)")).as("s"),

@@ -314,19 +314,25 @@ object GraphQ {
         val seedCol =
           if (seedRow.isNullAt(0)) lit(null).cast("long")
           else lit(seedRow.getLong(0))
-        var visited = s.range(1)
+        // r15: one eager materialization per hop (the new frontier),
+        // not two — `visited` is the lazy union of the already-
+        // checkpointed frontiers, so the growing visited set is never
+        // re-materialized each round (same rows, same anti-join
+        // semantics; 8 eager jobs -> 4).
+        val seed = s.range(1)
           .select(seedCol.as("node"), lit(0L).as("hops"))
           .localCheckpoint(true)
-        var frontier = visited.select("node")
+        var hopTables = List(seed)
+        var frontier = seed.select("node")
         for (i <- 1 to 4) {
-          val next = khopExpand(edges, frontier, visited)
+          val visitedNodes = hopTables.map(_.select("node"))
+            .reduce(_ unionByName _)
+          val next = khopExpand(edges, frontier, visitedNodes)
             .localCheckpoint(true)
-          visited = visited
-            .unionByName(next.withColumn("hops", lit(i.toLong)))
-            .localCheckpoint(true)
+          hopTables = hopTables :+ next.withColumn("hops", lit(i.toLong))
           frontier = next
         }
-        visited.groupBy("hops")
+        hopTables.reduce(_ unionByName _).groupBy("hops")
           .agg(count(lit(1)).as("n_nodes"),
             min("node").as("min_node"), max("node").as("max_node"),
             sum("node").as("sum_node"))

@@ -900,35 +900,65 @@ object LearnQ {
             (aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
               .cast("double") / nt / lit(10.0)).as("x3"))
           .localCheckpoint(true)
-        val legs = fracs.map { f =>
-          val sub = ftAll.filter(col("hb") < f)
-          val n = sub.count().toDouble
-          // empty training leg (degenerate slice): weights are the 0/0
-          // gradient's NaN, scored below as a SQL-NULL z so the
-          // CASE-shaped prediction matches the oracle (NULL -> pred 0)
-          var w =
-            if (n == 0) Array.fill(4)(Double.NaN)
-            else Array(0.0, 0.0, 0.0, 0.0)
-          if (n > 0) for (_ <- 1 to LogregRounds) {
-            val r = softsign(zOf(w)) - col("y")
-            val row = sub.agg(dsum(r * col("x1")), dsum(r * col("x2")),
-              dsum(r * col("x3")), dsum(r * lit(1.0))).head()
-            val g = (0 to 3).map(i =>
-              (row.getDecimal(i).doubleValue() / Scale.toDouble) / n)
-            w = Array.tabulate(4)(i => w(i) - LogregLr * g(i))
+        // r15 (guide §1.2/§2.4): the four training legs are INDEPENDENT,
+        // so each GD round computes every leg's four gradient sums in ONE
+        // scan via leg-conditional decimal sums — 5 driver round trips
+        // instead of 4 legs x 5 rounds = 20, plus one conditional-count
+        // scan instead of 4. sum(when(hb<f, floor(v*2^40)::decimal)) over
+        // the full table adds exactly the rows the per-leg filter kept,
+        // and DECIMAL(38,0) addition is order-free — bit-identical
+        // weights, oracle SQL unchanged.
+        def dsumIf(cond: Column, v: Column): Column =
+          sum(when(cond,
+            floor(v * lit(Scale.toDouble)).cast("decimal(38,0)")))
+        val cntCols = fracs.map(f =>
+          sum(when(col("hb") < f, 1L).otherwise(0L)))
+        val cntRow = ftAll.agg(cntCols.head, cntCols.tail: _*).head()
+        // empty training leg (degenerate slice): weights are the 0/0
+        // gradient's NaN, scored below as a SQL-NULL z so the
+        // CASE-shaped prediction matches the oracle (NULL -> pred 0);
+        // a fully EMPTY table yields NULL conditional counts -> 0.
+        val ns = fracs.indices.map(i =>
+          if (cntRow.isNullAt(i)) 0.0 else cntRow.getLong(i).toDouble)
+        val ws = Array.tabulate(fracs.size)(i =>
+          if (ns(i) == 0) Array.fill(4)(Double.NaN)
+          else Array(0.0, 0.0, 0.0, 0.0))
+        val active = fracs.indices.filter(i => ns(i) > 0)
+        if (active.nonEmpty) for (_ <- 1 to LogregRounds) {
+          val gradCols = active.flatMap { i =>
+            val r = softsign(zOf(ws(i))) - col("y")
+            val inLeg = col("hb") < fracs(i)
+            Seq(dsumIf(inLeg, r * col("x1")), dsumIf(inLeg, r * col("x2")),
+              dsumIf(inLeg, r * col("x3")), dsumIf(inLeg, r * lit(1.0)))
           }
-          val z =
-            if (w.exists(_.isNaN)) lit(null).cast("double") else zOf(w)
-          val pred = when(z >= lit(0.0), 1L).otherwise(0L)
-          val yi = col("y").cast("long")
-          ftAll.agg(count(lit(1)).as("n_eval"),
-              sum(when(pred === yi, 1L).otherwise(0L)).as("n_correct"))
-            .select(lit(f.toLong).as("train_pct"),
-              lit(n.toLong).as("n_train"), col("n_eval"), col("n_correct"),
-              Analytic.safeDiv(col("n_correct").cast("double"),
-                col("n_eval").cast("double")).as("accuracy"))
+          val row = ftAll.agg(gradCols.head, gradCols.tail: _*).head()
+          active.zipWithIndex.foreach { case (i, ai) =>
+            val g = (0 to 3).map(j =>
+              (row.getDecimal(ai * 4 + j).doubleValue() / Scale.toDouble) /
+                ns(i))
+            ws(i) = Array.tabulate(4)(j => ws(i)(j) - LogregLr * g(j))
+          }
         }
-        legs.reduce(_ unionAll _).orderBy("train_pct")
+        // eval: all four legs score the SAME full table — one scan with
+        // four conditional hit counts, exploded back to the four result
+        // rows (expressions per leg identical to the per-leg agg form)
+        val yi = col("y").cast("long")
+        val evalCols = count(lit(1)).as("n_eval") +: fracs.indices.map { i =>
+          val z =
+            if (ws(i).exists(_.isNaN)) lit(null).cast("double") else zOf(ws(i))
+          val pred = when(z >= lit(0.0), 1L).otherwise(0L)
+          sum(when(pred === yi, 1L).otherwise(0L)).as(s"nc$i")
+        }
+        ftAll.agg(evalCols.head, evalCols.tail: _*)
+          .select(explode(array(fracs.indices.map(i =>
+            struct(lit(fracs(i).toLong).as("train_pct"),
+              lit(ns(i).toLong).as("n_train"),
+              col("n_eval"), col(s"nc$i").as("n_correct"))): _*)).as("r"))
+          .select(col("r.train_pct"), col("r.n_train"), col("r.n_eval"),
+            col("r.n_correct"),
+            Analytic.safeDiv(col("r.n_correct").cast("double"),
+              col("r.n_eval").cast("double")).as("accuracy"))
+          .orderBy("train_pct")
       },
       {
         def hb = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), " +
