@@ -267,7 +267,10 @@ object Analytic {
     // ROLLUP grouping sets; null group markers coalesced to a sentinel so
     // both engines sort identically.
     "rollup_revenue" -> QuerySpec(
-      (s, d) => Tables.lineitem(s, d)
+      // r15: fan out the narrow projection (single-split fixture scan
+      // pins the 3x-expanded rollup partials to one core otherwise)
+      (s, d) => graft.ops.Scale.fanOut(Tables.lineitem(s, d)
+          .select("l_returnflag", "l_linestatus", "l_extendedprice"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(dsum("l_extendedprice").as("revenue"), count(lit(1)).as("n"))
         .select(
@@ -577,10 +580,21 @@ object Analytic {
         // deferred-evaluation hazard the AhashProbe pattern measures) —
         // and the checkpoint gets narrower too (9 chars vs the full
         // name).
+        // r15: land the banded table PARTITIONED BY THE BLOCK KEY at
+        // session parallelism — the single-row-group customer scan
+        // otherwise leaves the whole verify self-join (the levenshtein
+        // loop over ~2.4M candidates at sf0.1) on ONE core (JobProbe:
+        // par=0.9 at 32 cpus), and AQE's size-based coalescing keeps it
+        // there because the shuffled bytes are tiny. Hash-partitioning
+        // by (band, bv) is also the production layout for a blocked
+        // matcher; both self-join sides read the same checkpointed
+        // partitioning, so the join adds no further exchange.
         val kept = banded
           .join(broadcast(census.select("band", "bv")), Seq("band", "bv"))
           .select(col("id"), col("band"), col("bv"),
             substring(col("name"), 10, 9).as("sfx"))
+          .repartition(s.sparkContext.defaultParallelism,
+            col("band"), col("bv"))
           .localCheckpoint(true)
         // Verify BEFORE dedup: the levenshtein filter shrinks the set far
         // more than a candidate-level DISTINCT would, so the (mandatory)
@@ -1446,6 +1460,8 @@ object Analytic {
           .select(col("c_mktsegment").as("seg"),
             floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
               .as("v"))
+        // (r15: fan-out here tried and REVERTED — groupBy(v) shuffles
+        // anyway; the extra exchange cost 1.34 s -> 2.31 s measured.)
         val pv = j.groupBy("v").agg(
           sum(when(col("seg") === "BUILDING", 1L).otherwise(0L))
             .cast("decimal(38,0)").as("ca"),

@@ -263,12 +263,12 @@ object LearnQ {
           .select((col("i0") + 1).as("i"), col("vf").cast("double").as("v"))
         val mu = firsts.groupBy("i")
           .agg((unscale(dsum(col("v"))) / lit(nd)).as("mu"))
-        val seq0 = sequence(lit(0), lit(PcaD - 1))
-        def el(i: Column) = element_at(col("embedding"), i + 1).cast("double")
-        val prods = emb.select(explode(flatten(transform(seq0, i =>
-            transform(seq0, j => struct((i + 1).as("i"), (j + 1).as("j"),
-              (el(i) * el(j)).as("p")))))).as("e"))
-          .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+        // r15: native outer-product generator — the nested-transform
+        // Column formulation allocated a d²-struct array per row and
+        // ran its lambdas interpreted (250 s executor time at sf0.1,
+        // JobProbe); identical (i, j, p) rows, see OuterProductGenerator
+        val prods = emb.select(graft.expressions.OuterProductGenerator
+          .outer_product(col("embedding"), PcaD).as(Seq("i", "j", "p")))
         val s2 = prods.groupBy("i", "j").agg(dsum(col("p")).as("sp"))
         val mi = mu.select(col("i"), col("mu").as("mu_i"))
         val mj = mu.select(col("i").as("j"), col("mu").as("mu_j"))
@@ -1046,6 +1046,8 @@ object LearnQ {
         val q = Tables.part(s, d)
           .select(col("p_partkey").as("l_partkey"),
             qf(1).as("q1"), qf(2).as("q2"))
+        // (r15: fanning out the fact projection was tried and REVERTED —
+        // the order-key join shuffles it anyway; 2.65 s -> 3.28 s.)
         val r = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"))
           .join(Tables.lineitem(s, d)

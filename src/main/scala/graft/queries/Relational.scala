@@ -115,6 +115,9 @@ object Relational {
     // TPC-H Q1-flavored grouped aggregation: the canonical scan → partial
     // agg → final agg shape; exact decimal sums for hash-stable doubles.
     "agg_pricing_summary" -> QuerySpec(
+      // (r15: a conditional fan-out before this agg was tried and
+      // REVERTED — 3 plain decimal sums are too cheap to amortize the
+      // added exchange: 0.94 s -> 1.12 s measured. See OPTIMIZATION_r15.)
       (s, d) => Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")

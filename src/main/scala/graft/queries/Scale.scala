@@ -209,6 +209,9 @@ object Scale {
     // instead of passing a rows-only check). One pass: approx + exact
     // distinct in the same aggregation.
     "sketch_hll_cardinality" -> QuerySpec(
+      // (r15: fan-out before this agg tried and REVERTED — the distinct
+      // aggregation shuffles anyway, the extra exchange only added cost:
+      // 2.22 s -> 2.93 s measured.)
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
@@ -333,8 +336,10 @@ object Scale {
             (col("bit") % 32).cast("int").as("b"))
           .groupBy("w")
           .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("mask"))
-        val factBits = Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_custkey"))
+        // r15: fan out the fact projection — the 3 md5 probes per order
+        // ran on one core off the single-split scan (JobProbe par 0.6)
+        val factBits = graft.ops.Scale.fanOut(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey")))
           .select(col("o_orderkey"), col("o_custkey"),
             explode(bitsOf(col("o_custkey"))).as("bit"))
           .select(col("o_orderkey"), col("o_custkey"),

@@ -1446,9 +1446,13 @@ object Warehouse {
           dsum(floor(c / lit(1048576L)).cast("long")).as(s"h_$n"),
           dsum(c % lit(1048576L)).as(s"l_$n"))
         val x = col("x"); val y = col("y")
-        val g = Tables.lineitem(s, d)
-          .select(col("l_returnflag"), cents(col("l_quantity")).as("x"),
-            cents(col("l_extendedprice")).as("y"))
+        // r15: the 14 decimal power sums are the cost and the partial
+        // agg is map-side — fan the single-row-group scan out so they
+        // run on every core (order-free DECIMAL sums: bit-identical);
+        // pass-through on a real many-split layout (Scale.fanOut)
+        val g = graft.ops.Scale.fanOut(Tables.lineitem(s, d)
+            .select(col("l_returnflag"), cents(col("l_quantity")).as("x"),
+              cents(col("l_extendedprice")).as("y")))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
             Seq(dsum(x).as("d1"), dsum(y).as("dy")) ++
