@@ -341,25 +341,86 @@ object SimilarityQ {
     // else touches the corpus.
     "similarity_kmeans_elbow_curve" -> QuerySpec(
       (s, d) => {
+        // r15 (guide §1.2/§2.4): the three trainings are INDEPENDENT, so
+        // they run as ONE k-keyed dataflow — the seed draw is ranked once
+        // (each k's seed set is a prefix of the same sha2 ranking; the
+        // sample-vs-full source decision stays PER K, so degenerate
+        // corpora pick exactly the per-k source the single-k trainer
+        // picks), each Lloyd round materializes one (k, cent_id, cvec)
+        // table instead of three, and the three inertia scans fold into
+        // one k-grouped pass (ungrouped-agg row shape on an empty corpus
+        // preserved via the literal-k left join). Every per-k sum is the
+        // identical decimal fold grouped by k — bit-identical curves,
+        // oracle SQL unchanged. 12 eager jobs -> 4.
+        import org.apache.spark.sql.expressions.Window
         val sc = 4294967296.0 // 2^32
+        val scale = 281474976710656L // 2^48 (the kmeansCentroids mean lift)
+        val ks = Seq(2, 4, 8)
         val emb = Tables.embeddings(s, d)
-        val curves = Seq(2, 4, 8).map { k =>
-          val cents = Similarity.kmeansCentroids(emb, k, 2)
-          val packed = cents.agg(array_sort(
-            collect_list(struct(col("cent_id"), col("cvec")))).as("cents"))
-          emb.crossJoin(broadcast(packed))
-            .select(array_min(transform(col("cents"), c =>
-              struct(Similarity.l2sq(col("embedding"), c.getField("cvec"))
-                .as("d"), c.getField("cent_id").as("cent_id"))))
-              .getField("d").as("d2"))
-            .agg(count(lit(1)).as("n"),
-              (sum(floor(col("d2") * lit(sc)).cast("decimal(38,0)"))
-                .cast("double") / lit(sc)).as("inertia"))
-            .select(lit(k.toLong).as("k"), col("n"), col("inertia"),
-              (col("inertia") / col("n").cast("double"))
-                .as("mean_d2"))
+        val h = sha2(col("vec_id").cast("string"), 256)
+        val seedW = Window.orderBy(col("h"), col("vec_id"))
+        val sampleN = emb.filter(h < lit("1")).count()
+        def ranked(src: org.apache.spark.sql.DataFrame, kCap: Int) = src
+          .withColumn("h", h)
+          .withColumn("rk", row_number().over(seedW))
+          .filter(col("rk") <= kCap)
+          .select((col("rk") - 1).cast("long").as("cent_id"),
+            transform(col("embedding"), _.cast("double")).as("cvec"))
+          .localCheckpoint(true)
+        val fromSample = ks.filter(k => sampleN >= k)
+        val fromFull = ks.filter(k => sampleN < k)
+        val rankedSample =
+          if (fromSample.nonEmpty)
+            Some(ranked(emb.filter(h < lit("1")), fromSample.max))
+          else None
+        val rankedFull =
+          if (fromFull.nonEmpty) Some(ranked(emb, fromFull.max)) else None
+        var cents = ks.map { k =>
+          val src = if (sampleN >= k) rankedSample.get else rankedFull.get
+          src.filter(col("cent_id") < k).withColumn("k", lit(k.toLong))
+        }.reduce(_ unionAll _).localCheckpoint(true)
+        def packedByK(c: org.apache.spark.sql.DataFrame) = c.groupBy("k")
+          .agg(array_sort(collect_list(struct(col("cent_id"), col("cvec"))))
+            .as("cents"))
+        def bestOf(cents: org.apache.spark.sql.Column) =
+          array_min(transform(cents, c =>
+            struct(Similarity.l2sq(col("embedding"), c.getField("cvec"))
+              .as("d"), c.getField("cent_id").as("cent_id"))))
+        for (_ <- 1 to 2) {
+          val assigned = emb.crossJoin(broadcast(packedByK(cents)))
+            .select(col("k"), col("embedding"),
+              bestOf(col("cents")).getField("cent_id").as("cent_id"))
+          val means = assigned
+            .select(col("k"), col("cent_id"),
+              posexplode(col("embedding")).as(Seq("i", "v")))
+            .groupBy("k", "cent_id", "i")
+            .agg((((sum(floor(col("v").cast("double") * lit(scale.toDouble))
+                .cast("decimal(38,0)")).cast("double") /
+              lit(scale.toDouble)) /
+              count(lit(1))).as("m")))
+            .groupBy("k", "cent_id")
+            .agg(transform(
+              array_sort(collect_list(struct(col("i"), col("m")))),
+              e => e.getField("m")).as("nvec"))
+          cents = cents.join(means, Seq("k", "cent_id"), "left")
+            .select(col("k"), col("cent_id"),
+              coalesce(col("nvec"), col("cvec")).as("cvec"))
+            .localCheckpoint(true)
         }
-        curves.reduce(_ unionAll _).orderBy("k")
+        val grouped = emb.crossJoin(broadcast(packedByK(cents)))
+          .select(col("k"), bestOf(col("cents")).getField("d").as("d2"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"),
+            (sum(floor(col("d2") * lit(sc)).cast("decimal(38,0)"))
+              .cast("double") / lit(sc)).as("inertia"))
+        val kTab = ks.map(k => s.range(1).select(lit(k.toLong).as("k")))
+          .reduce(_ unionAll _)
+        kTab.join(grouped, Seq("k"), "left")
+          .select(col("k"), coalesce(col("n"), lit(0L)).as("n"),
+            col("inertia"),
+            (col("inertia") / coalesce(col("n"), lit(0L)).cast("double"))
+              .as("mean_d2"))
+          .orderBy("k")
       },
       {
         def leg(k: Int) =
